@@ -1,0 +1,210 @@
+"""Collection descriptor + Parquet-backed collection tables.
+
+The reference derives an Arrow schema from a live Qdrant collection's config
+(reference src/arrow/schema.rs:59-110: fixed ``id`` Utf8 non-null +
+``payload`` Utf8 nullable, one column per declared dense/multi vector field,
+and an ``{name}_indices``/``{name}_values`` column pair per sparse field).
+Here the collection config is an explicit :class:`CollectionDescriptor` and
+data-at-rest is Parquet with the same column convention, which hands
+Catalyst column pruning / predicate pushdown / multi-partition scans for
+free — removing the reference's single-partition bottleneck
+(reference src/table.rs:247, ``UnknownPartitioning(1)``).
+
+Vector encodings (reference src/arrow/schema.rs:35-53, 91-107):
+
+=============  =======================================  =========================
+kind           reference Arrow encoding                 Spark type
+=============  =======================================  =========================
+dense          List<Float32> nullable                   ArrayType(FloatType())
+multi          List<List<Float32>> nullable             ArrayType(ArrayType(FloatType()))
+sparse         {n}_indices List<UInt32> +               ArrayType(LongType()) +
+               {n}_values List<Float32>                 ArrayType(FloatType())
+=============  =======================================  =========================
+
+Sparse UInt32 indices widen to LongType (Spark has no unsigned ints).
+Element type is always Float32 — the reference deliberately collapses
+declared Float16/UInt8 to Float32 (src/arrow/schema.rs:18-27).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: distance metrics a vector field can declare (reference e2e tests configure
+#: Cosine / Dot / Euclid per field — tests/e2e.rs:127-148).
+METRICS = ("cosine", "dot", "euclid", "manhattan")
+
+UNNAMED_VECTOR_COLUMN = "vector"  # reference src/arrow/schema.rs:74-77
+
+
+@dataclass(frozen=True)
+class VectorField:
+    """One declared vector field of a collection."""
+
+    name: str
+    dim: int
+    metric: str = "cosine"
+    kind: str = "dense"  # dense | multi | sparse
+
+    def __post_init__(self) -> None:
+        if self.metric not in METRICS:
+            raise ValueError(f"unknown metric {self.metric!r}; one of {METRICS}")
+        if self.kind not in ("dense", "multi", "sparse"):
+            raise ValueError(f"unknown vector kind {self.kind!r}")
+
+
+@dataclass(frozen=True)
+class CollectionDescriptor:
+    """The analogue of a Qdrant collection config.
+
+    ``unnamed=True`` models the reference's single-unnamed-vector collection
+    (one column literally named ``vector``); otherwise each
+    :class:`VectorField` becomes one (dense/multi) or two (sparse) columns.
+    A collection is either named or unnamed, never both
+    (reference CLAUDE.md:80-87 structural rules).
+    """
+
+    name: str
+    fields: tuple[VectorField, ...] = field(default_factory=tuple)
+    unnamed: bool = False
+
+    def __post_init__(self) -> None:
+        if self.unnamed:
+            if len(self.fields) != 1 or self.fields[0].kind != "dense":
+                raise ValueError("unnamed collection declares exactly one dense field")
+        if any(f.kind == "sparse" and self.unnamed for f in self.fields):
+            raise ValueError("sparse vectors must be named")
+
+    # -- schema derivation (mirror of collection_to_arrow_schema) ------------
+
+    def schema(self) -> T.StructType:
+        """Descriptor -> Spark schema, mirroring reference src/arrow/schema.rs:59-110."""
+        out = [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("payload", T.StringType(), True),
+        ]
+        for f in self.fields:
+            if f.kind == "sparse":
+                out.append(
+                    T.StructField(f"{f.name}_indices", T.ArrayType(T.LongType()), True)
+                )
+                out.append(
+                    T.StructField(f"{f.name}_values", T.ArrayType(T.FloatType()), True)
+                )
+            elif f.kind == "multi":
+                out.append(
+                    T.StructField(
+                        self._col(f), T.ArrayType(T.ArrayType(T.FloatType())), True
+                    )
+                )
+            else:
+                out.append(T.StructField(self._col(f), T.ArrayType(T.FloatType()), True))
+        return T.StructType(out)
+
+    def _col(self, f: VectorField) -> str:
+        return UNNAMED_VECTOR_COLUMN if self.unnamed else f.name
+
+    def metric_for(self, column: str | None = None) -> str:
+        """Per-field metric lookup — V_SEARCH without an explicit metric uses the
+        collection-configured one (reference tests/e2e.rs:127-148)."""
+        if column is None or self.unnamed:
+            return self.fields[0].metric
+        base = column
+        for suffix in ("_indices", "_values"):
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
+        for f in self.fields:
+            if f.name == base:
+                return f.metric
+        raise KeyError(f"no vector field {column!r} in collection {self.name!r}")
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "name": self.name,
+                "unnamed": self.unnamed,
+                "fields": [
+                    {"name": f.name, "dim": f.dim, "metric": f.metric, "kind": f.kind}
+                    for f in self.fields
+                ],
+            }
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> CollectionDescriptor:
+        d = json.loads(text)
+        return cls(
+            name=d["name"],
+            unnamed=d.get("unnamed", False),
+            fields=tuple(VectorField(**f) for f in d.get("fields", ())),
+        )
+
+
+DESCRIPTOR_FILE = "_collection.json"
+
+
+class CollectionCatalog:
+    """Registers collection directories as Spark tables.
+
+    A collection lives at ``{root}/{name}/`` as Parquet files plus a
+    ``_collection.json`` descriptor.  ``register`` is the analogue of the
+    reference's ``ctx.register_table`` (tests/e2e.rs:217): after it, the
+    collection is queryable by name from ``spark.sql``.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._descriptors: dict[str, CollectionDescriptor] = {}
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(
+        self,
+        descriptor: CollectionDescriptor,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partitions: int | None = None,
+    ) -> None:
+        """Persist a collection (the write path the reference left ``todo!()``
+        at src/table.rs:186-193)."""
+        expected = {f.name for f in descriptor.schema().fields}
+        missing = expected - set(df.columns)
+        if missing:
+            raise ValueError(f"DataFrame missing collection columns: {sorted(missing)}")
+        path = self._dir(descriptor.name)
+        writer = df.repartition(partitions) if partitions else df
+        writer.write.mode(mode).parquet(path)
+        with open(os.path.join(path, DESCRIPTOR_FILE), "w") as fh:
+            fh.write(descriptor.to_json())
+        self._descriptors[descriptor.name] = descriptor
+
+    def descriptor(self, name: str) -> CollectionDescriptor:
+        if name not in self._descriptors:
+            with open(os.path.join(self._dir(name), DESCRIPTOR_FILE)) as fh:
+                self._descriptors[name] = CollectionDescriptor.from_json(fh.read())
+        return self._descriptors[name]
+
+    def load(self, name: str) -> DataFrame:
+        """Collection scan — Parquet-backed, multi-partition, with Catalyst
+        column pruning / predicate pushdown (exceeding the reference scan,
+        which ignores filters — src/table.rs:174-175)."""
+        return self.spark.read.parquet(self._dir(name))
+
+    def register(self, name: str, view_name: str | None = None) -> DataFrame:
+        df = self.load(name)
+        df.createOrReplaceTempView(view_name or name)
+        return df
+
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        """INSERT INTO — append rows to an existing collection."""
+        descriptor = self.descriptor(name)
+        self.write(descriptor, df, mode="append")

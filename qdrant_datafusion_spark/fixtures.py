@@ -1,0 +1,126 @@
+"""The reference's e2e test collections as deterministic DataFrames.
+
+Point values copied from the reference's e2e tests so its assertions carry
+over verbatim (FIXTURES.md; reference tests/e2e.rs:163-208 and :360-365).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qdrant_datafusion_spark.collections import CollectionDescriptor, VectorField
+
+SIMPLE = CollectionDescriptor(
+    name="simple", unnamed=True, fields=(VectorField("vector", 2, "cosine"),)
+)
+
+HETERO = CollectionDescriptor(
+    name="hetero",
+    fields=(
+        VectorField("test_embedding", 2, "cosine"),
+        VectorField("text_embedding", 3, "cosine"),
+        VectorField("image_embedding", 4, "dot"),
+        VectorField("audio_embedding", 2, "euclid"),
+        VectorField("multi_embeddings", 2, "dot", kind="multi"),
+        VectorField("keywords", 0, "dot", kind="sparse"),
+    ),
+)
+
+UNNAMED = CollectionDescriptor(
+    name="unnamed", unnamed=True, fields=(VectorField("vector", 3, "cosine"),)
+)
+
+
+def simple_df(spark: SparkSession) -> DataFrame:
+    """Fixture 1 (reference tests/e2e.rs:48-107): 1 point, unnamed dim-2."""
+    rows = [("1", json.dumps({"title": "Test Point"}), [0.1, 0.2])]
+    return spark.createDataFrame(rows, SIMPLE.schema())
+
+
+def hetero_df(spark: SparkSession) -> DataFrame:
+    """Fixture 2 (reference tests/e2e.rs:111-332): 3 points, heterogeneous
+    named vectors — each point carries a different subset (NULL = absent)."""
+    rows = [
+        (
+            "1",
+            json.dumps({"title": "Point 1"}),
+            [0.1, 0.2], None, None, None,
+            [[0.7, 0.8], [0.9, 0.1]],
+            [0, 5], [0.1, 0.9],
+        ),
+        (
+            "2",
+            json.dumps({"title": "Point 2"}),
+            None, [0.3, 0.4, 0.5], [0.6, 0.7, 0.8, 0.9], None,
+            None,
+            [1, 3], [0.7, 0.4],
+        ),
+        (
+            "3",
+            json.dumps({"title": "Point 3"}),
+            None, [0.11, 0.12, 0.13], None, [0.14, 0.15],
+            None,
+            [2, 4, 6], [0.2, 0.6, 0.8],
+        ),
+    ]
+    return spark.createDataFrame(rows, HETERO.schema())
+
+
+def unnamed_df(spark: SparkSession) -> DataFrame:
+    """Fixture 3 (reference tests/e2e.rs:335-479): 3 points, unnamed dim-3."""
+    rows = [
+        ("1", json.dumps({"title": "Unnamed Point 1"}), [0.1, 0.2, 0.3]),
+        ("2", json.dumps({"title": "Unnamed Point 2"}), [0.4, 0.5, 0.6]),
+        ("3", json.dumps({"title": "Unnamed Point 3"}), [0.7, 0.8, 0.9]),
+    ]
+    return spark.createDataFrame(rows, UNNAMED.schema())
+
+
+def corpus_df(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
+    """Fixture 4 (FIXTURES.md): ~n deterministic rows with the rich payload
+    fields the Tier C corpus assumes (category/price/author/tags/geo/...)."""
+    import random
+
+    rng = random.Random(seed)
+    cats = ["electronics", "books", "clothing", "home", "sports"]
+    tags_all = ["h1", "h2", "h3", "h4", "p", "li", "other"]
+    langs = ["en", "fr", "es", "de", "zh"]
+    statuses = ["active", "archived", "draft"]
+    cities = [("Paris", "FR", 48.8566, 2.3522), ("Berlin", "DE", 52.52, 13.405),
+              ("Madrid", "ES", 40.4168, -3.7038), ("Rome", "IT", 41.9028, 12.4964)]
+    rows = []
+    for i in range(n):
+        city, country, lat, lon = cities[rng.randrange(len(cities))]
+        payload = {
+            "category": cats[rng.randrange(len(cats))],
+            "price": round(rng.uniform(1, 1000), 2),
+            "author": f"author_{rng.randrange(20)}",
+            "tag": tags_all[rng.randrange(len(tags_all))],
+            "language": langs[rng.randrange(len(langs))],
+            "status": statuses[rng.randrange(len(statuses))],
+            "verified": rng.random() < 0.5,
+            "has_thumbnail": rng.random() < 0.3,
+            "tags": rng.sample(cats, k=rng.randrange(1, 4)),
+            "description": f"item {i} description text",
+            "address": {"city": city, "country": country},
+            "geo": {"location": {"lat": lat + rng.uniform(-0.1, 0.1),
+                                 "lon": lon + rng.uniform(-0.1, 0.1)}},
+        }
+        dense = [rng.uniform(-1, 1) for _ in range(2)]
+        text3 = [rng.uniform(-1, 1) for _ in range(3)]
+        img4 = [rng.uniform(-1, 1) for _ in range(4)] if rng.random() < 0.8 else None
+        audio = [rng.uniform(-1, 1) for _ in range(2)] if rng.random() < 0.5 else None
+        multi = (
+            [[rng.uniform(-1, 1) for _ in range(2)] for _ in range(rng.randrange(1, 4))]
+            if rng.random() < 0.6
+            else None
+        )
+        nnz = rng.randrange(1, 6)
+        idxs = sorted(rng.sample(range(100), nnz))
+        vals = [round(rng.uniform(0, 1), 4) for _ in range(nnz)]
+        rows.append(
+            (str(i), json.dumps(payload), dense, text3, img4, audio, multi, idxs, vals)
+        )
+    return spark.createDataFrame(rows, HETERO.schema())

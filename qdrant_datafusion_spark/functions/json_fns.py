@@ -1,0 +1,59 @@
+"""JSON payload surface.
+
+The reference's only implemented function code registers an external JSON
+suite over the ``payload`` Utf8 column (reference src/udfs.rs:13-16 →
+datafusion-functions-json: json_get, ->/->> rewrites, json_contains, ...).
+Spark has the same surface natively (`get_json_object`, `json_tuple`,
+`from_json`), so these helpers are thin, codegen-friendly wrappers that
+match the corpus call shapes:
+
+- ``payload_get(col, 'address.city')``  ↔  ``payload->'address'->'city'``
+  (tests/bin/tests.sql:217-226 nested chaining)
+- ``has_field``                         ↔  ``HAS_FIELD(payload, 'field')``
+  (tests/bin/tests.sql:203-207)
+- ``payload_contains``                  ↔  ``payload->'tags' @> '["x"]'``
+  (tests/bin/tests.sql:224)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import _as_col, ColumnOrName
+
+
+def _path(field_path: str) -> str:
+    """'address.city' -> '$.address.city' (already-$ paths pass through)."""
+    return field_path if field_path.startswith("$") else "$." + field_path
+
+
+def payload_get(payload: ColumnOrName, field_path: str) -> Column:
+    """String value at a (possibly nested) JSON path; NULL if absent."""
+    return F.get_json_object(_as_col(payload), _path(field_path))
+
+
+def payload_get_float(payload: ColumnOrName, field_path: str) -> Column:
+    """Numeric value at a JSON path (the `payload->'price' > 100` shape,
+    tests/bin/tests.sql:56-59)."""
+    return payload_get(payload, field_path).cast("double")
+
+
+def has_field(payload: ColumnOrName, field_path: str) -> Column:
+    """JSON key existence — ``HAS_FIELD`` (tests/bin/tests.sql:203-207).
+
+    NULL payload → false (a missing document has no fields).  Note: a key
+    explicitly set to JSON null reads as absent, same as the reference's
+    json_get-based existence idiom.
+    """
+    return payload_get(payload, field_path).isNotNull()
+
+
+def payload_contains(payload: ColumnOrName, field_path: str, value) -> Column:
+    """JSON array containment — the ``@>`` operator shape
+    (``payload->'tags' @> '["electronics"]'``, tests/bin/tests.sql:224).
+
+    Parses the array at ``field_path`` and checks membership of ``value``.
+    """
+    arr = F.from_json(payload_get(payload, field_path), "array<string>")
+    return F.array_contains(arr, value)

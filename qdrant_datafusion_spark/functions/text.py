@@ -1,0 +1,153 @@
+"""Text-analysis kernels: MATCH_TEXT relevance (reference
+tests/bin/tests.sql:210-214) plus the training-data-pipeline surface
+(token counting, quality scoring, language-ID, document fingerprinting).
+
+All pure native Column expressions — tokenization via split/regexp,
+hashing via md5 (chosen deliberately: md5 exists bit-for-bit identical in
+DuckDB, so every kernel here is oracle-checkable; xxhash64 would be faster
+but engine-specific).  At 100 TB these run inside WholeStageCodegen over
+the scan with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import _as_col, ColumnOrName
+
+TOKEN_PATTERN = "\\s+"
+#: BPE-ish word/punct splitter for token_count(mode="bpe"): runs of word
+#: chars, or single non-space punctuation marks.
+BPE_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"
+
+
+def tokens(text: ColumnOrName) -> Column:
+    """Whitespace tokens of a trimmed, lowercased text; empty text → []."""
+    t = F.lower(F.trim(_as_col(text)))
+    return F.filter(F.split(t, TOKEN_PATTERN), lambda x: x != "")
+
+
+def token_count(text: ColumnOrName, mode: str = "whitespace") -> Column:
+    """Token count — ``whitespace`` (split on runs of spaces) or ``bpe``
+    (word-chunks + punctuation marks, a BPE-style pre-tokenization)."""
+    if mode == "whitespace":
+        return F.size(tokens(text))
+    if mode == "bpe":
+        return F.regexp_count(_as_col(text), F.lit(BPE_PATTERN))
+    raise ValueError(f"unknown token mode {mode!r}")
+
+
+def match_text(text: ColumnOrName, query: str) -> Column:
+    """Term-overlap relevance — ``MATCH_TEXT(field, 'query terms')``
+    (tests/bin/tests.sql:210-214).
+
+    Score = |query terms present in text| / |query terms| in [0, 1].
+    Presence is token-exact (not substring), case-insensitive.
+    """
+    qterms = [t for t in query.lower().split() if t]
+    if not qterms:
+        return F.lit(0.0)
+    toks = tokens(text)
+    hits: Column = F.array_contains(toks, qterms[0]).cast("int")
+    for t in qterms[1:]:
+        hits = hits + F.array_contains(toks, t).cast("int")
+    return hits.cast("double") / F.lit(float(len(qterms)))
+
+
+def quality_score(text: ColumnOrName, stopwords: Sequence[str] = ()) -> Column:
+    """Heuristic document-quality score in [0, 1]:
+
+    0.4 * length_score   (saturating at 1000 chars)
+    + 0.3 * alpha_ratio  (alphabetic+space chars / all chars)
+    + 0.3 * stopword_hit (fraction of given stopwords present; 0 if none given)
+
+    The standard cheap pre-filter shape for training-data curation.
+    """
+    t = _as_col(text)
+    n = F.length(t).cast("double")
+    length_score = F.least(n / F.lit(1000.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z ]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    if stopwords:
+        toks = tokens(t)
+        hits: Column = F.array_contains(toks, stopwords[0]).cast("int")
+        for s in stopwords[1:]:
+            hits = hits + F.array_contains(toks, s).cast("int")
+        stop_score = hits.cast("double") / F.lit(float(len(stopwords)))
+    else:
+        stop_score = F.lit(0.0)
+    return (
+        F.lit(0.4) * length_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * stop_score
+    )
+
+
+#: tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small — language ID here is a *pipeline* op
+#: (cheap scoring at scale), not a linguistics library.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "la", "los", "las", "y", "de", "que", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men"),
+}
+
+
+def language_score(text: ColumnOrName, lang: str) -> Column:
+    """Fraction of ``lang``'s stopword profile present in the text."""
+    profile = LANG_PROFILES[lang]
+    toks = tokens(text)
+    hits: Column = F.array_contains(toks, profile[0]).cast("int")
+    for s in profile[1:]:
+        hits = hits + F.array_contains(toks, s).cast("int")
+    return hits.cast("double") / F.lit(float(len(profile)))
+
+
+def word_shingles(text: ColumnOrName, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text (the MinHash/Jaccard unit).
+
+    Built natively: tokenize, then for each position i in [0, n-k] join
+    tokens[i:i+k] with a space.  Returns array<string>, deduplicated.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_fingerprint(text: ColumnOrName, k: int = 3) -> Column:
+    """Deterministic content fingerprint: min md5 over the text's k-word
+    shingles (a 1-hash MinHash — the classic "document signature" for
+    near-dup bucketing).  Empty/short text falls back to md5 of the
+    normalized text itself."""
+    sh = word_shingles(text, k)
+    norm_text = F.lower(F.trim(_as_col(text)))
+    return F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    ).otherwise(F.md5(norm_text))
+
+
+def minhash_signature(
+    text: ColumnOrName, k: int = 3, num_hashes: int = 32
+) -> Column:
+    """MinHash signature as array<string>: for seed i, min over shingles of
+    md5(i || ':' || shingle).  md5 keeps it oracle-checkable; at production
+    scale swap ``F.md5`` for ``F.xxhash64`` (same structure, ~3× faster)."""
+    sh = word_shingles(text, k)
+
+    def min_hash(i: int) -> Column:
+        # closure factory: an `i=i` default would make the lambda binary and
+        # Spark would pass the element index as i
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        )
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])

@@ -1,0 +1,145 @@
+"""Approximate / exact nearest-neighbor search over an embedding column.
+
+Three strategies over ``array<float>``:
+
+- ``knn_bruteforce`` — exact: score every row (native O(dim) kernel inside
+  the scan's codegen stage) + TakeOrderedAndProject.  The correctness
+  baseline; at 100 TB still a single scan with no shuffle, bounded by I/O.
+- ``ivf_topk``      — IVF-style: assign each row to its nearest of K
+  centroids (a broadcast-sized literal list), *pre-materialize* the
+  assignment partitioned by centroid, and probe only ``nprobe`` cells per
+  query → reads shrink by ~nprobe/K when the assignment table is stored
+  partitioned-by-cell (partition pruning does the skipping).
+- ``lsh_bucket_topk`` — random-hyperplane LSH buckets: sign-pattern of a
+  few plane dot-products is the bucket key; a query probes its own bucket
+  (optionally multi-probe neighbors at Hamming 1).
+
+``knn_join`` batches many queries (exact) via broadcast + window — the
+building block for embedding-dedup verification and kNN-graph jobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import (
+    cosine_similarity,
+    dot_product,
+    v_search,
+)
+from qdrant_datafusion_spark.operators.topk import batch_search
+
+
+def knn_bruteforce(
+    collection: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact top-k by full scan — the ANN correctness baseline."""
+    return (
+        collection.filter(F.col(vector_col).isNotNull())
+        .select(id_col, v_search(vector_col, query, metric).alias(score_col))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
+knn_join = batch_search  # exact batched kNN is the batch_search window plan
+
+
+def _centroid_id(vector_col: str, centroids: Sequence[Sequence[float]]) -> Column:
+    """Index of the max-dot-product centroid (literal centroid list)."""
+    scores = F.array(
+        *[dot_product(F.col(vector_col), list(c)) for c in centroids]
+    )
+    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+
+def assign_ivf_cells(
+    collection: DataFrame,
+    vector_col: str,
+    centroids: Sequence[Sequence[float]],
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Add an IVF cell id per row.  Write the result
+    ``.write.partitionBy(cell_col)`` to make per-cell probing a
+    partition-pruned read at query time."""
+    return collection.filter(F.col(vector_col).isNotNull()).withColumn(
+        cell_col, _centroid_id(vector_col, centroids)
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "id",
+    cell_col: str = "ivf_cell",
+    score_col: str = "score",
+) -> DataFrame:
+    """Probe the ``nprobe`` cells whose centroids best match the query, then
+    exact top-k within them.  ``assigned`` is the output of
+    ``assign_ivf_cells`` (ideally read back partitioned by cell so the
+    cell filter prunes partitions instead of scanning)."""
+    q = [float(x) for x in query]
+    cscores = [(i, sum(a * b for a, b in zip(q, c))) for i, c in enumerate(centroids)]
+    probe = [i for i, _ in sorted(cscores, key=lambda t: -t[1])[:nprobe]]
+    return (
+        assigned.filter(F.col(cell_col).isin(probe))
+        .select(id_col, v_search(vector_col, q, metric).alias(score_col))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(vector_col: str, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane LSH bucket key: the concatenated sign pattern of
+    the vector's dot products with each plane."""
+    bits = [
+        (dot_product(F.col(vector_col), list(p)) > 0).cast("int").cast("string")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    collection: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    score_col: str = "score",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k probing the query's LSH bucket (and, with
+    ``multiprobe``, all buckets at Hamming distance 1 — recall insurance
+    for points near a hyperplane)."""
+    q = [float(x) for x in query]
+    qbits = [1 if sum(a * b for a, b in zip(q, p)) > 0 else 0 for p in planes]
+    buckets = {"".join(map(str, qbits))}
+    if multiprobe:
+        for i in range(len(qbits)):
+            flipped = qbits.copy()
+            flipped[i] ^= 1
+            buckets.add("".join(map(str, flipped)))
+    return (
+        collection.filter(F.col(vector_col).isNotNull())
+        .withColumn("_bucket", lsh_bucket(vector_col, planes))
+        .filter(F.col("_bucket").isin(list(buckets)))
+        .select(id_col, v_search(vector_col, q, metric).alias(score_col))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )

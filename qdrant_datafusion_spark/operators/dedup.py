@@ -1,0 +1,340 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, cheapest→richest; all return deterministic results
+(ties broken by id) and all are built from shuffles that scale:
+
+- ``exact_dedup``          — hash-groupBy on normalized content.  One
+                             shuffle on a short hash key; survivor = min id.
+- ``ngram_jaccard_dups``   — exact k-shingle Jaccard via shingle-explode +
+                             self-join.  Correct but O(pairs-sharing-a-
+                             shingle); at 100 TB use it only as the *verify*
+                             stage after an LSH candidate pass.
+- ``minhash_lsh_dups``     — MinHash signatures → banded LSH buckets →
+                             candidate pairs → exact-Jaccard verify.  The
+                             scale path: the only shuffle keys are
+                             (band, band-hash) buckets, candidates are a
+                             tiny fraction of the cross product.
+- ``simhash_dups``         — 64-bit SimHash over tokens; near-dups =
+                             signatures at Hamming distance ≤ r, found by
+                             block-permutation banding (split the hash into
+                             r+1 blocks; a pair within distance r must agree
+                             on ≥1 block → bucket-join per block).
+- ``embedding_near_dups``  — cosine ≥ threshold over an embedding column;
+                             exact pairwise within LSH-ish buckets or
+                             brute-force for small/verified sets.
+
+Hashing uses md5 (bit-identical in DuckDB → every operator is
+oracle-checkable end-to-end); swap F.xxhash64 in-place for ~3× at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import dot_product, norm
+from qdrant_datafusion_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    normalize: bool = True,
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on content hash: one row per distinct content, keeping the
+    min (or max) id.  Returns (id, content_hash, dup_count).
+
+    The groupBy key is md5(content) — 32 bytes — not the content itself, so
+    the shuffle moves hashes, not documents.
+    """
+    c = F.col(content_col)
+    if normalize:
+        c = F.lower(F.trim(c))
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.md5(c).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(keeper.alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def _shingle_pairs(
+    df: DataFrame, content_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id_a < id_b, intersection_size, size_a, size_b) for every pair of
+    docs sharing ≥1 distinct k-shingle."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(content_col, k)).alias("shingle"),
+        F.size(word_shingles(content_col, k)).alias("_nsh"),
+    )
+    a = sh.select(
+        F.col("_id").alias("id_a"), F.col("shingle"), F.col("_nsh").alias("n_a")
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"), F.col("shingle"), F.col("_nsh").alias("n_b")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+
+
+def ngram_jaccard_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram (k-word shingle) Jaccard near-dup pairs:
+    J(A,B) = |A∩B| / |A∪B| ≥ threshold.  Returns (id_a, id_b, jaccard)."""
+    pairs = _shingle_pairs(df, content_col, id_col, k)
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: signature (num_hashes mins over md5(seed:shingle)) → split
+    into ``bands`` bands of ``num_hashes/bands`` rows → bucket on
+    md5(band_id || band content) → pairs sharing ≥1 bucket → verify with
+    exact Jaccard ≥ threshold.  With 16 bands × 2 rows, P(candidate) at
+    J=0.5 is 1-(1-0.25)^16 ≈ 0.99 — recall stays high while the candidate
+    set stays ~linear.  Returns (id_a, id_b, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh"))
+
+    def min_hash(i: int) -> Column:
+        # closure factory: an `i=i` default param would turn the transform
+        # lambda binary, making Spark pass the element index as i
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"_h{i}")
+
+    sig_cols = [min_hash(i) for i in range(num_hashes)]
+    sigs = sh.filter(F.size("_sh") > 0).select("_id", "_sh", *sig_cols)
+
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("_id", "_sh", *band_cols)
+    buckets = banded.select(
+        "_id",
+        "_sh",
+        F.explode(F.array(*[F.col(f"_band{b}") for b in range(bands)])).alias("bucket"),
+    )
+
+    a = buckets.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "bucket"
+    )
+    b_ = buckets.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "bucket"
+    )
+    candidates = (
+        a.join(b_, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        candidates.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+#: SimHash width: 15 hex chars = 60 bits.  60 (not 64) keeps the bigint
+#: fold far from signed overflow (Spark 4 runs ANSI mode by default) and
+#: divides evenly into 4 blocks for Hamming-3 block search.
+SIMHASH_HEX_CHARS = 15
+SIMHASH_BITS = SIMHASH_HEX_CHARS * 4
+
+
+def simhash64(content_col: str | Column, prefix_hex_chars: int = SIMHASH_HEX_CHARS) -> Column:
+    """SimHash of a text's token multiset, as a bigint (60 bits used).
+
+    Per token: h = first ``prefix_hex_chars`` hex chars of md5(token).
+    Signature bit (MSB-first over the hex string) is 1 iff
+    Σ_tokens (bit ? +1 : -1) > 0.  Built natively: tokens → per-token hex
+    hash → per-bit vote via aggregate over an array accumulator → MSB-first
+    fold ``acc*2 + bit``.  md5-based so a DuckDB oracle can replicate it
+    bit-for-bit.
+    """
+    nbits = prefix_hex_chars * 4
+    toks = tokens(content_col)
+    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, prefix_hex_chars))
+
+    def bits_of(h: Column) -> Column:
+        # per hex char (string order), its 4 bits MSB-first, as ±1 votes
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(prefix_hex_chars)),
+                lambda ci: F.array(
+                    *[
+                        F.shiftright(
+                            F.conv(F.substr(h, ci, F.lit(1)), 16, 10).cast("int"), b
+                        ).bitwiseAND(F.lit(1))
+                        * 2
+                        - 1
+                        for b in (3, 2, 1, 0)
+                    ]
+                ),
+            )
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, v: a + v),
+    )
+    # MSB-first fold into a bigint: acc*2 + (vote>0)
+    return F.aggregate(
+        votes,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0).cast("bigint"),
+    )
+
+
+def simhash_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Block-permutation search: split the 64-bit signature into
+    ``max_hamming+1`` blocks — any pair within distance ``max_hamming``
+    agrees exactly on at least one block (pigeonhole), so candidates are
+    found with equi-joins on (block_id, block_value) and then verified with
+    ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming).
+    """
+    nblocks = blocks or (max_hamming + 1)
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(content_col).alias("sig"))
+
+    width = SIMHASH_BITS // nblocks
+    block_cols = [
+        F.shiftright(F.col("sig"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
+        .alias(f"_blk{i}")
+        for i in range(nblocks)
+    ]
+    blocked = sig.select("_id", "sig", *block_cols)
+    exploded = blocked.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("bid"), F.col(f"_blk{i}").alias("bval"))
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "sig", F.col("b.bid").alias("bid"), F.col("b.bval").alias("bval"))
+
+    a = exploded.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "bid", "bval")
+    b_ = exploded.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "bid", "bval")
+    cand = (
+        a.join(b_, ["bid", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_planes: Sequence[Sequence[float]] | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Without ``bucket_planes``: exact all-pairs via self-join (use at small
+    n or as the verify stage).  With planes: random-hyperplane LSH — rows
+    bucket by the sign pattern of plane dot-products; only same-bucket
+    pairs are compared (the 100 TB path; planes should be sampled fixed
+    per run).  Returns (id_a, id_b, cosine).
+    """
+    base = df.filter(F.col(vector_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).alias("_v"),
+        (norm(F.col(vector_col))).alias("_n"),
+    )
+    if bucket_planes:
+        sign_bits = [
+            (dot_product(F.col("_v"), list(p)) > 0).cast("int").alias(f"_s{i}")
+            for i, p in enumerate(bucket_planes)
+        ]
+        base = base.select("_id", "_v", "_n", *sign_bits).withColumn(
+            "_bucket",
+            F.concat_ws("", *[F.col(f"_s{i}") for i in range(len(bucket_planes))]),
+        )
+        join_keys = ["_bucket"]
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a"), "_bucket"
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b"), "_bucket"
+        )
+        pairs = a.join(b, join_keys)
+    else:
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
+        )
+        pairs = a.crossJoin(b)
+    cos = dot_product(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
