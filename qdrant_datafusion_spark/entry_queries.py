@@ -1,0 +1,1180 @@
+"""The driver-contract query inventory: every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions) as a
+(spark_query, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Determinism rules (the driver hash-compares values):
+- every float output is ``round(x, N)`` on BOTH sides (money sums N=2,
+  unit-scale scores N=6) — identical decimal → identical double bits;
+- every top-k orders by (score, id) so ties cannot reorder row *sets*;
+- timestamps are formatted to strings (Spark session TZ is UTC, DuckDB is
+  naive — strings remove the ambiguity);
+- aggregate/computed columns carry the same alias in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.composite import recommend_composite
+from qdrant_datafusion_spark.functions.distance import (
+    cosine_similarity,
+    dot_product,
+    euclid_distance,
+    v_search,
+)
+from qdrant_datafusion_spark.functions.fusion import RRF_K
+from qdrant_datafusion_spark.functions.geo import v_gauss_decay, v_geo_distance
+from qdrant_datafusion_spark.functions.json_fns import has_field, payload_get_float
+from qdrant_datafusion_spark.functions.text import (
+    doc_fingerprint,
+    language_score,
+    match_text,
+    quality_score,
+    token_count,
+    tokens,
+)
+from qdrant_datafusion_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dups,
+    ngram_jaccard_dups,
+    simhash_dups,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    Parquet reader rejects; read the nanos as long (runtime conf) and do
+    time arithmetic in integer nanoseconds — deterministic and identical
+    to DuckDB's epoch_ns()."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# deterministic literal queries (seed 42) shared by Spark + oracle SQL
+# ---------------------------------------------------------------------------
+
+def _seeded_vec(dim: int, seed: int) -> list[float]:
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+
+
+QUERY_VEC = _seeded_vec(64, 42)
+QUERY_VEC2 = _seeded_vec(64, 43)
+#: sparse "query": fixed vocabulary words with weights (documents are
+#: word-soup over a small vocab, see TESTDATA.md)
+SPARSE_QUERY = [("spark", 2.0), ("join", 1.5), ("merge", 1.0), ("window", 0.5)]
+MATCH_QUERY = "spark join merge window"
+#: ColBERT-style query: 2 sub-vectors of dim 16 (docs side = embedding
+#: sliced into 4 chunks of 16)
+COLBERT_QUERY = [_seeded_vec(16, 44), _seeded_vec(16, 45)]
+RECOMMEND_POS = [0, 1, 2]
+RECOMMEND_NEG = [3]
+#: synthetic geo: lat/lon derived arithmetically from c_custkey (both
+#: engines compute the same formula); target point = Paris
+GEO_TARGET = (48.8566, 2.3522)
+
+
+def _sql_array(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+# ===========================================================================
+# Relational surface (SURVEY.md §2.2-2.7 — Tier B, inherited via Catalyst)
+# ===========================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + top-10 (TakeOrderedAndProject).
+    The customer side is broadcast (small dim table)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join (5 tables): revenue by nation within a region."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (corpus shape tests/bin/tests.sql:233-242)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+Q_GROUP_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join via IN-subquery shape (tests/bin/tests.sql:152)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_case_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-based score boosting (corpus tests/bin/tests.sql:272-276) on a
+    relational table: priority multiplier over order totalprice."""
+    orders = _t(spark, sf_dir, "orders")
+    boosted = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 1.5)
+        .when(F.col("o_orderpriority") == "2-HIGH", F.col("o_totalprice") * 1.2)
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        orders.select("o_orderkey", F.round(boosted, 2).alias("boosted_price"))
+        .orderBy(F.desc("boosted_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q_CASE_BOOST_SQL = """
+SELECT o_orderkey,
+       round(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.5
+                  WHEN o_orderpriority = '2-HIGH' THEN o_totalprice * 1.2
+                  ELSE o_totalprice END, 2) AS boosted_price
+FROM orders
+ORDER BY boosted_price DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window — the lateral-join rewrite
+    (tests/bin/tests.sql:327-344; SURVEY.md §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+Q_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 2
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with both open and finished orders
+    (INTERSECT), minus the BUILDING segment (EXCEPT)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return open_c.intersect(done_c).exceptAll(building.distinct())
+
+
+Q_SETOPS_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + conditional aggregation per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+    )
+
+
+Q_DISTINCT_AGG_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (Tier B surface, SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ===========================================================================
+# Events: JSON payload + time windows + sessionization
+# ===========================================================================
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload querying (the reference's payload surface, §2.8):
+    filter on a JSON-extracted number, group by event type."""
+    ev = _events(spark, sf_dir)
+    k = payload_get_float("props", "k")
+    return (
+        ev.filter(has_field("props", "k") & (k > 50))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+GROUP BY event_type
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg; timestamps stringified for engine-neutral comparison)."""
+    ev = _events(spark, sf_dir)
+    hour_bucket = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
+    return (
+        ev.groupBy(hour_bucket.alias("hour_bucket"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT (epoch_ns(ts) // 3600000000000)::BIGINT AS hour_bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + cumulative
+    sum (the batch sibling of streaming session_window)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > 1_800_000_000_000, 1
+    ).otherwise(0)
+    # first event of each user has lag NULL -> counts as a new session
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(gap),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+Q_EVENTS_SESSIONS_SQL = """
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   THEN 1
+              WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000
+                   THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# Vector search surface (SURVEY.md §2.11 — the V_* functions)
+# ===========================================================================
+
+def _emb_oracle_prelude() -> str:
+    return f"""
+WITH q AS (SELECT {_sql_array(QUERY_VEC)}::DOUBLE[] AS qv)
+"""
+
+
+def v_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_SEARCH cosine top-10 (corpus tests/bin/tests.sql:10-13): score,
+    round, ORDER BY (rounded score, id) so boundary ties are deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(v_search("embedding", QUERY_VEC, "cosine"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+V_SEARCH_TOPK_SQL = _emb_oracle_prelude() + """
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def v_search_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_SEARCH with explicit dot metric."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(v_search("embedding", QUERY_VEC, "dot"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+V_SEARCH_DOT_SQL = _emb_oracle_prelude() + """
+SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def v_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_DISTANCE + V_WITHIN: euclid distance under a radius
+    (tests/bin/tests.sql:42-51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dist = F.round(euclid_distance(F.col("embedding"), QUERY_VEC), 6)
+    return (
+        emb.select("vec_id", dist.alias("distance"))
+        .filter(F.col("distance") < 4.5)
+    )
+
+
+V_WITHIN_SQL = _emb_oracle_prelude() + """
+SELECT vec_id, distance FROM (
+  SELECT vec_id,
+         round(sqrt(list_dot_product(
+             list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i]::DOUBLE - qv[i]),
+             list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i]::DOUBLE - qv[i]))), 6) AS distance
+  FROM embeddings, q
+)
+WHERE distance < 4.5
+"""
+
+
+def v_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_RECOMMEND by-id (tests/bin/tests.sql:83-98): composite =
+    avg(pos) - avg(neg) resolved from the collection, examples excluded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    examples = (
+        emb.filter(F.col("vec_id").isin(RECOMMEND_POS + RECOMMEND_NEG))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r.vec_id: [float(x) for x in r.embedding] for r in examples}
+    composite = recommend_composite(
+        [by_id[i] for i in RECOMMEND_POS], [by_id[i] for i in RECOMMEND_NEG]
+    )
+    return (
+        emb.filter(~F.col("vec_id").isin(RECOMMEND_POS + RECOMMEND_NEG))
+        .select(
+            "vec_id",
+            F.round(v_search("embedding", composite, "cosine"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+V_RECOMMEND_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS e
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+comp AS (
+  SELECT i,
+         avg(e) FILTER (vec_id IN (0, 1, 2))
+         - avg(e) FILTER (vec_id IN (3)) AS c
+  FROM ex GROUP BY i
+),
+compv AS (SELECT list(c ORDER BY i) AS cv FROM comp)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], cv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(cv, cv))), 6) AS score
+FROM embeddings, compv
+WHERE vec_id NOT IN (0, 1, 2, 3)
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def v_colbert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_COLBERT MaxSim (tests/bin/tests.sql:157-168).  The embeddings table
+    has no multi-vector column, so each 64-dim embedding is viewed as a
+    4x16 multi-vector (4 chunks) — the MaxSim kernel itself is the real
+    operator under test."""
+    from qdrant_datafusion_spark.functions.multivector import v_colbert
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = F.array(*[F.slice("embedding", 1 + 16 * c, 16) for c in range(4)])
+    return (
+        emb.withColumn("mv", mv)
+        .select(
+            "vec_id",
+            F.round(v_colbert("mv", COLBERT_QUERY), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+V_COLBERT_SQL = f"""
+WITH q AS (SELECT {_sql_array(COLBERT_QUERY[0])}::DOUBLE[] AS q1,
+                  {_sql_array(COLBERT_QUERY[1])}::DOUBLE[] AS q2),
+chunks AS (
+  SELECT vec_id,
+         [embedding[1:16]::DOUBLE[], embedding[17:32]::DOUBLE[],
+          embedding[33:48]::DOUBLE[], embedding[49:64]::DOUBLE[]] AS mv
+  FROM embeddings
+)
+SELECT vec_id,
+       round(greatest(list_dot_product(mv[1], q1), list_dot_product(mv[2], q1),
+                      list_dot_product(mv[3], q1), list_dot_product(mv[4], q1))
+             + greatest(list_dot_product(mv[1], q2), list_dot_product(mv[2], q2),
+                        list_dot_product(mv[3], q2), list_dot_product(mv[4], q2)),
+             6) AS score
+FROM chunks, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _sparse_score_col() -> "F.Column":
+    """Σ weight * count(word in tokens) — the sparse dot with a term-count
+    sparse encoding of documents."""
+    toks = tokens(F.col("text"))
+
+    def count_term(word: str) -> "F.Column":
+        # closure factory: a `w=word` default param would make the filter
+        # lambda binary and Spark would bind the element index to it
+        return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+    score = None
+    for word, weight in SPARSE_QUERY:
+        term = count_term(word).cast("double") * F.lit(weight)
+        score = term if score is None else score + term
+    return score
+
+
+def v_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_SPARSE_SEARCH (tests/bin/tests.sql:67-77): documents as term-count
+    sparse vectors vs a weighted term query."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.round(_sparse_score_col(), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SPARSE_TERMS_SQL = " + ".join(
+    f"len(list_filter(toks, x -> x = '{w}'))::DOUBLE * {wt}"
+    for w, wt in SPARSE_QUERY
+)
+
+V_SPARSE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, round({_SPARSE_TERMS_SQL}, 6) AS score
+FROM t
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def v_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse RRF fusion (tests/bin/tests.sql:175-196,
+    350-383): dense branch over embeddings, sparse branch over documents,
+    rank each, fuse 1/(60+rank), top-20.  True rank-based RRF (window
+    functions), not the scalar approximation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+
+    dense = emb.select(
+        F.col("vec_id").alias("id"),
+        F.round(v_search("embedding", QUERY_VEC, "cosine"), 6).alias("score"),
+    )
+    sparse = docs.select(
+        F.col("doc_id").alias("id"), F.round(_sparse_score_col(), 6).alias("score")
+    )
+    wd = Window.orderBy(F.desc("score"), F.asc("id"))
+    dense_r = (
+        dense.select("id", F.row_number().over(wd).alias("rd"))
+        .filter(F.col("rd") <= 100)
+    )
+    sparse_r = (
+        sparse.select("id", F.row_number().over(wd).alias("rs"))
+        .filter(F.col("rs") <= 100)
+    )
+    fused = (
+        dense_r.join(sparse_r, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rd")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rs")), F.lit(0.0)),
+                6,
+            ).alias("fused_score"),
+        )
+        .orderBy(F.desc("fused_score"), F.asc("id"))
+        .limit(20)
+    )
+    return fused
+
+
+V_FUSION_SQL = _emb_oracle_prelude() + f""",
+dense AS (
+  SELECT vec_id AS id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS score
+  FROM embeddings, q
+),
+dense_r AS (
+  SELECT * FROM (
+    SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rd FROM dense
+  ) WHERE rd <= 100
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sparse AS (
+  SELECT doc_id AS id, round({_SPARSE_TERMS_SQL}, 6) AS score FROM toks
+),
+sparse_r AS (
+  SELECT * FROM (
+    SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rs FROM sparse
+  ) WHERE rs <= 100
+)
+SELECT coalesce(dense_r.id, sparse_r.id) AS id,
+       round(coalesce(1.0 / (60 + rd), 0) + coalesce(1.0 / (60 + rs), 0), 6)
+           AS fused_score
+FROM dense_r FULL OUTER JOIN sparse_r ON dense_r.id = sparse_r.id
+ORDER BY fused_score DESC, id ASC
+LIMIT 20
+"""
+
+
+def v_geo_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_GEO_DISTANCE + V_GAUSS_DECAY boosting (tests/bin/tests.sql:282-303).
+    Customers get deterministic synthetic coordinates (pure integer
+    arithmetic on c_custkey — identical in the oracle); score = gaussian
+    decay of haversine distance to the target point."""
+    cust = _t(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 7) % 140 - 70 + 0.5).cast("double")
+    lon = ((F.col("c_custkey") * 13) % 340 - 170 + 0.5).cast("double")
+    dist = v_geo_distance(lat, lon, GEO_TARGET[0], GEO_TARGET[1])
+    return (
+        cust.select(
+            "c_custkey",
+            F.round(dist, 2).alias("distance_m"),
+            F.round(v_gauss_decay(dist, 1_000_000.0), 6).alias("decay"),
+        )
+        .orderBy(F.desc("decay"), F.asc("c_custkey"))
+        .limit(15)
+    )
+
+
+V_GEO_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 7) % 140 - 70 + 0.5)::DOUBLE AS lat,
+         ((c_custkey * 13) % 340 - 170 + 0.5)::DOUBLE AS lon
+  FROM customer
+),
+d AS (
+  SELECT c_custkey,
+         2.0 * 6371000.0 * atan2(
+           sqrt(sin(radians({GEO_TARGET[0]} - lat) / 2) ^ 2
+                + cos(radians(lat)) * cos(radians({GEO_TARGET[0]}))
+                  * sin(radians({GEO_TARGET[1]} - lon) / 2) ^ 2),
+           sqrt(1 - (sin(radians({GEO_TARGET[0]} - lat) / 2) ^ 2
+                     + cos(radians(lat)) * cos(radians({GEO_TARGET[0]}))
+                       * sin(radians({GEO_TARGET[1]} - lon) / 2) ^ 2))) AS dist
+  FROM pts
+)
+SELECT c_custkey, round(dist, 2) AS distance_m,
+       round(exp(-(dist * dist) / (2.0 * 1000000.0 * 1000000.0)), 6) AS decay
+FROM d
+ORDER BY decay DESC, c_custkey ASC
+LIMIT 15
+"""
+
+
+def match_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_TEXT term-overlap relevance (tests/bin/tests.sql:210-214)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(match_text("text", MATCH_QUERY), 6).alias("relevance"),
+        )
+        .filter(F.col("relevance") >= 0.75)
+    )
+
+
+_MATCH_TERMS = MATCH_QUERY.split()
+MATCH_TEXT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(({" + ".join(f"list_contains(toks, '{w}')::INT" for w in _MATCH_TERMS)})::DOUBLE
+             / {len(_MATCH_TERMS)}, 6) AS relevance
+FROM t
+WHERE round(({" + ".join(f"list_contains(toks, '{w}')::INT" for w in _MATCH_TERMS)})::DOUBLE
+            / {len(_MATCH_TERMS)}, 6) >= 0.75
+"""
+
+
+# ===========================================================================
+# Training-data pipeline surface (dedup / text analysis / fingerprints)
+# ===========================================================================
+
+_TOKS_SQL = """
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+"""
+
+#: distinct 3-word shingles, mirroring functions.text.word_shingles(k=3)
+_SHINGLES_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS shingles
+  FROM t
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (hash-groupBy; the shuffle
+    key is the 32-char md5, not the document)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(lower(trim(text)))
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs at threshold 0.2."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+DEDUP_JACCARD_SQL = _SHINGLES_SQL + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.2
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+    The oracle is the *exact* Jaccard pair set — this asserts the LSH stage
+    reaches full recall at the chosen banding (32 hashes, 16 bands), which
+    it must for the verified-pairs contract."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dups(
+        docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8 on 60-bit signatures) via exact
+    block-permutation candidate search (10 blocks ⇒ pigeonhole-complete)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_dups(docs, "text", "doc_id", max_hamming=8, blocks=10)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# oracle recomputes the identical md5-based simhash in SQL, then brute-forces
+# pairs — slow but exact, and engine-independent
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+tok AS (
+  SELECT doc_id, substring(md5(unnest(toks)), 1, 15) AS h
+  FROM t
+),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN ((strpos('0123456789abcdef', substring(h, (p // 4) + 1, 1)) - 1)
+                    >> (3 - (p % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM tok, (SELECT unnest(generate_series(0, 59)) AS p)
+),
+votes AS (
+  SELECT doc_id, p, sum(vote) AS v FROM bits GROUP BY doc_id, p
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << (59 - p)) ELSE 0 END) AS sig
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 8
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring aggregated per source (curation pre-filter shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score("text", stopwords=("the", "a"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.round(F.avg(q), 6).alias("avg_quality"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH q AS (
+  SELECT source,
+         0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                            / length(text)
+                       ELSE 0 END)
+         + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                             x -> x <> ''), 'the')::INT
+                   + list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                               x -> x <> ''), 'a')::INT)::DOUBLE / 2)
+         AS quality
+  FROM documents
+)
+SELECT source, round(avg(quality), 6) AS avg_quality, count(*) AS n_docs
+FROM q GROUP BY source
+"""
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg(token_count("text")), 6).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+TEXT_TOKEN_SQL = """
+SELECT lang,
+       round(avg(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> ''))), 6) AS avg_tokens,
+       max(n_chars) AS max_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per declared lang, the average English
+    stopword-profile score (the scoring kernel is the operator under test)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.round(F.avg(language_score("text", "en")), 6).alias("avg_en_score"))
+    )
+
+
+_EN_PROFILE = ("the", "and", "of", "to", "a", "in", "is", "that")
+TEXT_LANG_SQL = f"""
+WITH t AS ({_TOKS_SQL})
+SELECT lang,
+       round(avg(({" + ".join(f"list_contains(toks, '{w}')::INT" for w in _EN_PROFILE)})::DOUBLE
+                 / {len(_EN_PROFILE)}), 6) AS avg_en_score
+FROM t JOIN documents USING (doc_id)
+GROUP BY lang
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: min-shingle-md5 signature per document
+    (deterministic near-dup bucket key), first 20 by fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", doc_fingerprint("text", k=3).alias("fingerprint"))
+        .orderBy(F.asc("fingerprint"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+DOC_FINGERPRINT_SQL = _SHINGLES_SQL + """
+SELECT doc_id,
+       CASE WHEN len(shingles) > 0
+            THEN list_min(list_transform(shingles, s -> md5(s)))
+            ELSE md5((SELECT lower(trim(text)) FROM documents d
+                      WHERE d.doc_id = sh.doc_id)) END AS fingerprint
+FROM sh
+ORDER BY fingerprint ASC, doc_id ASC
+LIMIT 20
+"""
+
+
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing check: documents as opaque binary blobs with
+    typed metadata — per-source byte statistics (encode → binary column)."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.octet_length(blob)).alias("total_bytes"),
+            F.max(F.octet_length(blob)).cast("long").alias("max_bytes"),
+        )
+    )
+
+
+MULTIMODAL_BYTES_SQL = """
+SELECT source,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       max(octet_length(encode(text)))::BIGINT AS max_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    cluster structure).  Brute-force exact here; the LSH-bucketed variant
+    (operators.dedup.embedding_near_dups with planes) is the scale path."""
+    from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, "embedding", "vec_id", threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.35)
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            6) >= 0.35
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational (Tier B surface)
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_topk_revenue": q3_topk_revenue,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q_group_having": q_group_having,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_case_boost": q_case_boost,
+    "q_window_topk_per_group": q_window_topk_per_group,
+    "q_setops": q_setops,
+    "q_distinct_aggregates": q_distinct_aggregates,
+    "q_rollup": q_rollup,
+    # events / JSON / time
+    "q_events_json": q_events_json,
+    "q_events_hourly": q_events_hourly,
+    "q_events_sessions": q_events_sessions,
+    # vector search (V_* surface)
+    "v_search_topk": v_search_topk,
+    "v_search_dot_topk": v_search_dot_topk,
+    "v_within_radius": v_within_radius,
+    "v_recommend_topk": v_recommend_topk,
+    "v_colbert_topk": v_colbert_topk,
+    "v_sparse_topk": v_sparse_topk,
+    "v_fusion_hybrid": v_fusion_hybrid,
+    "v_geo_decay_topk": v_geo_decay_topk,
+    "match_text_topk": match_text_topk,
+    # training-data pipeline
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "multimodal_bytes": multimodal_bytes,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_topk_revenue": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "q_group_having": Q_GROUP_HAVING_SQL,
+    "q_semi_join": Q_SEMI_JOIN_SQL,
+    "q_anti_join": Q_ANTI_JOIN_SQL,
+    "q_case_boost": Q_CASE_BOOST_SQL,
+    "q_window_topk_per_group": Q_WINDOW_TOPK_SQL,
+    "q_setops": Q_SETOPS_SQL,
+    "q_distinct_aggregates": Q_DISTINCT_AGG_SQL,
+    "q_rollup": Q_ROLLUP_SQL,
+    "q_events_json": Q_EVENTS_JSON_SQL,
+    "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+    "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
+    "v_search_topk": V_SEARCH_TOPK_SQL,
+    "v_search_dot_topk": V_SEARCH_DOT_SQL,
+    "v_within_radius": V_WITHIN_SQL,
+    "v_recommend_topk": V_RECOMMEND_SQL,
+    "v_colbert_topk": V_COLBERT_SQL,
+    "v_sparse_topk": V_SPARSE_SQL,
+    "v_fusion_hybrid": V_FUSION_SQL,
+    "v_geo_decay_topk": V_GEO_SQL,
+    "match_text_topk": MATCH_TEXT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    # dedup_minhash intentionally shares the exact-jaccard oracle: LSH must
+    # reach full recall for the verified-pairs contract to hold
+    "dedup_minhash": DEDUP_JACCARD_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_token_stats": TEXT_TOKEN_SQL,
+    "text_lang_id": TEXT_LANG_SQL,
+    "doc_fingerprints": DOC_FINGERPRINT_SQL,
+    "multimodal_bytes": MULTIMODAL_BYTES_SQL,
+}

@@ -46,15 +46,21 @@ def _fsum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
 
 
+def _dmul(a: Column, b: Column) -> Column:
+    # multiply in double, not float32: float32 products carry ~1e-8 relative
+    # error, enough to flip rounded values against a double-precision oracle
+    return a.cast("double") * b.cast("double")
+
+
 def dot_product(v: VectorLike, q: VectorLike) -> Column:
     """Elementwise dot product of two array<float> columns/literals."""
-    return _fsum(F.zip_with(_as_vec(v), _as_vec(q), lambda a, b: a * b))
+    return _fsum(F.zip_with(_as_vec(v), _as_vec(q), _dmul))
 
 
 def norm(v: VectorLike) -> Column:
     """L2 norm."""
     vec = _as_vec(v)
-    return F.sqrt(_fsum(F.zip_with(vec, vec, lambda a, b: a * b)))
+    return F.sqrt(_fsum(F.zip_with(vec, vec, _dmul)))
 
 
 def cosine_similarity(v: VectorLike, q: VectorLike) -> Column:
@@ -62,11 +68,24 @@ def cosine_similarity(v: VectorLike, q: VectorLike) -> Column:
 
 
 def euclid_distance(v: VectorLike, q: VectorLike) -> Column:
-    return F.sqrt(_fsum(F.zip_with(_as_vec(v), _as_vec(q), lambda a, b: (a - b) * (a - b))))
+    return F.sqrt(
+        _fsum(
+            F.zip_with(
+                _as_vec(v),
+                _as_vec(q),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            )
+        )
+    )
 
 
 def manhattan_distance(v: VectorLike, q: VectorLike) -> Column:
-    return _fsum(F.zip_with(_as_vec(v), _as_vec(q), lambda a, b: F.abs(a - b)))
+    return _fsum(
+        F.zip_with(
+            _as_vec(v), _as_vec(q), lambda a, b: F.abs(a.cast("double") - b.cast("double"))
+        )
+    )
 
 
 _SIMILARITY = {

@@ -25,8 +25,9 @@ from qdrant_datafusion_spark.functions.distance import _as_vec
 def _dot_lambda(d: Column, q_literal: Sequence[float]) -> Column:
     """dot(d, q) where q is a Python literal — unrolled, no zip allocation."""
     qvec = _as_vec(q_literal)
-    prods = F.zip_with(d, qvec, lambda a, b: a * b)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    # multiply in double — float32 products drift ~1e-8 vs a double oracle
+    prods = F.zip_with(d, qvec, lambda a, b: a.cast("double") * b.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def v_colbert(
