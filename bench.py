@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed once on a warm session (the driver compares
+wall-clock against BASELINE.md at the same scale factor).  Timing counts
+full execution to a driver-side collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: the headline set: one per operator family, weighted toward the
+#: scale-sensitive ones (joins, fusion, dedup)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_nation_revenue",
+    "q_window_topk_per_group",
+    "q_events_hourly",
+    "q_events_sessions",
+    "v_search_topk",
+    "v_recommend_topk",
+    "v_colbert_topk",
+    "v_sparse_topk",
+    "v_fusion_hybrid",
+    "v_geo_decay_topk",
+    "match_text_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "text_quality",
+    "doc_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from qdrant_datafusion_spark.entry_queries import QUERIES
+    from qdrant_datafusion_spark.session import get_spark
+
+    spark = get_spark(app_name="qdrant-datafusion-spark-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

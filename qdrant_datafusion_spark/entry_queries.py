@@ -99,13 +99,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # decimal sums: exact, order-independent — double sums differ
+            # between engines/partitionings in the last ulps and can flip
+            # a rounding boundary
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double"), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -113,11 +120,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2) AS sum_disc_price,
+       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty,
+       round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -137,7 +144,10 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -147,7 +157,7 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -173,7 +183,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -182,7 +195,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -202,7 +215,11 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -211,7 +228,7 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_GROUP_HAVING_SQL = """
 SELECT o_custkey, count(*) AS n_orders,
        round(max(o_totalprice), 2) AS max_price,
-       round(avg(o_totalprice), 4) AS avg_price
+       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*), 4) AS avg_price
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12
@@ -396,16 +413,17 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(k), 6).alias("avg_k"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(k.cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_k"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
         )
     )
 
 
 Q_EVENTS_JSON_SQL = """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
-       round(sum(value), 2) AS sum_value
+       round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)::DECIMAL(18,6))::DOUBLE
+             / count(*), 6) AS avg_k,
+       round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
   AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
@@ -420,13 +438,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_bucket = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
     return (
         ev.groupBy(hour_bucket.alias("hour_bucket"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
+        )
     )
 
 
 Q_EVENTS_HOURLY_SQL = """
 SELECT (epoch_ns(ts) // 3600000000000)::BIGINT AS hour_bucket,
-       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       event_type, count(*) AS n, round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -953,7 +974,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("source")
         .agg(
-            F.round(F.avg(q), 6).alias("avg_quality"),
+            F.round(
+                F.sum(q.cast("decimal(18,12)")).cast("double") / F.count("*"), 6
+            ).alias("avg_quality"),
             F.count("*").alias("n_docs"),
         )
     )
@@ -974,7 +997,7 @@ WITH q AS (
          AS quality
   FROM documents
 )
-SELECT source, round(avg(quality), 6) AS avg_quality, count(*) AS n_docs
+SELECT source, round(sum(quality::DECIMAL(18,12))::DOUBLE / count(*), 6) AS avg_quality, count(*) AS n_docs
 FROM q GROUP BY source
 """
 
@@ -985,7 +1008,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("lang")
         .agg(
-            F.round(F.avg(token_count("text")), 6).alias("avg_tokens"),
+            F.round(F.sum(token_count("text")).cast("double") / F.count("*"), 6).alias("avg_tokens"),
             F.max("n_chars").alias("max_chars"),
             F.count("*").alias("n_docs"),
         )

@@ -68,12 +68,15 @@ def sparse_dot_join(
     indices_col: str = "indices",
     values_col: str = "values",
     query_id_col: str = "query_id",
+    query_indices_col: str = "indices",
+    query_values_col: str = "values",
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch sparse scoring at scale: explode → broadcast-join on index →
     partial-agg sum.  Returns (id, query_id, score).
 
-    ``queries`` must carry (query_id, indices, values).  For the typical
+    ``queries`` carries (query_id, indices, values) under its own column
+    names (``query_indices_col``/``query_values_col``).  For the typical
     "thousands of queries vs billions of docs" shape the exploded query side
     is tiny → broadcast, so the only shuffle is the final groupBy
     (id, query_id), which AQE coalesces.
@@ -91,7 +94,8 @@ def sparse_dot_join(
         F.col(query_id_col).alias("_query_id"),
         F.explode(
             F.arrays_zip(
-                F.col(indices_col).alias("idx"), F.col(values_col).alias("qval")
+                F.col(query_indices_col).alias("idx"),
+                F.col(query_values_col).alias("qval"),
             )
         ).alias("t"),
     ).select("_query_id", F.col("t.idx").alias("idx"), F.col("t.qval").cast("double").alias("qval"))

@@ -106,20 +106,32 @@ def language_score(text: ColumnOrName, lang: str) -> Column:
     return hits.cast("double") / F.lit(float(len(profile)))
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a pre-tokenized array column."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: ColumnOrName, k: int = 3) -> Column:
     """Distinct k-word shingles of a text (the MinHash/Jaccard unit).
 
-    Built natively: tokenize, then for each position i in [0, n-k] join
-    tokens[i:i+k] with a space.  Returns array<string>, deduplicated.
+    Higher-order functions run interpreted, re-evaluating inlined child
+    expressions on every lambda call — so the tokens array is *let-bound*
+    as a single-element-array lambda variable (evaluated once per row, then
+    referenced), not inlined into each position lookup.  Without this the
+    cost is O(positions × k) full text re-tokenizations per row.
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]
-    )
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
-        F.array().cast("array<string>")
+    return F.element_at(
+        F.transform(
+            F.array(tokens(text)), lambda t: shingles_from_tokens(t, k)
+        ),
+        1,
     )
 
 
@@ -128,11 +140,16 @@ def doc_fingerprint(text: ColumnOrName, k: int = 3) -> Column:
     shingles (a 1-hash MinHash — the classic "document signature" for
     near-dup bucketing).  Empty/short text falls back to md5 of the
     normalized text itself."""
-    sh = word_shingles(text, k)
     norm_text = F.lower(F.trim(_as_col(text)))
-    return F.when(
-        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    ).otherwise(F.md5(norm_text))
+    return F.element_at(
+        F.transform(
+            F.array(word_shingles(text, k)),  # let-bind: evaluate shingles once
+            lambda sh: F.when(
+                F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+            ).otherwise(F.md5(norm_text)),
+        ),
+        1,
+    )
 
 
 def minhash_signature(

@@ -67,11 +67,18 @@ def _shingle_pairs(
     df: DataFrame, content_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(id_a < id_b, intersection_size, size_a, size_b) for every pair of
-    docs sharing ≥1 distinct k-shingle."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(content_col, k)).alias("shingle"),
-        F.size(word_shingles(content_col, k)).alias("_nsh"),
+    docs sharing ≥1 distinct k-shingle.
+
+    The shingle array is materialized as a column in its own projection so
+    the explode and the size() both reference it instead of re-deriving the
+    (expensive, interpreted-HOF) shingling expression."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh"))
+        .select(
+            "_id",
+            F.size("_sh").alias("_nsh"),
+            F.explode("_sh").alias("shingle"),
+        )
     )
     a = sh.select(
         F.col("_id").alias("id_a"), F.col("shingle"), F.col("_nsh").alias("n_a")

@@ -1,0 +1,264 @@
+"""Kernel correctness against NumPy oracles (the build plan's step-1 gate,
+SURVEY.md §7) + NULL-tolerance rules (§7 'heterogeneous nulls in kernels')."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark import fixtures
+from qdrant_datafusion_spark.functions import (
+    cosine_similarity,
+    dot_product,
+    euclid_distance,
+    has_field,
+    manhattan_distance,
+    match_text,
+    payload_contains,
+    payload_get,
+    v_colbert,
+    v_discover,
+    v_distance,
+    v_fusion,
+    v_recommend,
+    v_search,
+    v_sparse_search,
+    v_within,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("b", [-1.0, 0.5, 2.0]),
+        ("c", None),
+    ]
+    return spark.createDataFrame(rows, "id string, v array<float>")
+
+
+Q = [0.5, -1.0, 2.0]
+
+
+def _np_cos(a, b):
+    a, b = np.array(a), np.array(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+class TestDistanceKernels:
+    def test_dot(self, vec_df):
+        got = {r.id: r.s for r in vec_df.select("id", dot_product("v", Q).alias("s")).collect()}
+        assert got["a"] == pytest.approx(np.dot([1, 2, 3], Q))
+        assert got["b"] == pytest.approx(np.dot([-1, 0.5, 2], Q))
+        assert got["c"] is None
+
+    def test_cosine(self, vec_df):
+        got = {r.id: r.s for r in vec_df.select("id", cosine_similarity("v", Q).alias("s")).collect()}
+        assert got["a"] == pytest.approx(_np_cos([1, 2, 3], Q))
+        assert got["c"] is None
+
+    def test_euclid_and_manhattan(self, vec_df):
+        got = vec_df.select(
+            "id",
+            euclid_distance("v", Q).alias("e"),
+            manhattan_distance("v", Q).alias("m"),
+        ).collect()
+        by = {r.id: r for r in got}
+        assert by["a"].e == pytest.approx(np.linalg.norm(np.array([1, 2, 3]) - Q))
+        assert by["a"].m == pytest.approx(np.abs(np.array([1, 2, 3]) - Q).sum())
+        assert by["c"].e is None and by["c"].m is None
+
+    def test_v_search_negates_distance_metrics(self, vec_df):
+        """Higher-is-better convention: euclid scores are negated distances."""
+        got = {r.id: r.s for r in vec_df.select("id", v_search("v", Q, "euclid").alias("s")).collect()}
+        assert got["a"] == pytest.approx(-np.linalg.norm(np.array([1, 2, 3]) - Q))
+
+    def test_v_search_descriptor_metric_lookup(self, spark):
+        df = fixtures.hetero_df(spark)
+        s = df.select(
+            v_search(
+                "image_embedding",
+                [1.0, 0.0, 0.0, 0.0],
+                descriptor=fixtures.HETERO,
+                field="image_embedding",
+            ).alias("s")
+        ).collect()
+        vals = [r.s for r in s if r.s is not None]
+        # dot metric from descriptor: first component of point 2's image vec
+        assert vals == [pytest.approx(0.6, abs=1e-6)]
+
+    def test_v_distance_and_within(self, vec_df):
+        got = vec_df.select(
+            "id",
+            v_distance("v", Q, "cosine").alias("d"),
+            v_within("v", Q, 2.5, "euclid").alias("w"),
+        ).collect()
+        by = {r.id: r for r in got}
+        assert by["a"].d == pytest.approx(1 - _np_cos([1, 2, 3], Q))
+        assert by["a"].w == (np.linalg.norm(np.array([1, 2, 3]) - Q) < 2.5)
+        assert by["c"].d is None and by["c"].w is None
+
+
+class TestSparse:
+    def test_sparse_dot(self, spark):
+        df = fixtures.hetero_df(spark)
+        got = {
+            r.id: r.s
+            for r in df.select(
+                "id",
+                v_sparse_search(
+                    "keywords_indices", "keywords_values", {0: 1.0, 5: 2.0, 3: 3.0}
+                ).alias("s"),
+            ).collect()
+        }
+        # p1: idx [0,5] val [.1,.9] -> 1*.1 + 2*.9 = 1.9
+        assert got["1"] == pytest.approx(1.9, abs=1e-6)
+        # p2: idx [1,3] val [.7,.4] -> 3*.4 = 1.2
+        assert got["2"] == pytest.approx(1.2, abs=1e-6)
+        # p3: no overlap -> 0
+        assert got["3"] == pytest.approx(0.8 * 0.0 + 0.0, abs=1e-6)
+
+    def test_sparse_dot_join_matches_kernel(self, spark):
+        from qdrant_datafusion_spark.functions.sparse import sparse_dot_join
+
+        df = fixtures.hetero_df(spark)
+        queries = spark.createDataFrame(
+            [("q1", [0, 5, 3], [1.0, 2.0, 3.0])],
+            "query_id string, indices array<long>, values array<float>",
+        )
+        out = sparse_dot_join(
+            df, queries, id_col="id",
+            indices_col="keywords_indices", values_col="keywords_values",
+        ).collect()
+        got = {r.id: r.score for r in out}
+        assert got["1"] == pytest.approx(1.9, abs=1e-6)
+        assert got["2"] == pytest.approx(1.2, abs=1e-6)
+        # p3 has no overlapping index -> absent from join output (score 0)
+        assert "3" not in got
+
+
+class TestMultiVector:
+    def test_maxsim_numpy_oracle(self, spark):
+        df = fixtures.hetero_df(spark)
+        q = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+        got = {r.id: r.s for r in df.select("id", v_colbert("multi_embeddings", q).alias("s")).collect()}
+        doc = np.array([[0.7, 0.8], [0.9, 0.1]])
+        expected = sum(max(np.array(qi) @ d for d in doc) for qi in q)
+        assert got["1"] == pytest.approx(expected, abs=1e-6)
+        assert got["2"] is None
+
+    def test_maxsim_ragged(self, spark):
+        rows = [("x", [[1.0, 0.0]]), ("y", [[0.0, 1.0], [1.0, 1.0], [0.5, 0.0]])]
+        df = spark.createDataFrame(rows, "id string, mv array<array<float>>")
+        q = [[2.0, 1.0]]
+        got = {r.id: r.s for r in df.select("id", v_colbert("mv", q).alias("s")).collect()}
+        assert got["x"] == pytest.approx(2.0)
+        assert got["y"] == pytest.approx(3.0)  # max(1, 3, 1)
+
+
+class TestComposite:
+    def test_recommend_literal(self, vec_df):
+        pos = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        neg = [[0.0, 0.0, 1.0]]
+        comp = [0.5, 0.5, -1.0]
+        got = {r.id: r.s for r in vec_df.select("id", v_recommend("v", pos, neg).alias("s")).collect()}
+        assert got["a"] == pytest.approx(_np_cos([1, 2, 3], comp))
+
+    def test_recommend_no_negatives(self, vec_df):
+        got = vec_df.select(v_recommend("v", [[1.0, 0.0, 0.0]]).alias("s")).collect()
+        assert got[0].s is not None
+
+    def test_recommend_by_ids_excludes_examples(self, spark):
+        from qdrant_datafusion_spark.functions.composite import recommend_by_ids
+
+        df = fixtures.unnamed_df(spark)
+        out = recommend_by_ids(df, "vector", ["1"], ["2"]).collect()
+        ids = {r.id for r in out}
+        assert ids == {"3"}
+
+    def test_discover(self, vec_df):
+        target = [1.0, 0.0, 0.0]
+        ctx = [([0.0, 1.0, 0.0], 0.5)]
+        comp = [1.0, 0.5, 0.0]
+        got = {r.id: r.s for r in vec_df.select("id", v_discover("v", target, ctx).alias("s")).collect()}
+        assert got["a"] == pytest.approx(_np_cos([1, 2, 3], comp))
+
+
+class TestFusionScalar:
+    def test_weighted_sum_and_max(self, spark):
+        df = spark.createDataFrame([(0.7, 0.3)], "s1 double, s2 double")
+        row = df.select(
+            v_fusion([F.col("s1"), F.col("s2")], "weighted_sum", [0.7, 0.3]).alias("w"),
+            v_fusion([F.col("s1"), F.col("s2")], "max").alias("m"),
+            v_fusion([F.col("s1"), F.col("s2")], "rrf").alias("r"),
+        ).collect()[0]
+        assert row.w == pytest.approx(0.7 * 0.7 + 0.3 * 0.3)
+        assert row.m == pytest.approx(0.7)
+        assert row.r == pytest.approx(1 / 60.7 + 1 / 60.3)
+
+
+class TestJson:
+    def test_payload_surface(self, spark):
+        rows = [
+            ("1", '{"title": "T", "price": 150, "tags": ["a", "b"], "address": {"city": "Paris"}}'),
+            ("2", None),
+        ]
+        df = spark.createDataFrame(rows, "id string, payload string")
+        got = df.select(
+            "id",
+            has_field("payload", "title").alias("hf"),
+            payload_get("payload", "address.city").alias("city"),
+            payload_contains("payload", "tags", "a").alias("has_a"),
+            payload_contains("payload", "tags", "z").alias("has_z"),
+        ).collect()
+        by = {r.id: r for r in got}
+        assert by["1"].hf and by["1"].city == "Paris"
+        assert by["1"].has_a is True and by["1"].has_z is False
+        assert not by["2"].hf and by["2"].city is None
+
+
+class TestText:
+    def test_match_text(self, spark):
+        df = spark.createDataFrame([("1", "Spark joins data fast")], "id string, text string")
+        r = df.select(
+            match_text("text", "spark data").alias("full"),
+            match_text("text", "spark missing").alias("half"),
+            match_text("text", "absent words here").alias("none"),
+        ).collect()[0]
+        assert r.full == pytest.approx(1.0)
+        assert r.half == pytest.approx(0.5)
+        assert r.none == pytest.approx(0.0)
+
+    def test_shingles_short_text(self, spark):
+        from qdrant_datafusion_spark.functions.text import word_shingles
+
+        df = spark.createDataFrame([("1", "one two"), ("2", "a b c d")], "id string, text string")
+        got = {r.id: r.sh for r in df.select("id", word_shingles("text", 3).alias("sh")).collect()}
+        assert got["1"] == []
+        assert got["2"] == ["a b c", "b c d"]
+
+
+class TestGeo:
+    def test_haversine_known_distance(self, spark):
+        from qdrant_datafusion_spark.functions.geo import v_geo_distance
+
+        # Paris -> Berlin is ~877.46 km
+        df = spark.createDataFrame([(48.8566, 2.3522)], "lat double, lon double")
+        d = df.select(v_geo_distance(F.col("lat"), F.col("lon"), 52.52, 13.405).alias("d")).collect()[0].d
+        assert d == pytest.approx(877_460, rel=0.01)
+
+
+class TestSqlRegistry:
+    def test_sql_callable(self, spark):
+        from qdrant_datafusion_spark.functions import register_all
+
+        register_all(spark)
+        fixtures.unnamed_df(spark).createOrReplaceTempView("unnamed_c")
+        rows = spark.sql(
+            "SELECT id, V_SEARCH(vector, array(0.1F, 0.2F, 0.3F)) AS score "
+            "FROM unnamed_c ORDER BY score DESC, id LIMIT 2"
+        ).collect()
+        assert rows[0].score == pytest.approx(1.0, abs=1e-6)

@@ -1,0 +1,192 @@
+"""Operator-level tests: top-k, batch search, prefetch-rerank, dedup
+family, ANN — including exact-vs-approximate agreement checks."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark import fixtures
+from qdrant_datafusion_spark.functions.distance import v_search
+from qdrant_datafusion_spark.functions.multivector import v_colbert
+from qdrant_datafusion_spark.operators import (
+    batch_search,
+    embedding_near_dups,
+    exact_dedup,
+    ivf_topk,
+    knn_bruteforce,
+    lsh_bucket_topk,
+    minhash_lsh_dups,
+    ngram_jaccard_dups,
+    prefetch_rerank,
+    simhash_dups,
+    top_k,
+)
+from qdrant_datafusion_spark.operators.ann import assign_ivf_cells
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def rng_query():
+    rng = random.Random(7)
+    return [rng.uniform(-1, 1) for _ in range(64)]
+
+
+class TestTopK:
+    def test_top_k_excludes_null_vectors(self, spark):
+        df = fixtures.hetero_df(spark)
+        out = top_k(df, "test_embedding", [0.1, 0.2], 10).collect()
+        assert [r.id for r in out] == ["1"]  # only point 1 carries the field
+
+    def test_top_k_matches_numpy(self, emb, rng_query):
+        got = knn_bruteforce(emb, "embedding", rng_query, 5, id_col="vec_id").collect()
+        rows = emb.select("vec_id", "embedding").collect()
+        q = np.array(rng_query)
+        scores = {
+            r.vec_id: float(np.dot(r.embedding, q) / (np.linalg.norm(r.embedding) * np.linalg.norm(q)))
+            for r in rows
+        }
+        expected = sorted(scores, key=lambda i: (-scores[i], i))[:5]
+        assert [r.vec_id for r in got] == expected
+
+    def test_batch_search_per_query_k(self, spark, emb, rng_query):
+        queries = spark.createDataFrame(
+            [(1, rng_query), (2, [-x for x in rng_query])],
+            "query_id int, query_vec array<float>",
+        )
+        out = batch_search(
+            emb, queries, "embedding", k=3, id_col="vec_id"
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert len(by_q[1]) == 3 and len(by_q[2]) == 3
+        # opposite queries produce reversed preference
+        assert by_q[1][0].vec_id != by_q[2][0].vec_id
+
+    def test_prefetch_rerank(self, spark, emb, rng_query):
+        """Rerank top-50 cosine candidates by MaxSim: result ⊆ prefetch set."""
+        mv = F.array(*[F.slice("embedding", 1 + 16 * c, 16) for c in range(4)])
+        coll = emb.withColumn("mv", mv)
+        q_multi = [rng_query[:16], rng_query[16:32]]
+        out = prefetch_rerank(
+            coll,
+            prefetch_score=v_search("embedding", rng_query, "cosine"),
+            rerank_score=v_colbert("mv", q_multi),
+            prefetch_n=50,
+            k=5,
+            id_col="vec_id",
+        ).collect()
+        assert len(out) == 5
+        prefetch_ids = {
+            r.vec_id
+            for r in knn_bruteforce(emb, "embedding", rng_query, 50, id_col="vec_id").collect()
+        }
+        assert {r.vec_id for r in out} <= prefetch_ids
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dup(self, spark):
+        rows = [
+            (1, "Hello World"),
+            (2, "  hello world  "),  # trim+lower-normalizes equal to 1 and 3
+            (3, "hello world"),
+            (4, "hello  world"),  # inner double space -> distinct content
+            (5, "something else"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = exact_dedup(df, "text", "id").collect()
+        by_survivor = {r.id: r.dup_count for r in out}
+        assert by_survivor[1] == 3
+        assert by_survivor[4] == 1
+        assert by_survivor[5] == 1
+        assert len(out) == 3
+
+    def test_minhash_recall_vs_exact(self, docs):
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_dups(docs, "text", "doc_id", 3, 0.2).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_dups(
+                docs, "text", "doc_id", 3, num_hashes=32, bands=16, threshold=0.2
+            ).collect()
+        }
+        assert lsh == exact  # full recall at this banding + data scale
+
+    def test_simhash_identical_texts_distance_zero(self, spark):
+        rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta iota")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = simhash_dups(df, "text", "id", max_hamming=0, blocks=4).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+        assert out[0].hamming == 0
+
+    def test_embedding_near_dups_lsh_buckets_subset_of_exact(self, emb):
+        rng = random.Random(11)
+        planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(3)]
+        exact = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(emb, "embedding", "vec_id", 0.3).collect()
+        }
+        bucketed = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(
+                emb, "embedding", "vec_id", 0.3, bucket_planes=planes
+            ).collect()
+        }
+        assert bucketed <= exact
+        assert len(bucketed) > 0
+
+
+class TestAnn:
+    def test_ivf_recall(self, emb, rng_query):
+        rng = random.Random(3)
+        cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)]
+        assigned = assign_ivf_cells(emb, "embedding", cents)
+        exact = [r.vec_id for r in knn_bruteforce(emb, "embedding", rng_query, 10, id_col="vec_id").collect()]
+        approx = [
+            r.vec_id
+            for r in ivf_topk(
+                assigned, "embedding", rng_query, cents, 10, nprobe=4, id_col="vec_id"
+            ).collect()
+        ]
+        # probing half the cells should recover most of the exact top-10
+        assert len(set(exact) & set(approx)) >= 5
+
+    def test_lsh_bucket_topk_returns_k(self, emb, rng_query):
+        rng = random.Random(5)
+        planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(3)]
+        out = lsh_bucket_topk(
+            emb, "embedding", rng_query, planes, 5, id_col="vec_id"
+        ).collect()
+        assert len(out) == 5
+
+
+class TestFusionOperator:
+    def test_rrf_prefers_doubly_ranked(self, spark):
+        from qdrant_datafusion_spark.functions.fusion import rrf_fuse
+
+        b1 = spark.createDataFrame(
+            [("a", 0.9), ("b", 0.8), ("c", 0.7)], "id string, score double"
+        )
+        b2 = spark.createDataFrame(
+            [("b", 0.95), ("d", 0.5)], "id string, score double"
+        )
+        out = rrf_fuse([b1, b2]).collect()
+        assert out[0].id == "b"  # rank 2 + rank 1 beats any single-branch id
+        got = {r.id: r.fused_score for r in out}
+        assert got["b"] == pytest.approx(1 / 62 + 1 / 61)
+        assert got["a"] == pytest.approx(1 / 61)

@@ -1,0 +1,115 @@
+"""Structured Streaming tests: file source → transform → memory/parquet
+sink, driven synchronously with availableNow/processAllAvailable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qdrant_datafusion_spark.streaming import (
+    sessionized_counts,
+    stream_collection_writer,
+    stream_dedup_exact,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """A small deterministic event stream materialized as parquet then read
+    back as a file-source stream (events.parquet has nanos timestamps that
+    the streaming parquet source rejects, so we build our own)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:02:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 10:03:00", 2, "view", 3.0, "{}"),
+        (4, "2024-01-01 11:30:00", 1, "click", 4.0, "{}"),
+        (5, "2024-01-01 11:31:00", 2, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, e, v, p) for i, ts, u, e, v, p in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "stream_src")
+    df.coalesce(1).write.parquet(path)
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def _run_to_memory(stream_df, spark, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestWindowedAgg:
+    def test_tumbling_counts(self, spark, event_stream):
+        # complete mode: append would withhold the final window until a
+        # later batch advances the watermark past it
+        agg = windowed_event_counts(event_stream, window="5 minutes")
+        out = _run_to_memory(agg, spark, "win_counts", "complete").collect()
+        by = {(r.window_start.strftime("%H:%M"), r.event_type): r.n for r in out}
+        assert by[("10:00", "click")] == 2
+        assert by[("10:00", "view")] == 1
+        assert by[("11:30", "click")] == 1
+
+
+class TestSessionWindow:
+    def test_sessionization(self, spark, event_stream):
+        agg = sessionized_counts(event_stream, gap="30 minutes")
+        out = _run_to_memory(agg, spark, "sessions", "complete").collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r.user_id, []).append(r.n_events)
+        # user 1: events at 10:00/10:02 (one session) + 11:30 (another)
+        assert sorted(per_user[1]) == [1, 2]
+        assert sorted(per_user[2]) == [1, 1]
+
+
+class TestStreamDedup:
+    def test_dedup_drops_repeat_content(self, spark, tmp_path):
+        rows = [(1, "same text"), (2, "same text"), (3, "other text")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        path = str(tmp_path / "dedup_src")
+        df.coalesce(1).write.parquet(path)
+        stream = spark.readStream.schema("id long, text string").parquet(path)
+        deduped = stream_dedup_exact(stream, "text")
+        out = _run_to_memory(deduped, spark, "dedup_out", "append").collect()
+        texts = sorted(r.text for r in out)
+        assert texts == ["other text", "same text"]
+
+
+class TestCollectionSink:
+    def test_stream_into_collection_dir(self, spark, tmp_path, event_stream):
+        coll = str(tmp_path / "coll")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_collection_writer(
+            event_stream.select(
+                F.col("event_id").cast("string").alias("id"),
+                F.col("props").alias("payload"),
+                F.array(F.col("value").cast("float")).alias("vector"),
+            ),
+            coll,
+            ckpt,
+        )
+        q.awaitTermination(120)
+        back = spark.read.parquet(coll)
+        assert back.count() == 5
+        assert sorted(back.columns) == ["id", "payload", "vector"]
