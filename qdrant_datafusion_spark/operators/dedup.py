@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.distance import dot_product, norm
@@ -137,17 +137,24 @@ def minhash_lsh_dups(
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh"))
-
-    def min_hash(i: int) -> Column:
-        # closure factory: an `i=i` default param would turn the transform
-        # lambda binary, making Spark pass the element index as i
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"_h{i}")
-
-    sig_cols = [min_hash(i) for i in range(num_hashes)]
-    sigs = sh.filter(F.size("_sh") > 0).select("_id", "_sh", *sig_cols)
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    # signatures via explode + wide min-aggregation: the per-shingle md5
+    # columns run in WholeStageCodegen; an array_min(transform(...)) form
+    # would evaluate interpreted (HOFs are not codegen'd) and dominate the
+    # runtime
+    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig_only = (
+        exploded.select("_id", *hash_cols)
+        .groupBy("_id")
+        .agg(*[F.min(f"_mh{i}").alias(f"_h{i}") for i in range(num_hashes)])
+    )
+    sigs = sig_only.join(sh, "_id")
 
     band_cols = [
         F.md5(
@@ -240,6 +247,42 @@ def simhash64(content_col: str | Column, prefix_hex_chars: int = SIMHASH_HEX_CHA
     )
 
 
+def simhash_signatures(
+    df: DataFrame, content_col: str, id_col: str, prefix_hex_chars: int = SIMHASH_HEX_CHARS
+) -> DataFrame:
+    """(id, sig) SimHash signatures, computed scale-out: explode tokens →
+    60 codegen'd per-bit vote columns → groupBy(id).sum → fold to bigint.
+
+    Semantically identical to :func:`simhash64` but ~10× faster — the
+    per-row higher-order-function formulation runs interpreted, while the
+    explode form keeps every expression inside WholeStageCodegen and uses a
+    map-side-combining aggregation.  Documents with zero tokens drop out
+    (they have no signature to compare).
+    """
+    nbits = prefix_hex_chars * 4
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(content_col)).alias("_t")
+    ).select("_id", F.substring(F.md5("_t"), 1, prefix_hex_chars).alias("_h"))
+
+    def vote(p: int) -> Column:
+        # bit p (MSB-first over the hex string) of this token's hash, as ±1
+        ci, shift = p // 4 + 1, 3 - (p % 4)
+        nib = F.conv(F.substring("_h", ci, 1), 16, 10).cast("int")
+        return F.shiftright(nib, shift).bitwiseAND(F.lit(1)) * 2 - 1
+
+    votes = tok.select("_id", *[vote(p).alias(f"_v{p}") for p in range(nbits)])
+    summed = votes.groupBy("_id").agg(
+        *[F.sum(f"_v{p}").alias(f"_s{p}") for p in range(nbits)]
+    )
+    sig = None
+    for p in range(nbits):
+        term = F.when(
+            F.col(f"_s{p}") > 0, F.lit(1 << (nbits - 1 - p)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return summed.select("_id", sig.alias("sig"))
+
+
 def simhash_dups(
     df: DataFrame,
     content_col: str,
@@ -256,7 +299,7 @@ def simhash_dups(
     ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming).
     """
     nblocks = blocks or (max_hamming + 1)
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(content_col).alias("sig"))
+    sig = simhash_signatures(df, content_col, id_col)
 
     width = SIMHASH_BITS // nblocks
     block_cols = [
@@ -294,51 +337,127 @@ def simhash_dups(
     )
 
 
+def _gemm_candidate_pairs(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float,
+    block_size: int = 1024,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold-ε candidates via block matrix multiply.
+
+    Rows are grouped into blocks of ``block_size``; each block *pair* is one
+    task doing a NumPy GEMM (BLAS) instead of n² interpreted expression
+    evaluations — the standard distributed exact-similarity-join shape.
+    The ε margin (1e-6) means no true pair is lost to BLAS summation-order
+    differences; callers re-verify candidates with the sequential-order
+    native kernel for bit-exact scores.
+    """
+    import pandas as pd
+
+    rows = df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+    w = Window.orderBy("_id")
+    blocks = rows.filter(F.col("_v").isNotNull()).withColumn(
+        "_blk", ((F.row_number().over(w) - 1) / F.lit(block_size)).cast("int")
+    )
+    grouped = blocks.groupBy("_blk").agg(
+        F.collect_list("_id").alias("_ids"), F.collect_list("_v").alias("_vs")
+    )
+    a = grouped.select(
+        F.col("_blk").alias("blk_a"), F.col("_ids").alias("ids_a"), F.col("_vs").alias("vs_a")
+    )
+    b = grouped.select(
+        F.col("_blk").alias("blk_b"), F.col("_ids").alias("ids_b"), F.col("_vs").alias("vs_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+
+    margin = 1e-6
+    id_field = df.select(F.col(id_col)).schema.fields[0]
+    out_schema = (
+        f"id_a {id_field.dataType.simpleString()}, "
+        f"id_b {id_field.dataType.simpleString()}, cosine_approx double"
+    )
+
+    def gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"id_a": [], "id_b": [], "cosine_approx": []}
+            for _, r in pdf.iterrows():
+                same = r.blk_a == r.blk_b
+                va = np.asarray([np.asarray(x, np.float64) for x in r.vs_a])
+                vb = va if same else np.asarray(
+                    [np.asarray(x, np.float64) for x in r.vs_b]
+                )
+                na = np.linalg.norm(va, axis=1)
+                nb = na if same else np.linalg.norm(vb, axis=1)
+                sims = (va @ vb.T) / np.outer(na, nb)
+                ia, ib = np.nonzero(sims >= threshold - margin)
+                ids_a, ids_b = list(r.ids_a), list(r.ids_b)
+                for x, y in zip(ia, ib):
+                    pa, pb = ids_a[x], ids_b[y]
+                    if pa < pb:
+                        rows["id_a"].append(pa)
+                        rows["id_b"].append(pb)
+                        rows["cosine_approx"].append(float(sims[x, y]))
+            yield pd.DataFrame(rows)
+
+    return pairs.mapInPandas(gemm, schema=out_schema)
+
+
 def embedding_near_dups(
     df: DataFrame,
     vector_col: str,
     id_col: str,
     threshold: float = 0.95,
     bucket_planes: Sequence[Sequence[float]] | None = None,
+    block_size: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
-    Without ``bucket_planes``: exact all-pairs via self-join (use at small
-    n or as the verify stage).  With planes: random-hyperplane LSH — rows
-    bucket by the sign pattern of plane dot-products; only same-bucket
-    pairs are compared (the 100 TB path; planes should be sampled fixed
-    per run).  Returns (id_a, id_b, cosine).
+    Without ``bucket_planes``: exact all-pairs — block-GEMM candidate
+    generation (BLAS, distributed over block pairs) followed by re-scoring
+    the few candidates with the sequential-order native kernel, so reported
+    cosines are bit-identical to a sequential-sum oracle.  With planes:
+    random-hyperplane LSH — rows bucket by the sign pattern of plane
+    dot-products; only same-bucket pairs are compared (recall < 1 by
+    design; the cheap 100 TB pre-filter).  Returns (id_a, id_b, cosine).
     """
     base = df.filter(F.col(vector_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vector_col).alias("_v"),
         (norm(F.col(vector_col))).alias("_n"),
     )
-    if bucket_planes:
-        sign_bits = [
-            (dot_product(F.col("_v"), list(p)) > 0).cast("int").alias(f"_s{i}")
-            for i, p in enumerate(bucket_planes)
-        ]
-        base = base.select("_id", "_v", "_n", *sign_bits).withColumn(
-            "_bucket",
-            F.concat_ws("", *[F.col(f"_s{i}") for i in range(len(bucket_planes))]),
-        )
-        join_keys = ["_bucket"]
-        a = base.select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a"), "_bucket"
-        )
-        b = base.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b"), "_bucket"
-        )
-        pairs = a.join(b, join_keys)
-    else:
-        a = base.select(
+    if not bucket_planes:
+        cands = _gemm_candidate_pairs(df, vector_col, id_col, threshold, block_size)
+        va = base.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
         )
-        b = base.select(
+        vb = base.select(
             F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
         )
-        pairs = a.crossJoin(b)
+        exact_cos = dot_product(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        return (
+            cands.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", exact_cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    sign_bits = [
+        (dot_product(F.col("_v"), list(p)) > 0).cast("int").alias(f"_s{i}")
+        for i, p in enumerate(bucket_planes)
+    ]
+    base = base.select("_id", "_v", "_n", *sign_bits).withColumn(
+        "_bucket",
+        F.concat_ws("", *[F.col(f"_s{i}") for i in range(len(bucket_planes))]),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a"), "_bucket"
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b"), "_bucket"
+    )
+    pairs = a.join(b, ["_bucket"])
     cos = dot_product(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
