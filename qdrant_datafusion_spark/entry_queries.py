@@ -1201,3 +1201,133 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
     "multimodal_bytes": MULTIMODAL_BYTES_SQL,
 }
+
+
+# ===========================================================================
+# batch / two-stage search operators (corpus composite patterns)
+# ===========================================================================
+
+BATCH_QUERIES = [(1, _seeded_vec(64, 50)), (2, _seeded_vec(64, 51)), (3, _seeded_vec(64, 52))]
+
+
+def v_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query search — the corpus's ``VALUES ... CROSS JOIN
+    LATERAL top-5`` pattern (tests/bin/tests.sql:327-344), window-rewritten
+    (broadcast queries + one scoring pass + per-query rank)."""
+    from qdrant_datafusion_spark.operators.topk import batch_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        BATCH_QUERIES, "query_id int, query_vec array<double>"
+    )
+    out = batch_search(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        queries,
+        "embedding",
+        k=5,
+        metric="cosine",
+    )
+    return out.select(
+        "query_id", "id", F.round("score", 6).alias("score")
+    ).orderBy("query_id", F.desc("score"), F.asc("id"))
+
+
+def _batch_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, {_sql_array(vec)}::DOUBLE[])" for qid, vec in BATCH_QUERIES
+    )
+    return f"(VALUES {rows}) AS q(query_id, qv)"
+
+
+V_BATCH_SEARCH_SQL = f"""
+WITH scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings e CROSS JOIN {_batch_values_sql()}
+),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, id, score FROM ranked WHERE rn <= 5
+ORDER BY query_id, score DESC, id ASC
+"""
+
+
+def v_prefetch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage prefetch->rerank (corpus tests/bin/tests.sql:144-168):
+    broad dense-cosine top-100 prefetch, ColBERT MaxSim rerank to top-10.
+    Both stages are TakeOrderedAndProject; the expensive scorer touches
+    only the prefetched 100 rows."""
+    from qdrant_datafusion_spark.functions.multivector import v_colbert
+    from qdrant_datafusion_spark.operators.topk import prefetch_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mv = F.array(*[F.slice("embedding", 1 + 16 * c, 16) for c in range(4)])
+    coll = emb.select(F.col("vec_id").alias("id"), "embedding").withColumn("mv", mv)
+    out = prefetch_rerank(
+        coll,
+        prefetch_score=F.round(v_search("embedding", QUERY_VEC, "cosine"), 6),
+        rerank_score=F.round(v_colbert("mv", COLBERT_QUERY), 6),
+        prefetch_n=100,
+        k=10,
+    )
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+V_PREFETCH_RERANK_SQL = f"""
+WITH q AS (SELECT {_sql_array(QUERY_VEC)}::DOUBLE[] AS qv,
+                  {_sql_array(COLBERT_QUERY[0])}::DOUBLE[] AS q1,
+                  {_sql_array(COLBERT_QUERY[1])}::DOUBLE[] AS q2),
+scored AS (
+  SELECT vec_id AS id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS prefetch,
+         round(greatest(list_dot_product(embedding[1:16]::DOUBLE[], q1),
+                        list_dot_product(embedding[17:32]::DOUBLE[], q1),
+                        list_dot_product(embedding[33:48]::DOUBLE[], q1),
+                        list_dot_product(embedding[49:64]::DOUBLE[], q1))
+               + greatest(list_dot_product(embedding[1:16]::DOUBLE[], q2),
+                          list_dot_product(embedding[17:32]::DOUBLE[], q2),
+                          list_dot_product(embedding[33:48]::DOUBLE[], q2),
+                          list_dot_product(embedding[49:64]::DOUBLE[], q2)), 6) AS score
+  FROM embeddings, q
+),
+prefetched AS (
+  SELECT * FROM scored WHERE prefetch IS NOT NULL
+  ORDER BY prefetch DESC, id ASC LIMIT 100
+)
+SELECT id, round(score, 6) AS score FROM prefetched
+WHERE score IS NOT NULL
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+IVF_CENTROIDS = [_seeded_vec(64, 60 + i) for i in range(8)]
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only check: the probe set is an
+    engine-internal detail; exactness is covered by v_search_topk and the
+    recall test in tests/test_operators.py)."""
+    from qdrant_datafusion_spark.operators.ann import assign_ivf_cells, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = assign_ivf_cells(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "embedding", IVF_CENTROIDS
+    )
+    out = ivf_topk(
+        assigned, "embedding", QUERY_VEC, IVF_CENTROIDS, 10, nprobe=3
+    )
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+QUERIES["v_batch_search"] = v_batch_search
+QUERIES["v_prefetch_rerank"] = v_prefetch_rerank
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
+ORACLES["v_batch_search"] = V_BATCH_SEARCH_SQL
+ORACLES["v_prefetch_rerank"] = V_PREFETCH_RERANK_SQL
+# ann_ivf_topk: intentionally no oracle (approximate operator; rows-only)

@@ -324,16 +324,16 @@ def simhash_dups(
 
     a = exploded.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "bid", "bval")
     b_ = exploded.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "bid", "bval")
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # verify (a cheap integer xor) BEFORE deduplicating: the Hamming filter
+    # kills ~all of the candidate stream inside the join stage, so the
+    # dropDuplicates shuffle only carries true near-dups
+    return (
         a.join(b_, ["bid", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

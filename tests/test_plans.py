@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the optimizations the engine claims must be
+visible in the executed plan, not just asserted (SURVEY.md §4: Catalyst
+strictly dominates the reference's optimizer surface — prove it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import v_search
+from qdrant_datafusion_spark.plans import (
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    scan_schema_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+class TestPushdown:
+    def test_filter_pushdown_reaches_scan(self, lineitem):
+        """The reference ignores filters at the scan (src/table.rs:174-175);
+        Catalyst pushes them into the parquet reader."""
+        df = lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey")
+        filters = pushed_filters(df)
+        assert any("l_quantity" in f for f in filters), filters
+
+    def test_column_pruning(self, lineitem):
+        """2-column projection must scan 2 columns, not 16 — the Spark
+        equivalent of the reference's vector-selector fetch pruning
+        (src/utils.rs:53-83)."""
+        df = lineitem.select("l_orderkey", "l_quantity")
+        cols = scan_schema_columns(df)
+        assert set(cols) == {"l_orderkey", "l_quantity"}
+
+    def test_id_in_filter_pushdown(self, spark, sf_dir):
+        """The WHERE id IN (...) shape (reference README.md:70-72) pushes
+        In-filters to the scan."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        df = emb.filter(F.col("vec_id").isin([1, 2, 3])).select("embedding")
+        assert any("vec_id" in f for f in pushed_filters(df))
+
+
+class TestTopKPlan:
+    def test_topk_is_take_ordered(self, spark, sf_dir):
+        """ORDER BY score DESC LIMIT k must compile to TakeOrderedAndProject
+        (per-partition heaps), not a global Sort+Limit."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        df = (
+            emb.select("vec_id", v_search("embedding", [0.1] * 64).alias("score"))
+            .orderBy(F.desc("score"))
+            .limit(10)
+        )
+        assert has_take_ordered(df)
+
+
+class TestJoinStrategy:
+    def test_small_dim_join_broadcasts(self, spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        assert has_broadcast_join(joined)
+
+
+class TestCollectionSource:
+    def test_python_datasource_roundtrip(self, spark, tmp_path):
+        """The custom DataSource reads a collection directory with the
+        descriptor-derived schema (provider parity, src/table.rs:132-146)."""
+        from qdrant_datafusion_spark import fixtures
+        from qdrant_datafusion_spark.collections import CollectionCatalog
+        from qdrant_datafusion_spark.sources import register_collection_source
+
+        cat = CollectionCatalog(spark, str(tmp_path))
+        cat.write(fixtures.UNNAMED, fixtures.unnamed_df(spark))
+        register_collection_source(spark)
+        df = (
+            spark.read.format("qdrant_collection")
+            .option("path", str(tmp_path / "unnamed"))
+            .load()
+        )
+        assert sorted(df.columns) == ["id", "payload", "vector"]
+        assert df.count() == 3
+        got = df.filter(F.col("id") == "2").collect()[0]
+        assert [round(x, 6) for x in got.vector] == [0.4, 0.5, 0.6]
