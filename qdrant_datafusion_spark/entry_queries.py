@@ -929,10 +929,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 8 on 60-bit signatures) via exact
-    block-permutation candidate search (10 blocks ⇒ pigeonhole-complete)."""
+    """SimHash near-dup pairs (Hamming ≤ 4 on 60-bit signatures) via exact
+    block-permutation candidate search (5 blocks of 12 bits ⇒
+    pigeonhole-complete; wider blocks keep candidate buckets small)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_dups(docs, "text", "doc_id", max_hamming=8, blocks=10)
+    pairs = simhash_dups(docs, "text", "doc_id", max_hamming=4, blocks=5)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -963,7 +964,7 @@ sigs AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 8
+WHERE bit_count(xor(a.sig, b.sig)) <= 4
 """
 
 

@@ -145,12 +145,24 @@ def minhash_lsh_dups(
     # would evaluate interpreted (HOFs are not codegen'd) and dominate the
     # runtime
     exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    # Kirsch-Mitzenmacher double hashing: one md5 per shingle yields
+    # (h1, h2); hash_i = (h1 + i*h2) mod p.  Preserves MinHash guarantees
+    # at 1/num_hashes of the hashing cost (all derived hashes are cheap
+    # codegen'd integer arithmetic).
+    P = 4294967291  # largest prime < 2^32
+    hashed = exploded.select(
+        "_id",
+        F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint").alias("_h1"),
+        (F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("bigint") * 2 + 1).alias(
+            "_h2"
+        ),
+    )
     hash_cols = [
-        F.md5(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_mh{i}")
+        ((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(P)).alias(f"_mh{i}")
         for i in range(num_hashes)
     ]
     sig_only = (
-        exploded.select("_id", *hash_cols)
+        hashed.select("_id", *hash_cols)
         .groupBy("_id")
         .agg(*[F.min(f"_mh{i}").alias(f"_h{i}") for i in range(num_hashes)])
     )
@@ -260,15 +272,21 @@ def simhash_signatures(
     (they have no signature to compare).
     """
     nbits = prefix_hex_chars * 4
+    # one conv per token: the 15-hex-char md5 prefix parses to a single
+    # 60-bit integer (fits bigint under ANSI); every bit vote is then two
+    # integer ops — no per-nibble string parsing
     tok = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(content_col)).alias("_t")
-    ).select("_id", F.substring(F.md5("_t"), 1, prefix_hex_chars).alias("_h"))
+    ).select(
+        "_id",
+        F.conv(F.substring(F.md5("_t"), 1, prefix_hex_chars), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
+    )
 
     def vote(p: int) -> Column:
-        # bit p (MSB-first over the hex string) of this token's hash, as ±1
-        ci, shift = p // 4 + 1, 3 - (p % 4)
-        nib = F.conv(F.substring("_h", ci, 1), 16, 10).cast("int")
-        return F.shiftright(nib, shift).bitwiseAND(F.lit(1)) * 2 - 1
+        # bit p (MSB-first over the hex prefix) of this token's hash, as ±1
+        return F.shiftright(F.col("_h"), nbits - 1 - p).bitwiseAND(F.lit(1)) * 2 - 1
 
     votes = tok.select("_id", *[vote(p).alias(f"_v{p}") for p in range(nbits)])
     summed = votes.groupBy("_id").agg(
