@@ -659,18 +659,23 @@ LIMIT 10
 def _sparse_score_col() -> "F.Column":
     """Σ weight * count(word in tokens) — the sparse dot with a term-count
     sparse encoding of documents."""
-    toks = tokens(F.col("text"))
+    def score_from(toks: "F.Column") -> "F.Column":
+        def count_term(word: str) -> "F.Column":
+            # closure factory: a `w=word` default param would make the
+            # filter lambda binary (element index bound to it)
+            return F.size(F.filter(toks, lambda x: x == F.lit(word)))
 
-    def count_term(word: str) -> "F.Column":
-        # closure factory: a `w=word` default param would make the filter
-        # lambda binary and Spark would bind the element index to it
-        return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+        score = None
+        for word, weight in SPARSE_QUERY:
+            term = count_term(word).cast("double") * F.lit(weight)
+            score = term if score is None else score + term
+        return score
 
-    score = None
-    for word, weight in SPARSE_QUERY:
-        term = count_term(word).cast("double") * F.lit(weight)
-        score = term if score is None else score + term
-    return score
+    # let-bind the tokens array so the four per-term filters share one
+    # tokenization instead of re-splitting the text per term
+    return F.element_at(
+        F.transform(F.array(tokens(F.col("text"))), score_from), 1
+    )
 
 
 def v_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,3 +1337,117 @@ QUERIES["ann_ivf_topk"] = ann_ivf_topk
 ORACLES["v_batch_search"] = V_BATCH_SEARCH_SQL
 ORACLES["v_prefetch_rerank"] = V_PREFETCH_RERANK_SQL
 # ann_ivf_topk: intentionally no oracle (approximate operator; rows-only)
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (SURVEY.md §2 pivot
+    surface; oracle uses equivalent conditional aggregation)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select(
+            "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per returnflag — rows-only check by
+    design: HLL sketches are engine-specific, so no cross-engine value
+    oracle exists; exactness is covered by q_distinct_aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES["q_pivot_events"] = q_pivot_events
+QUERIES["q_approx_distinct"] = q_approx_distinct
+ORACLES["q_pivot_events"] = Q_PIVOT_SQL
+# q_approx_distinct: rows-only by design (engine-specific sketch)
+
+
+DISCOVER_TARGET = _seeded_vec(64, 70)
+DISCOVER_CONTEXT = [(4, 0.5), (5, -0.25)]  # (vec_id, weight)
+
+
+def v_discover_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_DISCOVER (tests/bin/tests.sql:121-137): target vector combined
+    with weighted context vectors resolved by id, context excluded."""
+    from qdrant_datafusion_spark.functions.composite import discover_by_ids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    out = discover_by_ids(
+        emb, "embedding", DISCOVER_TARGET, list(DISCOVER_CONTEXT), metric="cosine"
+    )
+    return (
+        out.select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+    )
+
+
+V_DISCOVER_SQL = f"""
+WITH tgt AS (SELECT {_sql_array(DISCOVER_TARGET)}::DOUBLE[] AS t),
+ctx_raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS e
+  FROM embeddings
+  WHERE vec_id IN ({DISCOVER_CONTEXT[0][0]}, {DISCOVER_CONTEXT[1][0]})
+),
+ctx AS (
+  SELECT i,
+         sum(e * CASE vec_id WHEN {DISCOVER_CONTEXT[0][0]} THEN {DISCOVER_CONTEXT[0][1]}
+                             WHEN {DISCOVER_CONTEXT[1][0]} THEN {DISCOVER_CONTEXT[1][1]} END) AS c
+  FROM ctx_raw GROUP BY i
+),
+comp AS (
+  SELECT list(t[i] + coalesce(c, 0) ORDER BY i) AS cv
+  FROM (SELECT generate_subscripts(t, 1) AS i, t[generate_subscripts(t, 1)] AS ti, t FROM tgt) idx
+  LEFT JOIN ctx USING (i)
+)
+SELECT vec_id AS id,
+       round(list_dot_product(embedding::DOUBLE[], cv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(cv, cv))), 6) AS score
+FROM embeddings, comp
+WHERE vec_id NOT IN ({DISCOVER_CONTEXT[0][0]}, {DISCOVER_CONTEXT[1][0]})
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+def v_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY V_RANDOM() LIMIT n`` random sampling
+    (tests/bin/tests.sql:310-320).  Rows-only check by design: RNG streams
+    are engine-specific; determinism *within* the engine comes from the
+    fixed seed."""
+    from qdrant_datafusion_spark.functions.distance import v_random
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id").orderBy(v_random(42), F.asc("vec_id")).limit(25)
+
+
+QUERIES["v_discover_topk"] = v_discover_topk
+QUERIES["v_random_sample"] = v_random_sample
+ORACLES["v_discover_topk"] = V_DISCOVER_SQL
+# v_random_sample: rows-only by design (engine-specific RNG)
