@@ -725,14 +725,18 @@ def v_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse = docs.select(
         F.col("doc_id").alias("id"), F.round(_sparse_score_col(), 6).alias("score")
     )
+    # scale-critical ordering: TakeOrderedAndProject (parallel per-partition
+    # k-heaps) truncates each branch to 100 rows FIRST; the global
+    # row_number window then ranks only those 100 — never a full-table
+    # single-partition sort
     wd = Window.orderBy(F.desc("score"), F.asc("id"))
     dense_r = (
-        dense.select("id", F.row_number().over(wd).alias("rd"))
-        .filter(F.col("rd") <= 100)
+        dense.orderBy(F.desc("score"), F.asc("id")).limit(100)
+        .select("id", F.row_number().over(wd).alias("rd"))
     )
     sparse_r = (
-        sparse.select("id", F.row_number().over(wd).alias("rs"))
-        .filter(F.col("rs") <= 100)
+        sparse.orderBy(F.desc("score"), F.asc("id")).limit(100)
+        .select("id", F.row_number().over(wd).alias("rs"))
     )
     fused = (
         dense_r.join(sparse_r, "id", "full_outer")

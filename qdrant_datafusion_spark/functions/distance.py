@@ -64,7 +64,9 @@ def norm(v: VectorLike) -> Column:
 
 
 def cosine_similarity(v: VectorLike, q: VectorLike) -> Column:
-    return dot_product(v, q) / (norm(v) * norm(q))
+    # try_divide: a zero vector yields NULL, not an ANSI divide-by-zero
+    # error (Spark 4 runs ANSI mode by default)
+    return F.try_divide(dot_product(v, q), norm(v) * norm(q))
 
 
 def euclid_distance(v: VectorLike, q: VectorLike) -> Column:

@@ -32,20 +32,33 @@ def rrf_fuse(
     score_col: str = "score",
     k: int = RRF_K,
     fused_col: str = "fused_score",
+    per_branch_limit: int | None = 1000,
 ) -> DataFrame:
     """True reciprocal-rank fusion of N (id, score) branches.
 
     Each branch is ranked by its own score descending (ties broken by id so
     the result is deterministic); missing ids in a branch contribute 0.
     Returns (id, fused_score) sorted descending.
+
+    ``per_branch_limit`` truncates each branch with orderBy+limit
+    (TakeOrderedAndProject: parallel per-partition heaps) *before* the
+    global row_number window, so the single-partition window only ever
+    sees ``per_branch_limit`` rows — without it, ranking a large branch
+    is a full single-partition sort.  Pass None only for pre-truncated
+    branches.
     """
     if not branches:
         raise ValueError("need at least one branch")
     ranked = []
     for i, b in enumerate(branches):
         w = Window.orderBy(F.desc(score_col), F.asc(on))
+        branch = b.select(on, score_col)
+        if per_branch_limit is not None:
+            branch = branch.orderBy(F.desc(score_col), F.asc(on)).limit(
+                per_branch_limit
+            )
         ranked.append(
-            b.select(on, score_col).withColumn("_rank", F.row_number().over(w))
+            branch.withColumn("_rank", F.row_number().over(w))
             .select(
                 F.col(on),
                 (F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))).alias(f"_rrf_{i}"),

@@ -454,7 +454,9 @@ def embedding_near_dups(
         vb = base.select(
             F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
         )
-        exact_cos = dot_product(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        exact_cos = F.try_divide(
+            dot_product(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b")
+        )
         return (
             cands.join(va, "id_a")
             .join(vb, "id_b")
@@ -476,7 +478,7 @@ def embedding_near_dups(
         F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b"), "_bucket"
     )
     pairs = a.join(b, ["_bucket"])
-    cos = dot_product(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = F.try_divide(dot_product(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))

@@ -1,0 +1,137 @@
+"""Property-based kernel tests (Hypothesis): random vectors/texts vs
+NumPy/pure-Python oracles, exercised through the real Spark surface.
+
+Strategy note: one Spark job per hypothesis example would be minutes-slow,
+so each property collects a BATCH of generated rows into one DataFrame and
+asserts element-wise — same coverage, two orders of magnitude fewer jobs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import (
+    cosine_similarity,
+    dot_product,
+    euclid_distance,
+    manhattan_distance,
+)
+from qdrant_datafusion_spark.functions.sparse import sparse_dot_columns
+from qdrant_datafusion_spark.functions.text import match_text, token_count
+
+finite = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite, min_size=4, max_size=4)
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+class TestDistanceProperties:
+    @SETTINGS
+    @given(st.lists(st.tuples(vec, vec), min_size=1, max_size=16))
+    def test_kernels_match_numpy(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "i int, a array<float>, b array<float>",
+        )
+        rows = df.select(
+            "i",
+            dot_product("a", "b").alias("dot"),
+            euclid_distance("a", "b").alias("euc"),
+            manhattan_distance("a", "b").alias("man"),
+        ).collect()
+        for r in rows:
+            a = np.array(pairs[r.i][0], dtype=np.float32).astype(np.float64)
+            b = np.array(pairs[r.i][1], dtype=np.float32).astype(np.float64)
+            assert r.dot == pytest.approx(float(a @ b), rel=1e-9, abs=1e-9)
+            assert r.euc == pytest.approx(float(np.linalg.norm(a - b)), rel=1e-9, abs=1e-9)
+            assert r.man == pytest.approx(float(np.abs(a - b).sum()), rel=1e-9, abs=1e-9)
+
+    @SETTINGS
+    @given(st.lists(st.tuples(vec, vec), min_size=1, max_size=8))
+    def test_cosine_bounded_and_symmetric(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "i int, a array<float>, b array<float>",
+        )
+        rows = df.select(
+            "i",
+            cosine_similarity("a", "b").alias("ab"),
+            cosine_similarity("b", "a").alias("ba"),
+        ).collect()
+        for r in rows:
+            if r.ab is not None and not math.isnan(r.ab):
+                assert -1.0000001 <= r.ab <= 1.0000001
+                assert r.ab == pytest.approx(r.ba, rel=1e-12)
+
+
+class TestSparseProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(st.integers(0, 50), min_size=0, max_size=6, unique=True),
+                st.dictionaries(st.integers(0, 50), finite, max_size=5),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_sparse_dot_matches_python(self, spark, cases):
+        rows = []
+        for i, (idxs, qmap) in enumerate(cases):
+            vals = [float(j % 7) / 7 for j in range(len(idxs))]
+            rows.append((i, idxs, vals))
+        df = spark.createDataFrame(rows, "i int, idx array<long>, val array<float>")
+        for i, (idxs, qmap) in enumerate(cases):
+            q = {int(k): float(np.float32(v)) for k, v in qmap.items()}
+            got = (
+                df.filter(F.col("i") == i)
+                .select(sparse_dot_columns("idx", "val", q).alias("s"))
+                .collect()[0]
+                .s
+            )
+            vals = [float(np.float32(float(j % 7) / 7)) for j in range(len(idxs))]
+            expected = sum(q.get(ix, 0.0) * v for ix, v in zip(idxs, vals))
+            assert got == pytest.approx(expected, rel=1e-6, abs=1e-9)
+
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0, max_size=12
+)
+
+
+class TestTextProperties:
+    @SETTINGS
+    @given(st.lists(words, min_size=1, max_size=10))
+    def test_token_count_matches_split(self, spark, texts):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+        df = spark.createDataFrame(rows, "i int, text string")
+        got = {r.i: r.n for r in df.select("i", token_count("text").alias("n")).collect()}
+        for i, ws in enumerate(texts):
+            assert got[i] == len([w for w in ws if w])
+
+    @SETTINGS
+    @given(words, words)
+    def test_match_text_fraction(self, spark, doc_words, query_words):
+        text = " ".join(doc_words)
+        query = " ".join(query_words)
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(match_text("text", query).alias("m")).collect()[0].m
+        qterms = [w.lower() for w in query.split() if w]
+        if not qterms:
+            assert got == 0.0
+        else:
+            toks = {w.lower() for w in text.split() if w}
+            expected = sum(1 for t in qterms if t in toks) / len(qterms)
+            assert got == pytest.approx(expected)
