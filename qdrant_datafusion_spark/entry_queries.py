@@ -39,6 +39,7 @@ from qdrant_datafusion_spark.functions.text import (
     tokens,
 )
 from qdrant_datafusion_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_dups,
     ngram_jaccard_dups,
@@ -1130,6 +1131,48 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-Jaccard near-dup pairs → (id,
+    cluster_id) survivor map.  cluster_id = min member id, so survivor
+    selection is `WHERE id = cluster_id`.  Spark side is iterative
+    min-label propagation (O(diameter) rounds, each one join + one agg);
+    oracle is a DuckDB recursive CTE computing the same components."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    return dup_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# same pair set as DEDUP_JACCARD_SQL, then transitive closure: each node's
+# cluster_id is the min id reachable from it (UNION dedups → terminates)
+DEDUP_CLUSTERS_SQL = _SHINGLES_SQL.replace(
+    "WITH t AS", "WITH RECURSIVE t AS", 1
+) + """
+, pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+)
+SELECT id::BIGINT AS id, min(label)::BIGINT AS cluster_id
+FROM walk GROUP BY id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1172,6 +1215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "multimodal_bytes": multimodal_bytes,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1210,6 +1254,7 @@ ORACLES: dict[str, str] = {
     "text_lang_id": TEXT_LANG_SQL,
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
     "multimodal_bytes": MULTIMODAL_BYTES_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }
 
 

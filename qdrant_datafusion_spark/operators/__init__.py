@@ -12,6 +12,7 @@ from qdrant_datafusion_spark.operators.topk import (  # noqa: F401
     top_k,
 )
 from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
+    dup_clusters,
     embedding_near_dups,
     exact_dedup,
     minhash_lsh_dups,

@@ -14,6 +14,7 @@ from qdrant_datafusion_spark.functions.distance import v_search
 from qdrant_datafusion_spark.functions.multivector import v_colbert
 from qdrant_datafusion_spark.operators import (
     batch_search,
+    dup_clusters,
     embedding_near_dups,
     exact_dedup,
     ivf_topk,
@@ -133,6 +134,14 @@ class TestDedup:
         out = simhash_dups(df, "text", "id", max_hamming=0, blocks=4).collect()
         assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
         assert out[0].hamming == 0
+
+    def test_dup_clusters_connected_components(self, spark):
+        # two components: {1,2,3} (chain 1-2-3, no direct 1-3 edge) and {7,9}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+        )
+        out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
     def test_embedding_near_dups_lsh_buckets_subset_of_exact(self, emb):
         rng = random.Random(11)
