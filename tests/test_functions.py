@@ -262,3 +262,62 @@ class TestSqlRegistry:
             "FROM unnamed_c ORDER BY score DESC, id LIMIT 2"
         ).collect()
         assert rows[0].score == pytest.approx(1.0, abs=1e-6)
+
+
+class TestCorpusEdgeCases:
+    """The reference corpus's explicit edge cases
+    (reference tests/bin/tests.sql:385-407)."""
+
+    def test_empty_query_vector_is_graceful_null(self, spark):
+        # tests.sql:390-392 — V_SEARCH([]) must not error; NULL score, so
+        # `WHERE V_SEARCH([]) IS NOT NULL` simply selects nothing
+        df = fixtures.unnamed_df(spark)
+        rows = df.filter(
+            v_search("vector", []).isNotNull()
+        ).select("id").limit(1).collect()
+        assert rows == []
+        scores = df.select(v_search("vector", []).alias("s")).collect()
+        assert all(r.s is None for r in scores)
+
+    def test_recommend_null_negatives(self, spark):
+        # tests.sql:395-398 — NULL negative list tolerated: score equals
+        # plain search against avg(positives)
+        df = fixtures.unnamed_df(spark)
+        pos = [[0.1, 0.2, 0.3], [0.3, 0.2, 0.1]]
+        with_null_neg = {
+            r.id: r.s
+            for r in df.select(
+                "id", v_recommend("vector", pos, None).alias("s")
+            ).collect()
+        }
+        avg_pos = [0.2, 0.2, 0.2]
+        plain = {
+            r.id: r.s
+            for r in df.select(
+                "id", v_search("vector", avg_pos).alias("s")
+            ).collect()
+        }
+        for k in plain:
+            assert with_null_neg[k] == pytest.approx(plain[k], abs=1e-6)
+
+    def test_high_dimensional_sparse_query(self, spark):
+        # tests.sql:401-407 — query indices far beyond any row's indices;
+        # only overlapping terms contribute, no dimension bound anywhere
+        df = fixtures.hetero_df(spark)
+        q_idx = [1, 100, 500, 1000, 5000, 10000, 50000, 100000]
+        q_val = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+        got = {
+            r.id: r.s
+            for r in df.select(
+                "id",
+                v_sparse_search(
+                    "keywords_indices", "keywords_values",
+                    list(zip(q_idx, q_val)),
+                ).alias("s"),
+            ).collect()
+        }
+        # p2 keywords: idx [1,3] val [.7,.4] -> only idx 1 overlaps: .1*.7
+        assert got["2"] == pytest.approx(0.07, abs=1e-6)
+        # p1 [0,5], p3 [2,4,6]: no overlap -> 0.0
+        assert got["1"] == pytest.approx(0.0, abs=1e-6)
+        assert got["3"] == pytest.approx(0.0, abs=1e-6)
