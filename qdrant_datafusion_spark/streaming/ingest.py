@@ -107,3 +107,60 @@ def stream_collection_writer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_topk(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    score_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Custom stateful operator: a running per-key top-k over an unbounded
+    stream, via ``applyInPandasWithState`` (Spark has no built-in streaming
+    top-k — windowed aggs can't keep "best k ever seen").
+
+    State per key is just the current top-k (ids, scores) — O(k) regardless
+    of stream length, so state stays bounded at any ingest volume.  Each
+    micro-batch merges its rows into the state with one NumPy argsort over
+    ≤ k + batch rows and emits the refreshed ranking (update output mode).
+    Ties break by ascending id for deterministic output.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, {id_col} bigint, {score_col} double, rank int"
+    )
+    state_schema = "ids array<bigint>, scores array<double>"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ids, scores = state.get
+            ids, scores = list(ids), list(scores)
+        else:
+            ids, scores = [], []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+            scores.extend(float(x) for x in pdf[score_col])
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        scores = [scores[i] for i in order]
+        state.update((ids, scores))
+        yield pd.DataFrame(
+            {
+                key_col: np.repeat(key[0], len(ids)),
+                id_col: ids,
+                score_col: scores,
+                "rank": np.arange(1, len(ids) + 1, dtype="int32"),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

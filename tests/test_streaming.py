@@ -113,3 +113,46 @@ class TestCollectionSink:
         back = spark.read.parquet(coll)
         assert back.count() == 5
         assert sorted(back.columns) == ["id", "payload", "vector"]
+
+
+class TestStreamingTopK:
+    def test_running_topk_merges_state_across_batches(self, spark, tmp_path):
+        from qdrant_datafusion_spark.streaming import streaming_topk
+
+        src = str(tmp_path / "topk_src")
+        cols = "event_id long, ts string, user_id long, event_type string, value double, props string"
+        batch1 = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 10:02:00", 1, "click", 2.0, "{}"),
+                (3, "2024-01-01 10:03:00", 2, "view", 3.0, "{}"),
+            ],
+            cols,
+        ).withColumn("ts", F.to_timestamp("ts"))
+        batch2 = spark.createDataFrame(
+            [
+                (4, "2024-01-01 11:30:00", 1, "click", 4.0, "{}"),
+                (5, "2024-01-01 11:31:00", 2, "view", 5.0, "{}"),
+            ],
+            cols,
+        ).withColumn("ts", F.to_timestamp("ts"))
+        batch1.coalesce(1).write.parquet(src)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_topk(stream, k=2)
+        rows = _run_to_memory(out, spark, "topk_sink", "update").collect()
+
+        # the final click ranking must contain id 4 (batch 2, value 4.0) at
+        # rank 1 AND id 2 (batch 1, value 2.0) demoted to rank 2 — the
+        # demotion can only happen if batch-1 state survived into batch 2
+        got = {(r.event_type, r.event_id, r.rank) for r in rows}
+        assert ("click", 4, 1) in got
+        assert ("click", 2, 2) in got
+        # k=2 caps state: id 1 (value 1.0) must never appear at rank <= 2
+        # after batch 2; it may only show from batch 1 (rank 2 then)
+        assert ("click", 1, 1) not in got
