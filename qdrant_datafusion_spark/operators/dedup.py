@@ -284,20 +284,49 @@ def simhash_signatures(
         .alias("_h"),
     )
 
-    def vote(p: int) -> Column:
-        # bit p (MSB-first over the hex prefix) of this token's hash, as ±1
-        return F.shiftright(F.col("_h"), nbits - 1 - p).bitwiseAND(F.lit(1)) * 2 - 1
+    # SIMD-in-a-register voting: instead of one ±1 sum per bit position
+    # (60 aggregation columns — the agg row width dominates the stage),
+    # count set bits in 20-bit lanes, 3 lanes per bigint → 20 accumulator
+    # columns + one token count.  Lane l of packed column c holds
+    # n1(p = 3c + l), the number of tokens with bit p set; the majority
+    # vote is then 2*n1 > ntok (== Σ±1 > 0).  Lanes can't collide while
+    # a document has < 2^20 tokens (and the lane-2 total stays < 2^60).
+    lane_bits = 20
+    lanes = 3
+    ncols = nbits // lanes
 
-    votes = tok.select("_id", *[vote(p).alias(f"_v{p}") for p in range(nbits)])
-    summed = votes.groupBy("_id").agg(
-        *[F.sum(f"_v{p}").alias(f"_s{p}") for p in range(nbits)]
+    def packed_votes(c: int) -> Column:
+        term: Column | None = None
+        for lane in range(lanes):
+            p = c * lanes + lane
+            bit = (
+                F.shiftright(F.col("_h"), nbits - 1 - p)
+                .bitwiseAND(F.lit(1))
+                .cast("bigint")
+            )
+            shifted = F.shiftleft(bit, lane_bits * lane)
+            term = shifted if term is None else term + shifted
+        return term
+
+    packed = tok.select(
+        "_id", *[packed_votes(c).alias(f"_p{c}") for c in range(ncols)]
     )
-    sig = None
-    for p in range(nbits):
-        term = F.when(
-            F.col(f"_s{p}") > 0, F.lit(1 << (nbits - 1 - p)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = term if sig is None else sig + term
+    summed = packed.groupBy("_id").agg(
+        F.count("*").alias("_ntok"),
+        *[F.sum(f"_p{c}").alias(f"_s{c}") for c in range(ncols)],
+    )
+    mask = (1 << lane_bits) - 1
+    sig: Column | None = None
+    for c in range(ncols):
+        for lane in range(lanes):
+            p = c * lanes + lane
+            n1 = F.shiftright(F.col(f"_s{c}"), lane_bits * lane).bitwiseAND(
+                F.lit(mask).cast("bigint")
+            )
+            term = F.when(
+                n1 * 2 > F.col("_ntok"), F.lit(1 << (nbits - 1 - p)).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
     return summed.select("_id", sig.alias("sig"))
 
 
