@@ -148,7 +148,12 @@ def minhash_lsh_dups(
     # Kirsch-Mitzenmacher double hashing: one md5 per shingle yields
     # (h1, h2); hash_i = (h1 + i*h2) mod p.  Preserves MinHash guarantees
     # at 1/num_hashes of the hashing cost (all derived hashes are cheap
-    # codegen'd integer arithmetic).
+    # codegen'd integer arithmetic).  _hs is a 60-bit shingle fingerprint:
+    # the verify stage intersects fingerprint *sets* instead of the shingle
+    # strings, so shingling runs exactly once and every downstream row
+    # carries bigints, not text (same md5, so a DuckDB oracle reproduces
+    # it; a cross-doc fingerprint collision would need ~2^30 distinct
+    # shingles per pair to matter).
     P = 4294967291  # largest prime < 2^32
     hashed = exploded.select(
         "_id",
@@ -156,17 +161,22 @@ def minhash_lsh_dups(
         (F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("bigint") * 2 + 1).alias(
             "_h2"
         ),
+        F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("bigint").alias("_hs"),
     )
     hash_cols = [
         ((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(P)).alias(f"_mh{i}")
         for i in range(num_hashes)
     ]
-    sig_only = (
-        hashed.select("_id", *hash_cols)
+    # ONE aggregation yields both the minhash signature and the fingerprint
+    # set — no separate join back to the shingle arrays
+    sigs = (
+        hashed.select("_id", "_hs", *hash_cols)
         .groupBy("_id")
-        .agg(*[F.min(f"_mh{i}").alias(f"_h{i}") for i in range(num_hashes)])
+        .agg(
+            F.collect_set("_hs").alias("_fp"),
+            *[F.min(f"_mh{i}").alias(f"_h{i}") for i in range(num_hashes)],
+        )
     )
-    sigs = sig_only.join(sh, "_id")
 
     band_cols = [
         F.md5(
@@ -178,32 +188,32 @@ def minhash_lsh_dups(
         ).alias(f"_band{b}")
         for b in range(bands)
     ]
-    banded = sigs.select("_id", "_sh", *band_cols)
+    banded = sigs.select("_id", "_fp", *band_cols)
     buckets = banded.select(
         "_id",
-        "_sh",
+        "_fp",
         F.explode(F.array(*[F.col(f"_band{b}") for b in range(bands)])).alias("bucket"),
     )
 
     a = buckets.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "bucket"
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "bucket"
     )
     b_ = buckets.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "bucket"
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "bucket"
     )
-    candidates = (
-        a.join(b_, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    # verify INSIDE the join stage (cheap bigint-set intersection), then
+    # deduplicate only the true near-dups — the dropDuplicates shuffle
+    # carries a handful of (id, id, double) rows instead of every candidate
+    # with its arrays
+    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+    union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
     jac = inter.cast("double") / union
     return (
-        candidates.select("id_a", "id_b", jac.alias("jaccard"))
+        a.join(b_, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
