@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -659,24 +660,21 @@ LIMIT 10
 
 def _sparse_score_col() -> "F.Column":
     """Σ weight * count(word in tokens) — the sparse dot with a term-count
-    sparse encoding of documents."""
-    def score_from(toks: "F.Column") -> "F.Column":
-        def count_term(word: str) -> "F.Column":
-            # closure factory: a `w=word` default param would make the
-            # filter lambda binary (element index bound to it)
-            return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+    sparse encoding of documents.
 
-        score = None
-        for word, weight in SPARSE_QUERY:
-            term = count_term(word).cast("double") * F.lit(weight)
-            score = term if score is None else score + term
-        return score
-
-    # let-bind the tokens array so the four per-term filters share one
-    # tokenization instead of re-splitting the text per term
-    return F.element_at(
-        F.transform(F.array(tokens(F.col("text"))), score_from), 1
-    )
+    tokens() is a pure whitespace split of lower(trim(text)), so "count of
+    tokens equal to w" == "occurrences of w bounded by whitespace in the
+    space-padded text" — countable with codegen'd ``regexp_count`` instead
+    of an interpreted tokenize-then-filter HOF chain (~3× on the bench)."""
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    score = None
+    for word, weight in SPARSE_QUERY:
+        cnt = F.regexp_count(
+            padded, F.lit(f"(?<=\\s){re.escape(word)}(?=\\s)")
+        )
+        term = cnt.cast("double") * F.lit(weight)
+        score = term if score is None else score + term
+    return score
 
 
 def v_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
