@@ -1129,6 +1129,81 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo revenue share — fact⨝dim with the
+    dim broadcast (part is small at every SF relative to lineitem) and a
+    conditional aggregate over the joined stream."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * (
+                    F.sum(promo_rev).cast("double")
+                    / F.sum(rev).cast("double")
+                ),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * (sum(CASE WHEN p_type = 'PROMO'
+                               THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+                               ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                      / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE),
+             4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation best supplier by account balance (TPC-H Q2's min-cost-
+    supplier shape, window-rewritten): broadcast dim join + per-group
+    top-1 window, id tie-break."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"),
+        )
+    )
+
+
+Q_TOP_SUPPLIER_SQL = """
+WITH ranked AS (
+  SELECT n_name, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_name, round(s_acctbal::DOUBLE, 2) AS acctbal
+FROM ranked WHERE rn = 1
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-Jaccard near-dup pairs → (id,
     cluster_id) survivor map.  cluster_id = min member id, so survivor
@@ -1214,6 +1289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": doc_fingerprints,
     "multimodal_bytes": multimodal_bytes,
     "dedup_clusters": dedup_clusters,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q_top_supplier_per_nation": q_top_supplier_per_nation,
 }
 
 ORACLES: dict[str, str] = {
@@ -1253,6 +1330,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": DOC_FINGERPRINT_SQL,
     "multimodal_bytes": MULTIMODAL_BYTES_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q_top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,
 }
 
 
