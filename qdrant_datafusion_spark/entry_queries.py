@@ -36,8 +36,10 @@ from qdrant_datafusion_spark.functions.text import (
     language_score,
     match_text,
     quality_score,
+    tfidf_rank,
     token_count,
     tokens,
+    vocab_stats,
 )
 from qdrant_datafusion_spark.operators.dedup import (
     dup_clusters,
@@ -1129,6 +1131,69 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-25 tokens by term frequency with doc
+    frequency (tokenizer-building stage of a training-data pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs, "text", "doc_id", top_n=25)
+
+
+TEXT_VOCAB_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t)
+SELECT token, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 25
+"""
+
+
+TFIDF_QUERY_TERMS = ["spark", "shuffle", "partition", "join"]
+
+
+def match_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked retrieval — MATCH_TEXT's scale path (corpus-derived
+    idf, codegen'd per-term tf, broadcast stats, single top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_rank(docs, "text", "doc_id", " ".join(TFIDF_QUERY_TERMS), k=10)
+
+
+def _tfidf_sql() -> str:
+    terms = TFIDF_QUERY_TERMS
+    tf_exprs = ",\n       ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::INT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n       ".join(
+        f"sum((tf{i} > 0)::INT)::BIGINT AS df{i}" for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(CASE WHEN df{i} > 0 THEN tf{i}::DOUBLE * ln(n::DOUBLE / df{i}::DOUBLE) "
+        f"ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH t AS ({_TOKS_SQL}),
+tf AS (
+SELECT doc_id,
+       {tf_exprs}
+FROM t
+),
+d AS (
+SELECT count(*)::BIGINT AS n,
+       {df_exprs}
+FROM tf
+)
+SELECT doc_id, round({score}, 6) AS score
+FROM tf, d
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+MATCH_TFIDF_SQL = _tfidf_sql()
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly promo revenue share — fact⨝dim with the
     dim broadcast (part is small at every SF relative to lineitem) and a
@@ -1291,6 +1356,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "q14_promo_revenue": q14_promo_revenue,
     "q_top_supplier_per_nation": q_top_supplier_per_nation,
+    "text_vocabulary": text_vocabulary,
+    "match_text_tfidf": match_text_tfidf,
 }
 
 ORACLES: dict[str, str] = {
@@ -1332,6 +1399,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q_top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,
+    "text_vocabulary": TEXT_VOCAB_SQL,
+    "match_text_tfidf": MATCH_TFIDF_SQL,
 }
 
 

@@ -168,3 +168,66 @@ def minhash_signature(
         )
 
     return F.array(*[min_hash(i) for i in range(num_hashes)])
+
+
+def vocab_stats(df, text_col: str, id_col: str, top_n: int = 25):
+    """Corpus vocabulary: top-``top_n`` tokens by total term frequency with
+    document frequency — the tokenizer-building / corpus-profiling stage of
+    a training-data pipeline.  One explode + one aggregation; the shuffle
+    key is the token, counts combine map-side, so this scales to any corpus
+    the cluster can scan.  Ties break by token text for determinism."""
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def tfidf_rank(df, text_col: str, id_col: str, query: str, k: int = 10):
+    """TF-IDF ranked retrieval for a literal query — the scale path behind
+    ``MATCH_TEXT`` (reference tests/bin/tests.sql:210-214): score(doc) =
+    Σ_t tf(t, doc) · ln(N / df(t)) over the query's terms.
+
+    Term frequencies come from codegen'd ``regexp_count`` (whitespace-
+    bounded, == whitespace-token equality); document frequencies are one
+    tiny corpus aggregate broadcast back over the scan, so the only wide
+    operation is the final top-k.  Terms appearing in no document
+    contribute 0 (df = 0 guard).  Fixed left-to-right term order keeps the
+    double sum bit-deterministic for oracle comparison."""
+    import re as _re
+
+    qterms = list(dict.fromkeys(t for t in query.lower().split() if t))
+    if not qterms:
+        raise ValueError("tfidf_rank requires a non-empty query")
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
+    tf_cols = [
+        F.regexp_count(padded, F.lit(f"(?<=\\s){_re.escape(t)}(?=\\s)")).alias(f"_tf{i}")
+        for i, t in enumerate(qterms)
+    ]
+    with_tf = df.select(F.col(id_col), *tf_cols)
+    stats = with_tf.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
+            for i in range(len(qterms))
+        ],
+    )
+    score = None
+    for i in range(len(qterms)):
+        term = F.when(
+            F.col(f"_df{i}") > 0,
+            F.col(f"_tf{i}").cast("double")
+            * F.log(F.col("_n").cast("double") / F.col(f"_df{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        with_tf.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

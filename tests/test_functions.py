@@ -321,3 +321,38 @@ class TestCorpusEdgeCases:
         # p1 [0,5], p3 [2,4,6]: no overlap -> 0.0
         assert got["1"] == pytest.approx(0.0, abs=1e-6)
         assert got["3"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestVocabTfidf:
+    def test_vocab_stats_counts(self, spark):
+        from qdrant_datafusion_spark.functions.text import vocab_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c"), (3, "b")], "id long, text string"
+        )
+        rows = {r.token: (r.tf, r.df) for r in vocab_stats(df, "text", "id", 10).collect()}
+        assert rows == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+
+    def test_tfidf_rank_prefers_rare_terms(self, spark):
+        import math
+
+        from qdrant_datafusion_spark.functions.text import tfidf_rank
+
+        # "rare" appears in 1 of 4 docs, "common" in all 4: the doc with
+        # one rare hit must outscore docs with only common hits
+        df = spark.createDataFrame(
+            [
+                (1, "common rare"),
+                (2, "common common common"),
+                (3, "common"),
+                (4, "common"),
+            ],
+            "id long, text string",
+        )
+        rows = tfidf_rank(df, "text", "id", "rare common", k=4).collect()
+        assert rows[0].id == 1
+        expected = 1.0 * math.log(4 / 1) + 1.0 * math.log(4 / 4)
+        assert rows[0].score == pytest.approx(round(expected, 6), abs=1e-9)
+        # absent term contributes 0, not an error
+        out = tfidf_rank(df, "text", "id", "zzz common", k=1).collect()
+        assert out[0].score == pytest.approx(0.0, abs=1e-9)
