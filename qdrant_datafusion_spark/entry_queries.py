@@ -727,28 +727,14 @@ def v_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.round(_sparse_score_col(), 6).alias("score")
     )
     # scale-critical ordering: TakeOrderedAndProject (parallel per-partition
-    # k-heaps) truncates each branch to 100 rows FIRST; the global
-    # row_number window then ranks only those 100 — never a full-table
-    # single-partition sort
-    wd = Window.orderBy(F.desc("score"), F.asc("id"))
-    dense_r = (
-        dense.orderBy(F.desc("score"), F.asc("id")).limit(100)
-        .select("id", F.row_number().over(wd).alias("rd"))
-    )
-    sparse_r = (
-        sparse.orderBy(F.desc("score"), F.asc("id")).limit(100)
-        .select("id", F.row_number().over(wd).alias("rs"))
-    )
+    # k-heaps) truncates each branch to 100 rows FIRST (per_branch_limit);
+    # the global row_number window then ranks only those 100 — never a
+    # full-table single-partition sort
+    from qdrant_datafusion_spark.functions.fusion import rrf_fuse
+
     fused = (
-        dense_r.join(sparse_r, "id", "full_outer")
-        .select(
-            "id",
-            F.round(
-                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rd")), F.lit(0.0))
-                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rs")), F.lit(0.0)),
-                6,
-            ).alias("fused_score"),
-        )
+        rrf_fuse([dense, sparse], on="id", per_branch_limit=100)
+        .select("id", F.round("fused_score", 6).alias("fused_score"))
         .orderBy(F.desc("fused_score"), F.asc("id"))
         .limit(20)
     )

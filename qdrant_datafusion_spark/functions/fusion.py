@@ -4,7 +4,8 @@
 The corpus writes RRF as a scalar over raw scores, but true reciprocal-rank
 fusion needs *global ranks* per branch — a per-row scalar cannot compute
 them (SURVEY.md §7 "What's hard").  The faithful Spark realization is
-rank-window per branch + full-outer join on id + Σ 1/(k+rank):
+rank-window per branch, then union the per-branch 1/(k+rank) contributions
+and sum per id in one aggregation:
 
 - ``rrf_fuse``    — DataFrame-level fusion of N scored branches (correct RRF)
 - ``v_fusion``    — the corpus's scalar form (weighted-sum / max over score
@@ -12,8 +13,9 @@ rank-window per branch + full-outer join on id + Σ 1/(k+rank):
                     with ``V_FUSION([s1, s2], 'method')`` call sites.
 
 Scale: each branch ranks with a single window over its own (usually already
-top-k-truncated) result; the join keys are ids of candidate sets (small),
-so fusion cost is negligible next to the scans that produced the branches.
+top-k-truncated) result; fusion is one shuffle over the union of candidate
+ids (small), so its cost is negligible next to the scans that produced the
+branches — for any number of branches.
 """
 
 from __future__ import annotations
@@ -61,18 +63,23 @@ def rrf_fuse(
             branch.withColumn("_rank", F.row_number().over(w))
             .select(
                 F.col(on),
-                (F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))).alias(f"_rrf_{i}"),
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))).alias("_contrib"),
             )
         )
-    fused = ranked[0]
+    # union + one aggregation instead of an N-way full-outer join ladder:
+    # full-outer joins can't broadcast-hash in Spark and each ladder step
+    # is its own shuffle; a union of the (tiny, pre-truncated) branches
+    # fuses any number of them with a single groupBy on the candidate ids.
+    # Missing ids simply contribute nothing.  (Double addition is
+    # commutative, so 2-branch fusion is bit-identical to the join form;
+    # ≥3 branches may differ in the last ulp from any fixed order.)
+    allc = ranked[0]
     for nxt in ranked[1:]:
-        fused = fused.join(nxt, on, "full_outer")
-    contribs = [F.coalesce(F.col(f"_rrf_{i}"), F.lit(0.0)) for i in range(len(ranked))]
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
-    return fused.select(F.col(on), total.alias(fused_col)).orderBy(
-        F.desc(fused_col), F.asc(on)
+        allc = allc.unionByName(nxt)
+    return (
+        allc.groupBy(on)
+        .agg(F.sum("_contrib").alias(fused_col))
+        .orderBy(F.desc(fused_col), F.asc(on))
     )
 
 
