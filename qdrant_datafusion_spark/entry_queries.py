@@ -1512,10 +1512,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"))
 
 
+def v_lateral_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's batch search in its LITERAL SQL form — ``VALUES ...
+    CROSS JOIN LATERAL (SELECT ... V_SEARCH(...) ORDER BY score LIMIT 5)``
+    (reference tests/bin/tests.sql:327-344), executed as written: Spark 4
+    plans correlated LATERAL subqueries with ORDER BY/LIMIT, and V_SEARCH
+    is a SQL-defined function that inlines into the plan (no Python
+    boundary).  Same oracle as the window rewrite — both must agree."""
+    from qdrant_datafusion_spark.functions.registry import register_all
+
+    register_all(spark)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("_lateral_emb")
+    values = ", ".join(
+        "({}, array({}))".format(
+            qid, ", ".join(f"CAST({x} AS DOUBLE)" for x in vec)
+        )
+        for qid, vec in BATCH_QUERIES
+    )
+    return spark.sql(f"""
+        SELECT q.query_id, t.id, t.score
+        FROM (VALUES {values}) AS q(query_id, qv),
+        LATERAL (
+          SELECT e.vec_id AS id,
+                 ROUND(V_SEARCH(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv), 6) AS score
+          FROM _lateral_emb e
+          ORDER BY score DESC, id ASC
+          LIMIT 5
+        ) t
+        ORDER BY q.query_id, t.score DESC, t.id ASC
+    """)
+
+
 QUERIES["v_batch_search"] = v_batch_search
+QUERIES["v_lateral_batch_search"] = v_lateral_batch_search
 QUERIES["v_prefetch_rerank"] = v_prefetch_rerank
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
 ORACLES["v_batch_search"] = V_BATCH_SEARCH_SQL
+# the literal LATERAL form must produce exactly the window rewrite's rows
+ORACLES["v_lateral_batch_search"] = V_BATCH_SEARCH_SQL
 ORACLES["v_prefetch_rerank"] = V_PREFETCH_RERANK_SQL
 # ann_ivf_topk: intentionally no oracle (approximate operator; rows-only)
 

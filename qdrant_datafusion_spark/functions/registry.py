@@ -82,7 +82,25 @@ def register_all(spark: SparkSession) -> None:
 
         return pd.Series([one(a, b) for a, b in zip(mv, q)], dtype="float64")
 
-    spark.udf.register("V_SEARCH", v_cosine)
+    # V_SEARCH is a Spark 4 SQL-defined function, not a Python UDF: the
+    # body inlines into the plan (sequential fold, bit-identical to the
+    # Column-level kernel in functions.distance), so SQL callers —
+    # including correlated LATERAL subqueries — never cross the Python
+    # boundary.  try_divide: zero vectors yield NULL under ANSI mode.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION V_SEARCH(
+            v ARRAY<DOUBLE>, q ARRAY<DOUBLE>)
+        RETURNS DOUBLE
+        RETURN try_divide(
+          aggregate(zip_with(v, q, (x, y) -> x * y),
+                    CAST(0.0 AS DOUBLE), (a, x) -> a + x),
+          sqrt(aggregate(zip_with(v, v, (x, y) -> x * y),
+                         CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+          * sqrt(aggregate(zip_with(q, q, (x, y) -> x * y),
+                           CAST(0.0 AS DOUBLE), (a, x) -> a + x)))
+        """
+    )
     spark.udf.register("V_COSINE", v_cosine)
     spark.udf.register("V_DOT", v_dot)
     spark.udf.register("V_EUCLID", v_euclid)
