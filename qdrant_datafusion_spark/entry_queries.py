@@ -435,6 +435,29 @@ GROUP BY event_type
 """
 
 
+def q_events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same JSON query over Spark 4's VARIANT encoding (parse once,
+    typed extraction) — must produce exactly q_events_json's rows, so the
+    two JSON paths (string get_json_object vs binary variant) are proven
+    equivalent against one oracle."""
+    from qdrant_datafusion_spark.functions.json_fns import (
+        variant_get_float,
+        variant_has_field,
+    )
+
+    ev = _events(spark, sf_dir)
+    k = variant_get_float("props", "k")
+    return (
+        ev.filter(variant_has_field("props", "k") & (k > 50))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(k.cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_k"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming windowed
     agg; timestamps stringified for engine-neutral comparison)."""
@@ -1316,6 +1339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     # events / JSON / time
     "q_events_json": q_events_json,
+    "q_events_json_variant": q_events_json_variant,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     # vector search (V_* surface)
@@ -1359,6 +1383,8 @@ ORACLES: dict[str, str] = {
     "q_distinct_aggregates": Q_DISTINCT_AGG_SQL,
     "q_rollup": Q_ROLLUP_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
+    # the variant path must match the string-JSON oracle exactly
+    "q_events_json_variant": Q_EVENTS_JSON_SQL,
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,
     "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
     "v_search_topk": V_SEARCH_TOPK_SQL,

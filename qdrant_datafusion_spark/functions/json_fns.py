@@ -57,3 +57,35 @@ def payload_contains(payload: ColumnOrName, field_path: str, value) -> Column:
     """
     arr = F.from_json(payload_get(payload, field_path), "array<string>")
     return F.array_contains(arr, value)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VariantType path — the modern engine-native encoding for the
+# reference's JSON payload surface (SURVEY.md §1.4/§2.8).  parse_json
+# produces a binary variant; variant_get extracts typed values with path
+# semantics matching the -> / json_get chains.  Prefer this at scale: a
+# variant parses the JSON once, while get_json_object re-parses per call.
+# ---------------------------------------------------------------------------
+
+
+def payload_variant(payload: ColumnOrName) -> Column:
+    """Parse the JSON payload string into a Spark 4 VARIANT value."""
+    return F.parse_json(_as_col(payload))
+
+
+def variant_get_float(payload: ColumnOrName, field_path: str) -> Column:
+    """Numeric value at a JSON path via the variant encoding; NULL if the
+    path is absent or non-numeric (try_variant_get, not ANSI error)."""
+    return F.try_variant_get(payload_variant(payload), _path(field_path), "double")
+
+
+def variant_get_string(payload: ColumnOrName, field_path: str) -> Column:
+    """String value at a JSON path via the variant encoding."""
+    return F.try_variant_get(payload_variant(payload), _path(field_path), "string")
+
+
+def variant_has_field(payload: ColumnOrName, field_path: str) -> Column:
+    """HAS_FIELD over the variant encoding (NULL payload → false)."""
+    return F.try_variant_get(
+        payload_variant(payload), _path(field_path), "variant"
+    ).isNotNull()

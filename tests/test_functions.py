@@ -356,3 +356,32 @@ class TestVocabTfidf:
         # absent term contributes 0, not an error
         out = tfidf_rank(df, "text", "id", "zzz common", k=1).collect()
         assert out[0].score == pytest.approx(0.0, abs=1e-9)
+
+
+class TestVariantJson:
+    def test_variant_matches_string_json_path(self, spark):
+        from qdrant_datafusion_spark.functions.json_fns import (
+            payload_get_float,
+            variant_get_float,
+            variant_get_string,
+            variant_has_field,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ('{"price": 42.5, "address": {"city": "Paris"}}',),
+                ('{"address": {"city": "Rome"}}',),
+                (None,),
+            ],
+            "payload string",
+        )
+        rows = df.select(
+            payload_get_float("payload", "price").alias("s_price"),
+            variant_get_float("payload", "price").alias("v_price"),
+            variant_get_string("payload", "address.city").alias("city"),
+            variant_has_field("payload", "price").alias("has_price"),
+        ).collect()
+        assert rows[0].s_price == rows[0].v_price == 42.5
+        assert rows[0].city == "Paris" and rows[0].has_price
+        assert rows[1].v_price is None and rows[1].city == "Rome" and not rows[1].has_price
+        assert rows[2].v_price is None and not rows[2].has_price
