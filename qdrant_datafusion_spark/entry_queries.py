@@ -458,6 +458,30 @@ def q_events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (ordered aggregate; the
+    exact sibling of q_approx_distinct's sketch path).  Spark percentile()
+    and DuckDB quantile_cont share the interpolation definition."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+Q_EVENT_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming windowed
     agg; timestamps stringified for engine-neutral comparison)."""
@@ -1340,6 +1364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # events / JSON / time
     "q_events_json": q_events_json,
     "q_events_json_variant": q_events_json_variant,
+    "q_event_percentiles": q_event_percentiles,
     "q_events_hourly": q_events_hourly,
     "q_events_sessions": q_events_sessions,
     # vector search (V_* surface)
@@ -1385,6 +1410,7 @@ ORACLES: dict[str, str] = {
     "q_events_json": Q_EVENTS_JSON_SQL,
     # the variant path must match the string-JSON oracle exactly
     "q_events_json_variant": Q_EVENTS_JSON_SQL,
+    "q_event_percentiles": Q_EVENT_PERCENTILES_SQL,
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,
     "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
     "v_search_topk": V_SEARCH_TOPK_SQL,
