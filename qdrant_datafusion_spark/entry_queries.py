@@ -1595,6 +1595,44 @@ def v_lateral_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _ivf_oracle_sql() -> str:
+    """IVF is exactly SQL-expressible here because the centroids are seeded
+    literals: cell = first-argmax of centroid dot products (list_position
+    mirrors Spark's array_position first-occurrence tie rule), probe set
+    precomputed from the same literals the operator uses."""
+    q = [float(x) for x in QUERY_VEC]
+    cscores = [
+        (i, sum(a * b for a, b in zip(q, c))) for i, c in enumerate(IVF_CENTROIDS)
+    ]
+    probe = [i for i, _ in sorted(cscores, key=lambda t: -t[1])[:3]]
+    cent_dots = ",\n    ".join(
+        f"list_dot_product(embedding::DOUBLE[], {_sql_array(c)}::DOUBLE[])"
+        for c in IVF_CENTROIDS
+    )
+    qarr = f"{_sql_array(q)}::DOUBLE[]"
+    return f"""
+WITH assigned AS (
+  SELECT vec_id AS id, embedding,
+         [{cent_dots}] AS cscores
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+cells AS (
+  SELECT id, embedding,
+         list_position(cscores, list_max(cscores)) - 1 AS cell
+  FROM assigned
+)
+SELECT id,
+       round(list_dot_product(embedding::DOUBLE[], {qarr})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({qarr}, {qarr}))), 6) AS score
+FROM cells
+WHERE cell IN ({", ".join(str(p) for p in probe)})
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
 QUERIES["v_batch_search"] = v_batch_search
 QUERIES["v_lateral_batch_search"] = v_lateral_batch_search
 QUERIES["v_prefetch_rerank"] = v_prefetch_rerank
@@ -1603,7 +1641,8 @@ ORACLES["v_batch_search"] = V_BATCH_SEARCH_SQL
 # the literal LATERAL form must produce exactly the window rewrite's rows
 ORACLES["v_lateral_batch_search"] = V_BATCH_SEARCH_SQL
 ORACLES["v_prefetch_rerank"] = V_PREFETCH_RERANK_SQL
-# ann_ivf_topk: intentionally no oracle (approximate operator; rows-only)
+# seeded-literal centroids make this IVF deterministic → full value oracle
+ORACLES["ann_ivf_topk"] = _ivf_oracle_sql()
 
 
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
