@@ -410,12 +410,23 @@ def _gemm_candidate_pairs(
     differences; callers re-verify candidates with the sequential-order
     native kernel for bit-exact scores.
     """
+    import math
+
     import pandas as pd
 
-    rows = df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
-    w = Window.orderBy("_id")
-    blocks = rows.filter(F.col("_v").isNotNull()).withColumn(
-        "_blk", ((F.row_number().over(w) - 1) / F.lit(block_size)).cast("int")
+    rows = df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    # block membership by hash-mod, NOT a global row_number window — an
+    # unpartitioned window is a single-partition sort of the whole table
+    # (the exact bottleneck this operator exists to avoid).  Correctness
+    # doesn't care which rows share a block (every block pair is compared);
+    # hash gives balanced blocks with zero global ordering.  One count()
+    # sizes the block grid.
+    n = rows.count()
+    nblocks = max(1, math.ceil(n / block_size))
+    blocks = rows.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(nblocks)).cast("int")
     )
     grouped = blocks.groupBy("_blk").agg(
         F.collect_list("_id").alias("_ids"), F.collect_list("_v").alias("_vs")
@@ -453,10 +464,19 @@ def _gemm_candidate_pairs(
                 ids_a, ids_b = list(r.ids_a), list(r.ids_b)
                 for x, y in zip(ia, ib):
                     pa, pb = ids_a[x], ids_b[y]
-                    if pa < pb:
-                        rows["id_a"].append(pa)
-                        rows["id_b"].append(pb)
-                        rows["cosine_approx"].append(float(sims[x, y]))
+                    if same:
+                        # same block: each unordered pair appears twice
+                        # (and on the diagonal) — keep the ordered half
+                        if not pa < pb:
+                            continue
+                    elif pa > pb:
+                        # cross block: each unordered pair appears exactly
+                        # once, but hash blocking doesn't order ids across
+                        # blocks — normalize instead of dropping
+                        pa, pb = pb, pa
+                    rows["id_a"].append(pa)
+                    rows["id_b"].append(pb)
+                    rows["cosine_approx"].append(float(sims[x, y]))
             yield pd.DataFrame(rows)
 
     return pairs.mapInPandas(gemm, schema=out_schema)

@@ -143,6 +143,28 @@ class TestDedup:
         out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
+    def test_embedding_near_dups_multiblock_matches_bruteforce(self, spark, emb):
+        # small block_size forces a multi-block grid; hash blocking doesn't
+        # order ids across blocks, so this catches any ordered-pair
+        # assumption in the block-pair kernel
+        import itertools
+
+        data = {r.vec_id: np.array(r.embedding) for r in emb.limit(120).collect()}
+        truth = set()
+        for a, b in itertools.combinations(sorted(data), 2):
+            va, vb = data[a], data[b]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if c >= 0.3:
+                truth.add((a, b))
+        sub = emb.filter(emb.vec_id.isin(list(data)))
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(
+                sub, "embedding", "vec_id", 0.3, block_size=32
+            ).collect()
+        }
+        assert got == truth
+
     def test_embedding_near_dups_lsh_buckets_subset_of_exact(self, emb):
         rng = random.Random(11)
         planes = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(3)]
