@@ -1144,7 +1144,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, "embedding", "vec_id", threshold=0.35)
+    # block_size=256 forces a multi-block GEMM grid even at the small
+    # correctness SFs, so the oracle exercises the cross-block path (a
+    # single block would hide pair-ordering bugs in the block-pair kernel)
+    pairs = embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.35, block_size=256
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= 0.35)
