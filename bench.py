@@ -32,7 +32,12 @@ HEADLINE = [
     "v_sparse_topk",
     "v_fusion_hybrid",
     "v_geo_decay_topk",
+    "v_lateral_batch_search",
     "match_text_topk",
+    "match_text_tfidf",
+    "text_vocabulary",
+    "q14_promo_revenue",
+    "q_event_percentiles",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

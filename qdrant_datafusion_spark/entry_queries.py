@@ -1232,6 +1232,38 @@ LIMIT 10
 MATCH_TFIDF_SQL = _tfidf_sql()
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape (each order vs its customer's
+    average total), executed as SQL text — Catalyst decorrelates it into
+    an aggregate + join, which is exactly the rewrite you'd hand-write at
+    scale.  Top-20 by margin for a bounded result."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_corr")
+    return spark.sql("""
+        SELECT o_orderkey,
+               o_custkey,
+               ROUND(CAST(o_totalprice AS DOUBLE), 2) AS totalprice
+        FROM _orders_corr o
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(i.o_totalprice) FROM _orders_corr i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """)
+
+
+Q_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(o_totalprice::DOUBLE, 2) AS totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT avg(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly promo revenue share — fact⨝dim with the
     dim broadcast (part is small at every SF relative to lineitem) and a
@@ -1396,6 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "q14_promo_revenue": q14_promo_revenue,
     "q_top_supplier_per_nation": q_top_supplier_per_nation,
+    "q_above_avg_orders": q_above_avg_orders,
     "text_vocabulary": text_vocabulary,
     "match_text_tfidf": match_text_tfidf,
 }
@@ -1442,6 +1475,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q_top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,
+    "q_above_avg_orders": Q_ABOVE_AVG_SQL,
     "text_vocabulary": TEXT_VOCAB_SQL,
     "match_text_tfidf": MATCH_TFIDF_SQL,
 }
