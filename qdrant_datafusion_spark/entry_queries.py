@@ -1169,6 +1169,38 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-kNN join: each embedding's exact top-5 neighbors (the kNN-graph
+    builder).  block_size=256 forces a multi-block GEMM grid at every SF so
+    the gate exercises the cross-block candidate path."""
+    from qdrant_datafusion_spark.operators.ann import self_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = self_knn_join(emb, "embedding", "vec_id", k=5, block_size=256)
+    return out.select(
+        "id", "nbr_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ANN_KNN_GRAPH_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT id, nbr_id, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT id, nbr_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary profile: top-25 tokens by term frequency with doc
     frequency (tokenizer-building stage of a training-data pipeline)."""
@@ -1429,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q_top_supplier_per_nation": q_top_supplier_per_nation,
     "q_above_avg_orders": q_above_avg_orders,
+    "ann_knn_graph": ann_knn_graph,
     "text_vocabulary": text_vocabulary,
     "match_text_tfidf": match_text_tfidf,
 }
@@ -1476,6 +1509,7 @@ ORACLES: dict[str, str] = {
     "q14_promo_revenue": Q14_SQL,
     "q_top_supplier_per_nation": Q_TOP_SUPPLIER_SQL,
     "q_above_avg_orders": Q_ABOVE_AVG_SQL,
+    "ann_knn_graph": ANN_KNN_GRAPH_SQL,
     "text_vocabulary": TEXT_VOCAB_SQL,
     "match_text_tfidf": MATCH_TFIDF_SQL,
 }

@@ -24,4 +24,5 @@ from qdrant_datafusion_spark.operators.ann import (  # noqa: F401
     knn_bruteforce,
     knn_join,
     lsh_bucket_topk,
+    self_knn_join,
 )

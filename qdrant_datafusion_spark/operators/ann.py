@@ -143,3 +143,107 @@ def lsh_bucket_topk(
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def self_knn_join(
+    collection: DataFrame,
+    vector_col: str,
+    id_col: str,
+    k: int = 5,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Each row's exact k nearest neighbors *within the table* by cosine —
+    the kNN-graph builder behind embedding clustering and graph-based
+    dedup.  Returns (id, nbr_id, score, rank), rank 1..k, self excluded.
+
+    Three stages, all shuffle-bounded:
+
+    1. **Blocked-GEMM candidates**: hash rows into blocks; each block pair
+       is one Arrow task doing a BLAS matmul that keeps the top k+4 per
+       row *per block pair* (the +4 absorbs BLAS summation-order ulps so
+       a true neighbor can't fall off a block-local list).  The union of
+       block-pair lists provably contains every global top-k neighbor.
+    2. **Exact re-score**: candidate pairs join vectors back and re-score
+       with the sequential-order native kernel, so emitted scores are
+       bit-identical to a sequential-sum oracle.
+    3. **Final ranking**: window partitioned by id (never global) keeps
+       rank ≤ k.
+    """
+    import math
+
+    import pandas as pd
+
+    rows = collection.select(
+        F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    n = rows.count()
+    nblocks = max(1, math.ceil(n / block_size))
+    blocks = rows.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(nblocks)).cast("int")
+    )
+    grouped = blocks.groupBy("_blk").agg(
+        F.collect_list("_id").alias("_ids"), F.collect_list("_v").alias("_vs")
+    )
+    a = grouped.select(
+        F.col("_blk").alias("blk_a"), F.col("_ids").alias("ids_a"), F.col("_vs").alias("vs_a")
+    )
+    b = grouped.select(
+        F.col("_blk").alias("blk_b"), F.col("_ids").alias("ids_b"), F.col("_vs").alias("vs_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+
+    id_field = collection.select(F.col(id_col)).schema.fields[0]
+    id_t = id_field.dataType.simpleString()
+    out_schema = f"id {id_t}, nbr_id {id_t}"
+    keep = k + 4
+
+    def topk_candidates(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"id": [], "nbr_id": []}
+            for _, r in pdf.iterrows():
+                same = r.blk_a == r.blk_b
+                va = np.asarray([np.asarray(x, np.float64) for x in r.vs_a])
+                vb = va if same else np.asarray(
+                    [np.asarray(x, np.float64) for x in r.vs_b]
+                )
+                na = np.linalg.norm(va, axis=1)
+                nb = na if same else np.linalg.norm(vb, axis=1)
+                sims = (va @ vb.T) / np.outer(na, nb)
+                if same:
+                    np.fill_diagonal(sims, -np.inf)
+                ids_a, ids_b = list(r.ids_a), list(r.ids_b)
+
+                def emit(ids_q, ids_n, s):
+                    kk = min(keep, s.shape[1])
+                    top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+                    for qi in range(s.shape[0]):
+                        for ni in top[qi]:
+                            if np.isfinite(s[qi, ni]):
+                                out["id"].append(ids_q[qi])
+                                out["nbr_id"].append(ids_n[ni])
+
+                emit(ids_a, ids_b, sims)
+                if not same:
+                    emit(ids_b, ids_a, sims.T)
+            yield pd.DataFrame(out)
+
+    cands = pairs.mapInPandas(topk_candidates, schema=out_schema)
+
+    va_df = rows.select(F.col("_id").alias("id"), F.col("_v").alias("_va"))
+    vb_df = rows.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"))
+    scored = (
+        cands.join(va_df, "id")
+        .join(vb_df, "nbr_id")
+        .select(
+            "id",
+            "nbr_id",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

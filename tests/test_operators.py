@@ -221,3 +221,28 @@ class TestFusionOperator:
         got = {r.id: r.fused_score for r in out}
         assert got["b"] == pytest.approx(1 / 62 + 1 / 61)
         assert got["a"] == pytest.approx(1 / 61)
+
+
+class TestSelfKnn:
+    def test_self_knn_matches_bruteforce(self, spark, emb):
+        import itertools
+
+        from qdrant_datafusion_spark.operators import self_knn_join
+
+        data = {r.vec_id: np.array(r.embedding) for r in emb.limit(100).collect()}
+        truth = {}
+        for a in data:
+            scored = []
+            for b in data:
+                if a == b:
+                    continue
+                va, vb = data[a], data[b]
+                c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+                scored.append((-c, b))
+            truth[a] = [b for _, b in sorted(scored)[:3]]
+        sub = emb.filter(emb.vec_id.isin(list(data)))
+        out = self_knn_join(sub, "embedding", "vec_id", k=3, block_size=32).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.id, r.rank)):
+            got.setdefault(r.id, []).append(r.nbr_id)
+        assert got == truth
