@@ -31,7 +31,12 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from qdrant_datafusion_spark.collections import CollectionDescriptor, DESCRIPTOR_FILE
@@ -94,6 +99,52 @@ class CollectionDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CollectionReader:
         return CollectionReader(self.options.get("path"), schema)
+
+    def simpleStreamReader(self, schema: StructType) -> "CollectionStreamReader":
+        """``spark.readStream.format("qdrant_collection")`` — continuous
+        ingestion from a growing collection directory.  The reference has
+        no streaming at all (its scan is Boundedness::Bounded,
+        src/table.rs:248-249); this is the additive live-ingest seam: an
+        offset is the sorted fragment list already consumed, so each
+        micro-batch reads exactly the new fragments (replayable between
+        offsets for exactly-once sinks)."""
+        return CollectionStreamReader(self.options.get("path"), schema)
+
+
+class CollectionStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self._schema = schema
+        self._fields = [f.name for f in schema.fields]
+
+    def _fragments(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, frags: list[str]):
+        # materialized (not a generator): Spark's prefetching cache copies
+        # the returned iterator, which generators don't support
+        import pyarrow.parquet as pq
+
+        rows = []
+        for f in frags:
+            table = pq.read_table(f, columns=self._fields)
+            for rec in table.to_pylist():
+                rows.append(tuple(rec[name] for name in self._fields))
+        return iter(rows)
+
+    def read(self, start: dict):
+        frags = self._fragments()
+        new = [f for f in frags if f not in set(start.get("seen", []))]
+        return self._rows_for(new), {"seen": frags}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: exactly the fragments that
+        # arrived between the two offsets
+        seen = set(start.get("seen", []))
+        return self._rows_for([f for f in end.get("seen", []) if f not in seen])
 
 
 def register_collection_source(spark) -> None:

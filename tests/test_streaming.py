@@ -156,3 +156,44 @@ class TestStreamingTopK:
         # k=2 caps state: id 1 (value 1.0) must never appear at rank <= 2
         # after batch 2; it may only show from batch 1 (rank 2 then)
         assert ("click", 1, 1) not in got
+
+
+class TestCollectionStreamSource:
+    def test_stream_reads_only_new_fragments(self, spark, tmp_path):
+        from qdrant_datafusion_spark.sources.collection_source import (
+            register_collection_source,
+        )
+
+        register_collection_source(spark)
+        coll = str(tmp_path / "coll_stream")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        df1 = spark.createDataFrame(
+            [("1", "{}", [0.1, 0.2]), ("2", "{}", [0.3, 0.4])],
+            "id string, payload string, vector array<float>",
+        )
+        df1.coalesce(1).write.parquet(coll)
+
+        def run_batch():
+            q = (
+                spark.readStream.format("qdrant_collection")
+                .option("path", coll)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(r.id for r in spark.read.parquet(out).collect())
+
+        assert run_batch() == ["1", "2"]
+        # a new fragment arrives; the same checkpoint picks up ONLY it —
+        # ids 1/2 appear once in the sink, proving offset-based replay
+        spark.createDataFrame(
+            [("3", "{}", [0.5, 0.6])],
+            "id string, payload string, vector array<float>",
+        ).coalesce(1).write.mode("append").parquet(coll)
+        assert run_batch() == ["1", "2", "3"]
