@@ -86,3 +86,40 @@ class TestCollectionSource:
         assert df.count() == 3
         got = df.filter(F.col("id") == "2").collect()[0]
         assert [round(x, 6) for x in got.vector] == [0.4, 0.5, 0.6]
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, sf_dir, tmp_path):
+        """Co-located join via bucketing (the 100 TB repeated-join path):
+        both sides bucketed+sorted on the join key join with ZERO shuffle
+        exchanges — only broadcast exchanges or none at all appear."""
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .mode("overwrite").saveAsTable("li_b"))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+           .mode("overwrite").saveAsTable("ord_b"))
+        # disable broadcast so the join MUST be sort-merge: with aligned
+        # buckets it needs no exchange at all
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("li_b").join(
+                spark.table("ord_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS ord_b")
