@@ -64,8 +64,9 @@ def register_all(spark: SparkSession) -> None:
         def one(i, v, qi, qv):
             if i is None or v is None or qi is None or qv is None:
                 return None
-            qmap = dict(zip(qi, qv))
-            return float(sum(float(x) * qmap.get(ix, 0.0) for ix, x in zip(i, v)))
+            # coerce: SQL literals like array(1.0, 2.0) arrive as Decimals
+            qmap = {int(ix): float(x) for ix, x in zip(qi, qv)}
+            return float(sum(float(x) * qmap.get(int(ix), 0.0) for ix, x in zip(i, v)))
 
         return pd.Series(
             [one(*t) for t in zip(ind, val, qind, qval)], dtype="float64"
@@ -106,3 +107,84 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("V_EUCLID", v_euclid)
     spark.udf.register("V_SPARSE_SEARCH", v_sparse)
     spark.udf.register("V_COLBERT", v_maxsim)
+
+    # V_RANDOM must be a (nondeterministic) Python UDF: SQL-defined
+    # functions are rejected inside Sort, and ORDER BY V_RANDOM() is the
+    # corpus's sampling idiom (tests/bin/tests.sql:310-320)
+    import random as _random
+
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import DoubleType
+
+    spark.udf.register(
+        "V_RANDOM", udf(lambda: _random.random(), DoubleType()).asNondeterministic()
+    )
+
+    # the rest of the corpus surface as SQL-defined functions — every body
+    # is pure built-in expression, so all of these inline into the plan
+    for ddl in _SQL_FUNCTION_DDL:
+        spark.sql(ddl)
+
+
+#: SQL-defined functions completing the corpus's SQL-callable surface
+#: (reference tests/bin/tests.sql): distance/radius predicates, JSON field
+#: existence, text relevance, geo distance + gaussian decay, random order.
+_SQL_FUNCTION_DDL = [
+    # V_DISTANCE(v, q, metric): lower = closer (cosine -> 1 - similarity)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_DISTANCE(
+        v ARRAY<DOUBLE>, q ARRAY<DOUBLE>, metric STRING)
+    RETURNS DOUBLE
+    RETURN CASE metric
+      WHEN 'cosine' THEN 1.0 - try_divide(
+        aggregate(zip_with(v, q, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x),
+        sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+        * sqrt(aggregate(zip_with(q, q, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)))
+      WHEN 'dot' THEN -aggregate(zip_with(v, q, (x, y) -> x * y),
+                                 CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+      WHEN 'euclid' THEN sqrt(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)),
+                                        CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+      ELSE CAST(NULL AS DOUBLE) END
+    """,
+    # V_WITHIN(v, q, radius): euclid-radius predicate
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_WITHIN(
+        v ARRAY<DOUBLE>, q ARRAY<DOUBLE>, radius DOUBLE)
+    RETURNS BOOLEAN
+    RETURN sqrt(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)),
+                          CAST(0.0 AS DOUBLE), (a, x) -> a + x)) < radius
+    """,
+    # HAS_FIELD(payload_json, field)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION HAS_FIELD(payload STRING, field STRING)
+    RETURNS BOOLEAN
+    RETURN get_json_object(payload, concat('$.', field)) IS NOT NULL
+    """,
+    # MATCH_TEXT(text, query): token-exact term-overlap relevance in [0,1]
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION MATCH_TEXT(text STRING, query STRING)
+    RETURNS DOUBLE
+    RETURN try_divide(
+      CAST(size(array_intersect(
+        filter(split(lower(trim(text)), '\\\\s+'), x -> x != ''),
+        filter(split(lower(trim(query)), '\\\\s+'), x -> x != ''))) AS DOUBLE),
+      CAST(size(array_distinct(
+        filter(split(lower(trim(query)), '\\\\s+'), x -> x != ''))) AS DOUBLE))
+    """,
+    # V_GEO_DISTANCE(lat1, lon1, lat2, lon2): haversine meters
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_GEO_DISTANCE(
+        lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
+    RETURNS DOUBLE
+    RETURN 2.0 * 6371008.8 * asin(sqrt(
+      pow(sin(radians(lat2 - lat1) / 2), 2)
+      + cos(radians(lat1)) * cos(radians(lat2))
+        * pow(sin(radians(lon2 - lon1) / 2), 2)))
+    """,
+    # V_GAUSS_DECAY(distance, scale) -> (0, 1]
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_GAUSS_DECAY(d DOUBLE, scale DOUBLE)
+    RETURNS DOUBLE
+    RETURN exp(-(d * d) / (2.0 * scale * scale))
+    """,
+]
