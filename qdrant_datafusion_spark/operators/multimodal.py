@@ -146,3 +146,57 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, media_col).mapInPandas(sample, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """bytes → resized bytes + updated metadata via ``mapInPandas``.
+
+    STUB resize (deterministic: md5-seeded bytes of width*height/64 length
+    standing in for the re-encoded image; real impl = PIL
+    ``Image.resize().save()``) — the struct rebuild, Arrow batch shape,
+    and metadata rewrite are production-real.  Output keeps the
+    ``media`` struct schema with width/height replaced, so resized
+    columns compose with every other media operator.
+    """
+    id_field = df.select(id_col).schema.fields[0]
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "media struct<bytes: binary, mime: string, width: int, height: int, "
+        "duration_ms: long>"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, medias = [], []
+            for _, row in pdf.iterrows():
+                media = row[media_col]
+                if media is None:
+                    ids.append(row[id_col])
+                    medias.append(None)
+                    continue
+                data = bytes(media["bytes"]) if media["bytes"] is not None else b""
+                # STUB: real impl decodes, resizes to (width, height), and
+                # re-encodes; the deterministic fake preserves testability
+                seed = hashlib.md5(data + f"{width}x{height}".encode()).digest()
+                fake = (seed * ((width * height // 64) // len(seed) + 1))[
+                    : max(width * height // 64, 1)
+                ]
+                ids.append(row[id_col])
+                medias.append(
+                    {
+                        "bytes": fake,
+                        "mime": media["mime"],
+                        "width": width,
+                        "height": height,
+                        "duration_ms": media["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame({id_col: ids, "media": medias})
+
+    return df.select(id_col, media_col).mapInPandas(resize, schema=schema)

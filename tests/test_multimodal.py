@@ -42,3 +42,21 @@ class TestMultimodal:
         for r in frames:
             per_doc.setdefault(r.id, []).append(r.frame_idx)
         assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+
+
+class TestResize:
+    def test_resize_rewrites_metadata_and_composes(self, spark, sf_dir):
+        from qdrant_datafusion_spark.operators.multimodal import resize_images
+
+        df = _media_df(spark, sf_dir)
+        resized = resize_images(df, width=64, height=32)
+        rows = resized.collect()
+        assert len(rows) == 20
+        assert all(r.media.width == 64 and r.media.height == 32 for r in rows)
+        assert all(len(r.media.bytes) == 64 * 32 // 64 for r in rows)
+        # deterministic: same input -> same stub bytes
+        again = {r.id: bytes(r.media.bytes) for r in resize_images(df, width=64, height=32).collect()}
+        assert all(bytes(r.media.bytes) == again[r.id] for r in rows)
+        # composes with downstream media operators (same struct schema)
+        stats = media_stats(resized).collect()[0]
+        assert stats.n == 20
