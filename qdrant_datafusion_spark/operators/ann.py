@@ -247,3 +247,58 @@ def self_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_ivf_centroids(
+    collection: DataFrame,
+    vector_col: str,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "id",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over DataFrame ops — the batch
+    index-build stage for :func:`assign_ivf_cells` / :func:`ivf_topk`.
+
+    Init = the k rows with the smallest ids (deterministic, no RNG).  Each
+    iteration is one assignment pass (broadcast centroid literals, argmax
+    dot inside codegen) + one groupBy computing per-cell mean vectors via
+    ``posexplode`` + (cell, dim) aggregation — both shuffle only k×dim
+    aggregates, never vectors-to-driver.  Empty cells keep their previous
+    centroid.  Returns plain Python lists, ready to broadcast into
+    ``ivf_topk`` or store with the collection descriptor.
+
+    Scale: per iteration one scan + one shuffle of (cell, dim, partial
+    sums); centroids live as plan literals (fine to a few thousand
+    k×dim).  At 100 TB run iterations on a sample, then one full
+    assignment pass.
+    """
+    rows = collection.select(
+        F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
+    ).filter(F.col(vector_col).isNotNull())
+    init = rows.orderBy("_id").limit(k).collect()
+    centroids = [[float(x) for x in r._v] for r in init]
+    if len(centroids) < k:
+        raise ValueError(f"need at least {k} non-null vectors")
+
+    for _ in range(iterations):
+        assigned = rows.withColumn("_cell", _centroid_id("_v", centroids))
+        sums = (
+            assigned.select(
+                "_cell", F.posexplode("_v").alias("_dim", "_x")
+            )
+            .groupBy("_cell", "_dim")
+            .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(r._cell, {})[r._dim] = r._s
+            counts[r._cell] = r._n
+        centroids = [
+            [by_cell[c][d] / counts[c] for d in sorted(by_cell[c])]
+            if c in by_cell
+            else centroids[c]
+            for c in range(k)
+        ]
+    return centroids

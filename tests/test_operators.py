@@ -246,3 +246,43 @@ class TestSelfKnn:
         for r in sorted(out, key=lambda r: (r.id, r.rank)):
             got.setdefault(r.id, []).append(r.nbr_id)
         assert got == truth
+
+
+class TestIvfTraining:
+    def test_kmeans_reduces_inertia_and_improves_recall(self, spark, emb, rng_query):
+        from qdrant_datafusion_spark.operators.ann import (
+            assign_ivf_cells,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        sub = emb.select(F.col("vec_id").alias("id"), "embedding")
+
+        def inertia(cents):
+            import numpy as np
+
+            rows = sub.collect()
+            c = np.asarray(cents)
+            total = 0.0
+            for r in rows:
+                v = np.asarray(r.embedding, dtype=np.float64)
+                total += float(((c - v) ** 2).sum(axis=1).min())
+            return total
+
+        cents1 = train_ivf_centroids(sub, "embedding", k=8, iterations=1)
+        cents5 = train_ivf_centroids(sub, "embedding", k=8, iterations=5)
+        assert len(cents5) == 8 and len(cents5[0]) == 64
+        assert inertia(cents5) <= inertia(cents1) + 1e-6  # Lloyd's monotonicity
+        # deterministic: same inputs -> identical centroids
+        again = train_ivf_centroids(sub, "embedding", k=8, iterations=5)
+        assert again == cents5
+        # trained centroids must give usable recall at nprobe=4
+        assigned = assign_ivf_cells(sub, "embedding", cents5)
+        from qdrant_datafusion_spark.operators import knn_bruteforce
+
+        exact = [r.id for r in knn_bruteforce(sub, "embedding", rng_query, 10).collect()]
+        approx = [
+            r.id
+            for r in ivf_topk(assigned, "embedding", rng_query, cents5, 10, nprobe=4).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= 5
