@@ -187,4 +187,38 @@ _SQL_FUNCTION_DDL = [
     RETURNS DOUBLE
     RETURN exp(-(d * d) / (2.0 * scale * scale))
     """,
+    # V_MEAN_VEC: elementwise mean of a vector list (NULL/empty -> NULL)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_MEAN_VEC(vs ARRAY<ARRAY<DOUBLE>>)
+    RETURNS ARRAY<DOUBLE>
+    RETURN CASE WHEN vs IS NULL OR size(vs) = 0 THEN CAST(NULL AS ARRAY<DOUBLE>)
+    ELSE transform(
+      aggregate(vs, transform(element_at(vs, 1), x -> CAST(0.0 AS DOUBLE)),
+                (acc, p) -> zip_with(acc, p, (a, b) -> a + b)),
+      x -> x / CAST(size(vs) AS DOUBLE))
+    END
+    """,
+    # V_RECOMMEND(v, positives, negatives): cosine vs avg(pos) - avg(neg);
+    # NULL/empty negatives tolerated (edge case tests/bin/tests.sql:395-398)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_RECOMMEND(
+        v ARRAY<DOUBLE>, pos ARRAY<ARRAY<DOUBLE>>, neg ARRAY<ARRAY<DOUBLE>>)
+    RETURNS DOUBLE
+    RETURN V_SEARCH(v,
+      CASE WHEN V_MEAN_VEC(neg) IS NULL THEN V_MEAN_VEC(pos)
+           ELSE zip_with(V_MEAN_VEC(pos), V_MEAN_VEC(neg), (a, b) -> a - b) END)
+    """,
+    # V_DISCOVER(v, target, ctx_vectors, ctx_weights): cosine vs
+    # target + SUM w_i * ctx_i  (tests/bin/tests.sql:121-137)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_DISCOVER(
+        v ARRAY<DOUBLE>, target ARRAY<DOUBLE>,
+        ctxs ARRAY<ARRAY<DOUBLE>>, ws ARRAY<DOUBLE>)
+    RETURNS DOUBLE
+    RETURN V_SEARCH(v,
+      CASE WHEN ctxs IS NULL OR size(ctxs) = 0 THEN target
+      ELSE aggregate(arrays_zip(ctxs, ws), target,
+                     (acc, e) -> zip_with(acc, e.ctxs, (a, b) -> a + e.ws * b))
+      END)
+    """,
 ]

@@ -124,6 +124,23 @@ CORPUS = [
         SELECT vec_id FROM emb
         WHERE V_SEARCH({QV}, array()) IS NOT NULL LIMIT 1
     """, 0),
+    # -- recommendation with NULL negatives (tests.sql:83-114, 395-398)
+    ("recommend_null_neg", f"""
+        SELECT vec_id, V_RECOMMEND({QV},
+               array((SELECT {QV} FROM emb WHERE vec_id = 1),
+                     (SELECT {QV} FROM emb WHERE vec_id = 2)),
+               NULL) AS score
+        FROM emb WHERE vec_id NOT IN (1, 2)
+        ORDER BY score DESC, vec_id LIMIT 5
+    """, 5),
+    # -- discovery: target + weighted context (tests.sql:121-137)
+    ("discover", f"""
+        SELECT vec_id, V_DISCOVER({QV},
+               (SELECT {QV} FROM emb WHERE vec_id = 3),
+               array((SELECT {QV} FROM emb WHERE vec_id = 4)),
+               array(0.5D)) AS score
+        FROM emb ORDER BY score DESC, vec_id LIMIT 5
+    """, 5),
     # -- edge: very high-dimensional sparse indices (tests.sql:401-407)
     ("high_dim_sparse_edge", """
         SELECT id, V_SPARSE_SEARCH(keywords_indices, keywords_values,
@@ -150,3 +167,19 @@ def corpus_views(spark, sf_dir):
 def test_corpus_statement_runs(spark, name, sql, min_rows):
     rows = spark.sql(sql).collect()
     assert len(rows) >= min_rows, f"{name}: {len(rows)} rows"
+
+
+def test_recommend_null_neg_equals_search_on_mean(spark):
+    """V_RECOMMEND(v, pos, NULL) must equal V_SEARCH(v, mean(pos)) — the
+    documented NULL-negatives semantics, asserted row-by-row in SQL."""
+    n = spark.sql(f"""
+        SELECT count(*) AS n FROM emb
+        WHERE ABS(
+          V_RECOMMEND({QV}, array((SELECT {QV} FROM emb WHERE vec_id = 1),
+                                  (SELECT {QV} FROM emb WHERE vec_id = 2)), NULL)
+          - V_SEARCH({QV}, V_MEAN_VEC(array(
+                (SELECT {QV} FROM emb WHERE vec_id = 1),
+                (SELECT {QV} FROM emb WHERE vec_id = 2))))
+        ) > 1e-12
+    """).collect()[0].n
+    assert n == 0
