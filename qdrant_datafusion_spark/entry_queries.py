@@ -403,6 +403,29 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube): three
+    named aggregation grains in one scan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 # ===========================================================================
 # Events: JSON payload + time windows + sessionization
 # ===========================================================================
@@ -1430,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_setops": q_setops,
     "q_distinct_aggregates": q_distinct_aggregates,
     "q_rollup": q_rollup,
+    "q_grouping_sets": q_grouping_sets,
     # events / JSON / time
     "q_events_json": q_events_json,
     "q_events_json_variant": q_events_json_variant,
@@ -1478,6 +1502,7 @@ ORACLES: dict[str, str] = {
     "q_setops": Q_SETOPS_SQL,
     "q_distinct_aggregates": Q_DISTINCT_AGG_SQL,
     "q_rollup": Q_ROLLUP_SQL,
+    "q_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_events_json": Q_EVENTS_JSON_SQL,
     # the variant path must match the string-JSON oracle exactly
     "q_events_json_variant": Q_EVENTS_JSON_SQL,
