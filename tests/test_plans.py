@@ -123,3 +123,41 @@ class TestBucketedJoin:
             )
             spark.sql("DROP TABLE IF EXISTS li_b")
             spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+class TestIvfPartitionPruning:
+    def test_probe_prunes_unprobed_cells(self, spark, sf_dir, tmp_path):
+        """The IVF scale path: assignments written partitionBy(ivf_cell)
+        make probing a partition-pruned read — the plan's partition filter
+        must reference the probed cells and the scan must read only their
+        directories (the on-disk analogue of Qdrant's per-cell index)."""
+        import os
+
+        from qdrant_datafusion_spark.operators.ann import (
+            assign_ivf_cells,
+            train_ivf_centroids,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        cents = train_ivf_centroids(emb, "embedding", k=4, iterations=2)
+        out = str(tmp_path / "ivf_parts")
+        assign_ivf_cells(emb, "embedding", cents).write.partitionBy(
+            "ivf_cell"
+        ).parquet(out)
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("ivf_cell=")
+        ), "partitioned layout missing"
+
+        probed = spark.read.parquet(out).filter(F.col("ivf_cell").isin([0, 1]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cell" in plan
+        # the partition filter must carry the probed cells into the scan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "ivf_cell" in m.group(1), plan[:400]
+        # and only the probed cells' rows come back
+        cells = {r.ivf_cell for r in probed.select("ivf_cell").distinct().collect()}
+        assert cells <= {0, 1}
