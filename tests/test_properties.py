@@ -135,3 +135,56 @@ class TestTextProperties:
             toks = {w.lower() for w in text.split() if w}
             expected = sum(1 for t in qterms if t in toks) / len(qterms)
             assert got == pytest.approx(expected)
+
+
+class TestDedupProperties:
+    edges = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+    )
+
+    @SETTINGS
+    @given(edges)
+    def test_dup_clusters_matches_union_find(self, spark, pairs):
+        from qdrant_datafusion_spark.operators import dup_clusters
+
+        # pure-Python union-find reference
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in pairs:
+            union(a, b)
+        truth = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in dup_clusters(df).collect()}
+        assert got == truth
+
+    @SETTINGS
+    @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=12))
+    def test_exact_dedup_partitions_the_input(self, spark, texts):
+        from qdrant_datafusion_spark.operators import exact_dedup
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = exact_dedup(df, "text", "id").collect()
+        # dup_counts partition the input exactly; survivors are min ids
+        assert sum(r.dup_count for r in out) == len(texts)
+        norm = {}
+        for i, t in enumerate(texts):
+            norm.setdefault(t.strip().lower(), []).append(i)
+        assert {r.id for r in out} == {min(v) for v in norm.values()}
