@@ -509,7 +509,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming windowed
     agg; timestamps stringified for engine-neutral comparison)."""
     ev = _events(spark, sf_dir)
-    hour_bucket = (F.col("ts") / F.lit(3_600_000_000_000)).cast("long")
+    # integer division (`div`), not `/`: Spark's `/` on longs is double
+    # division, and nanosecond epochs (~1e18) exceed double's 53-bit
+    # mantissa — a ts near an hour boundary could bucket differently from
+    # DuckDB's exact integer `//`
+    hour_bucket = F.expr("ts div 3600000000000")
     return (
         ev.groupBy(hour_bucket.alias("hour_bucket"), "event_type")
         .agg(

@@ -176,7 +176,7 @@ _SQL_FUNCTION_DDL = [
     CREATE OR REPLACE TEMPORARY FUNCTION V_GEO_DISTANCE(
         lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
     RETURNS DOUBLE
-    RETURN 2.0 * 6371008.8 * asin(sqrt(
+    RETURN 2.0 * 6371000.0 * asin(sqrt(
       pow(sin(radians(lat2 - lat1) / 2), 2)
       + cos(radians(lat1)) * cos(radians(lat2))
         * pow(sin(radians(lon2 - lon1) / 2), 2)))

@@ -47,7 +47,9 @@ def match_text(text: ColumnOrName, query: str) -> Column:
     Score = |query terms present in text| / |query terms| in [0, 1].
     Presence is token-exact (not substring), case-insensitive.
     """
-    qterms = [t for t in query.lower().split() if t]
+    # distinct terms (order-preserving): the SQL MATCH_TEXT surface uses
+    # array_distinct, so repeated query terms must not double-count here
+    qterms = list(dict.fromkeys(t for t in query.lower().split() if t))
     if not qterms:
         return F.lit(0.0)
     toks = tokens(text)

@@ -555,12 +555,18 @@ def dup_clusters(
     cluster_id = min member id.  This turns pairwise dedup output into
     survivor selection: keep rows where id == cluster_id, drop the rest.
 
-    Algorithm: iterative min-label propagation (each node adopts the
-    smallest label among itself and its neighbors) — converges in
-    O(diameter) rounds, each round one join + one aggregation; the standard
-    scale-out components algorithm when a graph library isn't available.
-    Iteration stops early when an iteration changes no labels.
+    Algorithm: min-label propagation with pointer doubling — each round a
+    node adopts the smallest label among itself, its neighbors, AND its
+    current label-node's label (the large-star/small-star shortcut).  The
+    shortcut makes label distances halve per round, so convergence is
+    O(log diameter) instead of O(diameter): a 1M-hop chain (far beyond any
+    real near-dup component) converges in ~20 rounds.  Iteration stops
+    early when a round changes no labels; if ``max_iterations`` rounds all
+    changed labels, the result may be partially propagated and a
+    non-convergence warning is raised (silent wrong survivor selection is
+    worse than a warning).
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -569,18 +575,34 @@ def dup_clusters(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer doubling: also adopt the label of the node your label
+        # points at — label values are always vertex ids, so the self-join
+        # resolves one extra hop per round and distances halve per round
+        hop = propagated.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            propagated.join(hop, propagated.label == hop._lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_llabel"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -594,4 +616,12 @@ def dup_clusters(
         labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"dup_clusters did not converge in {max_iterations} iterations; "
+            "cluster_ids may be partially propagated (survivor selection "
+            "would keep extra duplicates). Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -168,7 +168,7 @@ def resize_images(
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
         "media struct<bytes: binary, mime: string, width: int, height: int, "
-        "duration_ms: long>"
+        "duration_ms: int>"
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
