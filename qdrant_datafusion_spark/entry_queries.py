@@ -1859,3 +1859,105 @@ QUERIES["v_discover_topk"] = v_discover_topk
 QUERIES["v_random_sample"] = v_random_sample
 ORACLES["v_discover_topk"] = V_DISCOVER_SQL
 # v_random_sample: rows-only by design (engine-specific RNG)
+
+
+# ===========================================================================
+# round-2 gate additions: JSON array containment (@>) + LSH-bucket ANN
+# ===========================================================================
+
+#: literal hyperplanes (seed-derived, shared with the oracle) — signs of
+#: dot products against these are the LSH bucket key
+LSH_PLANES = [_seeded_vec(64, 80 + i) for i in range(4)]
+
+
+def payload_contains_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON array containment — the ``payload->'tags' @> '["..."]'`` shape
+    (reference tests/bin/tests.sql:224).  The payload JSON is constructed
+    from document metadata inside the query (the test tables carry no raw
+    JSON tags column), then *parsed back* through the containment kernel,
+    so the gate exercises the real get_json_object → from_json →
+    array_contains path end to end."""
+    from qdrant_datafusion_spark.functions.json_fns import payload_contains
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct(F.array("lang", "source").alias("tags")))
+    return (
+        docs.select("doc_id", "lang", payload.alias("payload"))
+        .filter(payload_contains(F.col("payload"), "tags", "src3"))
+        .select("doc_id", "lang")
+    )
+
+
+PAYLOAD_CONTAINS_SQL = """
+SELECT doc_id, lang FROM documents WHERE list_contains([lang, source], 'src3')
+"""
+
+
+def lsh_bucket_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k probing the query's random-hyperplane LSH bucket
+    plus all Hamming-1 neighbors (multiprobe).  Literal planes make the
+    bucket assignment deterministic, so the oracle reproduces the exact
+    probe set and scores — a full value oracle for the approximate path."""
+    from qdrant_datafusion_spark.operators.ann import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        "embedding",
+        QUERY_VEC,
+        LSH_PLANES,
+        k=10,
+    )
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def _lsh_oracle_sql() -> str:
+    """Mirror lsh_bucket_topk: the probe-bucket set is precomputed from the
+    same literal planes; bucket strings are sign-bit concatenations."""
+    q = [float(x) for x in QUERY_VEC]
+    qbits = [
+        1 if sum(a * b for a, b in zip(q, p)) > 0 else 0 for p in LSH_PLANES
+    ]
+    buckets = {"".join(map(str, qbits))}
+    for i in range(len(qbits)):
+        flipped = qbits.copy()
+        flipped[i] ^= 1
+        buckets.add("".join(map(str, flipped)))
+    bits = " || ".join(
+        f"((list_dot_product(embedding::DOUBLE[], {_sql_array(p)}::DOUBLE[]) > 0)"
+        "::INT)::VARCHAR"
+        for p in LSH_PLANES
+    )
+    qarr = f"{_sql_array(q)}::DOUBLE[]"
+    in_list = ", ".join(f"'{b}'" for b in sorted(buckets))
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding, ({bits}) AS bucket
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT id,
+       round(list_dot_product(embedding::DOUBLE[], {qarr})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({qarr}, {qarr}))), 6) AS score
+FROM b
+WHERE bucket IN ({in_list})
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
+QUERIES["payload_contains"] = payload_contains_tags
+QUERIES["lsh_bucket_topk"] = lsh_bucket_search
+ORACLES["payload_contains"] = PAYLOAD_CONTAINS_SQL
+ORACLES["lsh_bucket_topk"] = _lsh_oracle_sql()
+
+# A time-budgeted driver that stops early drops TRAILING entries —
+# v_random_sample had no CORRECTNESS row in round 1 purely by being the
+# last registration.  Re-order so the cheap rows-only queries run first
+# and always get recorded; relative order of the rest is unchanged.
+_RUN_FIRST = ["v_random_sample", "q_approx_distinct"]
+QUERIES = {
+    k: QUERIES[k]
+    for k in (*_RUN_FIRST, *(q for q in QUERIES if q not in _RUN_FIRST))
+}
