@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.distance import dot_product, norm
@@ -115,6 +115,49 @@ def ngram_jaccard_dups(
     )
 
 
+def _cap_hot_buckets(
+    buckets: DataFrame, key_cols: Sequence[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows belonging to buckets holding more than ``max_bucket_size``
+    members — the skew guard for LSH self-joins.
+
+    A single hot bucket (boilerplate-heavy corpora collapse thousands of
+    near-identical docs into one band bucket) turns the bucket self-join
+    quadratic on that key: 100k docs in one bucket is 10^10 candidate
+    pairs in one task.  Capping bounds per-bucket work at
+    O(max_bucket_size²); a doc dropped from one hot bucket still pairs
+    through its other bands/blocks, so recall degrades gracefully rather
+    than the job dying.  NOT silent: the matching ``*_hot_buckets``
+    function reports exactly which buckets were dropped and how many
+    members each held — run it alongside when capping matters.  (Exact
+    duplicates should be removed with :func:`exact_dedup` *before* LSH;
+    identical docs always share all buckets.)
+
+    The window count shuffles on the same key the subsequent self-join
+    shuffles on, so the guard adds no new shuffle key at scale.
+    """
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
+def _hot_bucket_stats(
+    buckets: DataFrame, key_cols: Sequence[str], max_bucket_size: int
+) -> DataFrame:
+    """(bucket keys..., n_members) for every bucket over the cap — the
+    audit query for ``_cap_hot_buckets`` ("no silent caps")."""
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
 def minhash_lsh_dups(
     df: DataFrame,
     content_col: str,
@@ -123,6 +166,7 @@ def minhash_lsh_dups(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -131,8 +175,67 @@ def minhash_lsh_dups(
     md5(band_id || band content) → pairs sharing ≥1 bucket → verify with
     exact Jaccard ≥ threshold.  With 16 bands × 2 rows, P(candidate) at
     J=0.5 is 1-(1-0.25)^16 ≈ 0.99 — recall stays high while the candidate
-    set stays ~linear.  Returns (id_a, id_b, jaccard).
+    set stays ~linear.  Buckets over ``max_bucket_size`` are dropped (the
+    skew guard — see :func:`_cap_hot_buckets`; audit the drops with
+    :func:`minhash_hot_buckets`).  Returns (id_a, id_b, jaccard).
     """
+    buckets = _cap_hot_buckets(
+        _minhash_buckets(df, content_col, id_col, k, num_hashes, bands),
+        ["bucket"],
+        max_bucket_size,
+    )
+
+    a = buckets.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "bucket"
+    )
+    b_ = buckets.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "bucket"
+    )
+    # verify INSIDE the join stage (cheap bigint-set intersection), then
+    # deduplicate only the true near-dups — the dropDuplicates shuffle
+    # carries a handful of (id, id, double) rows instead of every candidate
+    # with its arrays
+    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+    union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b_, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(bucket, n_members) for every MinHash band bucket over the cap —
+    the audit companion to :func:`minhash_lsh_dups`'s skew guard."""
+    return _hot_bucket_stats(
+        _minhash_buckets(df, content_col, id_col, k, num_hashes, bands),
+        ["bucket"],
+        max_bucket_size,
+    )
+
+
+def _minhash_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(_id, _fp, bucket) — one row per (doc, band): the exploded banded
+    MinHash bucket assignment shared by the dedup join and the hot-bucket
+    audit."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
@@ -189,31 +292,10 @@ def minhash_lsh_dups(
         for b in range(bands)
     ]
     banded = sigs.select("_id", "_fp", *band_cols)
-    buckets = banded.select(
+    return banded.select(
         "_id",
         "_fp",
         F.explode(F.array(*[F.col(f"_band{b}") for b in range(bands)])).alias("bucket"),
-    )
-
-    a = buckets.select(
-        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "bucket"
-    )
-    b_ = buckets.select(
-        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "bucket"
-    )
-    # verify INSIDE the join stage (cheap bigint-set intersection), then
-    # deduplicate only the true near-dups — the dropDuplicates shuffle
-    # carries a handful of (id, id, double) rows instead of every candidate
-    # with its arrays
-    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
-    union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b_, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -340,21 +422,16 @@ def simhash_signatures(
     return summed.select("_id", sig.alias("sig"))
 
 
-def simhash_dups(
+def _simhash_buckets(
     df: DataFrame,
     content_col: str,
     id_col: str,
-    max_hamming: int = 3,
-    blocks: int | None = None,
+    max_hamming: int,
+    blocks: int | None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
-
-    Block-permutation search: split the 64-bit signature into
-    ``max_hamming+1`` blocks — any pair within distance ``max_hamming``
-    agrees exactly on at least one block (pigeonhole), so candidates are
-    found with equi-joins on (block_id, block_value) and then verified with
-    ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming).
-    """
+    """(_id, sig, bid, bval) — one row per (doc, signature block): the
+    exploded block-permutation bucket assignment shared by the dedup join
+    and the hot-bucket audit."""
     nblocks = blocks or (max_hamming + 1)
     sig = simhash_signatures(df, content_col, id_col)
 
@@ -366,7 +443,7 @@ def simhash_dups(
         for i in range(nblocks)
     ]
     blocked = sig.select("_id", "sig", *block_cols)
-    exploded = blocked.select(
+    return blocked.select(
         "_id",
         "sig",
         F.explode(
@@ -378,6 +455,48 @@ def simhash_dups(
             )
         ).alias("b"),
     ).select("_id", "sig", F.col("b.bid").alias("bid"), F.col("b.bval").alias("bval"))
+
+
+def simhash_hot_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(bid, bval, n_members) for every SimHash block bucket over the cap —
+    the audit companion to :func:`simhash_dups`'s skew guard."""
+    return _hot_bucket_stats(
+        _simhash_buckets(df, content_col, id_col, max_hamming, blocks),
+        ["bid", "bval"],
+        max_bucket_size,
+    )
+
+
+def simhash_dups(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Block-permutation search: split the 64-bit signature into
+    ``max_hamming+1`` blocks — any pair within distance ``max_hamming``
+    agrees exactly on at least one block (pigeonhole), so candidates are
+    found with equi-joins on (block_id, block_value) and then verified with
+    ``bit_count(a XOR b)``.  Buckets over ``max_bucket_size`` are dropped
+    (the skew guard — see :func:`_cap_hot_buckets`; audit the drops with
+    :func:`simhash_hot_buckets`).  Returns (id_a, id_b, hamming).
+    """
+    exploded = _cap_hot_buckets(
+        _simhash_buckets(df, content_col, id_col, max_hamming, blocks),
+        ["bid", "bval"],
+        max_bucket_size,
+    )
 
     a = exploded.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "bid", "bval")
     b_ = exploded.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "bid", "bval")

@@ -286,3 +286,64 @@ class TestIvfTraining:
             for r in ivf_topk(assigned, "embedding", rng_query, cents5, 10, nprobe=4).collect()
         ]
         assert len(set(exact) & set(approx)) >= 5
+
+
+class TestLshSkewGuard:
+    """A hot bucket (boilerplate corpus: thousands of identical docs in one
+    band bucket) must not go quadratic — the cap drops the bucket, keeps
+    everything else, and the audit surface reports exactly what was
+    dropped."""
+
+    def _skewed(self, spark):
+        boiler = [
+            (i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(5000)
+        ]
+        near = [
+            (10001, "alpha beta gamma delta epsilon zeta eta theta"),
+            (10002, "alpha beta gamma delta epsilon zeta eta iota"),
+        ]
+        return spark.createDataFrame(boiler + near, "id long, text string")
+
+    def test_minhash_cap_blocks_boilerplate_keeps_real_pairs(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import minhash_hot_buckets
+
+        df = self._skewed(spark)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_dups(
+                df, "text", "id", threshold=0.5, max_bucket_size=100
+            ).collect()
+        }
+        assert (10001, 10002) in pairs  # genuine near-dups still found
+        # no pair touches the 5000-copy boilerplate set: its buckets were
+        # capped, so the candidate count stayed linear instead of 5000^2
+        assert all(a > 10000 and b > 10000 for a, b in pairs)
+        hot = minhash_hot_buckets(df, "text", "id", max_bucket_size=100).collect()
+        assert hot and all(r.n_members == 5000 for r in hot)
+
+    def test_simhash_cap_blocks_boilerplate(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import simhash_hot_buckets
+
+        df = self._skewed(spark)
+        pairs = simhash_dups(
+            df, "text", "id", max_hamming=3, max_bucket_size=100
+        ).collect()
+        assert all(r.id_a > 10000 and r.id_b > 10000 for r in pairs)
+        hot = simhash_hot_buckets(df, "text", "id", max_bucket_size=100).collect()
+        assert hot and max(r.n_members for r in hot) == 5000
+
+    def test_cap_disabled_matches_capped_on_unskewed_data(self, docs):
+        capped = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_dups(
+                docs, "text", "doc_id", threshold=0.3, max_bucket_size=1000
+            ).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_dups(
+                docs, "text", "doc_id", threshold=0.3, max_bucket_size=None
+            ).collect()
+        }
+        assert capped == uncapped
