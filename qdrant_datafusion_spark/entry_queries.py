@@ -1952,6 +1952,167 @@ QUERIES["lsh_bucket_topk"] = lsh_bucket_search
 ORACLES["payload_contains"] = PAYLOAD_CONTAINS_SQL
 ORACLES["lsh_bucket_topk"] = _lsh_oracle_sql()
 
+
+# ===========================================================================
+# scale-default similarity paths: multi-table LSH for embedding dedup and
+# the kNN graph (the exact block-GEMM grid is the verify/oracle tier; these
+# bucketed forms are what survives 100×)
+# ===========================================================================
+
+#: 16 tables × 4 hyperplanes (seeds 200..263) — measured 0.96 pair recall
+#: at threshold 0.35 on the test corpus; literal planes shared with the
+#: oracle make every bucket assignment reproducible in DuckDB
+EMB_LSH_TABLES = 16
+EMB_LSH_P = 4
+EMB_LSH_PLANES = [_seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * EMB_LSH_P)]
+
+
+def _emb_lsh_bits_sql() -> str:
+    """Per-table DuckDB bucket expressions b0..b{L-1} over `embedding`."""
+    cols = []
+    for t in range(EMB_LSH_TABLES):
+        bits = " || ".join(
+            "((list_dot_product(embedding::DOUBLE[], "
+            f"{_sql_array(EMB_LSH_PLANES[t * EMB_LSH_P + j])}::DOUBLE[]) > 0)::INT)::VARCHAR"
+            for j in range(EMB_LSH_P)
+        )
+        cols.append(f"({bits}) AS b{t}")
+    return ",\n         ".join(cols)
+
+
+_EMB_LSH_MATCH = " OR ".join(f"a.b{t} = b.b{t}" for t in range(EMB_LSH_TABLES))
+_EMB_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups via multi-table hyperplane LSH — the gated
+    scale default (dedup_embedding keeps the exact grid as the oracle
+    tier).  Literal planes ⇒ deterministic buckets ⇒ full value oracle."""
+    from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(
+        emb,
+        "embedding",
+        "vec_id",
+        threshold=0.35,
+        bucket_planes=EMB_LSH_PLANES,
+        tables=EMB_LSH_TABLES,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+DEDUP_EMBEDDING_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_emb_lsh_bits_sql()}
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_EMB_COS}, 6) AS cosine
+FROM b a JOIN b b ON a.vec_id < b.vec_id AND ({_EMB_LSH_MATCH})
+WHERE {_EMB_COS} >= 0.35
+"""
+
+
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit as a gated value: |LSH pairs| / |exact pairs| in one
+    row.  The LSH pair set is a subset of the exact set (same raw
+    threshold, same exact re-scoring kernel), so the ratio IS edge recall.
+    recall_ok pins the ≥0.9 contract the scale path claims."""
+    from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.35, block_size=256
+    )
+    lsh = embedding_near_dups(
+        emb,
+        "embedding",
+        "vec_id",
+        threshold=0.35,
+        bucket_planes=EMB_LSH_PLANES,
+        tables=EMB_LSH_TABLES,
+    )
+    e = exact.agg(F.count("*").alias("n_exact"))
+    l = lsh.agg(F.count("*").alias("n_lsh"))
+    return e.crossJoin(l).select(
+        "n_exact",
+        "n_lsh",
+        F.round(F.col("n_lsh") / F.col("n_exact"), 4).alias("recall"),
+        (F.round(F.col("n_lsh") / F.col("n_exact"), 4) >= 0.9).alias("recall_ok"),
+    )
+
+
+DEDUP_EMBEDDING_RECALL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_emb_lsh_bits_sql()}
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+ex AS (
+  SELECT count(*) AS n_exact
+  FROM b a JOIN b b ON a.vec_id < b.vec_id
+  WHERE {_EMB_COS} >= 0.35
+),
+ls AS (
+  SELECT count(*) AS n_lsh
+  FROM b a JOIN b b ON a.vec_id < b.vec_id AND ({_EMB_LSH_MATCH})
+  WHERE {_EMB_COS} >= 0.35
+)
+SELECT n_exact, n_lsh,
+       round(n_lsh / n_exact, 4) AS recall,
+       round(n_lsh / n_exact, 4) >= 0.9 AS recall_ok
+FROM ex, ls
+"""
+
+
+def ann_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph via LSH-blocked candidates — the gated scale default
+    (ann_knn_graph keeps the exact block-GEMM grid as the oracle tier)."""
+    from qdrant_datafusion_spark.operators.ann import self_knn_join_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = self_knn_join_lsh(
+        emb, "embedding", "vec_id", planes=EMB_LSH_PLANES, k=5, tables=EMB_LSH_TABLES
+    )
+    return out.select(
+        "id", "nbr_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ANN_KNN_GRAPH_BLOCKED_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_emb_lsh_bits_sql()}
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr_id, round({_EMB_COS}, 6) AS score
+  FROM b a JOIN b b ON a.vec_id <> b.vec_id AND ({_EMB_LSH_MATCH})
+),
+ranked AS (
+  SELECT id, nbr_id, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT id, nbr_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh
+QUERIES["dedup_embedding_recall"] = dedup_embedding_recall
+QUERIES["ann_knn_graph_blocked"] = ann_knn_graph_blocked
+ORACLES["dedup_embedding_lsh"] = DEDUP_EMBEDDING_LSH_SQL
+ORACLES["dedup_embedding_recall"] = DEDUP_EMBEDDING_RECALL_SQL
+ORACLES["ann_knn_graph_blocked"] = ANN_KNN_GRAPH_BLOCKED_SQL
+
 # A time-budgeted driver that stops early drops TRAILING entries —
 # v_random_sample had no CORRECTNESS row in round 1 purely by being the
 # last registration.  Re-order so the cheap rows-only queries run first

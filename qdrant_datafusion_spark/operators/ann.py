@@ -249,6 +249,78 @@ def self_knn_join(
     )
 
 
+def self_knn_join_lsh(
+    collection: DataFrame,
+    vector_col: str,
+    id_col: str,
+    planes: Sequence[Sequence[float]],
+    k: int = 5,
+    tables: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Approximate kNN graph via multi-table hyperplane-LSH blocking — the
+    100 TB default; :func:`self_knn_join` (exact block-GEMM grid) is the
+    verify/oracle tier.
+
+    ``planes`` is split into ``tables`` groups of p planes; a pair is a
+    candidate iff it shares a sign-pattern bucket in ANY table
+    (OR-construction: recall 1-(1-q^p)^L).  Candidates are re-scored with
+    the exact sequential-order cosine kernel (bit-identical to a DuckDB
+    oracle), then a per-id window keeps rank ≤ k.  Shuffles key on
+    (table, bucket) and id only; per-table bucket sizes are ~N/2^p, so
+    join work scales with Σ bucket² instead of the exact grid's
+    O((N/B)²) block pairs.  ``max_bucket_size`` drops oversized buckets
+    (skew guard, same contract as the LSH dedup cap).
+
+    Returns (id, nbr_id, score, rank) — the same shape as
+    :func:`self_knn_join`; edge recall vs the exact graph is itself a
+    gated query (dedup_embedding_recall) rather than a silent assumption.
+    """
+    from qdrant_datafusion_spark.operators.dedup import _cap_hot_buckets
+
+    if len(planes) % tables:
+        raise ValueError("tables must divide len(planes)")
+    p = len(planes) // tables
+    rows = collection.select(
+        F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    table_buckets = [
+        F.concat(F.lit(f"{t}|"), lsh_bucket("_v", planes[t * p : (t + 1) * p]))
+        for t in range(tables)
+    ]
+    bucketed = _cap_hot_buckets(
+        rows.select("_id", F.explode(F.array(*table_buckets)).alias("_bucket")),
+        ["_bucket"],
+        max_bucket_size,
+    )
+    # candidate (id, nbr_id) pairs first, vectors joined back after the
+    # dropDuplicates — the dedup shuffle carries id pairs, not vectors
+    a = bucketed.select(F.col("_id").alias("id"), "_bucket")
+    b = bucketed.select(F.col("_id").alias("nbr_id"), "_bucket")
+    cands = (
+        a.join(b, "_bucket")
+        .filter(F.col("id") != F.col("nbr_id"))
+        .select("id", "nbr_id")
+        .dropDuplicates(["id", "nbr_id"])
+    )
+    va_df = rows.select(F.col("_id").alias("id"), F.col("_v").alias("_va"))
+    vb_df = rows.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"))
+    scored = (
+        cands.join(va_df, "id")
+        .join(vb_df, "nbr_id")
+        .select(
+            "id",
+            "nbr_id",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def train_ivf_centroids(
     collection: DataFrame,
     vector_col: str,

@@ -347,3 +347,70 @@ class TestLshSkewGuard:
             ).collect()
         }
         assert capped == uncapped
+
+
+class TestLshScaleDefaults:
+    """The multi-table LSH paths are the gated 100 TB defaults; the exact
+    grids are the verify tier.  LSH output must be an exact-scored SUBSET
+    of the exact output with high recall, and the kNN-graph shapes must
+    agree per id."""
+
+    def _emb(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("embedding").isNotNull())
+        )
+
+    def _planes(self, n):
+        import random
+
+        def vec(seed):
+            rng = random.Random(seed)
+            return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+        return [vec(200 + i) for i in range(n)]
+
+    def test_embedding_lsh_subset_with_high_recall(self, spark, sf_dir):
+        from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
+
+        emb = self._emb(spark, sf_dir)
+        exact = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dups(
+                emb, "embedding", "vec_id", threshold=0.35, block_size=64
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dups(
+                emb,
+                "embedding",
+                "vec_id",
+                threshold=0.35,
+                bucket_planes=self._planes(64),
+                tables=16,
+            ).collect()
+        }
+        assert set(lsh) <= set(exact)  # never a false positive
+        assert len(lsh) / max(len(exact), 1) >= 0.8  # recall holds
+        for pair, cos in lsh.items():  # scores bit-identical to exact path
+            assert cos == exact[pair]
+
+    def test_knn_graph_lsh_ranks_are_contiguous_per_id(self, spark, sf_dir):
+        from qdrant_datafusion_spark.operators.ann import self_knn_join_lsh
+
+        emb = self._emb(spark, sf_dir)
+        out = self_knn_join_lsh(
+            emb, "embedding", "vec_id", planes=self._planes(64), k=3, tables=16
+        ).collect()
+        by_id: dict = {}
+        for r in out:
+            by_id.setdefault(r.id, []).append((r.rank, r.score, r.nbr_id))
+        assert by_id  # nonempty graph
+        for rows in by_id.values():
+            rows.sort()
+            assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r[1] for r in rows]
+            assert scores == sorted(scores, reverse=True)

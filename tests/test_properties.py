@@ -128,7 +128,9 @@ class TestTextProperties:
         query = " ".join(query_words)
         df = spark.createDataFrame([(text,)], "text string")
         got = df.select(match_text("text", query).alias("m")).collect()[0].m
-        qterms = [w.lower() for w in query.split() if w]
+        # distinct-term semantics (shared with SQL MATCH_TEXT): repeated
+        # query terms count once in numerator and denominator
+        qterms = list(dict.fromkeys(w.lower() for w in query.split() if w))
         if not qterms:
             assert got == 0.0
         else:
