@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata structs.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic STUBS (clearly marked) — but everything Spark-side is real
-and tested: schemas, Arrow batch shapes, `mapInPandas` signatures,
-partition-size control for large blobs.  Swapping a stub for a real
-decoder (PIL/ffmpeg) changes only the function body, no plumbing.
+Image and audio kernels are REAL: PNG decodes via the pure-stdlib codec
+in :mod:`.imaging` (zlib inflate + per-row unfilter per the W3C spec; PIL
+is preferred when importable, covering JPEG etc.), WAV metadata parses
+via the stdlib ``wave`` module.  Bytes that no available decoder accepts
+fall back to a deterministic content-hash stub (clearly marked below), so
+pipelines over mixed/foreign blobs stay total and testable.  Video frame
+*extraction* remains a stub (ffmpeg genuinely required; the sampled
+offset/descriptor shape is what a real sampler produces).
 
 Schema convention:
 
@@ -15,10 +18,13 @@ Schema convention:
 - ``attach_media``        — wrap a binary column + metadata into the struct
 - ``media_stats``         — native byte/metadata statistics (no decode)
 - ``decode_image_features``  — mapInPandas: bytes → fixed-dim feature vector
-                               (STUB: seeded hash-features; real impl = PIL +
-                               model forward)
+                               (REAL pixel features for PNG/PIL-decodable
+                               bytes; hash stub otherwise)
+- ``resize_images``       — mapInPandas: real decode → nearest-neighbor
+                             resize → PNG re-encode for decodable bytes
+- ``decode_audio_meta``   — mapInPandas: REAL WAV header parse
 - ``sample_video_frames`` — mapInPandas: bytes → N frame descriptors
-                             (STUB: synthesized offsets; real impl = ffmpeg)
+                             (STUB offsets; real impl = ffmpeg)
 """
 
 from __future__ import annotations
@@ -69,15 +75,25 @@ def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 def _stub_image_features(data: bytes, dim: int) -> np.ndarray:
-    """STUB decode: deterministic pseudo-features from a content hash.
-
-    Real implementation: ``PIL.Image.open(io.BytesIO(data))`` → resize →
-    normalize → model forward.  NotImplemented here because the container
-    ships no codecs; the stub keeps the pipeline testable and deterministic.
+    """FALLBACK for bytes no available decoder accepts: deterministic
+    pseudo-features from a content hash.  Decodable images never reach
+    this path — they get real pixel features (:func:`imaging.image_features`).
     """
     seed = int.from_bytes(hashlib.md5(data).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(dim).astype(np.float32)
+
+
+def _image_features(data: bytes, dim: int) -> np.ndarray:
+    """Real-decode-first feature kernel: PIL / pure-PNG decode → grayscale
+    grid features; hash-stub fallback only when the bytes aren't an image
+    any available codec handles."""
+    from qdrant_datafusion_spark.operators import imaging
+
+    px = imaging.try_decode_image(data)
+    if px is not None:
+        return imaging.image_features(px, dim)
+    return _stub_image_features(data, dim)
 
 
 def decode_image_features(
@@ -89,9 +105,11 @@ def decode_image_features(
 ) -> DataFrame:
     """bytes → feature vector via ``mapInPandas`` (Arrow-batched).
 
-    Output: (id, features array<float>, n_bytes).  The real decoder slots
-    into ``_stub_image_features``; the Arrow batch shape, schema, and
-    per-partition iteration are production-real.
+    Output: (id, features array<float>, n_bytes).  Decodable images
+    (PNG always; anything PIL handles where PIL exists) produce REAL
+    pixel features — grayscale → g×g nearest-resize grid → normalized
+    flatten (:func:`imaging.image_features`); undecodable bytes fall back
+    to the content-hash stub so mixed corpora stay total.
     """
     id_field = df.select(id_col).schema.fields[0]
     schema = (
@@ -106,7 +124,7 @@ def decode_image_features(
                 media = row[media_col]
                 data = bytes(media["bytes"]) if media is not None else b""
                 ids.append(row[id_col])
-                feats.append([float(x) for x in _stub_image_features(data, dim)])
+                feats.append([float(x) for x in _image_features(data, dim)])
                 sizes.append(len(data))
             yield pd.DataFrame({id_col: ids, "features": feats, "n_bytes": sizes})
 
@@ -157,12 +175,12 @@ def resize_images(
 ) -> DataFrame:
     """bytes → resized bytes + updated metadata via ``mapInPandas``.
 
-    STUB resize (deterministic: md5-seeded bytes of width*height/64 length
-    standing in for the re-encoded image; real impl = PIL
-    ``Image.resize().save()``) — the struct rebuild, Arrow batch shape,
-    and metadata rewrite are production-real.  Output keeps the
-    ``media`` struct schema with width/height replaced, so resized
-    columns compose with every other media operator.
+    Decodable images get a REAL resize: decode (PIL / pure-PNG codec) →
+    nearest-neighbor index gather → PNG re-encode, with mime rewritten to
+    ``image/png``.  Undecodable bytes fall back to a deterministic
+    md5-seeded placeholder (marked below) so mixed corpora stay total.
+    Output keeps the ``media`` struct schema with width/height replaced,
+    so resized columns compose with every other media operator.
     """
     id_field = df.select(id_col).schema.fields[0]
     schema = (
@@ -172,6 +190,8 @@ def resize_images(
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from qdrant_datafusion_spark.operators import imaging
+
         for pdf in batches:
             ids, medias = [], []
             for _, row in pdf.iterrows():
@@ -181,17 +201,23 @@ def resize_images(
                     medias.append(None)
                     continue
                 data = bytes(media["bytes"]) if media["bytes"] is not None else b""
-                # STUB: real impl decodes, resizes to (width, height), and
-                # re-encodes; the deterministic fake preserves testability
-                seed = hashlib.md5(data + f"{width}x{height}".encode()).digest()
-                fake = (seed * ((width * height // 64) // len(seed) + 1))[
-                    : max(width * height // 64, 1)
-                ]
+                px = imaging.try_decode_image(data)
+                if px is not None:
+                    out = imaging.encode_png(imaging.resize_nearest(px, width, height))
+                    mime = "image/png"
+                else:
+                    # FALLBACK for undecodable bytes: deterministic
+                    # md5-seeded placeholder of width*height/64 length
+                    seed = hashlib.md5(data + f"{width}x{height}".encode()).digest()
+                    out = (seed * ((width * height // 64) // len(seed) + 1))[
+                        : max(width * height // 64, 1)
+                    ]
+                    mime = media["mime"]
                 ids.append(row[id_col])
                 medias.append(
                     {
-                        "bytes": fake,
-                        "mime": media["mime"],
+                        "bytes": out,
+                        "mime": mime,
                         "width": width,
                         "height": height,
                         "duration_ms": media["duration_ms"],
@@ -200,3 +226,48 @@ def resize_images(
             yield pd.DataFrame({id_col: ids, "media": medias})
 
     return df.select(id_col, media_col).mapInPandas(resize, schema=schema)
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+) -> DataFrame:
+    """REAL audio metadata via ``mapInPandas``: RIFF WAVE header parse
+    (stdlib ``wave`` — PCM WAV needs no codec).
+
+    Output: (id, channels int, sample_rate int, audio_ms long, n_bytes
+    long); non-WAV bytes yield NULL metadata with the true byte count, so
+    the operator is total over mixed corpora.  Distribution comes from
+    Spark partitioning of the binary column; per-row work is a bounded
+    header read."""
+    id_field = df.select(id_col).schema.fields[0]
+    schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, "
+        "channels int, sample_rate int, audio_ms long, n_bytes long"
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from qdrant_datafusion_spark.operators import imaging
+
+        for pdf in batches:
+            out = {
+                id_col: [], "channels": [], "sample_rate": [],
+                "audio_ms": [], "n_bytes": [],
+            }
+            for _, row in pdf.iterrows():
+                media = row[media_col]
+                data = (
+                    bytes(media["bytes"])
+                    if media is not None and media["bytes"] is not None
+                    else b""
+                )
+                meta = imaging.decode_wav_meta(data)
+                out[id_col].append(row[id_col])
+                out["channels"].append(meta[0] if meta else None)
+                out["sample_rate"].append(meta[1] if meta else None)
+                out["audio_ms"].append(meta[2] if meta else None)
+                out["n_bytes"].append(len(data))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, media_col).mapInPandas(probe, schema=schema)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.operators.multimodal import (
@@ -60,3 +61,158 @@ class TestResize:
         # composes with downstream media operators (same struct schema)
         stats = media_stats(resized).collect()[0]
         assert stats.n == 20
+
+
+class TestRealImageKernels:
+    """The image kernels are REAL for PNG bytes: pure-stdlib decode
+    (inflate + unfilter), nearest-neighbor resize, PNG re-encode."""
+
+    def _png_2x2(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.imaging import encode_png
+
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+            dtype=np.uint8,
+        )
+        return px, encode_png(px)
+
+    def test_png_roundtrip_2x2(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.imaging import decode_png
+
+        px, data = self._png_2x2()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        out = decode_png(data)
+        assert out.shape == (2, 2, 3)
+        assert np.array_equal(out, px)
+
+    def test_unfilter_all_types(self):
+        """Hand-build a PNG whose rows use filters Sub/Up/Average/Paeth and
+        check the decoder reverses each (encoder only emits filter 0, so
+        this exercises the spec paths an external encoder would use)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.imaging import (
+            PNG_SIGNATURE,
+            _chunk,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+        h, w, bpp = 5, 4, 3
+        rows = []
+        prev = np.zeros(w * bpp, dtype=np.int16)
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            cur = px[y].reshape(-1).astype(np.int16)
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:  # Sub
+                left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+                filt = (cur - left) & 0xFF
+            elif ftype == 2:  # Up
+                filt = (cur - prev) & 0xFF
+            elif ftype == 3:  # Average
+                left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+                filt = (cur - ((left + prev) >> 1)) & 0xFF
+            else:  # Paeth
+                filt = np.empty_like(cur)
+                for i in range(len(cur)):
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[i] = (cur[i] - pred) & 0xFF
+            rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(data), px)
+
+    def test_resize_real_png_through_operator(self, spark):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.imaging import (
+            decode_png,
+            resize_nearest,
+        )
+        from qdrant_datafusion_spark.operators.multimodal import (
+            attach_media,
+            resize_images,
+        )
+
+        px, data = self._png_2x2()
+        df = attach_media(
+            spark.createDataFrame([(1, bytearray(data))], "id int, blob binary"),
+            "blob",
+            "image/png",
+        )
+        row = resize_images(df, width=4, height=4).collect()[0]
+        assert row.media.mime == "image/png"
+        assert row.media.width == 4 and row.media.height == 4
+        out = decode_png(bytes(row.media.bytes))
+        assert np.array_equal(out, resize_nearest(px, 4, 4))
+
+    def test_decode_features_real_pixels(self, spark):
+        """A real PNG gets pixel-derived features (top-left red pixel →
+        known luma), not hash noise."""
+        from qdrant_datafusion_spark.operators.imaging import image_features
+        from qdrant_datafusion_spark.operators.multimodal import (
+            attach_media,
+            decode_image_features,
+        )
+
+        px, data = self._png_2x2()
+        df = attach_media(
+            spark.createDataFrame([(1, bytearray(data))], "id int, blob binary"),
+            "blob",
+            "image/png",
+        )
+        feats = decode_image_features(df, dim=4).collect()[0].features
+        expected = [float(x) for x in image_features(px, 4)]
+        assert feats == pytest.approx(expected)
+        assert feats[0] == pytest.approx(0.299, abs=1e-3)  # red luma
+
+    def test_wav_meta_through_operator(self, spark):
+        import io
+        import wave
+
+        from qdrant_datafusion_spark.operators.multimodal import (
+            attach_media,
+            decode_audio_meta,
+        )
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(2)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x00" * 2 * 4000)  # 0.5 s stereo silence
+        wav = buf.getvalue()
+        df = attach_media(
+            spark.createDataFrame(
+                [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+                "id int, blob binary",
+            ),
+            "blob",
+            "audio/wav",
+        )
+        rows = {r.id: r for r in decode_audio_meta(df).collect()}
+        assert rows[1].channels == 2
+        assert rows[1].sample_rate == 8000
+        assert rows[1].audio_ms == 500
+        assert rows[1].n_bytes == len(wav)
+        assert rows[2].channels is None and rows[2].sample_rate is None
