@@ -124,3 +124,45 @@ def corpus_df(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
             (str(i), json.dumps(payload), dense, text3, img4, audio, multi, idxs, vals)
         )
     return spark.createDataFrame(rows, HETERO.schema())
+
+
+CORPUS_COLL = CollectionDescriptor(
+    name="collection_name",
+    fields=(
+        VectorField("text_embedding", 2, "cosine"),
+        VectorField("image_embedding", 3, "dot"),
+    ),
+)
+
+#: the by-id search target in tests/bin/tests.sql:22
+CORPUS_POINT_ID = "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
+
+
+def corpus_df(spark: SparkSession) -> DataFrame:
+    """The corpus's ``collection_name``: named text/image vectors plus the
+    payload keys its statements filter on (language, has_thumbnail,
+    verified, status — tests/bin/tests.sql:350-383) and one point with the
+    exact uuid the by-id search targets (tests.sql:22)."""
+    def payload(language, thumb, verified, status):
+        return json.dumps(
+            {
+                "language": language,
+                "has_thumbnail": thumb,
+                "verified": verified,
+                "status": status,
+            }
+        )
+
+    rows = [
+        (CORPUS_POINT_ID, payload("en", True, True, "published"),
+         [0.1, 0.9], [0.3, 0.1, 0.5]),
+        ("doc-2", payload("en", True, False, "published"),
+         [0.8, 0.2], [0.1, 0.7, 0.2]),
+        ("doc-3", payload("en", False, True, "published"),
+         [0.5, 0.5], [0.9, 0.2, 0.4]),
+        ("doc-4", payload("de", True, True, "published"),
+         [0.2, 0.7], [0.4, 0.4, 0.1]),
+        ("doc-5", payload("en", True, True, "draft"),
+         [0.9, 0.1], [0.2, 0.8, 0.6]),
+    ]
+    return spark.createDataFrame(rows, CORPUS_COLL.schema())

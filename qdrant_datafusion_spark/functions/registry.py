@@ -144,6 +144,21 @@ _SQL_FUNCTION_DDL = [
                                  CAST(0.0 AS DOUBLE), (a, x) -> a + x)
       WHEN 'euclid' THEN sqrt(aggregate(zip_with(v, q, (x, y) -> (x - y) * (x - y)),
                                         CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+      WHEN 'manhattan' THEN aggregate(zip_with(v, q, (x, y) -> abs(x - y)),
+                                      CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+      ELSE CAST(NULL AS DOUBLE) END
+    """,
+    # V_FUSION(scores, method): the corpus's scalar fusion shape
+    # (tests/bin/tests.sql:371; semantics match functions.fusion.v_fusion —
+    # scalar 'rrf' sums reciprocal *scores*, true rank-RRF is rrf_fuse)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_FUSION(scores ARRAY<DOUBLE>, method STRING)
+    RETURNS DOUBLE
+    RETURN CASE method
+      WHEN 'max' THEN array_max(scores)
+      WHEN 'weighted_sum' THEN aggregate(scores, CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+      WHEN 'rrf' THEN aggregate(scores, CAST(0.0 AS DOUBLE),
+                                (a, x) -> a + 1.0 / (60.0 + x))
       ELSE CAST(NULL AS DOUBLE) END
     """,
     # V_WITHIN(v, q, radius): euclid-radius predicate

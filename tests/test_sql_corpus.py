@@ -183,3 +183,129 @@ def test_recommend_null_neg_equals_search_on_mean(spark):
         ) > 1e-12
     """).collect()[0].n
     assert n == 0
+
+
+class TestVerbatimCorpus:
+    """The corpus call shapes Spark's parser can't take directly —
+    named-field V_SEARCH, by-id V_SEARCH, bracket arrays, payload arrows —
+    copied VERBATIM from /root/reference/tests/bin/tests.sql and resolved
+    through sql_dialect.corpus_sql against a registered collection."""
+
+    @pytest.fixture(scope="class")
+    def corpus_view(self, spark):
+        from qdrant_datafusion_spark.fixtures import CORPUS_COLL, corpus_df
+
+        register_all(spark)
+        corpus_df(spark).createOrReplaceTempView("collection_name")
+        return CORPUS_COLL
+
+    def _run(self, spark, corpus_view, sql):
+        from qdrant_datafusion_spark.sql_dialect import corpus_sql
+
+        return spark.sql(corpus_sql(sql, corpus_view)).collect()
+
+    def test_named_vector_search_verbatim(self, spark, corpus_view):
+        # tests/bin/tests.sql:15-19
+        rows = self._run(spark, corpus_view, """
+SELECT id, payload, V_SEARCH('text_embedding', [0.1, 0.2, 0.3]) as score
+FROM collection_name
+ORDER BY score DESC
+LIMIT 10;
+""")
+        assert len(rows) == 5  # runs; dim-3 query on dim-2 field -> NULL scores
+
+    def test_named_vector_search_matching_dim(self, spark, corpus_view):
+        rows = self._run(spark, corpus_view, """
+SELECT id, V_SEARCH('text_embedding', [0.1, 0.9]) as score
+FROM collection_name
+ORDER BY score DESC
+LIMIT 3;
+""")
+        assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
+        assert rows[0].score == pytest.approx(1.0)  # exact vector match
+
+    def test_search_by_point_id_verbatim(self, spark, corpus_view):
+        # tests/bin/tests.sql:21-25
+        rows = self._run(spark, corpus_view, """
+SELECT id, payload, V_SEARCH('43cf51e2-8777-4f52-bc74-c2cbde0c8b04') as score
+FROM collection_name
+ORDER BY score DESC
+LIMIT 10;
+""")
+        assert len(rows) == 5
+        assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
+        assert rows[0].score == pytest.approx(1.0)  # self-similarity
+
+    def test_multiple_named_searches_verbatim(self, spark, corpus_view):
+        # tests/bin/tests.sql:27-35 — text (cosine) + image (dot: metric
+        # comes from collection config, so image scores are dot products)
+        rows = self._run(spark, corpus_view, """
+SELECT
+    id,
+    V_SEARCH('text_embedding', [0.1, 0.2]) as text_score,
+    V_SEARCH('image_embedding', [0.3, 0.4, 0.5]) as image_score,
+    payload
+FROM collection_name
+ORDER BY text_score * 0.7 + image_score * 0.3 DESC
+LIMIT 20;
+""")
+        assert len(rows) == 5
+        by_id = {r.id: r for r in rows}
+        # dot metric: doc-2 image [0.1,0.7,0.2] . [0.3,0.4,0.5] = 0.41
+        assert by_id["doc-2"].image_score == pytest.approx(0.41)
+        assert all(r.text_score is not None for r in rows)
+
+    def test_multi_vector_fusion_verbatim(self, spark, corpus_view):
+        # tests/bin/tests.sql:350-383 — named fields, payload arrows with
+        # boolean compares, bracket array of column refs, scalar V_FUSION
+        rows = self._run(spark, corpus_view, """
+WITH
+text_search AS (
+    SELECT
+        id,
+        V_SEARCH('text_embedding', [0.1, 0.2]) as text_score
+    FROM collection_name
+    WHERE payload->'language' = 'en'
+    ORDER BY text_score DESC
+    LIMIT 50
+),
+image_search AS (
+    SELECT
+        id,
+        V_SEARCH('image_embedding', [0.3, 0.4, 0.5]) as image_score
+    FROM collection_name
+    WHERE payload->'has_thumbnail' = true
+    ORDER BY image_score DESC
+    LIMIT 50
+)
+SELECT
+    c.id,
+    c.payload,
+    V_FUSION([t.text_score, i.image_score], 'rrf') *
+    CASE
+        WHEN c.payload->'verified' = true THEN 1.2
+        ELSE 1.0
+    END as final_score
+FROM collection_name c
+JOIN text_search t ON c.id = t.id
+JOIN image_search i ON c.id = i.id
+WHERE c.payload->'status' = 'published'
+ORDER BY final_score DESC
+LIMIT 10;
+""")
+        # en + thumbnail + published: the uuid point and doc-2
+        assert {r.id for r in rows} == {
+            "43cf51e2-8777-4f52-bc74-c2cbde0c8b04", "doc-2",
+        }
+        assert all(r.final_score is not None for r in rows)
+        # verified uuid point carries the 1.2 boost -> must rank first
+        assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
+
+    def test_empty_vector_search_verbatim(self, spark, corpus_view):
+        # tests/bin/tests.sql:390-392
+        rows = self._run(spark, corpus_view, """
+SELECT id FROM collection_name
+WHERE V_SEARCH([]) IS NOT NULL
+LIMIT 1;
+""")
+        assert rows == []  # empty query -> NULL scores, handled gracefully
