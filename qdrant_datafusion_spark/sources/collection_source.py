@@ -34,12 +34,82 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
 from qdrant_datafusion_spark.collections import CollectionDescriptor, DESCRIPTOR_FILE
+
+#: filter values the seam can serialize into a fragment/remote request
+_PUSHABLE_VALUE = (int, float, str, bool, bytes)
+
+
+def _arrow_filter_expr(filters: list[Filter]):
+    """Translate pushed Spark filters to one pyarrow dataset expression.
+
+    The analogue of the reference's filter → ScanRequest translation —
+    except the reference silently IGNORES filters (src/table.rs:174-175);
+    here accepted filters are exactly applied at the fragment scan, which
+    also buys row-group statistics pruning from the parquet reader.
+    Returns (expression | None, unsupported filters).
+    """
+    import pyarrow.dataset as ds
+
+    expr = None
+    rejected: list[Filter] = []
+    for f in filters:
+        e = None
+        attr = getattr(f, "attribute", None)  # e.g. Not() wraps, no attribute
+        if attr is not None and len(attr) == 1:  # top-level columns only
+            field = ds.field(attr[0])
+            if isinstance(f, EqualTo) and isinstance(f.value, _PUSHABLE_VALUE):
+                e = field == f.value
+            elif isinstance(f, GreaterThan) and isinstance(f.value, _PUSHABLE_VALUE):
+                e = field > f.value
+            elif isinstance(f, GreaterThanOrEqual) and isinstance(f.value, _PUSHABLE_VALUE):
+                e = field >= f.value
+            elif isinstance(f, LessThan) and isinstance(f.value, _PUSHABLE_VALUE):
+                e = field < f.value
+            elif isinstance(f, LessThanOrEqual) and isinstance(f.value, _PUSHABLE_VALUE):
+                e = field <= f.value
+            elif isinstance(f, In) and all(
+                isinstance(v, _PUSHABLE_VALUE) for v in f.value
+            ):
+                e = field.isin(list(f.value))
+            elif isinstance(f, IsNull):
+                e = field.is_null()
+            elif isinstance(f, IsNotNull):
+                e = ~field.is_null()
+            elif isinstance(f, StringStartsWith):
+                import pyarrow.compute as pc
+
+                e = pc.starts_with(field, f.value)
+            elif isinstance(f, StringEndsWith):
+                import pyarrow.compute as pc
+
+                e = pc.ends_with(field, f.value)
+            elif isinstance(f, StringContains):
+                import pyarrow.compute as pc
+
+                e = pc.match_substring(field, f.value)
+        if e is None:
+            rejected.append(f)
+        else:
+            expr = e if expr is None else (expr & e)
+    return expr, rejected
 
 
 class CollectionPartition(InputPartition):
@@ -48,9 +118,38 @@ class CollectionPartition(InputPartition):
 
 
 class CollectionReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    """Fragment reader with the reference's full pushdown contract honored:
+
+    - **filters** via :meth:`pushFilters` (Spark 4.1 Python DS API) —
+      accepted predicates are exactly applied at the fragment scan
+      (exceeding the reference, which drops filters, src/table.rs:174-175)
+    - **projection** via the ``columns`` option — only requested columns
+      are read (the selector derivation of reference src/utils.rs:53-83:
+      ``with_payload`` / ``with_vectors`` built from the pruned schema)
+    - **limit** via the ``limit`` option — each fragment read stops after
+      ``limit`` rows (reference src/table.rs:296-298 pushes the limit into
+      the ScanRequest; Spark applies the global limit on top)
+    """
+
+    def __init__(self, path: str, schema: StructType, options=None):
         self.path = path
         self._schema = schema
+        options = options or {}
+        cols = options.get("columns")
+        self._columns = (
+            [c.strip() for c in cols.split(",") if c.strip()] if cols else None
+        )
+        limit = options.get("limit")
+        self._limit = int(limit) if limit is not None else None
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept the predicates the seam can serialize; yield back the
+        rest for Spark to evaluate."""
+        _, rejected = _arrow_filter_expr(filters)
+        rejected_set = {id(f) for f in rejected}
+        self._pushed = [f for f in filters if id(f) not in rejected_set]
+        yield from rejected
 
     def partitions(self) -> list[CollectionPartition]:
         """One partition per parquet fragment — a multi-partition scan,
@@ -59,18 +158,35 @@ class CollectionReader(DataSourceReader):
         return [CollectionPartition(f) for f in frags] or [CollectionPartition("")]
 
     def read(self, partition: CollectionPartition):
-        """Yield Arrow record batches for one fragment.
+        """Yield Arrow record batches for one fragment, honoring pushed
+        filters, the column projection, and the row limit.
 
-        This is the connector seam: replace the local read with a remote
-        fetch (projection/limit pushed into the request, as the reference
-        does at src/table.rs:282-298) for a live endpoint.
+        This is the connector seam: replace the dataset scan with a remote
+        fetch carrying the same (columns, filter, limit) request — exactly
+        what the reference sends over gRPC (src/table.rs:269-320) — with
+        everything else unchanged.
         """
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
 
         if not partition.fragment_path:
             return
-        table = pq.read_table(partition.fragment_path)
-        yield from table.to_batches(max_chunksize=8192)
+        expr, _ = _arrow_filter_expr(self._pushed)
+        scanner = ds.dataset(partition.fragment_path, format="parquet").scanner(
+            columns=self._columns,
+            filter=expr,
+            batch_size=8192,
+        )
+        remaining = self._limit
+        for batch in scanner.to_batches():
+            if batch.num_rows == 0:
+                continue
+            if remaining is not None:
+                if remaining <= 0:
+                    return
+                if batch.num_rows > remaining:
+                    batch = batch.slice(0, remaining)
+                remaining -= batch.num_rows
+            yield batch
 
 
 class CollectionDataSource(DataSource):
@@ -83,22 +199,37 @@ class CollectionDataSource(DataSource):
     def schema(self) -> StructType:
         """Schema from the collection descriptor — the analogue of
         collection_to_arrow_schema (reference src/arrow/schema.rs:59-110).
-        Falls back to the parquet footer when no descriptor file exists."""
+        Falls back to the parquet footer when no descriptor file exists.
+        A ``columns`` option narrows the schema to the projected fields
+        (the selector derivation of reference src/utils.rs:53-83)."""
         path = self.options.get("path")
         desc_file = os.path.join(path, DESCRIPTOR_FILE)
         if os.path.exists(desc_file):
             with open(desc_file) as fh:
-                return CollectionDescriptor.from_json(fh.read()).schema()
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import from_arrow_schema
+                full = CollectionDescriptor.from_json(fh.read()).schema()
+        else:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-        frags = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not frags:
-            raise FileNotFoundError(f"no parquet fragments under {path!r}")
-        return from_arrow_schema(pq.read_schema(frags[0]))
+            frags = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not frags:
+                raise FileNotFoundError(f"no parquet fragments under {path!r}")
+            full = from_arrow_schema(pq.read_schema(frags[0]))
+        cols = self.options.get("columns")
+        if cols:
+            wanted = [c.strip() for c in cols.split(",") if c.strip()]
+            missing = set(wanted) - {f.name for f in full.fields}
+            if missing:
+                raise ValueError(f"unknown columns in projection: {sorted(missing)}")
+            return StructType([f for f in full.fields if f.name in set(wanted)])
+        return full
 
     def reader(self, schema: StructType) -> CollectionReader:
-        return CollectionReader(self.options.get("path"), schema)
+        # keep the projected schema's field order for the fragment scan
+        options = dict(self.options)
+        if self.options.get("columns"):
+            options["columns"] = ",".join(f.name for f in schema.fields)
+        return CollectionReader(self.options.get("path"), schema, options)
 
     def simpleStreamReader(self, schema: StructType) -> "CollectionStreamReader":
         """``spark.readStream.format("qdrant_collection")`` — continuous

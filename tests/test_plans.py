@@ -161,3 +161,86 @@ class TestIvfPartitionPruning:
         # and only the probed cells' rows come back
         cells = {r.ivf_cell for r in probed.select("ivf_cell").distinct().collect()}
         assert cells <= {0, 1}
+
+
+class TestCollectionSourcePushdown:
+    """The connector seam honors the reference's full pushdown contract
+    (projection src/utils.rs:53-83, limit src/table.rs:296-298, and
+    filters — which the reference drops at src/table.rs:174-175)."""
+
+    def _write(self, spark, tmp_path):
+        from qdrant_datafusion_spark import fixtures
+        from qdrant_datafusion_spark.collections import CollectionCatalog
+
+        cat = CollectionCatalog(spark, str(tmp_path))
+        cat.write(fixtures.UNNAMED, fixtures.unnamed_df(spark), partitions=2)
+        return str(tmp_path / "unnamed")
+
+    def test_projection_reads_only_requested_columns(self, spark, tmp_path):
+        from qdrant_datafusion_spark.sources import register_collection_source
+        from qdrant_datafusion_spark.sources.collection_source import (
+            CollectionReader,
+        )
+
+        path = self._write(spark, tmp_path)
+        register_collection_source(spark)
+        df = (
+            spark.read.format("qdrant_collection")
+            .option("path", path)
+            .option("columns", "id,payload")
+            .load()
+        )
+        assert df.columns == ["id", "payload"]  # schema narrowed at source
+        assert df.count() == 3
+        # fragment-level proof: batches carry ONLY the projected columns
+        reader = CollectionReader(path, df.schema, {"columns": "id,payload"})
+        for part in reader.partitions():
+            for batch in reader.read(part):
+                assert batch.schema.names == ["id", "payload"]
+
+    def test_limit_stops_fragment_read(self, spark, tmp_path):
+        from qdrant_datafusion_spark.sources.collection_source import (
+            CollectionReader,
+        )
+
+        path = self._write(spark, tmp_path)
+        reader = CollectionReader(path, None, {"limit": "1"})
+        for part in reader.partitions():
+            rows = sum(b.num_rows for b in reader.read(part))
+            assert rows <= 1  # each fragment stops at the pushed limit
+
+    def test_pushed_filter_reduces_fragment_rows(self, spark, tmp_path):
+        from pyspark.sql.datasource import EqualTo, Not
+
+        from qdrant_datafusion_spark.sources.collection_source import (
+            CollectionReader,
+        )
+
+        path = self._write(spark, tmp_path)
+        reader = CollectionReader(path, None, {})
+        # seam accepts the equality, hands the unsupported Not back to Spark
+        leftover = list(
+            reader.pushFilters(
+                [EqualTo(("id",), "2"), Not(EqualTo(("payload",), "x"))]
+            )
+        )
+        assert [type(f).__name__ for f in leftover] == ["Not"]
+        total = sum(
+            b.num_rows for part in reader.partitions() for b in reader.read(part)
+        )
+        assert total == 1  # filter applied AT the fragment scan
+
+    def test_filtered_read_end_to_end(self, spark, tmp_path):
+        from qdrant_datafusion_spark.sources import register_collection_source
+
+        path = self._write(spark, tmp_path)
+        register_collection_source(spark)
+        df = (
+            spark.read.format("qdrant_collection")
+            .option("path", path)
+            .load()
+            .filter(F.col("id") == "2")
+        )
+        rows = df.collect()
+        assert len(rows) == 1
+        assert [round(x, 6) for x in rows[0].vector] == [0.4, 0.5, 0.6]
