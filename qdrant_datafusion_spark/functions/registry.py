@@ -15,7 +15,6 @@ codegen path, so registration works at two levels:
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd
@@ -23,65 +22,195 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
 
+def _dense_batch(v: pd.Series, q: pd.Series, kernel) -> pd.Series:
+    """Run a dense pairwise kernel over an Arrow batch WITHOUT a per-row
+    Python loop on the hot path: rows are grouped by (len(v), len(q)) and
+    each group is np.stack'ed into matrices for one vectorized kernel
+    call.  The common case (fixed-dim column vs one literal query) is a
+    single group — two stacks and one BLAS-backed call for the batch."""
+    n = len(v)
+    out = np.full(n, np.nan, dtype=np.float64)
+    mask = np.zeros(n, dtype=bool)
+    groups: dict[tuple[int, int], list[int]] = {}
+    vl, ql = list(v), list(q)
+    for i in range(n):
+        a, b = vl[i], ql[i]
+        if a is not None and b is not None:
+            groups.setdefault((len(a), len(b)), []).append(i)
+    for (la, lb), idxs in groups.items():
+        ix = np.asarray(idxs)
+        A = np.stack([np.asarray(vl[i], dtype=np.float64) for i in idxs])
+        B = np.stack([np.asarray(ql[i], dtype=np.float64) for i in idxs])
+        out[ix] = kernel(A, B)
+        mask[ix] = True
+    res = pd.Series(out, dtype="float64")
+    res[~mask] = None
+    return res
+
+
+def _cosine_kernel(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    if A.shape[1] != B.shape[1]:
+        return np.full(A.shape[0], np.nan)
+    na = np.linalg.norm(A, axis=1)
+    nb = np.linalg.norm(B, axis=1)
+    dot = np.einsum("ij,ij->i", A, B)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where((na == 0.0) | (nb == 0.0), np.nan, dot / (na * nb))
+
+
+def _dot_kernel(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    if A.shape[1] != B.shape[1]:
+        return np.full(A.shape[0], np.nan)
+    return np.einsum("ij,ij->i", A, B)
+
+
+def _euclid_kernel(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    if A.shape[1] != B.shape[1]:
+        return np.full(A.shape[0], np.nan)
+    d = A - B
+    return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+#: combined (row, index) keys fit int64 only while indices < 2^31
+_SPARSE_FLAT_MAX_INDEX = np.int64(1) << 31
+
+
+def _sparse_batch(
+    ind: pd.Series, val: pd.Series, qind: pd.Series, qval: pd.Series
+) -> pd.Series:
+    """Sparse dot over an Arrow batch in ONE vectorized pass: doc and
+    query postings get combined keys ``row * 2^32 + index``, the query
+    side is sorted once, one global searchsorted matches every doc
+    posting against its own row's query, and ``np.add.reduceat`` sums
+    products per row.  Indices ≥ 2^31 (combined key would overflow) fall
+    back to a per-row NumPy searchsorted — still no Python element loop."""
+    n = len(ind)
+    out = np.full(n, np.nan, dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    il, vl, qil, qvl = list(ind), list(val), list(qind), list(qval)
+    rows, d_keys, d_vals, q_keys, q_vals = [], [], [], [], []
+    big = []
+    for i in range(n):
+        if il[i] is None or vl[i] is None or qil[i] is None or qvl[i] is None:
+            continue
+        di = np.asarray(il[i], dtype=np.int64)
+        qi = np.asarray(qil[i], dtype=np.int64)
+        if len(di) == 0 or len(qi) == 0:  # empty postings: score 0, and
+            out[i] = 0.0                  # keeps reduceat offsets in range
+            valid[i] = True
+            continue
+        if di.max() >= _SPARSE_FLAT_MAX_INDEX or qi.max() >= _SPARSE_FLAT_MAX_INDEX:
+            big.append(i)
+            continue
+        base = np.int64(i) << 32
+        rows.append(i)
+        d_keys.append(base + di)
+        d_vals.append(np.asarray(vl[i], dtype=np.float64))
+        q_keys.append(base + qi)
+        q_vals.append(np.asarray(qvl[i], dtype=np.float64))
+    if rows:
+        dk = np.concatenate(d_keys)
+        dv = np.concatenate(d_vals)
+        qk = np.concatenate(q_keys)
+        qv = np.concatenate(q_vals)
+        order = np.argsort(qk, kind="stable")
+        qk, qv = qk[order], qv[order]
+        pos = np.searchsorted(qk, dk)
+        hit = (pos < len(qk)) & (qk[np.minimum(pos, len(qk) - 1)] == dk)
+        prods = np.zeros(len(dk), dtype=np.float64)
+        prods[hit] = dv[hit] * qv[pos[hit]]
+        offsets = np.cumsum([0] + [len(k) for k in d_keys[:-1]])
+        out[np.asarray(rows)] = np.add.reduceat(prods, offsets)
+        valid[np.asarray(rows)] = True
+    for i in big:  # per-row NumPy fallback for huge index spaces
+        di = np.asarray(il[i], dtype=np.int64)
+        dv = np.asarray(vl[i], dtype=np.float64)
+        qi = np.asarray(qil[i], dtype=np.int64)
+        qv = np.asarray(qvl[i], dtype=np.float64)
+        order = np.argsort(qi, kind="stable")
+        qi, qv = qi[order], qv[order]
+        pos = np.searchsorted(qi, di)
+        hit = (pos < len(qi)) & (qi[np.minimum(pos, max(len(qi) - 1, 0))] == di)
+        out[i] = float(np.dot(dv[hit], qv[pos[hit]])) if len(qi) else 0.0
+        valid[i] = True
+    res = pd.Series(out, dtype="float64")
+    res[~valid] = None
+    return res
+
+
+def _maxsim_batch(mv: pd.Series, q: pd.Series) -> pd.Series:
+    """ColBERT MaxSim over an Arrow batch.  Fast path: when every row
+    shares one query (the corpus shape — a literal), ALL document token
+    matrices concatenate into one (T_total, dim) operand for a single
+    GEMM, then ``np.maximum.reduceat`` over per-doc token spans and a
+    column sum produce every row's score at once.  Ragged dims or
+    per-row queries fall back to one GEMM per row."""
+    n = len(mv)
+    out = np.full(n, np.nan, dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    ml, ql = list(mv), list(q)
+
+    def to_mat(x):
+        return np.asarray([np.asarray(t, dtype=np.float64) for t in x])
+
+    rows = [
+        i
+        for i in range(n)
+        if ml[i] is not None and ql[i] is not None and len(ml[i]) > 0
+    ]
+    if not rows:
+        return pd.Series(out, dtype="float64")
+    q0 = to_mat(ql[rows[0]])
+    mats = {i: to_mat(ml[i]) for i in rows}
+    same_query = all(
+        np.array_equal(q0, to_mat(ql[i])) for i in rows[1:]
+    )
+    dims_ok = q0.ndim == 2 and all(
+        mats[i].ndim == 2 and mats[i].shape[1] == q0.shape[1] for i in rows
+    )
+    if same_query and dims_ok:
+        all_tokens = np.concatenate([mats[i] for i in rows], axis=0)
+        S = q0 @ all_tokens.T  # one GEMM for the whole batch
+        offsets = np.cumsum([0] + [mats[i].shape[0] for i in rows[:-1]])
+        per_doc_max = np.maximum.reduceat(S, offsets, axis=1)
+        scores = per_doc_max.sum(axis=0)
+        out[np.asarray(rows)] = scores
+        valid[np.asarray(rows)] = True
+    else:
+        for i in rows:
+            d = mats[i]
+            qm = to_mat(ql[i])
+            if d.ndim != 2 or qm.ndim != 2 or d.shape[1] != qm.shape[1]:
+                continue
+            out[i] = float((qm @ d.T).max(axis=1).sum())
+            valid[i] = True
+    res = pd.Series(out, dtype="float64")
+    res[~valid] = None
+    return res
+
+
 def register_all(spark: SparkSession) -> None:
     """Install SQL-callable versions of the V_* surface on this session."""
 
     @pandas_udf("double")
     def v_cosine(v: pd.Series, q: pd.Series) -> pd.Series:
-        def one(a, b):
-            if a is None or b is None:
-                return None
-            a = np.asarray(a, dtype=np.float64)
-            b = np.asarray(b, dtype=np.float64)
-            na, nb = np.linalg.norm(a), np.linalg.norm(b)
-            if na == 0.0 or nb == 0.0:
-                return math.nan
-            return float(np.dot(a, b) / (na * nb))
-
-        return pd.Series([one(a, b) for a, b in zip(v, q)], dtype="float64")
+        return _dense_batch(v, q, _cosine_kernel)
 
     @pandas_udf("double")
     def v_dot(v: pd.Series, q: pd.Series) -> pd.Series:
-        def one(a, b):
-            if a is None or b is None:
-                return None
-            return float(np.dot(np.asarray(a, np.float64), np.asarray(b, np.float64)))
-
-        return pd.Series([one(a, b) for a, b in zip(v, q)], dtype="float64")
+        return _dense_batch(v, q, _dot_kernel)
 
     @pandas_udf("double")
     def v_euclid(v: pd.Series, q: pd.Series) -> pd.Series:
-        def one(a, b):
-            if a is None or b is None:
-                return None
-            d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
-            return float(np.sqrt(np.dot(d, d)))
-
-        return pd.Series([one(a, b) for a, b in zip(v, q)], dtype="float64")
+        return _dense_batch(v, q, _euclid_kernel)
 
     @pandas_udf("double")
     def v_sparse(ind: pd.Series, val: pd.Series, qind: pd.Series, qval: pd.Series) -> pd.Series:
-        def one(i, v, qi, qv):
-            if i is None or v is None or qi is None or qv is None:
-                return None
-            # coerce: SQL literals like array(1.0, 2.0) arrive as Decimals
-            qmap = {int(ix): float(x) for ix, x in zip(qi, qv)}
-            return float(sum(float(x) * qmap.get(int(ix), 0.0) for ix, x in zip(i, v)))
-
-        return pd.Series(
-            [one(*t) for t in zip(ind, val, qind, qval)], dtype="float64"
-        )
+        return _sparse_batch(ind, val, qind, qval)
 
     @pandas_udf("double")
     def v_maxsim(mv: pd.Series, q: pd.Series) -> pd.Series:
-        def one(doc, query):
-            if doc is None or query is None or len(doc) == 0:
-                return None
-            d = np.asarray([np.asarray(x, np.float64) for x in doc])
-            qm = np.asarray([np.asarray(x, np.float64) for x in query])
-            return float((qm @ d.T).max(axis=1).sum())
-
-        return pd.Series([one(a, b) for a, b in zip(mv, q)], dtype="float64")
+        return _maxsim_batch(mv, q)
 
     # V_SEARCH is a Spark 4 SQL-defined function, not a Python UDF: the
     # body inlines into the plan (sequential fold, bit-identical to the

@@ -385,3 +385,77 @@ class TestVariantJson:
         assert rows[0].city == "Paris" and rows[0].has_price
         assert rows[1].v_price is None and rows[1].city == "Rome" and not rows[1].has_price
         assert rows[2].v_price is None and not rows[2].has_price
+
+
+class TestVectorizedRegistryKernels:
+    """The SQL-fallback pandas-UDF kernels are batch-vectorized (no
+    per-element Python loops on the hot path); these pin their semantics
+    directly on pandas inputs, including the paths Spark rarely hits."""
+
+    def test_dense_batch_grouped_dims_and_nulls(self):
+        import numpy as np
+        import pandas as pd
+
+        from qdrant_datafusion_spark.functions.registry import (
+            _cosine_kernel,
+            _dense_batch,
+        )
+
+        v = pd.Series([[1.0, 0.0], None, [1.0, 2.0, 2.0], [0.0, 0.0]])
+        q = pd.Series([[1.0, 0.0], [1.0], [2.0, 4.0, 4.0], [1.0, 0.0]])
+        got = _dense_batch(v, q, _cosine_kernel)
+        assert got[0] == pytest.approx(1.0)
+        assert np.isnan(got[1])  # NULL input
+        assert got[2] == pytest.approx(1.0)  # second dim-group
+        assert np.isnan(got[3])  # zero vector
+
+    def test_sparse_flat_path_matches_reference_sum(self):
+        import pandas as pd
+
+        from qdrant_datafusion_spark.functions.registry import _sparse_batch
+
+        ind = pd.Series([[0, 5], [1, 3], [], None])
+        val = pd.Series([[0.1, 0.9], [0.7, 0.4], [], None])
+        qind = pd.Series([[5, 7], [1, 3], [2], [0]])
+        qval = pd.Series([[2.0, 1.0], [1.0, 1.0], [1.0], [1.0]])
+        got = _sparse_batch(ind, val, qind, qval)
+        assert got[0] == pytest.approx(0.9 * 2.0)
+        assert got[1] == pytest.approx(0.7 + 0.4)
+        assert got[2] == pytest.approx(0.0)  # empty postings
+        assert pd.isna(got[3])
+
+    def test_sparse_big_index_fallback_agrees(self):
+        import pandas as pd
+
+        from qdrant_datafusion_spark.functions.registry import _sparse_batch
+
+        huge = 1 << 40  # beyond the combined-key range -> per-row fallback
+        ind = pd.Series([[huge, 2], [0, 1]])
+        val = pd.Series([[3.0, 1.0], [1.0, 1.0]])
+        qind = pd.Series([[huge], [1]])
+        qval = pd.Series([[2.0], [5.0]])
+        got = _sparse_batch(ind, val, qind, qval)
+        assert got[0] == pytest.approx(6.0)
+        assert got[1] == pytest.approx(5.0)
+
+    def test_maxsim_common_query_fast_path_matches_per_row(self):
+        import numpy as np
+        import pandas as pd
+
+        from qdrant_datafusion_spark.functions.registry import _maxsim_batch
+
+        rng = np.random.default_rng(3)
+        q = [[float(x) for x in rng.standard_normal(4)] for _ in range(2)]
+        docs = [
+            [[float(x) for x in rng.standard_normal(4)] for _ in range(k)]
+            for k in (1, 3, 2)
+        ]
+        shared = _maxsim_batch(pd.Series(docs), pd.Series([q, q, q]))
+        mixed_q = [q, q, [q[0]]]  # one row diverges -> per-row path
+        per_row = _maxsim_batch(pd.Series(docs), pd.Series(mixed_q))
+        for i in range(2):  # rows with the same query agree across paths
+            assert shared[i] == pytest.approx(per_row[i])
+        expected0 = sum(
+            max(np.dot(qi, d) for d in docs[0]) for qi in np.asarray(q)
+        )
+        assert shared[0] == pytest.approx(expected0)
