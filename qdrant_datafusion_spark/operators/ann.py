@@ -264,49 +264,89 @@ def self_knn_join_lsh(
 
     ``planes`` is split into ``tables`` groups of p planes; a pair is a
     candidate iff it shares a sign-pattern bucket in ANY table
-    (OR-construction: recall 1-(1-q^p)^L).  Candidates are re-scored with
-    the exact sequential-order cosine kernel (bit-identical to a DuckDB
-    oracle), then a per-id window keeps rank ≤ k.  Shuffles key on
-    (table, bucket) and id only; per-table bucket sizes are ~N/2^p, so
-    join work scales with Σ bucket² instead of the exact grid's
-    O((N/B)²) block pairs.  ``max_bucket_size`` drops oversized buckets
-    (skew guard, same contract as the LSH dedup cap).
+    (OR-construction: recall 1-(1-q^p)^L).  Each bucket becomes ONE
+    in-task GEMM block emitting per-id shortlists of (k+4) best
+    neighbors within the bucket — candidate pairs never materialize as a
+    shuffled vector-pair join, and the only wide exchanges key on
+    (table, bucket) and id.  The shortlist union is re-ranked globally
+    (approx, then exact) and ONLY the surviving k rows per id are scored
+    with the sequential-order native kernel, so emitted scores are
+    bit-identical to a DuckDB oracle; truncation is sound because a
+    pair's global candidate rank for an id can't beat its rank inside
+    any shared bucket, and the 4-slot margin absorbs BLAS-vs-sequential
+    ulps at rank boundaries.  ``max_bucket_size`` drops oversized
+    buckets (skew guard, same contract as the LSH dedup cap).
 
     Returns (id, nbr_id, score, rank) — the same shape as
     :func:`self_knn_join`; edge recall vs the exact graph is itself a
     gated query (dedup_embedding_recall) rather than a silent assumption.
     """
-    from qdrant_datafusion_spark.operators.dedup import _cap_hot_buckets
+    import numpy as np
+    import pandas as pd
+
+    from qdrant_datafusion_spark.operators.dedup import (
+        _cap_hot_buckets,
+        _make_lsh_bucket_udf,
+    )
 
     if len(planes) % tables:
         raise ValueError("tables must divide len(planes)")
-    p = len(planes) // tables
     rows = collection.select(
         F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
-    table_buckets = [
-        F.concat(F.lit(f"{t}|"), lsh_bucket("_v", planes[t * p : (t + 1) * p]))
-        for t in range(tables)
-    ]
+    id_dt = collection.select(id_col).schema.fields[0].dataType.simpleString()
+    bucket_udf = _make_lsh_bucket_udf(planes, tables)
     bucketed = _cap_hot_buckets(
-        rows.select("_id", F.explode(F.array(*table_buckets)).alias("_bucket")),
+        rows.select("_id", "_v", F.explode(bucket_udf(F.col("_v"))).alias("_bucket")),
         ["_bucket"],
         max_bucket_size,
     )
-    # candidate (id, nbr_id) pairs first, vectors joined back after the
-    # dropDuplicates — the dedup shuffle carries id pairs, not vectors
-    a = bucketed.select(F.col("_id").alias("id"), "_bucket")
-    b = bucketed.select(F.col("_id").alias("nbr_id"), "_bucket")
-    cands = (
-        a.join(b, "_bucket")
-        .filter(F.col("id") != F.col("nbr_id"))
-        .select("id", "nbr_id")
-        .dropDuplicates(["id", "nbr_id"])
+    shortlist_k = k + 4
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows sorted by id so a stable argsort breaks approx-score ties
+        # by ascending neighbor id (the oracle's tie-break)
+        pdf = pdf.sort_values("_id", kind="stable")
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id": ids[:0],
+                    "nbr_id": ids[:0],
+                    "_approx": np.array([], dtype=np.float64),
+                }
+            )
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0.0] = np.nan
+        C = (M @ M.T) / np.outer(norms, norms)
+        np.fill_diagonal(C, -np.inf)
+        top = min(shortlist_k, n - 1)
+        nbr_pos = np.argsort(-C, axis=1, kind="stable")[:, :top]
+        src = np.repeat(ids, top)
+        nbr = ids[nbr_pos.reshape(-1)]
+        approx = np.take_along_axis(C, nbr_pos, axis=1).reshape(-1)
+        keep = np.isfinite(approx)
+        return pd.DataFrame(
+            {"id": src[keep], "nbr_id": nbr[keep], "_approx": approx[keep]}
+        )
+
+    per_bucket = bucketed.groupBy("_bucket").applyInPandas(
+        block, schema=f"id {id_dt}, nbr_id {id_dt}, _approx double"
+    )
+    # same pair from several buckets carries an identical approx score
+    # (same GEMM operands) — keep one, then re-rank the union per id
+    approx_w = Window.partitionBy("id").orderBy(F.desc("_approx"), F.asc("nbr_id"))
+    shortlist = (
+        per_bucket.dropDuplicates(["id", "nbr_id"])
+        .withColumn("_arank", F.row_number().over(approx_w))
+        .filter(F.col("_arank") <= shortlist_k)
     )
     va_df = rows.select(F.col("_id").alias("id"), F.col("_v").alias("_va"))
     vb_df = rows.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"))
     scored = (
-        cands.join(va_df, "id")
+        shortlist.join(va_df, "id")
         .join(vb_df, "nbr_id")
         .select(
             "id",

@@ -1,0 +1,205 @@
+"""Vector quantization — the compressed-search tier of the engine.
+
+Qdrant's quantization families (scalar int8, binary) re-expressed
+Spark-first (reference scope: the qdrant-datafusion provider serves
+collections whose server-side storage uses exactly these compressions;
+here they become *columnar* codes so 100 TB of float32 vectors shrink
+4-32× before any shuffle).
+
+Everything is native Column expressions — codes are built with
+``transform``/``aggregate`` HOFs, distances with integer XOR +
+``bit_count`` — so quantized search stays inside whole-stage codegen and
+never crosses the Python boundary.
+
+- ``scalar_quantize``   — per-vector min/max → uint8 codes (array<int>)
+                          + (lo, scale) reconstruction params
+- ``scalar_dequantize`` — codes → approximate float vector
+- ``binary_quantize``   — sign bits packed 64-per-bigint (array<bigint>)
+- ``hamming_distance``  — XOR + bit_count over packed words
+- ``binary_search_topk``— two-stage: Hamming shortlist on packed bits →
+                          exact cosine rerank (the 100 TB default for
+                          brute-force search: the shortlist scan reads
+                          8 bytes/vector instead of 256)
+
+Determinism: code assignment uses ``floor(x + 0.5)`` (half-up for the
+non-negative scaled domain), which DuckDB reproduces bit-for-bit — every
+operator here has a full value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.distance import cosine_similarity
+
+#: quantization levels for int8-style codes (0..255)
+SCALAR_LEVELS = 255
+
+
+def _arr(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def scalar_quantize(
+    df: DataFrame,
+    vector_col: str,
+    out_col: str = "codes",
+    lo_col: str = "q_lo",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Per-vector min/max scalar quantization: float vector → 0..255 codes.
+
+    Each vector carries its own (lo, scale) so reconstruction is
+    ``lo + code * scale`` — no global statistics pass, which is what
+    keeps this a single narrow map at any scale (no shuffle, no fit
+    stage).  scale is (max-lo)/255; constant vectors get scale 0 and
+    all-zero codes.  ``floor(x + 0.5)`` rounding keeps an exact DuckDB
+    oracle."""
+    v = _arr(vector_col)
+    lo = F.array_min(v)
+    scale = (F.array_max(v) - lo) / F.lit(float(SCALAR_LEVELS))
+    # lo/scale land as columns FIRST so the per-element lambda references
+    # scalars, not a re-evaluated array_min per element
+    out = df.withColumn(lo_col, lo.cast("double")).withColumn(
+        scale_col, scale.cast("double")
+    )
+    codes = F.when(
+        F.col(scale_col) > 0.0,
+        F.transform(
+            v,
+            lambda x: F.floor(
+                (x - F.col(lo_col)) / F.col(scale_col) + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return out.withColumn(out_col, codes)
+
+
+def scalar_dequantize(
+    codes_col: Column | str, lo_col: Column | str, scale_col: Column | str
+) -> Column:
+    """codes + (lo, scale) → approximate float vector (array<double>)."""
+    lo = _arr(lo_col)
+    scale = _arr(scale_col)
+    return F.transform(_arr(codes_col), lambda c: lo + c.cast("double") * scale)
+
+
+def binary_quantize(
+    df: DataFrame, vector_col: str, out_col: str = "bits"
+) -> DataFrame:
+    """Sign-bit binary quantization packed 64 dims per bigint.
+
+    ``bits[w]`` holds dims ``[64w, 64w+64)``; dim d sets bit ``d % 64``
+    when ``v[d] > 0``.  A 64-dim float32 vector (256 B) becomes ONE
+    bigint (8 B) — the at-rest/shuffle representation for the Hamming
+    shortlist stage.  Pure ``aggregate`` over a dim-index sequence, so
+    the packing is codegen'd (no UDF)."""
+    v = _arr(vector_col)
+    n_words = F.ceil(F.size(v) / F.lit(64)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(w * 64, F.least(w * 64 + 63, F.size(v) - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc
+            + F.when(
+                F.element_at(v, d + 1) > 0.0,
+                F.shiftleft(F.lit(1).cast("bigint"), (d % 64).cast("int")),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+    )
+    return df.withColumn(out_col, words)
+
+
+def binary_quantize_query(query: list[float]) -> list[int]:
+    """Driver-side packing of a literal query vector (same bit layout)."""
+    words = []
+    for w in range(0, len(query), 64):
+        word = 0
+        for j, x in enumerate(query[w : w + 64]):
+            if x > 0.0:
+                word |= 1 << j
+        # two's-complement into signed int64 (bit 63 set -> negative)
+        if word >= 1 << 63:
+            word -= 1 << 64
+        words.append(word)
+    return words
+
+
+def hamming_distance(bits_col: Column | str, query_words: list[int]) -> Column:
+    """Popcount of XOR over packed words — one codegen'd expression,
+    no array allocation: ``Σ bit_count(bits[w] ^ q[w])``."""
+    b = _arr(bits_col)
+    total = F.lit(0)
+    for w, qw in enumerate(query_words):
+        total = total + F.bit_count(
+            F.element_at(b, w + 1).bitwiseXOR(F.lit(qw).cast("bigint"))
+        )
+    return total
+
+
+def binary_search_topk(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+    bits_col: str | None = None,
+) -> DataFrame:
+    """Two-stage quantized search: Hamming shortlist → exact cosine top-k.
+
+    Stage 1 scans only the packed bits (8 B per 64 dims) and keeps the
+    ``shortlist`` (default 4k) nearest by Hamming distance — a
+    TakeOrdered over integers, no shuffle of float vectors.  Stage 2
+    re-scores just the shortlist with exact cosine and keeps the top k.
+    With a stored ``bits_col`` the float column is only *read* for
+    shortlisted rows' re-scoring; at 100 TB the stage-1 scan is ~3% of
+    the full-float scan's bytes.
+
+    Ties at the Hamming boundary are broken by id so the shortlist —
+    and therefore the result — is deterministic (matching the oracle's
+    ``ORDER BY hd, id LIMIT s`` subquery)."""
+    shortlist = shortlist or max(4 * k, 64)
+    work = df if bits_col else binary_quantize(df, vector_col, "_bits")
+    bcol = bits_col or "_bits"
+    qwords = binary_quantize_query(query)
+    hd = hamming_distance(bcol, qwords).alias("_hd")
+    short = (
+        work.select(id_col, vector_col, hd)
+        .orderBy(F.asc("_hd"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vector_col), query), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def quantization_error_stats(
+    df: DataFrame, vector_col: str, id_col: str
+) -> DataFrame:
+    """One-row audit of scalar-quantization fidelity: max |x - x̂| equals
+    scale/2 per vector by construction; this measures it empirically
+    (mean/max absolute reconstruction error over the collection) so the
+    compression claim is a gated value, not an assumption."""
+    q = scalar_quantize(df.filter(_arr(vector_col).isNotNull()), vector_col)
+    recon = scalar_dequantize("codes", "q_lo", "q_scale")
+    err = F.aggregate(
+        F.zip_with(_arr(vector_col), recon, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    per_vec = q.select(F.col(id_col), err.alias("max_err"), F.col("q_scale"))
+    return per_vec.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+        F.round(F.max("max_err"), 6).alias("worst_err"),
+        # reconstruction error is bounded by scale/2 + fp slack
+        F.min(F.col("max_err") <= F.col("q_scale") * 0.5 + 1e-9).alias("bound_ok"),
+    )
