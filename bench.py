@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "ann_knn_graph_blocked",
+    "v_search_scalar_quant",
+    "v_search_binary_quant",
     "text_quality",
     "doc_fingerprints",
 ]

@@ -2113,6 +2113,149 @@ ORACLES["dedup_embedding_lsh"] = DEDUP_EMBEDDING_LSH_SQL
 ORACLES["dedup_embedding_recall"] = DEDUP_EMBEDDING_RECALL_SQL
 ORACLES["ann_knn_graph_blocked"] = ANN_KNN_GRAPH_BLOCKED_SQL
 
+# ===========================================================================
+# quantization tier: scalar int8 + binary sign-bit compression with full
+# value oracles (Qdrant's server-side quantization families re-expressed
+# as columnar codes; the binary Hamming shortlist is the cheap stage-1
+# scan for brute-force search at 100 TB — 8 bytes per 64 dims)
+# ===========================================================================
+
+#: DuckDB fragments shared by the scalar-quant oracles: per-vector
+#: (lo, scale) and the float64 view of the embedding
+_QUANT_BASE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS lo,
+         (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0
+           AS scale
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+"""
+
+
+def quant_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization fidelity audit as a gated value: max |x - x̂|
+    per vector, aggregated; bound_ok pins err ≤ scale/2."""
+    from qdrant_datafusion_spark.operators.quantize import quantization_error_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantization_error_stats(emb, "embedding", "vec_id")
+
+
+QUANT_ERROR_STATS_SQL = _QUANT_BASE_SQL + """
+, e AS (
+  SELECT vec_id, scale,
+    CASE WHEN scale > 0 THEN
+      list_max(list_transform(range(1, len(v) + 1),
+        i -> abs(v[i] - (lo + floor((v[i] - lo) / scale + 0.5) * scale))))
+    ELSE list_max(list_transform(v, x -> abs(x - lo))) END AS max_err
+  FROM q
+)
+SELECT count(*) AS n,
+       round(sum(max_err::DECIMAL(18,12))::DOUBLE / count(*), 6) AS avg_max_err,
+       round(max(max_err), 6) AS worst_err,
+       bool_and(max_err <= scale * 0.5 + 1e-9) AS bound_ok
+FROM e
+"""
+
+
+def v_search_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over RECONSTRUCTED int8-quantized vectors — what a
+    search against scalar-compressed storage returns.  Deterministic
+    floor(x+0.5) code assignment ⇒ full value oracle."""
+    from qdrant_datafusion_spark.operators.quantize import (
+        scalar_dequantize,
+        scalar_quantize,
+    )
+    from qdrant_datafusion_spark.functions.distance import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = scalar_quantize(emb, "embedding")
+    recon = scalar_dequantize("codes", "q_lo", "q_scale")
+    return (
+        q.select(
+            "vec_id",
+            F.round(cosine_similarity(recon, QUERY_VEC), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+V_SEARCH_SCALAR_QUANT_SQL = _QUANT_BASE_SQL + f"""
+, r AS (
+  SELECT vec_id,
+    CASE WHEN scale > 0 THEN
+      list_transform(v, x -> lo + floor((x - lo) / scale + 0.5) * scale)
+    ELSE list_transform(v, x -> lo) END AS rv
+  FROM q
+)
+SELECT vec_id,
+       round(list_dot_product(rv, {_sql_array(QUERY_VEC)})
+             / (sqrt(list_dot_product(rv, rv))
+                * sqrt(list_dot_product({_sql_array(QUERY_VEC)},
+                                        {_sql_array(QUERY_VEC)}))), 6) AS score
+FROM r
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def v_search_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-quantized search: Hamming shortlist over packed
+    sign bits (8 B per 64 dims — the stage-1 scan at 100 TB) → exact
+    cosine rerank.  Shortlist ties break on id ⇒ deterministic ⇒ full
+    value oracle."""
+    from qdrant_datafusion_spark.operators.quantize import binary_search_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return binary_search_topk(
+        emb, "embedding", "vec_id", QUERY_VEC, k=10, shortlist=64
+    )
+
+
+def _binary_quant_oracle_sql() -> str:
+    from qdrant_datafusion_spark.operators.quantize import binary_quantize_query
+
+    qw = binary_quantize_query(QUERY_VEC)[0]
+    qv = _sql_array(QUERY_VEC)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(0, 64),
+           d -> CASE WHEN embedding[d + 1] <= 0.0 THEN 0::BIGINT
+                     -- DuckDB checks 1<<63 for overflow; Spark's
+                     -- shiftleft wraps to the two's-complement min-long
+                     WHEN d = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                     ELSE (1::BIGINT << d) END))::BIGINT AS w0
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+short AS (
+  SELECT vec_id, embedding
+  FROM b
+  ORDER BY bit_count(xor(w0, ({qw})::BIGINT)) ASC, vec_id ASC
+  LIMIT 64
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {qv})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({qv}, {qv}))), 6) AS score
+FROM short
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+QUERIES["quant_error_stats"] = quant_error_stats
+QUERIES["v_search_scalar_quant"] = v_search_scalar_quant
+QUERIES["v_search_binary_quant"] = v_search_binary_quant
+ORACLES["quant_error_stats"] = QUANT_ERROR_STATS_SQL
+ORACLES["v_search_scalar_quant"] = V_SEARCH_SCALAR_QUANT_SQL
+ORACLES["v_search_binary_quant"] = _binary_quant_oracle_sql()
+
 # A time-budgeted driver that stops early drops TRAILING entries —
 # v_random_sample had no CORRECTNESS row in round 1 purely by being the
 # last registration.  Re-order so the cheap rows-only queries run first

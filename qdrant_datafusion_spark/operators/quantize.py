@@ -56,7 +56,9 @@ def scalar_quantize(
     stage).  scale is (max-lo)/255; constant vectors get scale 0 and
     all-zero codes.  ``floor(x + 0.5)`` rounding keeps an exact DuckDB
     oracle."""
-    v = _arr(vector_col)
+    # all math in float64 (cast BEFORE min/max) so the code assignment is
+    # reproducible bit-for-bit by a DOUBLE[]-casting oracle
+    v = _arr(vector_col).cast("array<double>")
     lo = F.array_min(v)
     scale = (F.array_max(v) - lo) / F.lit(float(SCALAR_LEVELS))
     # lo/scale land as columns FIRST so the per-element lambda references
@@ -95,19 +97,19 @@ def binary_quantize(
     bigint (8 B) — the at-rest/shuffle representation for the Hamming
     shortlist stage.  Pure ``aggregate`` over a dim-index sequence, so
     the packing is codegen'd (no UDF)."""
-    v = _arr(vector_col)
-    n_words = F.ceil(F.size(v) / F.lit(64)).cast("int")
-    words = F.transform(
-        F.sequence(F.lit(0), n_words - 1),
-        lambda w: F.aggregate(
-            F.sequence(w * 64, F.least(w * 64 + 63, F.size(v) - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, d: acc
-            + F.when(
-                F.element_at(v, d + 1) > 0.0,
-                F.shiftleft(F.lit(1).cast("bigint"), (d % 64).cast("int")),
-            ).otherwise(F.lit(0).cast("bigint")),
-        ),
+    # SQL text because shiftleft's Python binding takes only a literal
+    # shift count — the SQL form accepts the per-dim column exponent
+    words = F.expr(
+        f"""
+        transform(
+          sequence(0, cast(ceil(size({vector_col}) / 64.0) as int) - 1),
+          w -> aggregate(
+            sequence(w * 64, least(w * 64 + 63, size({vector_col}) - 1)),
+            cast(0 as bigint),
+            (acc, d) -> acc + if({vector_col}[d] > 0.0D,
+                                 shiftleft(cast(1 as bigint), d % 64),
+                                 cast(0 as bigint))))
+        """
     )
     return df.withColumn(out_col, words)
 
@@ -198,7 +200,12 @@ def quantization_error_stats(
     per_vec = q.select(F.col(id_col), err.alias("max_err"), F.col("q_scale"))
     return per_vec.agg(
         F.count("*").alias("n"),
-        F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+        # decimal sum: order-independent across partitionings (oracle parity)
+        F.round(
+            F.sum(F.col("max_err").cast("decimal(18,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_max_err"),
         F.round(F.max("max_err"), 6).alias("worst_err"),
         # reconstruction error is bounded by scale/2 + fp slack
         F.min(F.col("max_err") <= F.col("q_scale") * 0.5 + 1e-9).alias("bound_ok"),
