@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_knn_graph_blocked",
     "v_search_scalar_quant",
     "v_search_binary_quant",
+    "ann_pq_topk",
     "text_quality",
     "doc_fingerprints",
 ]

@@ -2249,6 +2249,76 @@ LIMIT 10
 """
 
 
+#: seeded literal PQ codebooks (8 subspaces × 16 centroids × dim 8) — the
+#: same literal-centroids trick as ann_ivf_topk: training is pytest-covered
+#: (train_pq_codebooks is deterministic), the gate pins encode+ADC+rerank
+EMB_PQ_BOOKS = [
+    [_seeded_vec(8, 300 + s * 16 + j) for j in range(16)] for s in range(8)
+]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized search: per-subspace nearest-centroid codes, ADC
+    shortlist (m table lookups per row), exact cosine rerank."""
+    from qdrant_datafusion_spark.operators.quantize import pq_search_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return pq_search_topk(
+        emb, "embedding", "vec_id", QUERY_VEC, EMB_PQ_BOOKS, k=10, rerank=64
+    )
+
+
+def _pq_oracle_sql() -> str:
+    sub = len(EMB_PQ_BOOKS[0][0])
+
+    def dist(s: int, cent: list[float]) -> str:
+        cb = "[" + ", ".join(f"{x!r}" for x in cent) + "]"
+        off = s * sub
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> (v[{off} + i] - ({cb})[i]) * (v[{off} + i] - ({cb})[i])))"
+        )
+
+    code_exprs = []
+    adc_terms = []
+    for s, book in enumerate(EMB_PQ_BOOKS):
+        dlist = "list_value(" + ", ".join(dist(s, c) for c in book) + ")"
+        code_exprs.append(f"list_position({dlist}, list_min({dlist})) AS c{s}")
+        qs = QUERY_VEC[s * sub : (s + 1) * sub]
+        table = [
+            float(sum((a - b) * (a - b) for a, b in zip(qs, c))) for c in book
+        ]
+        tlit = "[" + ", ".join(f"{x!r}" for x in table) + "]"
+        adc_terms.append(f"({tlit})[c{s}]")
+    qv = _sql_array(QUERY_VEC)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+coded AS (
+  SELECT vec_id, embedding, {", ".join(code_exprs)}
+  FROM base
+),
+short AS (
+  SELECT vec_id, embedding
+  FROM coded
+  ORDER BY ({" + ".join(adc_terms)}) ASC, vec_id ASC
+  LIMIT 64
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {qv})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({qv}, {qv}))), 6) AS score
+FROM short
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+QUERIES["ann_pq_topk"] = ann_pq_topk
+ORACLES["ann_pq_topk"] = _pq_oracle_sql()
+
 QUERIES["quant_error_stats"] = quant_error_stats
 QUERIES["v_search_scalar_quant"] = v_search_scalar_quant
 QUERIES["v_search_binary_quant"] = v_search_binary_quant

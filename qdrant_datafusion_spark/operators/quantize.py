@@ -28,7 +28,10 @@ operator here has a full value oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.distance import cosine_similarity
@@ -209,4 +212,172 @@ def quantization_error_stats(
         F.round(F.max("max_err"), 6).alias("worst_err"),
         # reconstruction error is bounded by scale/2 + fp slack
         F.min(F.col("max_err") <= F.col("q_scale") * 0.5 + 1e-9).alias("bound_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): m subspaces, k centroids each — codes are m
+# small ints (m bytes at k<=256 vs 4*dim bytes of float32), and query
+# scoring is an additive lookup over m precomputed distance tables (ADC)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vector_col: str,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "id",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: deterministic k-means per subspace, reusing the
+    IVF trainer on each dim-slice.  Returns ``codebooks[m][k][dim/m]``.
+
+    m × iterations scans — an offline index-build; at 100 TB train on a
+    sample and encode with one full pass (:func:`pq_encode`)."""
+    from qdrant_datafusion_spark.operators.ann import train_ivf_centroids
+
+    dim = len(df.select(vector_col).filter(
+        _arr(vector_col).isNotNull()).first()[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.filter(_arr(vector_col).isNotNull()).select(
+            F.col(id_col),
+            F.slice(_arr(vector_col), s * sub + 1, sub).alias("_sub"),
+        )
+        books.append(
+            train_ivf_centroids(sliced, "_sub", k=k, iterations=iterations,
+                                id_col=id_col)
+        )
+    return books
+
+
+def _sub_sq_dist(v: Column, s: int, sub: int, centroid: Sequence[float]) -> Column:
+    """Squared euclid between dim-slice s of ``v`` and a literal centroid —
+    sequential-fold sum so a DuckDB list_dot_product oracle matches."""
+    diff = F.zip_with(
+        F.slice(v, s * sub + 1, sub).cast("array<double>"),
+        F.array(*[F.lit(float(c)) for c in centroid]),
+        lambda a, b: a - b,
+    )
+    return F.aggregate(
+        F.zip_with(diff, diff, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vector_col: str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """vector → m codes: per subspace, the 1-based index of the nearest
+    centroid (np.argmin first-match-on-ties — the same semantics as
+    array_position / DuckDB list_position).  One narrow Arrow-batched map,
+    no shuffle: each batch does m broadcasted (n, k, sub) squared-diff
+    reductions (the elementwise (a-b)² formula, NOT the a²-2ab+b² GEMM
+    expansion, so distances match an elementwise oracle to reduction-order
+    ulps; an argmin flip would need two centroids within ~1e-15 of the
+    same distance).  The native-expression distance (:func:`_sub_sq_dist`)
+    remains the reference formula and is what :func:`pq_search_topk`'s
+    oracle reproduces."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        out = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            Ms = M[:, s * sub : (s + 1) * sub]  # (n, sub)
+            diff = Ms[:, None, :] - books[s][None, :, :]  # (n, k, sub)
+            d = np.einsum("nks,nks->nk", diff, diff)
+            out[:, s] = np.argmin(d, axis=1) + 1  # 1-based, first-match
+        return pd.Series([row.tolist() for row in out])
+
+    return df.withColumn(out_col, encode(_arr(vector_col)))
+
+
+def pq_decode(
+    codes_col: Column | str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+) -> Column:
+    """m codes → reconstructed vector (concat of the coded centroids)."""
+    codes = _arr(codes_col)
+    parts = []
+    for s, book in enumerate(codebooks):
+        lit_book = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        parts.append(F.element_at(lit_book, F.element_at(codes, s + 1)))
+    return F.concat(*parts)
+
+
+def pq_adc_score(
+    codes_col: Column | str,
+    query: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+) -> Column:
+    """Asymmetric distance (ADC): Σ_s table_s[code_s], where table_s holds
+    the squared distances from the query's s-th slice to every centroid —
+    computed driver-side once (query and codebooks are literals), so the
+    scan does m array lookups + adds per row and nothing else.  Lower is
+    closer."""
+    codes = _arr(codes_col)
+    sub = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for s, book in enumerate(codebooks):
+        qs = [float(x) for x in query[s * sub : (s + 1) * sub]]
+        table = [
+            float(sum((a - b) * (a - b) for a, b in zip(qs, c))) for c in book
+        ]
+        lit_table = F.array(*[F.lit(d) for d in table])
+        total = total + F.element_at(lit_table, F.element_at(codes, s + 1))
+    return total
+
+
+def pq_search_topk(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    query: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist over codes (m lookups/row) →
+    exact cosine rerank.  ``rerank`` (default 4k) bounds stage 2; ties on
+    ADC break by id so the shortlist is deterministic.  Returns
+    (id, score) — same contract as :func:`binary_search_topk`."""
+    from qdrant_datafusion_spark.functions.distance import cosine_similarity
+
+    rerank = rerank or max(4 * k, 64)
+    encoded = pq_encode(
+        df.filter(_arr(vector_col).isNotNull()), vector_col, codebooks
+    )
+    short = (
+        encoded.withColumn("_adc", pq_adc_score("pq_codes", query, codebooks))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        short.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vector_col), list(query)), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
     )

@@ -122,3 +122,126 @@ class TestBinarySearch:
         rows = got.collect()
         assert len(rows) == 3
         assert rows[0].score >= rows[1].score >= rows[2].score
+
+
+class TestProductQuantization:
+    def _books(self):
+        import random
+
+        def vec(seed, d=16):
+            rng = random.Random(seed)
+            return [round(rng.uniform(-1, 1), 6) for _ in range(d)]
+
+        return [[vec(500 + s * 4 + j) for j in range(4)] for s in range(4)]
+
+    def test_train_is_deterministic_and_shaped(self, spark, sf_dir):
+        from qdrant_datafusion_spark.operators.quantize import train_pq_codebooks
+
+        emb = _emb(spark, sf_dir).limit(100)
+        b1 = train_pq_codebooks(emb, "embedding", m=4, k=4, iterations=2,
+                                id_col="vec_id")
+        b2 = train_pq_codebooks(emb, "embedding", m=4, k=4, iterations=2,
+                                id_col="vec_id")
+        assert b1 == b2  # deterministic init + iteration
+        assert len(b1) == 4 and len(b1[0]) == 4 and len(b1[0][0]) == 16
+
+    def test_encode_matches_native_expression(self, spark, sf_dir):
+        """The Arrow argmin encode agrees with the native-expression
+        distance formula it documents as its reference."""
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.quantize import (
+            _sub_sq_dist,
+            pq_encode,
+        )
+
+        books = self._books()
+        emb = _emb(spark, sf_dir).limit(50)
+        got = {
+            r.vec_id: r.pq_codes
+            for r in pq_encode(emb, "embedding", books).select(
+                "vec_id", "pq_codes"
+            ).collect()
+        }
+        v = F.col("embedding")
+        native = []
+        for s, book in enumerate(books):
+            d = F.array(*[_sub_sq_dist(v, s, 16, c) for c in book])
+            native.append(F.array_position(d, F.array_min(d)).cast("int"))
+        want = {
+            r.vec_id: r.codes
+            for r in emb.select(
+                "vec_id", F.array(*native).alias("codes")
+            ).collect()
+        }
+        assert got == want
+
+    def test_decode_roundtrips_centroids(self, spark):
+        from qdrant_datafusion_spark.operators.quantize import (
+            pq_decode,
+            pq_encode,
+        )
+
+        books = self._books()
+        # a vector equal to centroid j of each subspace decodes to itself
+        target = books[0][2] + books[1][0] + books[2][3] + books[3][1]
+        df = spark.createDataFrame([(1, target)], "id int, v array<double>")
+        enc = pq_encode(df, "v", books)
+        assert enc.select("pq_codes").collect()[0].pq_codes == [3, 1, 4, 2]
+        rec = enc.select(pq_decode("pq_codes", books).alias("r")).collect()[0].r
+        assert [round(x, 6) for x in rec] == [round(x, 6) for x in target]
+
+    def test_adc_matches_decoded_distance(self, spark, sf_dir):
+        """ADC score == squared distance from query to the DECODED vector
+        (the defining PQ identity)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.quantize import (
+            pq_adc_score,
+            pq_decode,
+            pq_encode,
+        )
+
+        books = self._books()
+        rng = random.Random(21)
+        qv = [rng.uniform(-1, 1) for _ in range(64)]
+        emb = _emb(spark, sf_dir).limit(20)
+        enc = pq_encode(emb, "embedding", books)
+        rows = enc.select(
+            pq_adc_score("pq_codes", qv, books).alias("adc"),
+            pq_decode("pq_codes", books).alias("rec"),
+        ).collect()
+        for r in rows:
+            direct = sum((a - b) ** 2 for a, b in zip(qv, r.rec))
+            assert r.adc == pytest.approx(direct, rel=1e-9)
+
+    def test_pq_search_full_rerank_equals_exact(self, spark, sf_dir):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.functions.distance import cosine_similarity
+        from qdrant_datafusion_spark.operators.quantize import pq_search_topk
+
+        books = self._books()
+        rng = random.Random(22)
+        qv = [rng.uniform(-1, 1) for _ in range(64)]
+        emb = _emb(spark, sf_dir)
+        n = emb.count()
+        approx = pq_search_topk(
+            emb, "embedding", "vec_id", qv, books, k=5, rerank=n
+        ).collect()
+        exact = (
+            emb.select(
+                "vec_id",
+                F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(5)
+            .collect()
+        )
+        assert [(r.vec_id, r.score) for r in approx] == [
+            (r.vec_id, r.score) for r in exact
+        ]
