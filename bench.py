@@ -47,6 +47,7 @@ HEADLINE = [
     "v_search_scalar_quant",
     "v_search_binary_quant",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "text_quality",
     "doc_fingerprints",
 ]

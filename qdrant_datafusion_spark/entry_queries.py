@@ -2316,8 +2316,98 @@ LIMIT 10
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition: coarse-cell probe (partition-prunable) → ADC
+    shortlist over codes → exact cosine rerank.  Literal centroids AND
+    codebooks ⇒ full value oracle for the whole two-level index."""
+    from qdrant_datafusion_spark.operators.quantize import ivfpq_search_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return ivfpq_search_topk(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        "embedding",
+        "id",
+        QUERY_VEC,
+        IVF_CENTROIDS,
+        EMB_PQ_BOOKS,
+        k=10,
+        nprobe=3,
+        rerank=64,
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Two-level oracle: the IVF assignment/probe CTEs (same literals as
+    _ivf_oracle_sql) feed the PQ encode/ADC CTEs (same literals as
+    _pq_oracle_sql), then exact-rerank."""
+    q = [float(x) for x in QUERY_VEC]
+    cscores = [
+        (i, sum(a * b for a, b in zip(q, c))) for i, c in enumerate(IVF_CENTROIDS)
+    ]
+    probe = [i for i, _ in sorted(cscores, key=lambda t: -t[1])[:3]]
+    cent_dots = ",\n    ".join(
+        f"list_dot_product(embedding::DOUBLE[], {_sql_array(c)}::DOUBLE[])"
+        for c in IVF_CENTROIDS
+    )
+    sub = len(EMB_PQ_BOOKS[0][0])
+
+    def dist(s: int, cent: list[float]) -> str:
+        cb = "[" + ", ".join(f"{x!r}" for x in cent) + "]"
+        off = s * sub
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> (v[{off} + i] - ({cb})[i]) * (v[{off} + i] - ({cb})[i])))"
+        )
+
+    code_exprs = []
+    adc_terms = []
+    for s, book in enumerate(EMB_PQ_BOOKS):
+        dlist = "list_value(" + ", ".join(dist(s, c) for c in book) + ")"
+        code_exprs.append(f"list_position({dlist}, list_min({dlist})) AS c{s}")
+        qs = q[s * sub : (s + 1) * sub]
+        table = [
+            float(sum((a - b) * (a - b) for a, b in zip(qs, c))) for c in book
+        ]
+        tlit = "[" + ", ".join(f"{x!r}" for x in table) + "]"
+        adc_terms.append(f"({tlit})[c{s}]")
+    qv = _sql_array(QUERY_VEC)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id AS id, embedding, embedding::DOUBLE[] AS v,
+         [{cent_dots}] AS cscores
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+probed AS (
+  SELECT id, embedding, v
+  FROM assigned
+  WHERE list_position(cscores, list_max(cscores)) - 1
+          IN ({", ".join(str(p) for p in probe)})
+),
+coded AS (
+  SELECT id, embedding, {", ".join(code_exprs)}
+  FROM probed
+),
+short AS (
+  SELECT id, embedding
+  FROM coded
+  ORDER BY ({" + ".join(adc_terms)}) ASC, id ASC
+  LIMIT 64
+)
+SELECT id,
+       round(list_dot_product(embedding::DOUBLE[], {qv})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({qv}, {qv}))), 6) AS score
+FROM short
+ORDER BY score DESC, id ASC
+LIMIT 10
+"""
+
+
 QUERIES["ann_pq_topk"] = ann_pq_topk
+QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
 ORACLES["ann_pq_topk"] = _pq_oracle_sql()
+ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle_sql()
 
 QUERIES["quant_error_stats"] = quant_error_stats
 QUERIES["v_search_scalar_quant"] = v_search_scalar_quant

@@ -381,3 +381,52 @@ def pq_search_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_search_topk(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF + PQ — the classic two-level ANN index, composed from this
+    repo's pieces: coarse cells prune the scan (written
+    ``partitionBy(ivf_cell)`` the probe is a partition-pruned READ, proof
+    in ``test_plans.py::TestIvfPartitionPruning``), PQ/ADC ranks the
+    probed cells with m lookups per row, and exact cosine reranks the
+    shortlist.  At 100 TB the full-vector column is touched only for
+    ``rerank`` rows; everything before that reads cell partitions and
+    m-byte codes.  Probe-set selection is driver-side over literal
+    centroids (same rule as :func:`~.ann.ivf_topk`)."""
+    from qdrant_datafusion_spark.functions.distance import cosine_similarity
+    from qdrant_datafusion_spark.operators.ann import assign_ivf_cells
+
+    rerank = rerank or max(4 * k, 64)
+    q = [float(x) for x in query]
+    cscores = [
+        (i, sum(a * b for a, b in zip(q, c))) for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(cscores, key=lambda t: -t[1])[:nprobe]]
+    assigned = assign_ivf_cells(
+        df.select(id_col, vector_col), vector_col, centroids
+    )
+    probed = assigned.filter(F.col("ivf_cell").isin(probe))
+    encoded = pq_encode(probed, vector_col, codebooks)
+    short = (
+        encoded.withColumn("_adc", pq_adc_score("pq_codes", q, codebooks))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(rerank)
+    )
+    return (
+        short.select(
+            id_col,
+            F.round(cosine_similarity(F.col(vector_col), q), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -245,3 +245,74 @@ class TestProductQuantization:
         assert [(r.vec_id, r.score) for r in approx] == [
             (r.vec_id, r.score) for r in exact
         ]
+
+
+class TestIvfPq:
+    def test_full_probe_full_rerank_equals_exact(self, spark, sf_dir):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.functions.distance import cosine_similarity
+        from qdrant_datafusion_spark.operators.quantize import ivfpq_search_topk
+
+        def vec(seed, d):
+            rng = random.Random(seed)
+            return [round(rng.uniform(-1, 1), 6) for _ in range(d)]
+
+        centroids = [vec(700 + i, 64) for i in range(4)]
+        books = [[vec(720 + s * 4 + j, 16) for j in range(4)] for s in range(4)]
+        rng = random.Random(31)
+        qv = [rng.uniform(-1, 1) for _ in range(64)]
+        emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+        n = emb.count()
+        got = ivfpq_search_topk(
+            emb, "embedding", "id", qv, centroids, books,
+            k=5, nprobe=len(centroids), rerank=n,
+        ).collect()
+        exact = (
+            emb.select(
+                "id",
+                F.round(cosine_similarity(F.col("embedding"), qv), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(5)
+            .collect()
+        )
+        assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in exact]
+
+    def test_probe_restricts_to_probed_cells(self, spark, sf_dir):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.ann import assign_ivf_cells
+        from qdrant_datafusion_spark.operators.quantize import ivfpq_search_topk
+
+        def vec(seed, d):
+            rng = random.Random(seed)
+            return [round(rng.uniform(-1, 1), 6) for _ in range(d)]
+
+        centroids = [vec(700 + i, 64) for i in range(4)]
+        books = [[vec(720 + s * 4 + j, 16) for j in range(4)] for s in range(4)]
+        rng = random.Random(32)
+        qv = [rng.uniform(-1, 1) for _ in range(64)]
+        emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+        got = {
+            r.id
+            for r in ivfpq_search_topk(
+                emb, "embedding", "id", qv, centroids, books, k=10, nprobe=1
+            ).collect()
+        }
+        q = [float(x) for x in qv]
+        best = max(
+            range(len(centroids)),
+            key=lambda i: sum(a * b for a, b in zip(q, centroids[i])),
+        )
+        cell_ids = {
+            r.id
+            for r in assign_ivf_cells(emb, "embedding", centroids)
+            .filter(F.col("ivf_cell") == best)
+            .collect()
+        }
+        assert got and got <= cell_ids  # results come only from the probed cell
