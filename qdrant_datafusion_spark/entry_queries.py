@@ -2416,6 +2416,63 @@ ORACLES["quant_error_stats"] = QUANT_ERROR_STATS_SQL
 ORACLES["v_search_scalar_quant"] = V_SEARCH_SCALAR_QUANT_SQL
 ORACLES["v_search_binary_quant"] = _binary_quant_oracle_sql()
 
+def group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector — the distributed centroid computation
+    behind clustering summaries and by-group V_RECOMMEND positives
+    (groupwise sibling of SQL V_MEAN_VEC).  posexplode → (label, dim)
+    decimal-sum aggregation (order-independent ⇒ oracle-exact) →
+    re-assembled in dim order.  Shuffles only (label, dim) partials,
+    never whole vectors — the same shape train_ivf_centroids uses, here
+    as a gated query."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    per_dim = e.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,12)")).cast("double") / F.count("*")
+        ).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("centroid"),
+        )
+        .select("label", F.col("n").cast("long").alias("n"), "centroid")
+    )
+
+
+GROUP_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, t.pos, embedding[t.pos + 1]::DOUBLE AS x
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) t
+  WHERE embedding IS NOT NULL
+),
+per_dim AS (
+  SELECT label, pos,
+         sum(x::DECIMAL(20,12))::DOUBLE / count(*) AS m,
+         count(*) AS n
+  FROM e
+  GROUP BY label, pos
+)
+SELECT label,
+       max(n)::BIGINT AS n,
+       list(round(m, 6) ORDER BY pos) AS centroid
+FROM per_dim
+GROUP BY label
+"""
+
+
+QUERIES["group_centroids"] = group_centroids
+ORACLES["group_centroids"] = GROUP_CENTROIDS_SQL
+
 # A time-budgeted driver that stops early drops TRAILING entries —
 # v_random_sample had no CORRECTNESS row in round 1 purely by being the
 # last registration.  Re-order so the cheap rows-only queries run first
