@@ -208,3 +208,43 @@ class CollectionCatalog:
         """INSERT INTO — append rows to an existing collection."""
         descriptor = self.descriptor(name)
         self.write(descriptor, df, mode="append")
+
+    def compact(
+        self,
+        name: str,
+        target_fragments: int | None = None,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite a collection's fragments into ``target_fragments`` files
+        (default: sized from on-disk bytes at ``target_bytes`` per
+        fragment, min 1) and swap atomically-enough for a single writer.
+
+        The small-files answer for streaming ingest: every micro-batch of
+        ``stream_collection_writer`` appends a fragment, and a
+        1000-executor scan of 10⁶ tiny files spends its time in task
+        scheduling and footer reads, not IO.  Compaction is one
+        repartition-write — shuffle keyed on nothing (round-robin), so
+        it scales with data volume, not file count.  Returns the new
+        fragment count.  Readers racing the swap should re-resolve the
+        directory (same caveat as any non-transactional parquet rewrite;
+        a table format adds the commit protocol, not different IO)."""
+        import glob as _glob
+        import shutil
+
+        path = self._dir(name)
+        frags = _glob.glob(os.path.join(path, "*.parquet"))
+        if target_fragments is None:
+            total = sum(os.path.getsize(f) for f in frags)
+            target_fragments = max(1, -(-total // target_bytes))
+        descriptor = self.descriptor(name)
+        df = self.load(name).repartition(target_fragments)
+        tmp = path + ".compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        for f in frags:
+            os.remove(f)
+        for f in _glob.glob(os.path.join(tmp, "*.parquet")):
+            shutil.move(f, os.path.join(path, os.path.basename(f)))
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(path, DESCRIPTOR_FILE), "w") as fh:
+            fh.write(descriptor.to_json())
+        return len(_glob.glob(os.path.join(path, "*.parquet")))

@@ -135,3 +135,41 @@ class TestCollectionRoundtrip:
         assert schema.fields[0].name == "id" and not schema.fields[0].nullable
         assert schema.fields[1].name == "payload" and schema.fields[1].nullable
         assert all(f.nullable for f in schema.fields[2:])
+
+
+class TestCompaction:
+    def test_compact_merges_fragments_preserving_rows(self, spark, tmp_path):
+        import glob
+        import os
+
+        from qdrant_datafusion_spark import fixtures
+        from qdrant_datafusion_spark.collections import CollectionCatalog
+
+        cat = CollectionCatalog(spark, str(tmp_path))
+        cat.write(fixtures.UNNAMED, fixtures.unnamed_df(spark), partitions=4)
+        cat.insert_into("unnamed", fixtures.unnamed_df(spark))  # more fragments
+        path = str(tmp_path / "unnamed")
+        before_frags = len(glob.glob(os.path.join(path, "*.parquet")))
+        before = sorted(
+            (r.id, tuple(round(x, 6) for x in r.vector))
+            for r in cat.load("unnamed").collect()
+        )
+        assert before_frags > 2
+        n = cat.compact("unnamed", target_fragments=2)
+        assert n == 2
+        assert len(glob.glob(os.path.join(path, "*.parquet"))) == 2
+        after = sorted(
+            (r.id, tuple(round(x, 6) for x in r.vector))
+            for r in cat.load("unnamed").collect()
+        )
+        assert after == before  # lossless rewrite
+        assert cat.descriptor("unnamed").name == "unnamed"  # descriptor kept
+
+    def test_compact_default_sizes_from_bytes(self, spark, tmp_path):
+        from qdrant_datafusion_spark import fixtures
+        from qdrant_datafusion_spark.collections import CollectionCatalog
+
+        cat = CollectionCatalog(spark, str(tmp_path))
+        cat.write(fixtures.UNNAMED, fixtures.unnamed_df(spark), partitions=3)
+        # tiny collection -> one 128MB-target fragment
+        assert cat.compact("unnamed") == 1
