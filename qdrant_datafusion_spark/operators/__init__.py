@@ -3,6 +3,7 @@
 - ``topk``       — top-k search, batch (multi-query) search, prefetch→rerank
 - ``dedup``      — exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
 - ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths
+- ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
 """
 
@@ -25,4 +26,27 @@ from qdrant_datafusion_spark.operators.ann import (  # noqa: F401
     knn_join,
     lsh_bucket_topk,
     self_knn_join,
+)
+from qdrant_datafusion_spark.operators.ann import (  # noqa: F401
+    self_knn_join_lsh,
+    train_ivf_centroids,
+)
+from qdrant_datafusion_spark.operators.quantize import (  # noqa: F401
+    binary_quantize,
+    binary_search_topk,
+    hamming_distance,
+    ivfpq_search_topk,
+    pq_encode,
+    pq_search_topk,
+    scalar_dequantize,
+    scalar_quantize,
+    train_pq_codebooks,
+)
+from qdrant_datafusion_spark.operators.multimodal import (  # noqa: F401
+    attach_media,
+    decode_audio_meta,
+    decode_image_features,
+    media_stats,
+    resize_images,
+    sample_video_frames,
 )

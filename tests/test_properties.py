@@ -190,3 +190,46 @@ class TestDedupProperties:
         for i, t in enumerate(texts):
             norm.setdefault(t.strip().lower(), []).append(i)
         assert {r.id for r in out} == {min(v) for v in norm.values()}
+
+
+class TestQuantizationProperties:
+    vectors = st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=64),
+        min_size=2,
+        max_size=32,
+    )
+
+    @SETTINGS
+    @given(vectors)
+    def test_scalar_quant_bound_holds(self, spark, vec):
+        from qdrant_datafusion_spark.operators.quantize import (
+            scalar_dequantize,
+            scalar_quantize,
+        )
+
+        df = spark.createDataFrame([(1, vec)], "id int, v array<double>")
+        q = scalar_quantize(df, "v")
+        row = q.select(
+            "codes", "q_lo", "q_scale",
+            scalar_dequantize("codes", "q_lo", "q_scale").alias("r"),
+        ).collect()[0]
+        assert all(0 <= c <= 255 for c in row.codes)
+        bound = row.q_scale * 0.5 + 1e-9 + abs(row.q_lo) * 1e-12
+        for x, xh in zip(vec, row.r):
+            assert abs(x - xh) <= bound
+
+    @SETTINGS
+    @given(vectors)
+    def test_binary_pack_matches_query_packer(self, spark, vec):
+        from qdrant_datafusion_spark.operators.quantize import (
+            binary_quantize,
+            binary_quantize_query,
+        )
+
+        df = spark.createDataFrame([(1, vec)], "id int, v array<double>")
+        words = binary_quantize(df, "v").select("bits").collect()[0].bits
+        assert words == binary_quantize_query(vec)
+        # unpack round-trip: bit d is set iff vec[d] > 0
+        for d, x in enumerate(vec):
+            w = words[d // 64] & ((1 << 64) - 1)
+            assert bool(w >> (d % 64) & 1) == (x > 0.0)
