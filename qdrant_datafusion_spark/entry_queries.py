@@ -2473,6 +2473,206 @@ GROUP BY label
 QUERIES["group_centroids"] = group_centroids
 ORACLES["group_centroids"] = GROUP_CENTROIDS_SQL
 
+
+# ---------------------------------------------------------------------------
+# Training-data assembly pipeline (operators/pipeline.py): deterministic
+# splits, benchmark decontamination, repetition quality, sequence packing
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SPLIT_SEED = "r2"
+
+
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed train/val/test assignment, summarized per
+    split (count + id range + id checksum — enough for the hash gate to
+    prove every row landed in the same split as the oracle)."""
+    from qdrant_datafusion_spark.operators.pipeline import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    return assigned.groupBy("split").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+def _hash_split_oracle_sql() -> str:
+    from qdrant_datafusion_spark.operators.pipeline import split_thresholds
+
+    bounds = split_thresholds(_SPLIT_WEIGHTS)
+    whens = " ".join(
+        f"WHEN substr(md5(doc_id::VARCHAR || ':' || '{_SPLIT_SEED}'), 1, 8)"
+        f" < '{hi}' THEN '{name}'"
+        for name, hi in bounds[:-1]
+    )
+    return f"""
+SELECT CASE {whens} ELSE '{bounds[-1][0]}' END AS split,
+       count(*)::BIGINT AS n,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       sum(doc_id)::BIGINT AS sum_id
+FROM documents
+GROUP BY 1
+"""
+
+
+#: distinct 5-word shingles (decontamination unit), mirroring
+#: functions.text.word_shingles(k=5)
+_SHINGLES5_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 4),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4]))
+         ELSE [] END AS shingles
+  FROM t
+)
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 5-gram decontamination: docs with ``doc_id % 17 == 0``
+    stand in for the eval set; every other doc is scored by how many of
+    its distinct 5-word shingles appear anywhere in that set."""
+    from qdrant_datafusion_spark.operators.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, bench, "text", "doc_id", k=5, min_hits=1)
+
+
+TEXT_DECONTAMINATE_SQL = _SHINGLES5_SQL + """
+, bench AS (
+  SELECT DISTINCT s
+  FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 17 = 0)
+),
+corpus AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 17 <> 0),
+hits AS (
+  SELECT e.doc_id, count(*)::BIGINT AS hits
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM corpus) e
+  JOIN bench b USING (s)
+  GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       len(c.shingles)::BIGINT AS n_shingles,
+       coalesce(h.hits, 0)::BIGINT AS hits,
+       coalesce(h.hits, 0) >= 1 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (dup-token /
+    dup-line fractions, top bigram/trigram share) — one narrow projection,
+    max-multiplicity via an in-row sort + run-length fold."""
+    from qdrant_datafusion_spark.operators.pipeline import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "text", "doc_id")
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+TEXT_REPETITION_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+ln AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END) AS g
+  FROM t
+),
+bgf AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS f
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+tg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS g
+  FROM t
+),
+tgf AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS f
+  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(t.toks) > 0 THEN
+         (len(t.toks) - len(list_distinct(t.toks)))::DOUBLE / len(t.toks)
+         ELSE 0 END, 6) AS dup_token_frac,
+       round(coalesce(b.f, 0), 6) AS top_bigram_frac,
+       round(coalesce(g.f, 0), 6) AS top_trigram_frac,
+       round(CASE WHEN len(l.lines) > 0 THEN
+         (len(l.lines) - len(list_distinct(l.lines)))::DOUBLE / len(l.lines)
+         ELSE 0 END, 6) AS dup_line_frac
+FROM t
+JOIN ln l USING (doc_id)
+LEFT JOIN bgf b USING (doc_id)
+LEFT JOIN tgf g USING (doc_id)
+"""
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: greedy first-fit in id order within
+    ``doc_id % 4`` buckets at a 256-token budget."""
+    from qdrant_datafusion_spark.operators.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=256, num_buckets=4)
+
+
+PIPELINE_PACK_SQL = f"""
+WITH RECURSIVE t AS ({_TOKS_SQL}),
+sz AS (
+  SELECT doc_id, (doc_id % 4)::INTEGER AS bucket, len(toks)::BIGINT AS n_tokens
+  FROM t
+),
+ord AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM sz
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens, rn, 0 AS pack_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN p.pack_id + 1
+              ELSE p.pack_id END,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN o.n_tokens
+              ELSE p.fill + o.n_tokens END
+  FROM ord o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, pack_id::INTEGER AS pack_id, n_tokens FROM packed
+"""
+
+
+QUERIES["pipeline_hash_split"] = pipeline_hash_split
+QUERIES["text_decontaminate"] = text_decontaminate
+QUERIES["text_repetition"] = text_repetition
+QUERIES["pipeline_pack_sequences"] = pipeline_pack_sequences
+ORACLES["pipeline_hash_split"] = _hash_split_oracle_sql()
+ORACLES["text_decontaminate"] = TEXT_DECONTAMINATE_SQL
+ORACLES["text_repetition"] = TEXT_REPETITION_SQL
+ORACLES["pipeline_pack_sequences"] = PIPELINE_PACK_SQL
+
 # A time-budgeted driver that stops early drops TRAILING entries —
 # v_random_sample had no CORRECTNESS row in round 1 purely by being the
 # last registration.  Re-order so the cheap rows-only queries run first

@@ -5,6 +5,8 @@
 - ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths
 - ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
+- ``pipeline``   — dataset assembly: splits, decontamination, repetition
+                   quality, sequence packing
 """
 
 from qdrant_datafusion_spark.operators.topk import (  # noqa: F401
@@ -49,4 +51,10 @@ from qdrant_datafusion_spark.operators.multimodal import (  # noqa: F401
     media_stats,
     resize_images,
     sample_video_frames,
+)
+from qdrant_datafusion_spark.operators.pipeline import (  # noqa: F401
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    repetition_stats,
 )

@@ -1,0 +1,314 @@
+"""Dataset-assembly operators for LLM training-data pipelines.
+
+The dedup/ANN/quantize modules cover *filtering*; this module covers the
+remaining assembly stages a 100 TB corpus pipeline needs:
+
+- ``hash_split``       — deterministic train/val/test assignment keyed on
+                         content id (md5), not row position.  A narrow map:
+                         no shuffle, stable under repartitioning, and the
+                         same document lands in the same split on every
+                         engine and every run.
+- ``decontaminate``    — benchmark n-gram decontamination: flag corpus
+                         documents sharing ≥ ``min_hits`` distinct k-word
+                         shingles with a benchmark set.  The benchmark
+                         shingle set is broadcast (benchmarks are MBs; the
+                         corpus is the 100 TB side, which is never
+                         shuffled — one explode + map-side hash join +
+                         per-doc partial agg).
+- ``repetition_stats`` — Gopher-style repetition quality signals
+                         (duplicate-token / duplicate-line fraction, top
+                         bigram/trigram share) computed as a single narrow
+                         projection — no explode, no shuffle; the max-run
+                         scan over the sorted n-gram array is a linear
+                         fold per row.
+- ``pack_sequences``   — token-budget sequence packing (greedy first-fit
+                         in id order within a hash bucket).  One shuffle
+                         on the bucket key; each bucket packs
+                         independently, so parallelism = ``num_buckets``
+                         and the 100 TB knob is simply more buckets.
+
+Everything except the per-bucket packing loop is native Column code; all
+four operators have exact DuckDB oracles (see entry_queries).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from qdrant_datafusion_spark.functions.text import token_count, tokens, word_shingles
+
+__all__ = [
+    "hash_split",
+    "decontaminate",
+    "repetition_stats",
+    "pack_sequences",
+]
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-bound-hex) pairs over the first 8 md5 hex chars.
+
+    Lexicographic order on fixed-width lowercase hex equals numeric order
+    on the 32-bit prefix, so the split is expressible identically in any
+    engine that has md5 — no bigint parsing needed.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive number")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative split weight for {name!r}")
+        cum += w / total
+        out.append((name, format(min(int(cum * 2**32), 2**32 - 1), "08x")))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split, deterministically, by content id.
+
+    ``split = first bucket whose cumulative bound exceeds the 32-bit md5
+    prefix of "<id>:<seed>"``.  Position-independent (a re-sorted or
+    re-partitioned corpus gets identical assignments) and engine-portable
+    (md5 of the same string is the same everywhere).  Changing ``seed``
+    re-rolls the assignment wholesale.
+
+    Scale: a narrow projection — zero shuffles, codegen'd md5 + CASE.
+    """
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    bounds = split_thresholds(weights)
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+    )
+    expr: Column = F.lit(bounds[-1][0])  # final bucket catches the remainder
+    assign = None
+    for name, hi in bounds[:-1]:
+        cond = key < F.lit(hi)
+        assign = F.when(cond, name) if assign is None else assign.when(cond, name)
+    expr = assign.otherwise(bounds[-1][0]) if assign is not None else expr
+    return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document benchmark-overlap counts for n-gram decontamination.
+
+    Returns ``(id, n_shingles, hits, contaminated)`` where ``hits`` is the
+    number of the document's *distinct* k-word shingles that also occur
+    anywhere in the benchmark set, and ``contaminated = hits >= min_hits``.
+    Callers drop contaminated docs (anti-join or filter) before training.
+
+    Scale: the benchmark side (eval sets — MBs, not TBs) collapses to a
+    distinct 64-bit shingle-hash set and is broadcast; the corpus side is
+    one explode + broadcast hash join + partial count per doc — the 100 TB
+    side is never shuffled on shingles.  Joining on ``xxhash64`` keeps the
+    broadcast 8 bytes/shingle (collisions at eval-set cardinality are
+    ~2^-40 — and only ever *add* a hit).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("sh"))
+        .select(F.xxhash64("sh").alias("shh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
+    ).select(id_col, F.xxhash64("sh").alias("shh"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(word_shingles(text_col, k)).cast("long").alias("n_shingles")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("hits") >= min_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e. the
+    max multiplicity of any value — as a linear fold (no explode, no
+    shuffle, no second pass)."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """All (non-distinct) n-word grams of a token array, in order."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    ``(id, n_tokens, dup_token_frac, top_bigram_frac, top_trigram_frac,
+    dup_line_frac)`` — the standard "repetitious document" quality gates:
+    a doc whose single most common bigram covers a large share of the text,
+    or whose lines repeat, is boilerplate/spam.  Fractions are rounded to
+    6 places (oracle-stable).
+
+    Scale: one narrow projection.  The n-gram share needs a per-value max
+    count, computed here as sort + linear run-length fold *inside the row*
+    (`_max_run`) — the explode→groupBy(doc)→window alternative would
+    shuffle the whole corpus on doc id twice.
+    """
+    toks = F.array(tokens(text_col))  # let-bind: tokenize once per row
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
+        )
+
+    stats = F.element_at(
+        F.transform(
+            toks,
+            lambda t: F.struct(
+                F.size(t).alias("n_tokens"),
+                frac(F.size(t) - F.size(F.array_distinct(t)), F.size(t)).alias(
+                    "dup_token_frac"
+                ),
+                frac(
+                    _max_run(F.array_sort(_ngrams(t, 2))), F.size(_ngrams(t, 2))
+                ).alias("top_bigram_frac"),
+                frac(
+                    _max_run(F.array_sort(_ngrams(t, 3))), F.size(_ngrams(t, 3))
+                ).alias("top_trigram_frac"),
+            ),
+        ),
+        1,
+    )
+    line_stats = F.element_at(
+        F.transform(
+            F.array(lines),
+            lambda ls: frac(F.size(ls) - F.size(F.array_distinct(ls)), F.size(ls)),
+        ),
+        1,
+    )
+    return df.select(
+        F.col(id_col),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["dup_token_frac"].alias("dup_token_frac"),
+        stats["top_bigram_frac"].alias("top_bigram_frac"),
+        stats["top_trigram_frac"].alias("top_trigram_frac"),
+        line_stats.alias("dup_line_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    num_buckets: int = 8,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget sequence packing (the pre-tokenization step of
+    LLM batch assembly): within each hash bucket, walk documents in id
+    order and append to the current pack while it fits; start a new pack
+    when adding the next document would exceed ``budget``.  A document
+    larger than the whole budget gets a pack to itself.
+
+    Returns ``(id, bucket, pack_id, n_tokens)`` — ``(bucket, pack_id)`` is
+    the global pack key.  Deterministic: bucket is ``id % num_buckets`` and
+    order within a bucket is id order, so the same corpus packs the same
+    way everywhere (exact DuckDB oracle via a recursive CTE).
+
+    Scale: ONE shuffle, on the bucket key; each bucket packs independently
+    in a single `applyInPandas` pass (a cheap cumulative scan — the loop is
+    per-row Python but does integer adds only).  Parallelism and per-task
+    memory are both set by ``num_buckets``: size it so a bucket's
+    (id, n_tokens) pairs — ~16 bytes/doc, the text never enters the
+    shuffle — fit an executor.  1e12 docs / 1e5 buckets = 160 MB/bucket.
+    """
+    n_tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else token_count(text_col, "whitespace")
+    ).cast("long")
+    slim = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col).cast("long"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    id_type = slim.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, bucket int, pack_id int, n_tokens long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        pack_ids = []
+        pack_id, fill = 0, 0
+        first = True
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if first:
+                fill = tok
+                first = False
+            elif fill + tok > budget:
+                pack_id += 1
+                fill = tok
+            else:
+                fill += tok
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int32")
+        return pdf[[id_col, "bucket", "pack_id", "n_tokens"]]
+
+    return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)

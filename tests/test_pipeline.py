@@ -1,0 +1,150 @@
+"""Dataset-assembly operators: splits, decontamination, repetition, packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.operators.pipeline import (
+    decontaminate,
+    hash_split,
+    pack_sequences,
+    repetition_stats,
+    split_thresholds,
+)
+
+
+class TestHashSplit:
+    def test_matches_reference_md5_assignment(self, spark):
+        df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = {r.doc_id: r.split for r in hash_split(df, "doc_id", weights, seed="s1").collect()}
+        bounds = split_thresholds(weights)
+        for i in range(200):
+            key = hashlib.md5(f"{i}:s1".encode()).hexdigest()[:8]
+            expect = next((n for n, hi in bounds[:-1] if key < hi), bounds[-1][0])
+            assert out[i] == expect, i
+
+    def test_position_independent(self, spark):
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = hash_split(df, "doc_id", seed="x")
+        b = hash_split(df.orderBy(F.rand(7)).repartition(13), "doc_id", seed="x")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_proportions_and_seed_reroll(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        counts = dict(
+            hash_split(df, "doc_id", {"train": 0.9, "val": 0.1}, seed="a")
+            .groupBy("split").count().collect()
+        )
+        assert 0.85 < counts["train"] / 2000 < 0.95
+        other = hash_split(df, "doc_id", {"train": 0.9, "val": 0.1}, seed="b")
+        joined = (
+            hash_split(df, "doc_id", {"train": 0.9, "val": 0.1}, seed="a")
+            .withColumnRenamed("split", "sa").join(other, "doc_id")
+        )
+        moved = joined.filter(F.col("sa") != F.col("split")).count()
+        assert moved > 0  # a new seed re-rolls assignments
+
+    def test_bad_weights_raise(self, spark):
+        df = spark.range(1).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            hash_split(df, "doc_id", {"a": 0.0, "b": 0.0})
+        with pytest.raises(ValueError):
+            hash_split(df, "doc_id", {"a": -1.0, "b": 2.0})
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "prefix words the quick brown fox jumps over something else"),
+                (2, "completely different content with no overlap at all here"),
+                (3, "quick brown fox jumps over the lazy dog tail"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in decontaminate(docs, bench, k=5).collect()}
+        # doc 1 shares "the quick brown fox jumps" + "quick brown fox jumps over"
+        assert out[1].hits == 2 and out[1].contaminated
+        assert out[2].hits == 0 and not out[2].contaminated
+        # doc 3 shares 4 of the benchmark's 5-grams
+        assert out[3].hits == 4 and out[3].contaminated
+
+    def test_short_docs_have_no_shingles(self, spark):
+        bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        row = decontaminate(docs, bench, k=5).collect()[0]
+        assert row.n_shingles == 0 and row.hits == 0 and not row.contaminated
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),          # 4 tokens, 1 distinct
+                (2, "a b c d"),                       # all distinct
+                (3, "x y x y x y"),                   # bigram "x y" 3 of 5
+                (4, "one\nrepeat\nrepeat\n\ntwo"),    # 1 dup line of 4
+                (5, ""),                              # empty
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+        assert out[1].dup_token_frac == 0.75
+        assert out[1].top_bigram_frac == 1.0       # "spam spam" is all 3 bigrams
+        assert out[2].dup_token_frac == 0.0
+        assert out[2].top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
+        assert out[3].top_bigram_frac == 0.6       # "x y" 3 times of 5 bigrams
+        assert out[4].dup_line_frac == 0.25
+        assert out[5].n_tokens == 0
+        assert out[5].dup_token_frac == 0.0 and out[5].top_trigram_frac == 0.0
+
+    def test_no_shuffle_in_plan(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # narrow projection, no shuffle
+
+
+class TestPackSequences:
+    def test_greedy_boundaries(self, spark):
+        # one bucket; token counts 3,4,5,2,9 at budget 10 → packs [0,0,1,1,2]
+        rows = [(i, "w " * n) for i, n in enumerate([3, 4, 5, 2, 9])]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r.pack_id
+            for r in pack_sequences(docs, budget=10, num_buckets=1).collect()
+        }
+        assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_oversize_doc_gets_own_pack(self, spark):
+        rows = [(0, "w " * 3), (1, "w " * 50), (2, "w " * 3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r.pack_id
+            for r in pack_sequences(docs, budget=10, num_buckets=1).collect()
+        }
+        assert out == {0: 0, 1: 1, 2: 2}
+
+    def test_buckets_pack_independently_and_fit_budget(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "tok " * (1 + i % 37)) for i in range(300)],
+            "doc_id long, text string",
+        )
+        out = pack_sequences(docs, budget=64, num_buckets=4)
+        fills = (
+            out.groupBy("bucket", "pack_id")
+            .agg(F.sum("n_tokens").alias("fill"), F.max("n_tokens").alias("biggest"))
+            .collect()
+        )
+        for r in fills:
+            assert r.fill <= 64 or r.biggest > 64
+        assert out.count() == 300
+        # bucket assignment is id % num_buckets
+        assert out.filter(F.col("bucket") != F.col("doc_id") % 4).count() == 0
