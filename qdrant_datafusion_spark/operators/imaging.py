@@ -217,6 +217,105 @@ def image_features(pixels: np.ndarray, dim: int) -> np.ndarray:
     return flat.astype(np.float32)
 
 
+Y4M_SIGNATURE = b"YUV4MPEG2 "
+
+#: luma+chroma bytes per pixel-pair denominator: frame bytes = W*H*num/den
+_Y4M_PLANES = {
+    "420": (3, 2),  # 4:2:0 — Y + quarter-res Cb/Cr
+    "420jpeg": (3, 2),
+    "420mpeg2": (3, 2),
+    "420paldv": (3, 2),
+    "422": (2, 1),  # 4:2:2 — Y + half-res Cb/Cr
+    "444": (3, 1),  # 4:4:4 — full-res everything
+    "mono": (1, 1),  # luma only
+}
+
+
+def is_y4m(data: bytes) -> bool:
+    return data[: len(Y4M_SIGNATURE)] == Y4M_SIGNATURE
+
+
+def y4m_probe(data: bytes) -> dict | None:
+    """Parse a YUV4MPEG2 stream header + frame index (a real demux).
+
+    Y4M is the uncompressed interchange format every ffmpeg/mjpegtools
+    pipeline can emit: one ASCII header line (``YUV4MPEG2 W.. H.. F..:..
+    [Ixx] [Axx] [Cxx]``), then per frame an ASCII ``FRAME[params]\\n``
+    marker followed by raw planar YUV.  Returns ``{width, height,
+    fps_num, fps_den, colorspace, n_frames, frame_offsets, frame_size}``
+    (offsets point at each frame's pixel data), or None if the bytes
+    aren't parseable Y4M.
+    """
+    if not is_y4m(data):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    width = height = None
+    fps_num, fps_den = 30, 1
+    colorspace = "420"
+    for tok in data[len(Y4M_SIGNATURE) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F" and ":" in val:
+            num, den = val.split(":", 1)
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            colorspace = val
+    if not width or not height or colorspace not in _Y4M_PLANES:
+        return None
+    num, den = _Y4M_PLANES[colorspace]
+    frame_size = width * height * num // den
+    offsets: list[int] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            return None  # torn stream — treat as not-Y4M rather than guess
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > len(data):
+            break  # truncated trailing frame: index what's complete
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_size
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": len(offsets),
+        "frame_offsets": offsets,
+        "frame_size": frame_size,
+    }
+
+
+def y4m_frame_luma(data: bytes, meta: dict, idx: int) -> np.ndarray:
+    """Extract frame ``idx``'s luma plane as an (H, W) uint8 array —
+    the Y plane always comes first in every Y4M colorspace."""
+    off = meta["frame_offsets"][idx]
+    w, h = meta["width"], meta["height"]
+    plane = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=off)
+    return plane.reshape(h, w)
+
+
+def encode_y4m(frames: "list[np.ndarray]", fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode (H, W) uint8 luma frames as a Cmono Y4M stream (the test
+    fixture writer; also lets pipelines round-trip sampled frames)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode())
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one geometry")
+        out += b"FRAME\n" + f.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
 def decode_wav_meta(data: bytes) -> tuple[int, int, int] | None:
     """Parse a RIFF WAVE header via the stdlib ``wave`` module.
 

@@ -7,8 +7,9 @@ is preferred when importable, covering JPEG etc.), WAV metadata parses
 via the stdlib ``wave`` module.  Bytes that no available decoder accepts
 fall back to a deterministic content-hash stub (clearly marked below), so
 pipelines over mixed/foreign blobs stay total and testable.  Video frame
-*extraction* remains a stub (ffmpeg genuinely required; the sampled
-offset/descriptor shape is what a real sampler produces).
+extraction is REAL for YUV4MPEG2 streams (pure-stdlib demux in
+:mod:`.imaging`); compressed containers (mp4/webm) still take the
+labeled stub path — their codecs genuinely require ffmpeg.
 
 Schema convention:
 
@@ -24,7 +25,9 @@ Schema convention:
                              resize → PNG re-encode for decodable bytes
 - ``decode_audio_meta``   — mapInPandas: REAL WAV header parse
 - ``sample_video_frames`` — mapInPandas: bytes → N frame descriptors
-                             (STUB offsets; real impl = ffmpeg)
+                             (REAL Y4M demux: true frame indices, header
+                             frame-rate offsets, luma-plane hashes; stub
+                             for compressed containers)
 """
 
 from __future__ import annotations
@@ -138,8 +141,20 @@ def sample_video_frames(
     n_frames: int = 4,
 ) -> DataFrame:
     """bytes → N frame descriptors (frame_idx, offset_ms, frame_hash) via
-    ``mapInPandas``.  STUB frame extraction (real impl: ffmpeg seek +
-    decode); the exploded output shape is what a real sampler produces."""
+    ``mapInPandas``.
+
+    REAL demux for YUV4MPEG2 payloads (the uncompressed interchange
+    format any ffmpeg pipeline emits): :func:`imaging.y4m_probe` walks
+    the stream's FRAME markers, ``n_frames`` frames are sampled evenly
+    across the true frame count, ``frame_idx`` is the *video* frame
+    index, ``offset_ms`` comes from the header's real frame rate, and
+    ``frame_hash`` is the md5 of the frame's decoded luma plane.  Bytes
+    in compressed containers (mp4/webm — codecs genuinely require
+    ffmpeg) take the labeled deterministic STUB path: synthetic offsets
+    over ``duration_ms`` and content-hash descriptors, same shape.
+    """
+    from qdrant_datafusion_spark.operators import imaging
+
     id_field = df.select(id_col).schema.fields[0]
     schema = (
         f"{id_col} {id_field.dataType.simpleString()}, "
@@ -149,18 +164,37 @@ def sample_video_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {id_col: [], "frame_idx": [], "offset_ms": [], "frame_hash": []}
+
+            def emit(rid, idx, off, h):
+                out[id_col].append(rid)
+                out["frame_idx"].append(idx)
+                out["offset_ms"].append(off)
+                out["frame_hash"].append(h)
+
             for _, row in pdf.iterrows():
                 media = row[media_col]
                 data = bytes(media["bytes"]) if media is not None else b""
+                meta = imaging.y4m_probe(data)
+                if meta and meta["n_frames"] > 0:
+                    total = meta["n_frames"]
+                    ms_per_frame = 1000 * meta["fps_den"] / meta["fps_num"]
+                    for i in range(n_frames):
+                        fidx = (total * i) // n_frames
+                        luma = imaging.y4m_frame_luma(data, meta, fidx)
+                        emit(
+                            row[id_col],
+                            fidx,
+                            int(fidx * ms_per_frame),
+                            hashlib.md5(luma.tobytes()).hexdigest(),
+                        )
+                    continue
+                # STUB path: undecodable container — synthetic descriptors
                 duration = media["duration_ms"] if media is not None else None
                 duration = int(duration) if duration else 1000 * max(len(data), 1)
                 for i in range(n_frames):
                     offset = (duration * i) // n_frames
                     h = hashlib.md5(data + i.to_bytes(4, "big")).hexdigest()
-                    out[id_col].append(row[id_col])
-                    out["frame_idx"].append(i)
-                    out["offset_ms"].append(offset)
-                    out["frame_hash"].append(h)
+                    emit(row[id_col], i, offset, h)
             yield pd.DataFrame(out)
 
     return df.select(id_col, media_col).mapInPandas(sample, schema=schema)

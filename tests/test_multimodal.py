@@ -216,3 +216,71 @@ class TestRealImageKernels:
         assert rows[1].audio_ms == 500
         assert rows[1].n_bytes == len(wav)
         assert rows[2].channels is None and rows[2].sample_rate is None
+
+
+class TestRealVideoKernels:
+    """Y4M demux: header parse, frame index walk, luma extraction."""
+
+    @staticmethod
+    def _stream(n=10, w=6, h=4, fps=(25, 1)):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.imaging import encode_y4m
+
+        frames = [np.full((h, w), i * 10, dtype=np.uint8) for i in range(n)]
+        return encode_y4m(frames, fps), frames
+
+    def test_probe_parses_header_and_indexes_frames(self):
+        from qdrant_datafusion_spark.operators import imaging
+
+        data, frames = self._stream(n=7, w=6, h=4, fps=(30, 1))
+        meta = imaging.y4m_probe(data)
+        assert meta["width"] == 6 and meta["height"] == 4
+        assert meta["fps_num"] == 30 and meta["n_frames"] == 7
+        for i, f in enumerate(frames):
+            assert (imaging.y4m_frame_luma(data, meta, i) == f).all()
+
+    def test_probe_rejects_garbage_and_truncation(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators import imaging
+
+        assert imaging.y4m_probe(b"not a video") is None
+        data, _ = self._stream(n=3)
+        # cut mid-frame: the complete prefix is still indexed
+        meta = imaging.y4m_probe(data[:-5])
+        assert meta is not None and meta["n_frames"] == 2
+        # 4:2:0 stream: frame size includes chroma
+        w, h = 4, 2
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode()
+        frame = b"FRAME\n" + bytes(range(w * h)) + bytes(w * h // 2)
+        meta = imaging.y4m_probe(head + frame)
+        assert meta["n_frames"] == 1 and meta["frame_size"] == w * h * 3 // 2
+        luma = imaging.y4m_frame_luma(head + frame, meta, 0)
+        assert luma.tobytes() == bytes(range(w * h))
+
+    def test_real_sampling_through_operator(self, spark):
+        import hashlib
+
+        data, frames = self._stream(n=8, w=6, h=4, fps=(25, 1))
+        df = attach_media(
+            spark.createDataFrame(
+                [(1, bytearray(data)), (2, bytearray(b"compressed-container"))],
+                "id int, blob binary",
+            ),
+            "blob",
+            "video/x-yuv4mpeg",
+        )
+        rows = sample_video_frames(df, n_frames=4).collect()
+        real = sorted((r for r in rows if r.id == 1), key=lambda r: r.frame_idx)
+        # 8 frames sampled 4x evenly -> true video frame indices 0,2,4,6
+        assert [r.frame_idx for r in real] == [0, 2, 4, 6]
+        # offsets from the header frame rate: 40ms per frame at 25fps
+        assert [r.offset_ms for r in real] == [0, 80, 160, 240]
+        # hashes are of the real decoded luma planes
+        for r in real:
+            expect = hashlib.md5(frames[r.frame_idx].tobytes()).hexdigest()
+            assert r.frame_hash == expect
+        # non-Y4M bytes keep the stub shape (slot indices 0..3)
+        stub = sorted((r for r in rows if r.id == 2), key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in stub] == [0, 1, 2, 3]
