@@ -50,6 +50,10 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "text_quality",
     "doc_fingerprints",
+    "pipeline_hash_split",
+    "text_decontaminate",
+    "text_repetition",
+    "pipeline_pack_sequences",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
