@@ -1,0 +1,157 @@
+"""Remote query construction: projected schema + pushdown → Qdrant request.
+
+The outbound half of the connector seam (``sources.wire`` is the inbound
+half).  The reference derives what to fetch from the *projected* Arrow
+schema — vector selector from the non-metadata field names
+(``src/utils.rs:53-83``), payload flag from the presence of the
+``payload`` column (``src/utils.rs:85-110``) — then assembles a
+QueryPoints request with those selectors and the plan's limit
+(``src/table.rs:269-320``).  This module reproduces that derivation
+against the Spark ``StructType`` the DataSource reader is handed after
+Catalyst's column pruning, and emits the request as a plain dict shaped
+like the QueryPoints JSON any Python Qdrant client accepts.
+
+One deliberate improvement: the reference receives the pushed filters and
+silently ignores them (``src/table.rs:174-175``, ``:276`` binds them as
+``_filters``).  Here the same pyspark ``Filter`` objects the reader's
+``pushFilters`` accepts are translated into the Qdrant filter DSL
+(``must`` conditions with ``match``/``range``/``is_null``), and anything
+untranslatable is returned for local evaluation — the same
+accept/reject contract ``pushFilters`` itself uses, so no filter is ever
+dropped.
+
+Scale: request construction is O(schema) on the driver once per scan;
+what matters at 100 TB is what it *removes* from the wire — unprojected
+vector columns, unrequested payload, rows past the limit, and rows the
+remote can filter server-side.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+#: scalar values the Qdrant filter DSL can carry
+_FILTERABLE_VALUE = (int, float, str, bool)
+
+_METADATA_COLUMNS = ("id", "payload")
+
+
+def build_vector_selector(schema: StructType) -> bool | list[str]:
+    """Projected schema → vector selector (utils.rs:53-83).
+
+    ``False`` = fetch no vectors (metadata-only projection), ``True`` =
+    fetch all (unnamed-vector collection), else the sorted list of named
+    vectors to fetch.  Sparse column pairs (``f_indices``/``f_values``)
+    collapse to their base field name.
+    """
+    names = set()
+    for field in schema.fields:
+        name = field.name
+        if name in _METADATA_COLUMNS:
+            continue
+        for suffix in ("_indices", "_values"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+        names.add(name)
+    if not names:
+        return False
+    names.discard("vector")  # the unnamed-collection column
+    if not names:
+        return True
+    return sorted(names)
+
+
+def build_payload_selector(schema: StructType) -> bool:
+    """Projected schema → with_payload flag (utils.rs:85-110)."""
+    return any(f.name == "payload" for f in schema.fields)
+
+
+def _filter_conditions(
+    filters: list[Filter],
+) -> tuple[list[dict], list[dict], list[Filter]]:
+    """Spark Filters → (must, must_not, rejected-for-local-eval).
+
+    Comparisons on one key merge into a single ``range`` condition, the
+    Qdrant idiom for ``lo <= x < hi``.
+    """
+    must: list[dict] = []
+    must_not: list[dict] = []
+    rejected: list[Filter] = []
+    ranges: dict[str, dict[str, Any]] = {}
+    _RANGE_OPS = {
+        GreaterThan: "gt",
+        GreaterThanOrEqual: "gte",
+        LessThan: "lt",
+        LessThanOrEqual: "lte",
+    }
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:  # nested / Not()-wrapped: local
+            rejected.append(f)
+            continue
+        key = attr[0]
+        if isinstance(f, EqualTo) and isinstance(f.value, _FILTERABLE_VALUE):
+            must.append({"key": key, "match": {"value": f.value}})
+        elif type(f) in _RANGE_OPS and isinstance(f.value, _FILTERABLE_VALUE):
+            op = _RANGE_OPS[type(f)]
+            if op in ranges.setdefault(key, {}):  # contradictory duplicate
+                rejected.append(f)
+            else:
+                ranges[key][op] = f.value
+        elif isinstance(f, In) and all(
+            isinstance(v, _FILTERABLE_VALUE) for v in f.value
+        ):
+            must.append({"key": key, "match": {"any": list(f.value)}})
+        elif isinstance(f, IsNull):
+            must.append({"is_null": {"key": key}})
+        elif isinstance(f, IsNotNull):
+            must_not.append({"is_null": {"key": key}})
+        else:
+            rejected.append(f)  # string ops etc.: semantics differ remotely
+    for key in sorted(ranges):
+        must.append({"key": key, "range": ranges[key]})
+    return must, must_not, rejected
+
+
+def build_query_request(
+    collection: str,
+    schema: StructType,
+    limit: int | None = None,
+    filters: list[Filter] | None = None,
+) -> tuple[dict, list[Filter]]:
+    """Assemble the QueryPoints request the scan would dispatch
+    (table.rs:269-320) and the filters that must stay local.
+
+    The request carries exactly what the projected plan needs: the
+    derived vector/payload selectors, the plan limit, and the
+    translatable filter conditions.
+    """
+    selector = build_vector_selector(schema)
+    request: dict[str, Any] = {
+        "collection_name": collection,
+        "with_vectors": {"names": selector} if isinstance(selector, list) else selector,
+        "with_payload": build_payload_selector(schema),
+    }
+    if limit is not None:
+        request["limit"] = int(limit)
+    must, must_not, rejected = _filter_conditions(list(filters or []))
+    if must or must_not:
+        request["filter"] = {}
+        if must:
+            request["filter"]["must"] = must
+        if must_not:
+            request["filter"]["must_not"] = must_not
+    return request, rejected

@@ -1,0 +1,99 @@
+"""Remote request construction parity with reference utils.rs/table.rs."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThan,
+    StringContains,
+)
+
+from qdrant_datafusion_spark.collections import CollectionDescriptor, VectorField
+from qdrant_datafusion_spark.sources.request import (
+    build_payload_selector,
+    build_query_request,
+    build_vector_selector,
+)
+
+_DESC = CollectionDescriptor(
+    "req",
+    (
+        VectorField("text_emb", 3, "cosine", "dense"),
+        VectorField("img_emb", 3, "dot", "dense"),
+        VectorField("sparse_f", 0, "dot", "sparse"),
+    ),
+)
+_UNNAMED = CollectionDescriptor(
+    "req_u", (VectorField("vector", 3, "cosine", "dense"),), unnamed=True
+)
+
+
+def _project(schema, *names):
+    from pyspark.sql.types import StructType
+
+    return StructType([f for f in schema.fields if f.name in names])
+
+
+class TestSelectors:
+    """Mirrors the utils.rs doc examples (utils.rs:38-52)."""
+
+    def test_metadata_only_fetches_no_vectors(self):
+        schema = _project(_DESC.schema(), "id", "payload")
+        assert build_vector_selector(schema) is False
+
+    def test_unnamed_collection_fetches_all(self):
+        assert build_vector_selector(_UNNAMED.schema()) is True
+
+    def test_named_projection_lists_names(self):
+        schema = _project(_DESC.schema(), "id", "text_emb")
+        assert build_vector_selector(schema) == ["text_emb"]
+
+    def test_sparse_pair_collapses_to_base_name(self):
+        schema = _project(_DESC.schema(), "sparse_f_indices", "sparse_f_values")
+        assert build_vector_selector(schema) == ["sparse_f"]
+
+    def test_payload_flag_tracks_projection(self):
+        assert build_payload_selector(_DESC.schema()) is True
+        assert not build_payload_selector(_project(_DESC.schema(), "id", "text_emb"))
+
+
+class TestQueryRequest:
+    def test_projected_limited_request(self):
+        schema = _project(_DESC.schema(), "id", "text_emb")
+        req, rejected = build_query_request("req", schema, limit=25)
+        assert req == {
+            "collection_name": "req",
+            "with_vectors": {"names": ["text_emb"]},
+            "with_payload": False,
+            "limit": 25,
+        }
+        assert rejected == []
+
+    def test_filters_translate_and_merge(self):
+        schema = _project(_DESC.schema(), "id", "payload")
+        filters = [
+            EqualTo(("city",), "berlin"),
+            GreaterThanOrEqual(("price",), 10),
+            LessThan(("price",), 100),
+            In(("tag",), ("a", "b")),
+            IsNotNull(("score",)),
+            StringContains(("city",), "ber"),  # no remote equivalent
+        ]
+        req, rejected = build_query_request("req", schema, filters=filters)
+        assert req["filter"]["must"] == [
+            {"key": "city", "match": {"value": "berlin"}},
+            {"key": "tag", "match": {"any": ["a", "b"]}},
+            {"key": "price", "range": {"gte": 10, "lt": 100}},
+        ]
+        assert req["filter"]["must_not"] == [{"is_null": {"key": "score"}}]
+        # untranslatable filters come back for local evaluation, not dropped
+        assert rejected == [StringContains(("city",), "ber")]
+
+    def test_no_filters_no_filter_key(self):
+        req, rejected = build_query_request("req", _DESC.schema())
+        assert "filter" not in req and "limit" not in req
+        assert req["with_vectors"] == {"names": ["img_emb", "sparse_f", "text_emb"]}
+        assert req["with_payload"] is True
