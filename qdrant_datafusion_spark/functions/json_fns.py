@@ -85,7 +85,13 @@ def variant_get_string(payload: ColumnOrName, field_path: str) -> Column:
 
 
 def variant_has_field(payload: ColumnOrName, field_path: str) -> Column:
-    """HAS_FIELD over the variant encoding (NULL payload → false)."""
+    """HAS_FIELD over the variant encoding (NULL payload → false).
+
+    Unlike the string-path :func:`has_field`, a key explicitly set to
+    JSON null reads as PRESENT here: the variant extraction yields a
+    non-null variant encoding JSON null, so existence and value-null are
+    distinguishable (pinned in test_functions.py).
+    """
     return F.try_variant_get(
         payload_variant(payload), _path(field_path), "variant"
     ).isNotNull()

@@ -386,6 +386,26 @@ class TestVariantJson:
         assert rows[1].v_price is None and rows[1].city == "Rome" and not rows[1].has_price
         assert rows[2].v_price is None and not rows[2].has_price
 
+    def test_null_valued_key_semantics_pinned(self, spark):
+        """The two HAS_FIELD surfaces deliberately differ on {"k": null}:
+        the string path reads a JSON-null key as absent (the reference's
+        json_get existence idiom); the variant path can and does
+        distinguish key-set-to-null from key-missing."""
+        from qdrant_datafusion_spark.functions.json_fns import (
+            has_field,
+            variant_has_field,
+        )
+
+        df = spark.createDataFrame([('{"a": null, "b": 1}',)], "payload string")
+        r = df.select(
+            has_field("payload", "a").alias("s_null"),
+            variant_has_field("payload", "a").alias("v_null"),
+            has_field("payload", "c").alias("s_absent"),
+            variant_has_field("payload", "c").alias("v_absent"),
+        ).collect()[0]
+        assert r.s_null is False and r.v_null is True
+        assert r.s_absent is False and r.v_absent is False
+
 
 class TestVectorizedRegistryKernels:
     """The SQL-fallback pandas-UDF kernels are batch-vectorized (no
