@@ -54,6 +54,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_repetition",
     "pipeline_pack_sequences",
+    "q_asof_purchase_click",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

@@ -2673,6 +2673,98 @@ ORACLES["text_decontaminate"] = TEXT_DECONTAMINATE_SQL
 ORACLES["text_repetition"] = TEXT_REPETITION_SQL
 ORACLES["pipeline_pack_sequences"] = PIPELINE_PACK_SQL
 
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of enrichment, interval join
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase enriched with the user's latest preceding click
+    (inclusive), ties at one timestamp resolved to the largest click
+    event id — the classic event-attribution as-of join, executed as
+    union + single keyed shuffle + in-partition carry (no pair join)."""
+    from qdrant_datafusion_spark.operators.temporal import as_of_join
+
+    # DuckDB reads TIMESTAMP(NANOS) at µs precision, so the cross-engine
+    # comparison runs in the µs domain end-to-end (truncating BEFORE the
+    # join keeps both engines matching on the identical timeline)
+    ev = _events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = as_of_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["value"], seq_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_right").alias("click_ts"),
+        F.round("value_right", 6).alias("click_value"),
+    )
+
+
+Q_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts, round(value, 6) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS ts, arg_max(value, event_id) AS cvalue
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS click_ts, round(c.cvalue, 6) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_interval_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside the half-open 30-minute window after any signup
+    by the same user — point-in-interval join planned as a keyed hash
+    join (containment filters inside the join, no pair blow-up)."""
+    from qdrant_datafusion_spark.operators.temporal import interval_join
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.expr("ts div 1000"))  # µs domain
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.lit(1800000000)).alias("end_ts"),
+        F.col("event_id").alias("signup_id"),
+    )
+    return interval_join(
+        purchases, windows, on="ts", by="user_id",
+        start_col="start_ts", end_col="end_ts",
+    )
+
+
+Q_INTERVAL_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts, round(value, 6) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS start_ts,
+         epoch_us(ts) + 1800000000 AS end_ts, event_id AS signup_id
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, s.start_ts, s.end_ts, s.signup_id
+FROM p JOIN s ON p.user_id = s.user_id
+             AND p.ts >= s.start_ts AND p.ts < s.end_ts
+"""
+
+
+QUERIES["q_asof_purchase_click"] = q_asof_purchase_click
+QUERIES["q_interval_signup_window"] = q_interval_signup_window
+ORACLES["q_asof_purchase_click"] = Q_ASOF_SQL
+ORACLES["q_interval_signup_window"] = Q_INTERVAL_SQL
+
 # A time-budgeted driver that stops early drops TRAILING entries —
 # v_random_sample had no CORRECTNESS row in round 1 purely by being the
 # last registration.  Re-order so the cheap rows-only queries run first

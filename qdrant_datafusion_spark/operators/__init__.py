@@ -7,6 +7,8 @@
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
 - ``pipeline``   — dataset assembly: splits, decontamination, repetition
                    quality, sequence packing
+- ``temporal``   — as-of join (union + keyed carry, no pair join) and
+                   point-in-interval join
 """
 
 from qdrant_datafusion_spark.operators.topk import (  # noqa: F401
@@ -57,4 +59,8 @@ from qdrant_datafusion_spark.operators.pipeline import (  # noqa: F401
     hash_split,
     pack_sequences,
     repetition_stats,
+)
+from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
+    as_of_join,
+    interval_join,
 )

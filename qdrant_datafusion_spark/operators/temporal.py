@@ -1,0 +1,151 @@
+"""Temporal join operators Spark lacks natively: as-of and interval joins.
+
+``as_of_join`` — for every left row, the single closest right row at or
+before (backward) / at or after (forward) its timestamp within the same
+key: the standard event-enrichment join (each purchase gets the latest
+preceding click; each quote gets the prevailing rate).  Spark has no
+ASOF JOIN; the naive rewrite (range join + row_number) shuffles the
+*pair* space.  This implementation is the scale-safe union trick:
+
+    tag left/right → unionByName → one shuffle on the key →
+    in-partition sort by (time, side, seq) → last(ignorenulls) carry →
+    keep left rows
+
+Cost is ONE hash shuffle of |L|+|R| rows and one in-partition sort —
+the same shape as a groupBy, no pair blow-up, AQE-skew-splittable.  The
+carried columns ride the same shuffle, so there is no second join to
+re-attach them.
+
+``interval_join`` — rows joined on key equality + time containment
+(point-in-interval).  Expressed as an equi-join ON the key with the
+range as a post-join filter, so Catalyst plans a hash join on the key
+(NOT a nested-loop over pairs); per-key interval counts are what bound
+the worst case.
+
+Both carry deterministic tie rules (documented per function) so results
+are oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["as_of_join", "interval_join"]
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    seq_col: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Enrich each left row with the nearest right row's ``value_cols``.
+
+    ``direction='backward'`` matches the latest right row with
+    ``r.on <= l.on`` (inclusive); ``'forward'`` the earliest with
+    ``r.on >= l.on``.  ``tolerance`` (same units as ``on``) nulls the
+    match when ``|l.on - r.on| > tolerance``.  Ties — several right rows
+    at the exact matched timestamp — resolve to the largest ``seq_col``
+    for backward and the smallest for forward (pass e.g. an event id;
+    required for deterministic output when timestamps can collide).
+
+    Output: all left columns plus ``on+suffix`` (the matched timestamp,
+    null when no match) and each value column as ``col+suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    value_cols = list(value_cols or [])
+    carried = [on] + value_cols
+
+    sel_right = [F.col(c) for c in by_cols]
+    sel_right += [F.col(c).alias(f"__r_{c}") for c in carried]
+    seq_type = right.schema[seq_col].dataType.simpleString() if seq_col else "int"
+    sel_right.append(
+        (F.col(seq_col) if seq_col else F.lit(0)).cast(seq_type).alias("__seq")
+    )
+    r = right.select(*sel_right).withColumn("__side", F.lit(0))
+    # the left side carries nulls in the right slots; last(ignorenulls)
+    # skips them, so left rows never leak values into later left rows
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__seq", F.lit(0).cast(seq_type)
+    )
+    for c in carried:
+        rt = right.schema[c].dataType.simpleString()
+        l = l.withColumn(f"__r_{c}", F.lit(None).cast(rt))
+
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows carry their time only in __r_<on> (the bare <on> column is
+    # null after the union) — order on the side-appropriate event time
+    u = u.withColumn("__t", F.coalesce(F.col(f"__r_{on}"), F.col(on)))
+
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__seq").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__seq").desc()]
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        u = u.withColumn(f"__m_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+
+    out = u.filter(F.col("__side") == 1)
+    matched_on = F.col(f"__m_{on}")
+    if tolerance is not None:
+        gap = (
+            F.col(on) - matched_on if direction == "backward" else matched_on - F.col(on)
+        )
+        valid = matched_on.isNotNull() & (gap <= tolerance)
+    else:
+        valid = matched_on.isNotNull()
+    proj = [F.col(c) for c in left.columns]
+    for c in carried:
+        proj.append(F.when(valid, F.col(f"__m_{c}")).alias(f"{c}{suffix}"))
+    return out.select(*proj)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows on key equality + containment
+    (``start <= point < end``, half-open — adjacent intervals never
+    double-match a boundary point).
+
+    The equi-key keeps this a hash join (one shuffle each side); the
+    containment predicate filters inside the join.  At 100 TB the bound
+    is max points×intervals *per key*, not the global cross product.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    # explicit aliases: both sides often derive from one lineage (events →
+    # points + windows), where bare column refs turn self-join conditions
+    # trivially true
+    p, i = points.alias("__pts"), intervals.alias("__ivl")
+    cond: Column | None = None
+    for c in by_cols:
+        eq = F.col(f"__pts.{c}") == F.col(f"__ivl.{c}")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(f"__pts.{on}") >= F.col(f"__ivl.{start_col}"))
+        & (F.col(f"__pts.{on}") < F.col(f"__ivl.{end_col}"))
+    )
+    joined = p.join(i, cond, how)
+    # drop the duplicate key columns from the interval side
+    proj = [F.col(f"__pts.{c}") for c in points.columns]
+    proj += [F.col(f"__ivl.{c}") for c in intervals.columns if c not in by_cols]
+    return joined.select(*proj)

@@ -1,0 +1,124 @@
+"""as-of and interval joins: semantics, ties, tolerance, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.operators.temporal import as_of_join, interval_join
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 205, 11.0), (2, 50, 9.0), (3, 10, 1.0)],
+        "sym int, ts long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 1, 9.9), (1, 100, 2, 10.1), (1, 200, 3, 10.9), (2, 60, 4, 8.8)],
+        "sym int, ts long, qid long, bid double",
+    )
+    return trades, quotes
+
+
+class TestAsOfJoin:
+    def test_backward_inclusive_latest(self, spark):
+        trades, quotes = _trades_quotes(spark)
+        out = {
+            (r.sym, r.ts): (r.ts_right, r.bid_right)
+            for r in as_of_join(
+                trades, quotes, on="ts", by="sym", value_cols=["bid"], seq_col="qid"
+            ).collect()
+        }
+        assert out[(1, 100)] == (100, 10.1)  # equal ts matches (inclusive)
+        assert out[(1, 205)] == (200, 10.9)  # latest preceding
+        assert out[(2, 50)] == (None, None)  # quote is later → no match
+        assert out[(3, 10)] == (None, None)  # key never quoted
+
+    def test_forward_direction(self, spark):
+        trades, quotes = _trades_quotes(spark)
+        out = {
+            (r.sym, r.ts): (r.ts_right, r.bid_right)
+            for r in as_of_join(
+                trades, quotes, on="ts", by="sym", value_cols=["bid"],
+                direction="forward", seq_col="qid",
+            ).collect()
+        }
+        assert out[(1, 100)] == (100, 10.1)  # inclusive both directions
+        assert out[(1, 205)] == (None, None)  # nothing after
+        assert out[(2, 50)] == (60, 8.8)  # earliest following
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        trades, quotes = _trades_quotes(spark)
+        out = {
+            (r.sym, r.ts): r.bid_right
+            for r in as_of_join(
+                trades, quotes, on="ts", by="sym", value_cols=["bid"],
+                tolerance=4, seq_col="qid",
+            ).collect()
+        }
+        assert out[(1, 100)] == 10.1  # gap 0 <= 4
+        assert out[(1, 205)] is None  # gap 5 > 4
+
+    def test_ties_resolve_by_seq(self, spark):
+        left = spark.createDataFrame([(1, 100)], "k int, ts long")
+        right = spark.createDataFrame(
+            [(1, 100, 7, "low"), (1, 100, 9, "high")], "k int, ts long, sq long, tag string"
+        )
+        back = as_of_join(
+            left, right, on="ts", by="k", value_cols=["tag"], seq_col="sq"
+        ).collect()[0]
+        assert back.tag_right == "high"  # backward keeps the largest seq
+        fwd = as_of_join(
+            left, right, on="ts", by="k", value_cols=["tag"],
+            direction="forward", seq_col="sq",
+        ).collect()[0]
+        assert fwd.tag_right == "low"  # forward keeps the smallest seq
+
+    def test_single_shuffle_no_join_node(self, spark):
+        trades, quotes = _trades_quotes(spark)
+        plan = (
+            as_of_join(trades, quotes, on="ts", by="sym", value_cols=["bid"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Join" not in plan  # union+window, not a join
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_bad_direction_raises(self, spark):
+        trades, quotes = _trades_quotes(spark)
+        with pytest.raises(ValueError):
+            as_of_join(trades, quotes, direction="nearest")
+
+
+class TestIntervalJoin:
+    def test_half_open_containment(self, spark):
+        points = spark.createDataFrame(
+            [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 10, "d")],
+            "user_id int, ts long, tag string",
+        )
+        iv = spark.createDataFrame(
+            [(1, 0, 10, "w1"), (1, 10, 20, "w2")],
+            "user_id int, start_ts long, end_ts long, win string",
+        )
+        rows = interval_join(points, iv).collect()
+        got = {(r.tag, r.win) for r in rows}
+        # boundary point ts=10: half-open → lands only in w2
+        assert got == {("a", "w1"), ("b", "w2")}
+
+    def test_left_keeps_unmatched(self, spark):
+        points = spark.createDataFrame([(1, 99, "x")], "user_id int, ts long, tag string")
+        iv = spark.createDataFrame(
+            [(1, 0, 10, "w")], "user_id int, start_ts long, end_ts long, win string"
+        )
+        rows = interval_join(points, iv, how="left").collect()
+        assert len(rows) == 1 and rows[0].win is None
+
+    def test_hash_join_not_nested_loop(self, spark):
+        points = spark.createDataFrame([(1, 5, "a")], "user_id int, ts long, tag string")
+        iv = spark.createDataFrame(
+            [(1, 0, 10, "w")], "user_id int, start_ts long, end_ts long, win string"
+        )
+        plan = (
+            interval_join(points, iv)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
