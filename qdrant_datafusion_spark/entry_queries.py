@@ -2674,6 +2674,30 @@ ORACLES["text_repetition"] = TEXT_REPETITION_SQL
 ORACLES["pipeline_pack_sequences"] = PIPELINE_PACK_SQL
 
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 3.0}
+
+
+def pipeline_mix_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture resampling over five sources (upsampled ×3 down to
+    ×0.25; unlisted sources dropped) — deterministic md5-coin copies."""
+    from qdrant_datafusion_spark.operators.pipeline import mix_datasets
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_datasets(docs, _MIX_WEIGHTS, seed="mix-r2").select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+def _mix_oracle() -> str:
+    from qdrant_datafusion_spark.operators.pipeline import mix_oracle_sql
+
+    return mix_oracle_sql(_MIX_WEIGHTS, seed="mix-r2")
+
+
+QUERIES["pipeline_mix_datasets"] = pipeline_mix_datasets
+ORACLES["pipeline_mix_datasets"] = _mix_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py): as-of enrichment, interval join
 # ---------------------------------------------------------------------------

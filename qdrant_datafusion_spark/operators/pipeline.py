@@ -45,6 +45,7 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "pack_sequences",
+    "mix_datasets",
 ]
 
 
@@ -101,6 +102,88 @@ def hash_split(
         assign = F.when(cond, name) if assign is None else assign.when(cond, name)
     expr = assign.otherwise(bounds[-1][0]) if assign is not None else expr
     return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# mix_datasets
+# ---------------------------------------------------------------------------
+
+def mix_datasets(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Weighted dataset mixing: resample each source at its mixture rate
+    (the "2 epochs of wiki, 0.3 of web-crawl" stage of corpus assembly).
+
+    A rate ``w`` emits ``floor(w)`` guaranteed copies of every row plus
+    one more with probability ``frac(w)`` — decided by the same md5-prefix
+    coin as :func:`hash_split`, so the expected token share per source is
+    exact and the realized sample is deterministic, position-independent,
+    and engine-portable.  Sources absent from ``weights`` are dropped
+    (rate 0 — explicit weights only, no silent passthrough).  Output rows
+    carry ``copy_col`` (1-based) so downstream shuffles spread repeated
+    ids.
+
+    Scale: a narrow projection + explode — zero shuffles; the only data
+    growth is the intended upsampling itself.
+    """
+    rates = {s: float(w) for s, w in weights.items()}
+    if any(w < 0 for w in rates.values()):
+        raise ValueError("mixture weights must be non-negative")
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+    )
+    base = F.lit(0)
+    extra_hex = F.lit("00000000")
+    for s, w in rates.items():
+        whole, frac = int(w), w - int(w)
+        base = F.when(F.col(source_col) == s, whole).otherwise(base)
+        extra_hex = F.when(
+            F.col(source_col) == s,
+            format(min(int(frac * 2**32), 2**32 - 1), "08x"),
+        ).otherwise(extra_hex)
+    n_copies = base + (key < extra_hex).cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(1), F.greatest(n_copies, F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
+
+
+def mix_oracle_sql(
+    weights: Mapping[str, float],
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    copy_col: str = "copy_idx",
+    columns: str = "doc_id, source",
+) -> str:
+    """DuckDB SQL computing exactly :func:`mix_datasets` (shared md5 coin)."""
+    whole_whens = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items()
+    )
+    hex_whens = " ".join(
+        f"WHEN '{s}' THEN '{format(min(int((w - int(w)) * 2**32), 2**32 - 1), '08x')}'"
+        for s, w in weights.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT *,
+         substr(md5({id_col}::VARCHAR || ':' || '{seed}'), 1, 8) AS h,
+         CASE {source_col} {whole_whens} ELSE 0 END
+         + CASE WHEN substr(md5({id_col}::VARCHAR || ':' || '{seed}'), 1, 8)
+                     < CASE {source_col} {hex_whens} ELSE '00000000' END
+                THEN 1 ELSE 0 END AS n
+  FROM {table}
+)
+SELECT {columns}, t.c::INTEGER AS {copy_col}
+FROM base, unnest(generate_series(1, n)) t(c)
+WHERE n > 0
+"""
 
 
 # ---------------------------------------------------------------------------

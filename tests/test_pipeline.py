@@ -148,3 +148,41 @@ class TestPackSequences:
         assert out.count() == 300
         # bucket assignment is id % num_buckets
         assert out.filter(F.col("bucket") != F.col("doc_id") % 4).count() == 0
+
+
+class TestMixDatasets:
+    def test_copy_counts_follow_rates(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import mix_datasets
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+            "doc_id long, source string",
+        )
+        out = mix_datasets(df, {"a": 2.0, "b": 0.5}, seed="t")
+        per_src = dict(
+            out.groupBy("source").count().collect()
+        )
+        assert per_src["a"] == 2000  # exact integer rate: every row twice
+        assert 350 < per_src["b"] < 650  # ~0.5 coin on 1000 rows
+        # integer-rate copies are numbered 1..2
+        assert set(
+            r.copy_idx for r in out.filter(F.col("source") == "a").collect()
+        ) == {1, 2}
+
+    def test_unlisted_source_dropped_and_deterministic(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import mix_datasets
+
+        df = spark.createDataFrame(
+            [(1, "keep"), (2, "drop")], "doc_id long, source string"
+        )
+        a = mix_datasets(df, {"keep": 1.0}, seed="s").collect()
+        b = mix_datasets(df.repartition(7), {"keep": 1.0}, seed="s").collect()
+        assert [r.doc_id for r in a] == [1]
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_negative_weight_raises(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import mix_datasets
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError):
+            mix_datasets(df, {"a": -0.5})
