@@ -2698,6 +2698,73 @@ QUERIES["pipeline_mix_datasets"] = pipeline_mix_datasets
 ORACLES["pipeline_mix_datasets"] = _mix_oracle()
 
 
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-per-source sample via md5-rank (the reproducible
+    stand-in for ORDER BY random() LIMIT n within each stratum)."""
+    from qdrant_datafusion_spark.operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", 10, seed="strat-r2").select(
+        "doc_id", "source"
+    )
+
+
+PIPELINE_STRATIFIED_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || ':' || 'strat-r2'), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each source's top half by quality score — the relative
+    per-source curation cut.  Scores are rounded to 6 places BEFORE
+    ranking so the cut boundary is engine-stable."""
+    from qdrant_datafusion_spark.operators.pipeline import (
+        quality_percentile_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = F.round(quality_score("text", stopwords=("the", "a")), 6)
+    scored = docs.select("doc_id", "source", q.alias("quality"))
+    return quality_percentile_filter(scored, "quality", by="source", keep_frac=0.5)
+
+
+TEXT_QUALITY_FILTER_SQL = """
+WITH q AS (
+  SELECT doc_id, source,
+         round(0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+         + 0.3 * (CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                            / length(text)
+                       ELSE 0 END)
+         + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                             x -> x <> ''), 'the')::INT
+                   + list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                               x -> x <> ''), 'a')::INT)::DOUBLE / 2), 6)
+         AS quality
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, quality,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id) AS pr
+  FROM q
+)
+SELECT doc_id, source, quality FROM r WHERE pr <= 0.5
+"""
+
+
+QUERIES["pipeline_stratified_sample"] = pipeline_stratified_sample
+QUERIES["text_quality_filter"] = text_quality_filter
+ORACLES["pipeline_stratified_sample"] = PIPELINE_STRATIFIED_SQL
+ORACLES["text_quality_filter"] = TEXT_QUALITY_FILTER_SQL
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py): as-of enrichment, interval join
 # ---------------------------------------------------------------------------

@@ -46,6 +46,8 @@ __all__ = [
     "repetition_stats",
     "pack_sequences",
     "mix_datasets",
+    "stratified_sample",
+    "quality_percentile_filter",
 ]
 
 
@@ -232,6 +234,71 @@ def decontaminate(
         totals.join(hits, id_col, "left")
         .withColumn("hits", F.coalesce("hits", F.lit(0).cast("long")))
         .withColumn("contaminated", F.col("hits") >= min_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample / quality_percentile_filter
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    by: str = "source",
+    n_per_group: int = 100,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, chosen by md5 rank —
+    the deterministic replacement for ``ORDER BY random() LIMIT n`` per
+    stratum (eval-set carving, per-source caps, debug slices).  The
+    md5-of-id ordering is a fixed uniform permutation: re-running, re-
+    partitioning, or re-sorting the input selects the same rows; a new
+    ``seed`` re-deals.
+
+    Scale: one shuffle on the group key; rank-within-group is a window
+    over that partitioning (no global sort).  Groups far larger than
+    ``n`` still shuffle fully — for extreme skew pre-filter with an
+    approximate per-group threshold; documented trade, not a silent cap.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    w = Window.partitionBy(by).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    by: str = "source",
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each group's top ``keep_frac`` of rows by score (per-source
+    quality gating: "drop the worst half of every crawl" — a *relative*
+    cut, so one noisy source can't eat the global budget).
+
+    ``percent_rank() <= keep_frac`` over (group, score desc, id) — the id
+    tiebreak makes the boundary deterministic.  Same single-shuffle shape
+    as :func:`stratified_sample`.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in [0, 1], got {keep_frac}")
+    w = Window.partitionBy(by).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_frac)
+        .drop("__pr")
     )
 
 

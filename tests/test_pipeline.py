@@ -186,3 +186,52 @@ class TestMixDatasets:
         df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
         with pytest.raises(ValueError):
             mix_datasets(df, {"a": -0.5})
+
+
+class TestStratifiedSample:
+    def test_exact_count_and_stability(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+        )
+        a = stratified_sample(df, "source", 5, seed="z")
+        assert dict(a.groupBy("source").count().collect()) == {
+            "s0": 5, "s1": 5, "s2": 5,
+        }
+        b = stratified_sample(df.repartition(11), "source", 5, seed="z")
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        )
+        # small groups return whole group, not an error
+        tiny = spark.createDataFrame([(1, "only")], "doc_id long, source string")
+        assert stratified_sample(tiny, "source", 5).count() == 1
+
+
+class TestQualityPercentileFilter:
+    def test_keeps_top_fraction_per_group(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import (
+            quality_percentile_filter,
+        )
+
+        rows = [(i, "g", float(i)) for i in range(10)]  # scores 0..9
+        df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+        kept = sorted(
+            r.doc_id
+            for r in quality_percentile_filter(
+                df, "q", by="source", keep_frac=0.5
+            ).collect()
+        )
+        # percent_rank (rank-1)/(n-1) <= 0.5 over desc scores keeps ranks 1..5
+        assert kept == [5, 6, 7, 8, 9]
+
+    def test_bad_frac_raises(self, spark):
+        import pytest as _pytest
+
+        from qdrant_datafusion_spark.operators.pipeline import (
+            quality_percentile_filter,
+        )
+
+        df = spark.createDataFrame([(1, "g", 1.0)], "doc_id long, source string, q double")
+        with _pytest.raises(ValueError):
+            quality_percentile_filter(df, "q", keep_frac=1.5)
