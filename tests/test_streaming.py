@@ -197,3 +197,49 @@ class TestCollectionStreamSource:
             "id string, payload string, vector array<float>",
         ).coalesce(1).write.mode("append").parquet(coll)
         assert run_batch() == ["1", "2", "3"]
+
+
+class TestStreamingPipelineStages:
+    """The stateless dataset-assembly stages are pure narrow maps, so they
+    compose with readStream unchanged — split/mix/score a corpus as it
+    lands, no batch re-run."""
+
+    def test_split_mix_score_on_a_stream(self, spark, tmp_path):
+        from qdrant_datafusion_spark.operators.pipeline import (
+            hash_split,
+            mix_datasets,
+            repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"src{i % 2}", "spark spark spark row " + str(i)) for i in range(40)],
+            "doc_id long, source string, text string",
+        )
+        path = str(tmp_path / "docs_src")
+        df.coalesce(1).write.parquet(path)
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(path)
+
+        staged = mix_datasets(
+            hash_split(stream, "doc_id", {"train": 0.8, "val": 0.2}, seed="st"),
+            {"src0": 2.0, "src1": 1.0},
+            seed="st",
+        )
+        out = _run_to_memory(staged, spark, "pipe_stages", "append").collect()
+        # src0 rows duplicated, src1 kept once: 20*2 + 20*1
+        assert len(out) == 60
+        # assignments identical to the batch run of the same stages
+        batch = mix_datasets(
+            hash_split(df, "doc_id", {"train": 0.8, "val": 0.2}, seed="st"),
+            {"src0": 2.0, "src1": 1.0},
+            seed="st",
+        ).collect()
+        assert sorted((r.doc_id, r.split, r.copy_idx) for r in out) == sorted(
+            (r.doc_id, r.split, r.copy_idx) for r in batch
+        )
+        # repetition stats also run stream-side (narrow projection)
+        stats = _run_to_memory(
+            repetition_stats(stream), spark, "pipe_rep", "append"
+        ).collect()
+        assert len(stats) == 40 and all(r.n_tokens == 5 for r in stats)
