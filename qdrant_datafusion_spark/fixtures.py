@@ -131,6 +131,8 @@ CORPUS_COLL = CollectionDescriptor(
     fields=(
         VectorField("text_embedding", 2, "cosine"),
         VectorField("image_embedding", 3, "dot"),
+        VectorField("sparse_text", 0, "dot", "sparse"),
+        VectorField("colbert_vectors", 3, "dot", "multi"),
     ),
 )
 
@@ -139,30 +141,62 @@ CORPUS_POINT_ID = "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
 
 
 def corpus_df(spark: SparkSession) -> DataFrame:
-    """The corpus's ``collection_name``: named text/image vectors plus the
-    payload keys its statements filter on (language, has_thumbnail,
-    verified, status — tests/bin/tests.sql:350-383) and one point with the
-    exact uuid the by-id search targets (tests.sql:22)."""
-    def payload(language, thumb, verified, status):
+    """The corpus's ``collection_name``, covering EVERY field and payload
+    key the corpus file touches: named text/image vectors, the
+    ``sparse_text`` pair, ``colbert_vectors`` multi-vectors, the filter
+    keys (language/has_thumbnail/verified/status — tests.sql:350-383),
+    the payload surfaces its statements read (description, address, tags,
+    author, category, tag, geo.location, price — tests.sql:210-303), the
+    exact by-id uuid (tests.sql:22), and the example ids the recommend /
+    discover statements name (id1-4, img_id1-3, ctx_id1/2, valid_id —
+    tests.sql:83-137, 395)."""
+    def payload(language, thumb, verified, status, *, author="author_1",
+                category="books", tag="p", country="USA",
+                description="machine learning with spark"):
         return json.dumps(
             {
                 "language": language,
                 "has_thumbnail": thumb,
                 "verified": verified,
                 "status": status,
+                "author": author,
+                "category": category,
+                "tag": tag,
+                "tags": ["electronics", "sale"],
+                "price": 42.5,
+                "description": description,
+                "address": {"city": "Berlin", "country": country},
+                "geo": {"location": {"lat": 52.52, "lon": 13.405}},
             }
         )
 
-    rows = [
+    base = [
         (CORPUS_POINT_ID, payload("en", True, True, "published"),
          [0.1, 0.9], [0.3, 0.1, 0.5]),
-        ("doc-2", payload("en", True, False, "published"),
+        ("doc-2", payload("en", True, False, "published", tag="h1"),
          [0.8, 0.2], [0.1, 0.7, 0.2]),
-        ("doc-3", payload("en", False, True, "published"),
+        ("doc-3", payload("en", False, True, "published", author="author_2"),
          [0.5, 0.5], [0.9, 0.2, 0.4]),
-        ("doc-4", payload("de", True, True, "published"),
+        ("doc-4", payload("de", True, True, "published", country="DE"),
          [0.2, 0.7], [0.4, 0.4, 0.1]),
-        ("doc-5", payload("en", True, True, "draft"),
+        ("doc-5", payload("en", True, True, "draft", tag="li"),
          [0.9, 0.1], [0.2, 0.8, 0.6]),
     ]
+    named = ["id1", "id2", "id3", "id4", "img_id1", "img_id2", "img_id3",
+             "ctx_id1", "ctx_id2", "valid_id"]
+    rows = []
+    for i, (pid, pl, t, im) in enumerate(base):
+        rows.append(
+            (pid, pl, t, im,
+             [1, 42, 100 + i], [0.2, 0.8, 0.1 * (i + 1)],
+             [[0.1, 0.2, 0.3], [0.5 + 0.1 * i, 0.1, 0.2]])
+        )
+    for i, pid in enumerate(named):
+        rows.append(
+            (pid, payload("en", True, True, "published"),
+             [round(0.1 * (i + 1), 2), round(1.0 - 0.1 * i, 2)],
+             [round(0.1 * i, 2), 0.5, round(1.0 - 0.05 * i, 2)],
+             [10, 20, 30], [0.5, 0.3, 0.7],
+             [[0.2, 0.1, 0.35], [0.8, 0.9, 0.53]])
+        )
     return spark.createDataFrame(rows, CORPUS_COLL.schema())

@@ -27,28 +27,68 @@ import re
 
 from qdrant_datafusion_spark.collections import CollectionDescriptor
 
-#: metric → SQL score expression template over (column_expr, query_expr);
-#: V_SEARCH is the cosine kernel, V_DISTANCE handles the distance metrics
+#: metric → SQL score expression template over (column_expr, query_expr).
+#: These are the INLINE bodies of V_SEARCH / V_DISTANCE (bit-identical
+#: sequential folds), not calls to the registered SQL-defined functions:
+#: Spark 4 rejects SQL UDFs inside Sort, and the corpus writes
+#: ``ORDER BY V_SEARCH(...)`` directly (tests.sql:160).  Inlining keeps
+#: every statement legal in every clause with the identical plan.
+_DOT = (
+    "aggregate(zip_with({c}, {q}, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+)
+_NORM = (
+    "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+)
 _SCORE_TEMPLATES = {
-    "cosine": "V_SEARCH({c}, {q})",
-    "dot": "(-V_DISTANCE({c}, {q}, 'dot'))",
-    "euclid": "(-V_DISTANCE({c}, {q}, 'euclid'))",
-    "manhattan": "(-V_DISTANCE({c}, {q}, 'manhattan'))",
+    "cosine": (
+        "try_divide(" + _DOT + ", "
+        + _NORM.replace("{v}", "{c}") + " * " + _NORM.replace("{v}", "{q}") + ")"
+    ),
+    "dot": "(" + _DOT + ")",
+    "euclid": (
+        "(-sqrt(aggregate(zip_with({c}, {q}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)))"
+    ),
+    "manhattan": (
+        "(-aggregate(zip_with({c}, {q}, (x, y) -> abs(x - y)), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    ),
 }
 
 #: array literal: ``[`` not preceded by an identifier char / ``]`` / ``)``
-#: (those are indexing), spanning non-bracket content
-_ARRAY_LIT = re.compile(r"(?<![\w\]\)])\[([^\[\]]*)\]")
+#: (those are indexing) nor a quote (that's JSON text inside a string
+#: literal, e.g. the resolved ``@>`` containment), spanning non-bracket
+#: content
+_ARRAY_LIT = re.compile(r"(?<![\w\]\)'])\[([^\[\]]*)\]")
 
 #: ``expr->'key'`` / ``expr->>'key'`` (qualified identifiers allowed)
 _ARROW_BOOL = re.compile(r"->\s*'(\w+)'\s*=\s*(true|false)\b", re.IGNORECASE)
 _ARROW = re.compile(r"(\w+(?:\.\w+)*)\s*->>?\s*'(\w+)'")
 
 
+#: call forms of the same kernels, used when the query side is a scalar
+#: subquery — Spark forbids subquery expressions inside higher-order
+#: functions, and the SQL-defined function boundary evaluates the argument
+#: first (the by-id search shape, tests.sql:22)
+_CALL_TEMPLATES = {
+    "cosine": "V_SEARCH({c}, {q})",
+    "dot": "(-V_DISTANCE({c}, {q}, 'dot'))",
+    "euclid": "(-V_DISTANCE({c}, {q}, 'euclid'))",
+    "manhattan": "(-V_DISTANCE({c}, {q}, 'manhattan'))",
+}
+
+
 def _score_expr(descriptor: CollectionDescriptor, field, query_sql: str) -> str:
     col = "vector" if descriptor.unnamed else field.name
     c = f"CAST({col} AS ARRAY<DOUBLE>)"
-    return _SCORE_TEMPLATES[field.metric].format(c=c, q=query_sql)
+    tpl = (
+        _CALL_TEMPLATES
+        if query_sql.lstrip().upper().startswith("(SELECT")
+        else _SCORE_TEMPLATES
+    )
+    return tpl[field.metric].format(c=c, q=query_sql)
 
 
 def _find_call(text: str, name: str, start: int = 0) -> tuple[int, int, str] | None:
@@ -88,6 +128,188 @@ def _split_top_level(args: str) -> list[str]:
     return parts
 
 
+#: chained arrows: base ident + one or more ->'k' links, collapsed into a
+#: single get_json_object path (tests.sql:219-225 nested payload access)
+_ARROW_CHAIN = re.compile(r"(\w+(?:\.\w+)*)((?:\s*->>?\s*'\w+')+)")
+_ARROW_LINK = re.compile(r"->>?\s*'(\w+)'")
+
+#: JSON array containment: <resolved-lhs> @> '["a", ...]' (tests.sql:224)
+_CONTAINS = re.compile(r"@>\s*'(\[[^']*\])'")
+
+
+def _resolve_arrows(text: str) -> str:
+    def chain(m: re.Match) -> str:
+        path = ".".join(_ARROW_LINK.findall(m.group(2)))
+        return f"get_json_object({m.group(1)}, '$.{path}')"
+
+    text = _ARROW_BOOL.sub(lambda m: f"->'{m.group(1)}' = '{m.group(2).lower()}'", text)
+    return _ARROW_CHAIN.sub(chain, text)
+
+
+def _lhs_expr(text: str, end: int) -> int:
+    """Start index of the balanced expression ending at ``end`` (exclusive)
+    — an identifier call chain like ``get_json_object(payload, '$.tags')``."""
+    i = end - 1
+    while i >= 0 and text[i].isspace():
+        i -= 1
+    if i >= 0 and text[i] == ")":
+        depth = 0
+        while i >= 0:
+            if text[i] == ")":
+                depth += 1
+            elif text[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+    # the identifier before the open paren (or the bare identifier)
+    j = i - 1 if i >= 0 and text[i] == "(" else i
+    while j >= 0 and (text[j].isalnum() or text[j] in "_."):
+        j -= 1
+    return j + 1
+
+
+def _resolve_containment(text: str) -> str:
+    """``expr @> '[json array]'`` → superset check via array_except
+    (the ``@>`` operator, tests.sql:224)."""
+    while True:
+        m = _CONTAINS.search(text)
+        if not m:
+            return text
+        lhs_start = _lhs_expr(text, m.start())
+        lhs = text[lhs_start : m.start()].strip()
+        repl = (
+            f"(size(array_except(from_json('{m.group(1)}', 'array<string>'), "
+            f"from_json({lhs}, 'array<string>'))) = 0)"
+        )
+        text = text[:lhs_start] + repl + text[m.end():]
+
+
+def _quoted(arg: str) -> str | None:
+    m = re.fullmatch(r"'([^']*)'", arg.strip())
+    return m.group(1) if m else None
+
+
+def _first_field(descriptor: CollectionDescriptor, kind: str):
+    for f in descriptor.fields:
+        if f.kind == kind:
+            return f
+    return None
+
+
+def _cast_vec(expr: str) -> str:
+    return f"CAST({expr} AS ARRAY<DOUBLE>)"
+
+
+def _vec_set_expr(arg: str, col_expr: str, view: str) -> str:
+    """A recommend positives/negatives argument → ARRAY<ARRAY<DOUBLE>>:
+    NULL passthrough, string-id lists become a collect_list subquery over
+    the collection (the reference resolves example ids against stored
+    points), vector literals cast directly (tests.sql:83-118)."""
+    a = arg.strip()
+    if a.upper() == "NULL":
+        return "CAST(NULL AS ARRAY<ARRAY<DOUBLE>>)"
+    if re.match(r"array\(\s*'", a):
+        ids = ", ".join(f"'{i}'" for i in re.findall(r"'([^']*)'", a))
+        return (
+            f"(SELECT collect_list({col_expr}) FROM {view} WHERE id IN ({ids}))"
+        )
+    return f"CAST({a} AS ARRAY<ARRAY<DOUBLE>>)"
+
+
+def _dispatch_calls(text: str, name: str, resolve) -> str:
+    """Rewrite every ``name(...)`` call via ``resolve(args) -> str | None``
+    (None = leave the call as written)."""
+    pos = 0
+    while True:
+        found = _find_call(text, name, pos)
+        if not found:
+            return text
+        start, end, args_text = found
+        repl = resolve(_split_top_level(args_text))
+        if repl is None:
+            pos = end
+            continue
+        text = text[:start] + repl + text[end:]
+        pos = start + len(repl)
+
+
+#: inlined score folds are illegal in a Sort (higher-order functions with
+#: outer references / analyzer restrictions) — hoist marker
+_INLINE_SCORE_MARK = "aggregate(zip_with"
+
+
+def _hoist_sort_scores(text: str) -> str:
+    """Rewrite ``ORDER BY <inlined-score-expr>`` into a projected alias.
+
+    The corpus sorts directly on V_SEARCH in two places (the ColBERT
+    prefetch, tests.sql:160, and the LATERAL batch search, tests.sql:341);
+    the inlined fold can't sit in a Sort, so the expression moves into the
+    enclosing select list as ``__sort_k`` and the ORDER BY references the
+    alias — exactly what the corpus's other statements do by hand.
+    """
+    n = 0
+    while True:
+        m = re.search(r"ORDER\s+BY\s+", text, re.IGNORECASE)
+        found = None
+        for m in re.finditer(r"ORDER\s+BY\s+", text, re.IGNORECASE):
+            # expression runs to ASC/DESC/LIMIT/unbalanced ')' at depth 0
+            i, depth = m.end(), 0
+            while i < len(text):
+                ch = text[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and re.match(
+                    r"(ASC|DESC|LIMIT)\b", text[i:], re.IGNORECASE
+                ):
+                    break
+                i += 1
+            expr = text[m.end() : i].strip()
+            if _INLINE_SCORE_MARK in expr:
+                found = (m.end(), i, expr)
+                break
+        if not found:
+            return text
+        start, end, expr = found
+        # enclosing SELECT: nearest one scanning backwards at paren depth 0
+        j, depth = start - 1, 0
+        sel = -1
+        while j >= 0:
+            if text[j] == ")":
+                depth += 1
+            elif text[j] == "(":
+                depth -= 1
+            elif depth == 0 and text[j : j + 6].upper() == "SELECT":
+                sel = j
+                break
+            j -= 1
+        # its select list ends at the first FROM at depth 0 after it
+        k, depth = sel + 6, 0
+        while k < len(text):
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+            elif depth == 0 and text[k : k + 4].upper() == "FROM":
+                break
+            k += 1
+        alias = f"__sort_{n}"
+        n += 1
+        text = (
+            text[:sel + 6]
+            + text[sel + 6 : k]
+            + f", ({expr}) AS {alias} "
+            + text[k:start]
+            + alias
+            + " "
+            + text[end:]
+        )
+
+
 def corpus_sql(
     text: str, descriptor: CollectionDescriptor, view: str = "collection_name"
 ) -> str:
@@ -95,48 +317,132 @@ def corpus_sql(
 
     ``view`` is the temp-view name the collection is registered under
     (the corpus writes ``FROM collection_name``).  Resolution order:
-    arrow-JSON access, bracket array literals, then V_SEARCH call-shape
-    dispatch (named field / by-id / default field) with the metric taken
-    from the descriptor — mirroring the reference's config-driven scoring
-    (tests/e2e.rs:127-148).
+    comments out, chained-arrow JSON access, ``@>`` containment, bracket
+    array literals, then per-function call-shape dispatch — field names /
+    example ids / context pairs resolve against the collection config
+    exactly as the reference's planner would (tests/e2e.rs:127-148,
+    src/utils.rs field resolution).  Every statement in
+    tests/bin/tests.sql resolves (proven verbatim in test_sql_corpus).
     """
+    text = re.sub(r"--[^\n]*", "", text)  # args are parsed textually
     text = text.strip().rstrip(";")
-    # JSON arrows: boolean compares first (JSON scalars read back as text)
-    text = _ARROW_BOOL.sub(lambda m: f"->'{m.group(1)}' = '{m.group(2).lower()}'", text)
-    text = _ARROW.sub(lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", text)
-    # bracket array literals -> array(...)
-    text = _ARRAY_LIT.sub(lambda m: f"array({m.group(1)})", text)
+    text = _resolve_arrows(text)
+    text = _resolve_containment(text)
+    # bracket array literals -> array(...); innermost-out fixpoint so
+    # nested literals ([[..], [..]] — recommend/discover/colbert shapes)
+    # resolve layer by layer
+    while True:
+        rewritten = _ARRAY_LIT.sub(lambda m: f"array({m.group(1)})", text)
+        if rewritten == text:
+            break
+        text = rewritten
 
     fields = {f.name: f for f in descriptor.fields}
     default_field = descriptor.fields[0]
-    pos = 0
-    while True:
-        found = _find_call(text, "V_SEARCH", pos)
-        if not found:
-            break
-        start, end, args_text = found
-        args = _split_top_level(args_text)
+    default_col = "vector" if descriptor.unnamed else default_field.name
+    default_vec = _cast_vec(default_col)
+    sparse_field = _first_field(descriptor, "sparse")
+    multi_field = _first_field(descriptor, "multi")
+
+    def search(args):
         first = args[0] if args else ""
-        quoted = re.fullmatch(r"'([^']*)'", first)
-        if quoted and len(args) == 2 and quoted.group(1) in fields:
-            # named-field form: column + metric from collection config
-            repl = _score_expr(descriptor, fields[quoted.group(1)], args[1])
-        elif quoted and len(args) == 1:
-            # by-id form: score against the point's own default vector
-            f = default_field
-            col = "vector" if descriptor.unnamed else f.name
+        q = _quoted(first)
+        if q is not None and len(args) == 2 and q in fields:
+            return _score_expr(descriptor, fields[q], args[1])
+        if q is not None and len(args) == 1:
             sub = (
-                f"(SELECT first(CAST({col} AS ARRAY<DOUBLE>)) FROM {view}"
-                f" WHERE id = '{quoted.group(1)}')"
+                f"(SELECT first({default_vec}) FROM {view} WHERE id = '{q}')"
             )
-            repl = _score_expr(descriptor, f, sub)
-        elif len(args) == 1:
-            # default-field form: V_SEARCH([..]) / V_SEARCH(expr)
-            repl = _score_expr(descriptor, default_field, args[0])
+            return _score_expr(descriptor, default_field, sub)
+        if len(args) == 1:
+            return _score_expr(descriptor, default_field, args[0])
+        return None  # already-resolved (column, query) form
+
+    def distance(args):  # V_DISTANCE([..], 'metric') — v is implicit
+        if len(args) == 2:
+            return f"V_DISTANCE({default_vec}, {args[0]}, {args[1]})"
+        return None
+
+    def within(args):  # V_WITHIN([..], r) — v is implicit
+        if len(args) == 2:
+            return f"V_WITHIN({default_vec}, CAST({args[0]} AS ARRAY<DOUBLE>), {args[1]})"
+        return None
+
+    def sparse_search(args):  # ([idx], [vals]) or ('field', [idx], [vals])
+        q = _quoted(args[0]) if args else None
+        if q is not None and len(args) == 3 and q in fields:
+            f, qi, qv = fields[q], args[1], args[2]
+        elif len(args) == 2 and sparse_field is not None:
+            f, qi, qv = sparse_field, args[0], args[1]
         else:
-            # already-resolved two-arg (column, query) form: leave as-is
-            pos = end
-            continue
-        text = text[:start] + repl + text[end:]
-        pos = start + len(repl)
-    return text
+            return None
+        return (
+            f"V_SPARSE_SEARCH({f.name}_indices, {f.name}_values, "
+            f"CAST({qi} AS ARRAY<BIGINT>), CAST({qv} AS ARRAY<DOUBLE>))"
+        )
+
+    def colbert(args):  # ('field', [[..]]) — multi-vector MaxSim
+        q = _quoted(args[0]) if args else None
+        if q is not None and len(args) == 2 and q in fields:
+            return (
+                f"V_COLBERT(CAST({q} AS ARRAY<ARRAY<DOUBLE>>), "
+                f"CAST({args[1]} AS ARRAY<ARRAY<DOUBLE>>))"
+            )
+        return None
+
+    def recommend(args):  # (pos, neg) | ('field', pos, neg)
+        q = _quoted(args[0]) if args else None
+        if q is not None and len(args) == 3 and q in fields:
+            col = _cast_vec(fields[q].name)
+            pos_a, neg_a = args[1], args[2]
+        elif len(args) == 2:
+            col, pos_a, neg_a = default_vec, args[0], args[1]
+        else:
+            return None
+        return (
+            f"V_RECOMMEND({col}, {_vec_set_expr(pos_a, col, view)}, "
+            f"{_vec_set_expr(neg_a, col, view)})"
+        )
+
+    def discover(args):  # (target, ctx_pairs) | ('field', target, ctx_pairs)
+        q = _quoted(args[0]) if args else None
+        if q is not None and len(args) == 3 and q in fields:
+            col, target, pairs = _cast_vec(fields[q].name), args[1], args[2]
+        elif len(args) == 2:
+            col, target, pairs = default_vec, args[0], args[1]
+        else:
+            return None
+        parsed = re.findall(r"array\(\s*'([^']+)'\s*,\s*([-+0-9.eE]+)\s*\)", pairs)
+        if not parsed:
+            return None
+        ctxs = ", ".join(
+            f"(SELECT first({col}) FROM {view} WHERE id = '{cid}')"
+            for cid, _ in parsed
+        )
+        ws = ", ".join(w for _, w in parsed)
+        return (
+            f"V_DISCOVER({col}, CAST({target} AS ARRAY<DOUBLE>), "
+            f"array({ctxs}), array({ws}))"
+        )
+
+    def geo_distance(args):  # (location_json, POINT(lat, lon))
+        if len(args) == 2 and re.match(r"POINT\s*\(", args[1], re.IGNORECASE):
+            inner = re.search(r"\(\s*([^,]+),\s*([^)]+)\)", args[1])
+            loc = args[0]
+            return (
+                f"V_GEO_DISTANCE("
+                f"CAST(get_json_object({loc}, '$.lat') AS DOUBLE), "
+                f"CAST(get_json_object({loc}, '$.lon') AS DOUBLE), "
+                f"{inner.group(1).strip()}, {inner.group(2).strip()})"
+            )
+        return None
+
+    text = _dispatch_calls(text, "V_SEARCH", search)
+    text = _dispatch_calls(text, "V_DISTANCE", distance)
+    text = _dispatch_calls(text, "V_WITHIN", within)
+    text = _dispatch_calls(text, "V_SPARSE_SEARCH", sparse_search)
+    text = _dispatch_calls(text, "V_COLBERT", colbert)
+    text = _dispatch_calls(text, "V_RECOMMEND", recommend)
+    text = _dispatch_calls(text, "V_DISCOVER", discover)
+    text = _dispatch_calls(text, "V_GEO_DISTANCE", geo_distance)
+    return _hoist_sort_scores(text)

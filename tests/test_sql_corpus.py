@@ -212,7 +212,7 @@ FROM collection_name
 ORDER BY score DESC
 LIMIT 10;
 """)
-        assert len(rows) == 5  # runs; dim-3 query on dim-2 field -> NULL scores
+        assert len(rows) == 10  # runs; dim-3 query on dim-2 field -> NULL scores
 
     def test_named_vector_search_matching_dim(self, spark, corpus_view):
         rows = self._run(spark, corpus_view, """
@@ -232,7 +232,7 @@ FROM collection_name
 ORDER BY score DESC
 LIMIT 10;
 """)
-        assert len(rows) == 5
+        assert len(rows) == 10
         assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
         assert rows[0].score == pytest.approx(1.0)  # self-similarity
 
@@ -249,7 +249,7 @@ FROM collection_name
 ORDER BY text_score * 0.7 + image_score * 0.3 DESC
 LIMIT 20;
 """)
-        assert len(rows) == 5
+        assert len(rows) == 15
         by_id = {r.id: r for r in rows}
         # dot metric: doc-2 image [0.1,0.7,0.2] . [0.3,0.4,0.5] = 0.41
         assert by_id["doc-2"].image_score == pytest.approx(0.41)
@@ -293,13 +293,14 @@ WHERE c.payload->'status' = 'published'
 ORDER BY final_score DESC
 LIMIT 10;
 """)
-        # en + thumbnail + published: the uuid point and doc-2
-        assert {r.id for r in rows} == {
-            "43cf51e2-8777-4f52-bc74-c2cbde0c8b04", "doc-2",
-        }
+        # en + thumbnail + published: the uuid point, doc-2, and the ten
+        # named example points (LIMIT 10 keeps the best ten)
+        ids = {r.id for r in rows}
+        assert len(rows) == 10
+        assert "43cf51e2-8777-4f52-bc74-c2cbde0c8b04" in ids
         assert all(r.final_score is not None for r in rows)
-        # verified uuid point carries the 1.2 boost -> must rank first
-        assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
+        # doc-2 is the only unverified candidate: no 1.2 boost -> never #1
+        assert rows[0].id != "doc-2"
 
     def test_empty_vector_search_verbatim(self, spark, corpus_view):
         # tests/bin/tests.sql:390-392
@@ -309,3 +310,103 @@ WHERE V_SEARCH([]) IS NOT NULL
 LIMIT 1;
 """)
         assert rows == []  # empty query -> NULL scores, handled gracefully
+
+
+class TestFullCorpusFile:
+    """EVERY statement of the reference's tests/bin/tests.sql executed
+    verbatim through the dialect resolver against the kitchen-sink corpus
+    collection — the 'a reference user can run every query they run
+    today' proof.  No skips: all 32 statements must execute."""
+
+    @pytest.fixture(scope="class")
+    def corpus_view(self, spark):
+        from qdrant_datafusion_spark.fixtures import CORPUS_COLL, corpus_df
+
+        register_all(spark)
+        corpus_df(spark).createOrReplaceTempView("collection_name")
+        return CORPUS_COLL
+
+    @staticmethod
+    def _statements():
+        import re as _re
+
+        src = open("/root/reference/tests/bin/tests.sql").read()
+        stmts = [s for s in src.split(";")]
+        return [
+            s.strip() for s in stmts
+            if _re.sub(r"--[^\n]*", "", s).strip()
+        ]
+
+    def test_every_statement_executes(self, spark, corpus_view):
+        from qdrant_datafusion_spark.sql_dialect import corpus_sql
+
+        stmts = self._statements()
+        assert len(stmts) == 32  # the whole file, nothing filtered out
+        failures = []
+        for i, s in enumerate(stmts):
+            try:
+                spark.sql(corpus_sql(s, corpus_view)).collect()
+            except Exception as e:  # noqa: BLE001 - collecting a report
+                head = " ".join(s.split())[:90]
+                failures.append(f"#{i}: {head} -> {str(e)[:160]}")
+        assert not failures, "\n".join(failures)
+
+    def test_value_spot_checks(self, spark, corpus_view):
+        from qdrant_datafusion_spark.sql_dialect import corpus_sql
+
+        def run(sql):
+            return spark.sql(corpus_sql(sql, corpus_view)).collect()
+
+        # @> containment + nested arrows (tests.sql:217-226): every row
+        # carries tags ["electronics","sale"] but only country=USA passes
+        rows = run("""
+SELECT id, payload->'address'->'city' as city
+FROM collection_name
+WHERE payload->'address'->'country' = 'USA'
+  AND payload->'tags' @> '["electronics"]'
+""")
+        assert len(rows) == 14 and all(r.city == "Berlin" for r in rows)
+
+        # MATCH_TEXT over the description payload (tests.sql:210-214)
+        rows = run("""
+SELECT id, MATCH_TEXT(payload->'description', 'machine learning') as text_score
+FROM collection_name
+WHERE MATCH_TEXT(payload->'description', 'machine learning') > 0.0
+ORDER BY text_score DESC
+LIMIT 10
+""")
+        assert len(rows) == 10 and rows[0].text_score == pytest.approx(1.0)
+
+        # by-id recommend over a REAL id resolves to that point's vector
+        # (tests.sql:395-398) — valid_id ranks itself first
+        rows = run("""
+SELECT id, V_RECOMMEND(['valid_id'], NULL) as score
+FROM collection_name
+ORDER BY score DESC
+LIMIT 5
+""")
+        assert rows[0].id == "valid_id" and rows[0].score == pytest.approx(1.0)
+
+        # named sparse search scores by index-overlap dot product
+        # (tests.sql:73-77): the named example points share indices 10/20/30
+        rows = run("""
+SELECT id, V_SPARSE_SEARCH('sparse_text', [10, 20, 30], [0.5, 0.3, 0.7]) as score
+FROM collection_name
+ORDER BY score DESC
+LIMIT 10
+""")
+        expect = 0.5 * 0.5 + 0.3 * 0.3 + 0.7 * 0.7
+        assert rows[0].score == pytest.approx(expect)
+
+        # discovery with named field + context ids (tests.sql:130-137)
+        rows = run("""
+SELECT id, V_DISCOVER(
+    'text_embedding',
+    [0.1, 0.2],
+    [['ctx_id1', 0.8], ['ctx_id2', 0.2]]
+) as score
+FROM collection_name
+ORDER BY score DESC
+LIMIT 10
+""")
+        assert len(rows) == 10 and rows[0].score is not None
