@@ -233,3 +233,63 @@ class TestQuantizationProperties:
         for d, x in enumerate(vec):
             w = words[d // 64] & ((1 << 64) - 1)
             assert bool(w >> (d % 64) & 1) == (x > 0.0)
+
+
+class TestAsOfJoinProperties:
+    """as_of_join vs pandas merge_asof (the industry-reference as-of
+    implementation).  Right-side (key, ts) pairs are deduplicated before
+    comparison — merge_asof breaks ties by input position while the
+    operator uses an explicit seq column (pinned separately in
+    test_temporal.py); on unique timestamps the two must agree exactly."""
+
+    events = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @SETTINGS
+    @given(events, events, st.one_of(st.none(), st.integers(0, 200)))
+    def test_backward_matches_merge_asof(self, spark, lefts, rights, tol):
+        import pandas as pd
+
+        from qdrant_datafusion_spark.operators.temporal import as_of_join
+
+        lpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            columns=["k", "ts", "lid"],
+        )
+        rpdf = (
+            pd.DataFrame(
+                [(k, t, float(i)) for i, (k, t) in enumerate(rights)],
+                columns=["k", "ts", "val"],
+            )
+            .drop_duplicates(["k", "ts"], keep="last")
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        expect = pd.merge_asof(
+            lpdf.sort_values("ts", kind="stable"),
+            rpdf,
+            on="ts",
+            by="k",
+            direction="backward",
+            suffixes=("", "_r"),
+            tolerance=tol,
+        )
+        # merge_asof keeps the matched value but not the matched ts when
+        # joining on= — recover it by joining val back (vals are unique)
+        want = {
+            int(r.lid): (None if pd.isna(r.val) else r.val)
+            for r in expect.itertuples()
+        }
+
+        left = spark.createDataFrame(lpdf, "k int, ts long, lid int")
+        right = spark.createDataFrame(rpdf, "k int, ts long, val double")
+        got = {
+            r.lid: r.val_right
+            for r in as_of_join(
+                left, right, on="ts", by="k", value_cols=["val"], tolerance=tol
+            ).collect()
+        }
+        assert got == want
