@@ -2765,6 +2765,99 @@ ORACLES["pipeline_stratified_sample"] = PIPELINE_STRATIFIED_SQL
 ORACLES["text_quality_filter"] = TEXT_QUALITY_FILTER_SQL
 
 
+#: fixed vocabulary for the inverted-index sparse gate: word → index
+_SPARSE_VOCAB = ["spark", "join", "merge", "window", "data", "query"]
+#: two weighted term queries over that vocabulary
+_SPARSE_BATCH = [
+    (1, {"spark": 2.0, "join": 1.5, "merge": 1.0, "window": 0.5}),
+    (2, {"data": 1.0, "query": 2.0, "join": 0.25}),
+]
+
+
+def v_sparse_batch_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sparse retrieval on the SCALE path: documents become
+    term-count sparse vectors over a fixed vocabulary, queries broadcast,
+    and scoring runs as explode → broadcast join on the term index →
+    partial-agg sum (`sparse_dot_join`) — the inverted-index shape whose
+    only shuffle is the final (doc, query) groupBy.  Top-5 per query."""
+    from pyspark.sql import Window
+
+    from qdrant_datafusion_spark.functions.sparse import sparse_dot_join
+    from qdrant_datafusion_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array(tokens("text"))  # let-bind: tokenize once
+
+    def _eq(word):  # closure factory: a 2-arg lambda would bind the index
+        return lambda x: x == word
+
+    counts = F.element_at(
+        F.transform(
+            toks,
+            lambda t: F.array(
+                *[
+                    F.size(F.filter(t, _eq(w))).cast("double")
+                    for w in _SPARSE_VOCAB
+                ]
+            ),
+        ),
+        1,
+    )
+    sparse_docs = docs.select(
+        "doc_id", counts.alias("cnts")
+    ).select(
+        "doc_id",
+        F.filter(
+            F.sequence(F.lit(0), F.lit(len(_SPARSE_VOCAB) - 1)),
+            lambda i: F.element_at(F.col("cnts"), i + 1) > 0,
+        ).alias("indices"),
+        F.filter(F.col("cnts"), lambda c: c > 0).alias("values"),
+    )
+    queries = spark.createDataFrame(
+        [
+            (qid, [_SPARSE_VOCAB.index(w) for w in sorted(q)], [q[w] for w in sorted(q)])
+            for qid, q in _SPARSE_BATCH
+        ],
+        "query_id int, indices array<int>, values array<double>",
+    )
+    scored = sparse_dot_join(sparse_docs, queries, id_col="doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _sparse_batch_oracle_sql() -> str:
+    per_query = []
+    for qid, q in _SPARSE_BATCH:
+        terms = " + ".join(
+            f"len(list_filter(toks, x -> x = '{w}'))::DOUBLE * {wt}"
+            for w, wt in q.items()
+        )
+        per_query.append(
+            f"SELECT {qid} AS query_id, doc_id, ({terms}) AS score FROM t"
+        )
+    union = " UNION ALL ".join(per_query)
+    return f"""
+WITH t AS ({_TOKS_SQL}),
+scored AS ({union}),
+ranked AS (
+  SELECT query_id, doc_id, score AS raw_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored WHERE score > 0
+)
+SELECT query_id, doc_id, round(raw_score, 6) AS score
+FROM ranked WHERE rn <= 5
+"""
+
+
+QUERIES["v_sparse_batch_inverted"] = v_sparse_batch_inverted
+ORACLES["v_sparse_batch_inverted"] = _sparse_batch_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py): as-of enrichment, interval join
 # ---------------------------------------------------------------------------
