@@ -32,6 +32,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level: pandas_udf resolves string hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -236,9 +237,20 @@ class CollectionCatalog:
         if target_fragments is None:
             total = sum(os.path.getsize(f) for f in frags)
             target_fragments = max(1, -(-total // target_bytes))
+        return self._rewrite(name, self.load(name).repartition(target_fragments))
+
+    def _rewrite(self, name: str, df: DataFrame) -> int:
+        """Materialize ``df`` as the collection's new fragment set (write
+        to a sibling tmp dir, then swap — single-writer semantics, same
+        caveat as any non-transactional parquet rewrite).  Returns the new
+        fragment count.  Shared by compact / delete_where / update_payload."""
+        import glob as _glob
+        import shutil
+
+        path = self._dir(name)
         descriptor = self.descriptor(name)
-        df = self.load(name).repartition(target_fragments)
-        tmp = path + ".compact_tmp"
+        frags = _glob.glob(os.path.join(path, "*.parquet"))
+        tmp = path + ".rewrite_tmp"
         df.write.mode("overwrite").parquet(tmp)
         for f in frags:
             os.remove(f)
@@ -248,3 +260,64 @@ class CollectionCatalog:
         with open(os.path.join(path, DESCRIPTOR_FILE), "w") as fh:
             fh.write(descriptor.to_json())
         return len(_glob.glob(os.path.join(path, "*.parquet")))
+
+    def delete_where(self, name: str, predicate) -> int:
+        """Delete matching points — the table-side analogue of Qdrant's
+        delete-points API, which the reference's read-only table cannot
+        express (its write path is ``todo!()``, src/table.rs:186-193).
+
+        ``predicate`` is a SQL string or Column selecting the rows to
+        REMOVE.  Implemented as filter + fragment rewrite (one scan, one
+        write, no shuffle); returns the number of rows deleted.  At 100 TB
+        pair it with partitioned layouts so the rewrite touches only
+        affected partitions (here: whole-collection rewrite, documented
+        single-writer)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        df = self.load(name).cache()
+        try:
+            total = df.count()
+            kept = df.filter(~cond | cond.isNull())
+            kept_n = kept.count()
+            self._rewrite(name, kept)
+        finally:
+            df.unpersist()
+        return total - kept_n
+
+    def update_payload(self, name: str, predicate, patch: dict) -> int:
+        """Merge JSON keys into matching points' payloads — the analogue
+        of Qdrant's set-payload API (merge semantics: existing keys keep
+        their values unless patched; non-matching rows untouched).
+
+        The merge is a real JSON merge (typed values preserved) via an
+        Arrow-batched pandas UDF — a write-path cost, not a query path.
+        Returns the number of rows updated."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        patch_text = _json.dumps(patch)
+
+        @pandas_udf("string")
+        def _merge(payload: pd.Series) -> pd.Series:
+            def one(p):
+                base = _json.loads(p) if p else {}
+                base.update(_json.loads(patch_text))
+                return _json.dumps(base, sort_keys=True)
+
+            return payload.map(one)
+
+        df = self.load(name).cache()
+        try:
+            updated = df.filter(cond).count()
+            out = df.withColumn(
+                "payload",
+                F.when(cond, _merge(F.col("payload"))).otherwise(F.col("payload")),
+            )
+            self._rewrite(name, out)
+        finally:
+            df.unpersist()
+        return updated

@@ -173,3 +173,51 @@ class TestCompaction:
         cat.write(fixtures.UNNAMED, fixtures.unnamed_df(spark), partitions=3)
         # tiny collection -> one 128MB-target fragment
         assert cat.compact("unnamed") == 1
+
+
+class TestCollectionMutations:
+    """delete_where / update_payload — the table-side analogues of the
+    point-delete and set-payload APIs the reference's read-only table
+    can't express (its write path is todo!(), src/table.rs:186-193)."""
+
+    def _cat(self, spark, tmp_path):
+        from qdrant_datafusion_spark import fixtures
+        from qdrant_datafusion_spark.collections import CollectionCatalog
+
+        cat = CollectionCatalog(spark, str(tmp_path))
+        cat.write(fixtures.UNNAMED, fixtures.unnamed_df(spark), partitions=2)
+        return cat
+
+    def test_delete_where_removes_only_matches(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        before = {r.id for r in cat.load("unnamed").collect()}
+        victim = sorted(before)[0]
+        n = cat.delete_where("unnamed", f"id = '{victim}'")
+        assert n == 1
+        after = {r.id for r in cat.load("unnamed").collect()}
+        assert after == before - {victim}
+        assert cat.descriptor("unnamed").name == "unnamed"  # descriptor kept
+
+    def test_delete_where_null_predicate_rows_survive(self, spark, tmp_path):
+        # SQL DELETE semantics: only predicate=TRUE rows go; NULL stays
+        cat = self._cat(spark, tmp_path)
+        total = cat.load("unnamed").count()
+        n = cat.delete_where("unnamed", "get_json_object(payload, '$.nope') = 'x'")
+        assert n == 0 and cat.load("unnamed").count() == total
+
+    def test_update_payload_merges_typed_values(self, spark, tmp_path):
+        import json
+
+        cat = self._cat(spark, tmp_path)
+        ids = sorted(r.id for r in cat.load("unnamed").collect())
+        target = ids[0]
+        n = cat.update_payload(
+            "unnamed", f"id = '{target}'", {"boosted": True, "rank": 3}
+        )
+        assert n == 1
+        rows = {r.id: r.payload for r in cat.load("unnamed").collect()}
+        patched = json.loads(rows[target])
+        assert patched["boosted"] is True and patched["rank"] == 3  # typed
+        for other in ids[1:]:
+            other_payload = rows[other]
+            assert other_payload is None or "boosted" not in json.loads(other_payload)
