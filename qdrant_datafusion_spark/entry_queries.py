@@ -2858,6 +2858,54 @@ QUERIES["v_sparse_batch_inverted"] = v_sparse_batch_inverted
 ORACLES["v_sparse_batch_inverted"] = _sparse_batch_oracle_sql()
 
 
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrub stage: markup strip + PII redaction (emails, IPv4,
+    phone runs) as one narrow chained-regexp projection, plus per-category
+    raw-occurrence counts.  The synthetic corpus is PII-free, so the gate
+    proves the no-op path char-exactly (md5 of cleaned text) and the
+    planted-PII behavior is pinned in test_functions.py."""
+    from qdrant_datafusion_spark.functions.text import clean_text, pii_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    c = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        F.md5(clean_text("text")).alias("clean_hash"),
+        c["n_email"].alias("n_email"),
+        c["n_ip"].alias("n_ip"),
+        c["n_phone"].alias("n_phone"),
+    )
+
+
+def _text_clean_oracle_sql() -> str:
+    from qdrant_datafusion_spark.functions.text import (
+        ENTITY_PATTERN,
+        MARKUP_PATTERN,
+        PII_PATTERNS,
+    )
+
+    pats = dict(PII_PATTERNS)
+    cleaned = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{MARKUP_PATTERN}', ' ', 'g'), '{ENTITY_PATTERN}', ' ', 'g'), "
+        f"'\\s+', ' ', 'g'))"
+    )
+    for _, pat in PII_PATTERNS:
+        cleaned = f"regexp_replace({cleaned}, '{pat}', '[PII]', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pats[n]}'))::INT AS n_{n}"
+        for n in ("email", "ip", "phone")
+    )
+    return f"""
+SELECT doc_id, md5({cleaned}) AS clean_hash, {counts}
+FROM documents
+"""
+
+
+QUERIES["text_clean"] = text_clean
+ORACLES["text_clean"] = _text_clean_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py): as-of enrichment, interval join
 # ---------------------------------------------------------------------------

@@ -233,3 +233,58 @@ def tfidf_rank(df, text_col: str, id_col: str, query: str, k: int = 10):
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning: PII redaction + markup stripping (the scrub stage every
+# web-scale corpus runs before training).  Patterns stay inside the
+# Java-regex ∩ RE2 common subset (no lookaround), so the same pattern
+# strings drive both the Spark kernels and the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+#: redaction order matters: emails first (contain digits/dots), then IPs
+#: (pure digit-dot runs), then the looser phone shape
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9.() -]{6,}[0-9]"),
+)
+
+MARKUP_PATTERN = r"<[^>]+>"
+ENTITY_PATTERN = r"&[A-Za-z]+;"
+
+
+def redact_pii(text: ColumnOrName, token: str = "[PII]") -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    ``token`` — chained native ``regexp_replace`` (codegen'd, no UDF)."""
+    out = _as_col(text)
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: ColumnOrName) -> Column:
+    """Struct of per-category PII match counts (audit signal: redaction
+    rates per source are a standard curation health metric)."""
+    t = _as_col(text)
+    return F.struct(
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS
+        ]
+    )
+
+
+def strip_markup(text: ColumnOrName) -> Column:
+    """Drop HTML/XML tags and named entities, then collapse the
+    whitespace the removal leaves behind."""
+    t = _as_col(text)
+    t = F.regexp_replace(t, MARKUP_PATTERN, " ")
+    t = F.regexp_replace(t, ENTITY_PATTERN, " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def clean_text(text: ColumnOrName, token: str = "[PII]") -> Column:
+    """The full scrub: strip markup, then redact PII — one narrow
+    projection of chained regexp_replace calls."""
+    return redact_pii(strip_markup(text), token)

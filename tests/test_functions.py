@@ -479,3 +479,63 @@ class TestVectorizedRegistryKernels:
             max(np.dot(qi, d) for d in docs[0]) for qi in np.asarray(q)
         )
         assert shared[0] == pytest.approx(expected0)
+
+
+class TestTextCleaning:
+    PLANTED = [
+        (1, "contact bob.smith+x@corp.example.com or call +1 (415) 555-0123 now"),
+        (2, "server at 192.168.0.1 returned <b>error</b> &amp; retried"),
+        (3, "plain text with no pii at all"),
+        (4, "<div class='x'>nested <i>tags</i></div> stay out"),
+    ]
+
+    def test_redaction_and_counts(self, spark):
+        from qdrant_datafusion_spark.functions.text import clean_text, pii_counts
+
+        df = spark.createDataFrame(self.PLANTED, "id long, text string")
+        rows = {
+            r.id: r
+            for r in df.select(
+                "id",
+                clean_text("text").alias("clean"),
+                pii_counts("text").alias("c"),
+            ).collect()
+        }
+        assert rows[1].clean == "contact [PII] or call [PII] now"
+        assert rows[1].c.n_email == 1 and rows[1].c.n_phone >= 1
+        assert rows[2].clean == "server at [PII] returned error retried"
+        assert rows[2].c.n_ip == 1
+        assert rows[3].clean == rows[3].clean == "plain text with no pii at all"
+        assert rows[4].clean == "nested tags stay out"
+
+    def test_cross_engine_regex_parity(self, spark):
+        """The SAME pattern strings must behave identically in Spark's
+        Java regex and DuckDB's RE2 — this pins the dialect-subset
+        guarantee the oracle relies on."""
+        import duckdb
+
+        from qdrant_datafusion_spark.functions.text import (
+            ENTITY_PATTERN,
+            MARKUP_PATTERN,
+            PII_PATTERNS,
+            clean_text,
+        )
+
+        df = spark.createDataFrame(self.PLANTED, "id long, text string")
+        got = {
+            r.id: r.clean
+            for r in df.select("id", clean_text("text").alias("clean")).collect()
+        }
+        con = duckdb.connect()
+        cleaned = (
+            f"trim(regexp_replace(regexp_replace(regexp_replace(t, "
+            f"'{MARKUP_PATTERN}', ' ', 'g'), '{ENTITY_PATTERN}', ' ', 'g'), "
+            f"'\\s+', ' ', 'g'))"
+        )
+        for _, pat in PII_PATTERNS:
+            cleaned = f"regexp_replace({cleaned}, '{pat}', '[PII]', 'g')"
+        for i, text in self.PLANTED:
+            expect = con.execute(
+                f"SELECT {cleaned} FROM (SELECT ? AS t)", [text]
+            ).fetchone()[0]
+            assert got[i] == expect, (i, got[i], expect)
