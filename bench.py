@@ -55,6 +55,8 @@ HEADLINE = [
     "text_repetition",
     "pipeline_pack_sequences",
     "q_asof_purchase_click",
+    "v_sparse_batch_inverted",
+    "text_clean",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

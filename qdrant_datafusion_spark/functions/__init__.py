@@ -52,10 +52,14 @@ from qdrant_datafusion_spark.functions.geo import (  # noqa: F401
     v_geo_distance,
 )
 from qdrant_datafusion_spark.functions.text import (  # noqa: F401
+    clean_text,
     doc_fingerprint,
     language_score,
     match_text,
+    pii_counts,
     quality_score,
+    redact_pii,
+    strip_markup,
     token_count,
     word_shingles,
 )
