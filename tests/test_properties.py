@@ -293,3 +293,44 @@ class TestAsOfJoinProperties:
             ).collect()
         }
         assert got == want
+
+
+class TestPackSequencesProperties:
+    """pack_sequences vs an exact pure-Python replay of the greedy rule —
+    the operator is deterministic, so the distributed result must equal
+    the sequential reference bit-for-bit."""
+
+    @SETTINGS
+    @given(
+        st.lists(st.integers(0, 50), min_size=1, max_size=60),
+        st.integers(8, 40),
+        st.integers(1, 4),
+    )
+    def test_matches_sequential_greedy(self, spark, toks, budget, buckets):
+        from qdrant_datafusion_spark.operators.pipeline import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "w " * n) for i, n in enumerate(toks)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.bucket, r.pack_id, r.n_tokens)
+            for r in pack_sequences(
+                docs, budget=budget, num_buckets=buckets
+            ).collect()
+        }
+        # sequential replay of the documented rule per bucket, id order
+        expect = {}
+        state = {}  # bucket -> (pack_id, fill, started)
+        for i, n in enumerate(toks):
+            b = i % buckets
+            pack, fill, started = state.get(b, (0, 0, False))
+            if not started:
+                fill = n
+            elif fill + n > budget:
+                pack, fill = pack + 1, n
+            else:
+                fill += n
+            state[b] = (pack, fill, True)
+            expect[i] = (b, pack, n)
+        assert got == expect
