@@ -149,3 +149,87 @@ class TestSchemaDrivenExtraction:
             .collect()
         )
         assert top[0].id == "1"  # [1,1,0] is the exact query direction
+
+
+class TestConnectorRoundTrip:
+    """The full seam, end to end: Catalyst's pruned schema builds the
+    outbound request (sources.request), a mock server answers with
+    wire-shaped points honoring the request's selectors and limit, and
+    the response deserializes (sources.wire) into exactly the pruned
+    schema — what a live gRPC connector does per page inside
+    DataSourceReader.read."""
+
+    DESC = CollectionDescriptor(
+        "rt",
+        (
+            VectorField("text_emb", 2, "cosine", "dense"),
+            VectorField("sparse_f", 0, "dot", "sparse"),
+        ),
+    )
+
+    STORE = [
+        {
+            "id": {"num": i},
+            "payload": {"rank": i},
+            "vectors": {
+                "vectors": {
+                    "text_emb": {"vector": {"dense": {"data": [float(i), 1.0]}}},
+                    "sparse_f": {
+                        "vector": {"sparse": {"indices": [i], "values": [0.5]}}
+                    },
+                }
+            },
+        }
+        for i in range(10)
+    ]
+
+    @staticmethod
+    def _mock_server(store, request):
+        """Answer a QueryPoints request the way the wire contract
+        specifies: honor limit and the with_vectors/with_payload
+        selectors (drop what wasn't asked for)."""
+        out = []
+        for p in store[: request.get("limit", len(store))]:
+            q = {"id": p["id"]}
+            if request["with_payload"]:
+                q["payload"] = p["payload"]
+            wv = request["with_vectors"]
+            if wv is True:
+                q["vectors"] = p["vectors"]
+            elif isinstance(wv, dict):
+                kept = {
+                    n: vo
+                    for n, vo in p["vectors"]["vectors"].items()
+                    if n in wv["names"]
+                }
+                q["vectors"] = {"vectors": kept}
+            out.append(q)
+        return out
+
+    def test_pruned_scan_round_trips(self, spark):
+        from pyspark.sql.types import StructType
+
+        from qdrant_datafusion_spark.sources.request import build_query_request
+        from qdrant_datafusion_spark.sources.wire import points_to_dataframe
+
+        full = self.DESC.schema()
+        pruned = StructType(
+            [f for f in full.fields if f.name in ("id", "text_emb")]
+        )
+        request, rejected = build_query_request("rt", pruned, limit=4)
+        assert rejected == []
+        assert request["with_vectors"] == {"names": ["text_emb"]}
+        assert request["with_payload"] is False
+
+        points = self._mock_server(self.STORE, request)
+        df = points_to_dataframe(spark, points, pruned)
+        rows = df.collect()
+        # exactly the pruned columns, exactly the limit, right values
+        assert df.columns == ["id", "text_emb"] and len(rows) == 4
+        assert rows[2].id == "2" and rows[2].text_emb == [2.0, 1.0]
+        # the server dropped the sparse vector: a re-request with the full
+        # schema fetches it (proving the selector actually narrowed IO)
+        full_req, _ = build_query_request("rt", full)
+        full_points = self._mock_server(self.STORE, full_req)
+        assert "sparse_f" in full_points[0]["vectors"]["vectors"]
+        assert "sparse_f" not in points[0]["vectors"]["vectors"]
