@@ -122,3 +122,47 @@ class TestIntervalJoin:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+class TestTemporalPlans:
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import decontaminate
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e f g h " + str(i)) for i in range(50)],
+            "doc_id long, text string",
+        )
+        bench = docs.limit(3)
+        plan = (
+            decontaminate(docs, bench, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the shingle join (key shh) must broadcast the benchmark side —
+        # a sort-merge there would shuffle the exploded corpus shingles;
+        # the small per-doc hits re-join may plan however AQE likes
+        assert "BroadcastHashJoin [shh" in plan
+        assert "SortMergeJoin [shh" not in plan
+
+    def test_interval_join_is_stream_capable(self, spark, tmp_path):
+        """Stream-static enrichment: streaming points join static windows
+        (the streaming shape of point-in-interval; as-of needs windows and
+        stays batch)."""
+        from qdrant_datafusion_spark.operators.temporal import interval_join
+
+        pts = spark.createDataFrame(
+            [(1, 5, "a"), (1, 15, "b"), (2, 5, "c")],
+            "user_id int, ts long, tag string",
+        )
+        path = str(tmp_path / "pts")
+        pts.coalesce(1).write.parquet(path)
+        stream = spark.readStream.schema("user_id int, ts long, tag string").parquet(path)
+        windows = spark.createDataFrame(
+            [(1, 0, 10, "w1")], "user_id int, start_ts long, end_ts long, win string"
+        )
+        out = interval_join(stream, windows)
+        q = (
+            out.writeStream.format("memory").queryName("iv_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM iv_stream").collect()
+        assert {(r.tag, r.win) for r in rows} == {("a", "w1")}
