@@ -164,3 +164,97 @@ def streaming_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_near_dup_ingest(
+    points: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Ingest-time NEAR-dup filtering: each micro-batch is MinHash-LSH
+    checked against the signature store of everything already accepted
+    (seed it with the batch corpus's signatures, or start empty), novel
+    documents append to ``out_dir``, and their signatures append to the
+    store — so later batches dedup against earlier ones automatically.
+
+    Mechanics per batch (``foreachBatch`` — the canonical shape for
+    join-against-growing-history logic Structured Streaming state can't
+    express):
+
+    1. in-batch near-dups collapse first (keep min id) via the batch
+       operator `minhash_lsh_dups`;
+    2. survivors' banded buckets join the store on the bucket key with
+       exact-Jaccard verification inside the join (the store carries the
+       fingerprint sets, so verification needs no second lookup);
+    3. novel rows and their (id, fingerprint, bucket) signatures append.
+
+    Scale: the per-batch work is the batch-sized slice of the batch
+    operator (bucket-keyed joins only); the store grows with accepted
+    docs, and its join side is bucket-partitioned parquet a 1000-executor
+    join handles like any LSH self-join half.  Replay after a crash
+    re-appends signatures — duplicate signature rows only add candidate
+    pairs (verified away), never wrong results; the OUTPUT sink relies on
+    the checkpoint exactly-once contract like every foreachBatch sink.
+    """
+    from qdrant_datafusion_spark.operators.dedup import (
+        _minhash_buckets,
+        minhash_lsh_dups,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        # 1. collapse in-batch near-dups (keep the smallest id)
+        pairs = minhash_lsh_dups(
+            batch, content_col, id_col, k=k, num_hashes=num_hashes,
+            bands=bands, threshold=threshold,
+        )
+        batch = batch.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        buckets = _minhash_buckets(batch, content_col, id_col, k, num_hashes, bands)
+        # 2. check against the accepted-history store
+        try:
+            store = spark.read.parquet(store_dir)
+        except Exception:  # first batch, no store yet
+            store = None
+        if store is not None:
+            inter = F.size(F.array_intersect(F.col("_fp"), F.col("_s_fp")))
+            union = F.size(F.col("_fp")) + F.size(F.col("_s_fp")) - inter
+            dup_ids = (
+                buckets.join(
+                    store.select(
+                        F.col("_id").alias("_s_id"),
+                        F.col("_fp").alias("_s_fp"),
+                        "bucket",
+                    ),
+                    "bucket",
+                )
+                .filter(inter.cast("double") / union >= threshold)
+                .select(F.col("_id").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(dup_ids, id_col, "left_anti")
+            buckets = _minhash_buckets(
+                batch, content_col, id_col, k, num_hashes, bands
+            )
+        # 3. novel docs out; their signatures into the store
+        batch.write.mode("append").parquet(out_dir)
+        buckets.write.mode("append").parquet(store_dir)
+
+    return (
+        points.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

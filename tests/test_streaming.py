@@ -243,3 +243,55 @@ class TestStreamingPipelineStages:
             repetition_stats(stream), spark, "pipe_rep", "append"
         ).collect()
         assert len(stats) == 40 and all(r.n_tokens == 5 for r in stats)
+
+
+class TestStreamNearDupIngest:
+    def test_cross_batch_near_dups_are_dropped(self, spark, tmp_path):
+        """Two file-source batches: batch 2 contains a near-copy of a
+        batch-1 doc (one word changed), an exact copy, and a novel doc —
+        only the novel doc survives; in-batch near-dups also collapse."""
+        from qdrant_datafusion_spark.streaming.ingest import stream_near_dup_ingest
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill every single morning"
+        )
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+
+        b1 = spark.createDataFrame(
+            [(1, base), (2, "completely unrelated content about spark query planning and shuffles here")],
+            "doc_id long, text string",
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_near_dup_ingest(
+            stream, store, out, ckpt, threshold=0.5,
+        )
+        q.awaitTermination(120)
+        first = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert first == {1, 2}
+
+        near = base.replace("morning", "evening")
+        b2 = spark.createDataFrame(
+            [
+                (10, near),                      # near-dup of doc 1 -> drop
+                (11, base),                      # exact dup of doc 1 -> drop
+                (12, "a genuinely new document discussing vector quantization tiers"),
+                (13, "a genuinely new document discussing vector quantization tiers today"),  # near-dup of 12 in-batch
+            ],
+            "doc_id long, text string",
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q = stream_near_dup_ingest(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            store, out, ckpt, threshold=0.5,
+        )
+        q.awaitTermination(120)
+        accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+        assert accepted == {1, 2, 12}
+        # the store now carries signatures for every accepted doc
+        store_ids = {r._id for r in spark.read.parquet(store).collect()}
+        assert store_ids == {1, 2, 12}
