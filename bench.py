@@ -92,6 +92,19 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # the headline set GREW across rounds (24 queries in round 1, 37 now) —
+    # emit the round-1 subset total too so total-vs-BASELINE comparisons
+    # stay apples-to-apples
+    r1_subset = [
+        "q1_pricing_summary", "q3_topk_revenue", "q5_nation_revenue",
+        "q_window_topk_per_group", "q_events_hourly", "q_events_sessions",
+        "v_search_topk", "v_recommend_topk", "v_colbert_topk",
+        "v_sparse_topk", "v_fusion_hybrid", "v_geo_decay_topk",
+        "v_lateral_batch_search", "match_text_topk", "match_text_tfidf",
+        "text_vocabulary", "q14_promo_revenue", "q_event_percentiles",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "text_quality", "doc_fingerprints",
+    ]
     print(
         json.dumps(
             {
@@ -100,6 +113,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tags": TAGS,
+                "r1_subset_sec": round(
+                    sum(timings[q] for q in r1_subset if q in timings), 3
+                ),
+                "r1_subset_n": len(r1_subset),
                 "sf": sf,
             }
         )
