@@ -312,10 +312,13 @@ class CollectionCatalog:
 
         df = self.load(name).cache()
         try:
-            updated = df.filter(cond).count()
-            out = df.withColumn(
-                "payload",
-                F.when(cond, _merge(F.col("payload"))).otherwise(F.col("payload")),
+            # split-and-union rather than when(cond, udf): a Python UDF
+            # inside when() is hoisted to an unconditional ArrowEvalPython
+            # node, which would run the JSON merge over EVERY row
+            matched = df.filter(cond)
+            updated = matched.count()
+            out = df.filter(~cond | cond.isNull()).unionByName(
+                matched.withColumn("payload", _merge(F.col("payload")))
             )
             self._rewrite(name, out)
         finally:

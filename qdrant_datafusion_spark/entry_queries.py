@@ -992,8 +992,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches full recall at the chosen banding (32 hashes, 16 bands), which
     it must for the verified-pairs contract."""
     docs = _t(spark, sf_dir, "documents")
+    # max_bucket_size=None: the oracle models the UNCAPPED complete-pairs
+    # contract, so the gate must run it; production keeps the skew cap
     pairs = minhash_lsh_dups(
-        docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2
+        docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2,
+        max_bucket_size=None,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1003,7 +1006,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-permutation candidate search (5 blocks of 12 bits ⇒
     pigeonhole-complete; wider blocks keep candidate buckets small)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_dups(docs, "text", "doc_id", max_hamming=4, blocks=5)
+    pairs = simhash_dups(
+        docs, "text", "doc_id", max_hamming=4, blocks=5, max_bucket_size=None
+    )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )

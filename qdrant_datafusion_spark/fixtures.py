@@ -78,54 +78,6 @@ def unnamed_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, UNNAMED.schema())
 
 
-def corpus_df(spark: SparkSession, n: int = 1000, seed: int = 42) -> DataFrame:
-    """Fixture 4 (FIXTURES.md): ~n deterministic rows with the rich payload
-    fields the Tier C corpus assumes (category/price/author/tags/geo/...)."""
-    import random
-
-    rng = random.Random(seed)
-    cats = ["electronics", "books", "clothing", "home", "sports"]
-    tags_all = ["h1", "h2", "h3", "h4", "p", "li", "other"]
-    langs = ["en", "fr", "es", "de", "zh"]
-    statuses = ["active", "archived", "draft"]
-    cities = [("Paris", "FR", 48.8566, 2.3522), ("Berlin", "DE", 52.52, 13.405),
-              ("Madrid", "ES", 40.4168, -3.7038), ("Rome", "IT", 41.9028, 12.4964)]
-    rows = []
-    for i in range(n):
-        city, country, lat, lon = cities[rng.randrange(len(cities))]
-        payload = {
-            "category": cats[rng.randrange(len(cats))],
-            "price": round(rng.uniform(1, 1000), 2),
-            "author": f"author_{rng.randrange(20)}",
-            "tag": tags_all[rng.randrange(len(tags_all))],
-            "language": langs[rng.randrange(len(langs))],
-            "status": statuses[rng.randrange(len(statuses))],
-            "verified": rng.random() < 0.5,
-            "has_thumbnail": rng.random() < 0.3,
-            "tags": rng.sample(cats, k=rng.randrange(1, 4)),
-            "description": f"item {i} description text",
-            "address": {"city": city, "country": country},
-            "geo": {"location": {"lat": lat + rng.uniform(-0.1, 0.1),
-                                 "lon": lon + rng.uniform(-0.1, 0.1)}},
-        }
-        dense = [rng.uniform(-1, 1) for _ in range(2)]
-        text3 = [rng.uniform(-1, 1) for _ in range(3)]
-        img4 = [rng.uniform(-1, 1) for _ in range(4)] if rng.random() < 0.8 else None
-        audio = [rng.uniform(-1, 1) for _ in range(2)] if rng.random() < 0.5 else None
-        multi = (
-            [[rng.uniform(-1, 1) for _ in range(2)] for _ in range(rng.randrange(1, 4))]
-            if rng.random() < 0.6
-            else None
-        )
-        nnz = rng.randrange(1, 6)
-        idxs = sorted(rng.sample(range(100), nnz))
-        vals = [round(rng.uniform(0, 1), 4) for _ in range(nnz)]
-        rows.append(
-            (str(i), json.dumps(payload), dense, text3, img4, audio, multi, idxs, vals)
-        )
-    return spark.createDataFrame(rows, HETERO.schema())
-
-
 CORPUS_COLL = CollectionDescriptor(
     name="collection_name",
     fields=(

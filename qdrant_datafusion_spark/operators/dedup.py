@@ -148,39 +148,6 @@ def _make_lsh_bucket_udf(planes: Sequence[Sequence[float]], tables: int):
     return buckets
 
 
-def _make_gemm_cosine():
-    """Arrow-batched approximate-cosine prefilter for candidate pairs:
-    one stacked einsum per batch (BLAS lane), reusing the registry's
-    vectorized kernel.  Used ONLY behind a threshold margin — final
-    values always come from the sequential-order native kernel so
-    emitted cosines stay bit-identical to the oracle."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _gemm_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        from qdrant_datafusion_spark.functions.registry import (
-            _cosine_kernel,
-            _dense_batch,
-        )
-
-        return _dense_batch(a, b, _cosine_kernel)
-
-    return _gemm_cosine
-
-
-_GEMM_COSINE = None
-
-
-def _gemm_cosine(a: Column, b: Column) -> Column:
-    """Lazy singleton around :func:`_make_gemm_cosine` — pandas_udf
-    creation parses its return type against the ACTIVE session, so the
-    UDF can't be built at import time."""
-    global _GEMM_COSINE
-    if _GEMM_COSINE is None:
-        _GEMM_COSINE = _make_gemm_cosine()
-    return _GEMM_COSINE(a, b)
-
-
 def _cap_hot_buckets(
     buckets: DataFrame, key_cols: Sequence[str], max_bucket_size: int | None
 ) -> DataFrame:
@@ -243,7 +210,11 @@ def minhash_lsh_dups(
     J=0.5 is 1-(1-0.25)^16 ≈ 0.99 — recall stays high while the candidate
     set stays ~linear.  Buckets over ``max_bucket_size`` are dropped (the
     skew guard — see :func:`_cap_hot_buckets`; audit the drops with
-    :func:`minhash_hot_buckets`).  Returns (id_a, id_b, jaccard).
+    :func:`minhash_hot_buckets`).  The recall statement above holds only
+    below the cap: a corpus whose boilerplate collapses >cap docs into a
+    bucket loses those pairs — pass ``max_bucket_size=None`` for the
+    complete-pairs contract (the driver gate does), and run
+    :func:`exact_dedup` first.  Returns (id_a, id_b, jaccard).
     """
     buckets = _cap_hot_buckets(
         _minhash_buckets(df, content_col, id_col, k, num_hashes, bands),
@@ -556,7 +527,11 @@ def simhash_dups(
     found with equi-joins on (block_id, block_value) and then verified with
     ``bit_count(a XOR b)``.  Buckets over ``max_bucket_size`` are dropped
     (the skew guard — see :func:`_cap_hot_buckets`; audit the drops with
-    :func:`simhash_hot_buckets`).  Returns (id_a, id_b, hamming).
+    :func:`simhash_hot_buckets`).  The pigeonhole completeness guarantee
+    therefore holds only for pairs whose shared blocks stay under the cap
+    — pass ``max_bucket_size=None`` for the exact contract (the driver
+    gate does), and run :func:`exact_dedup` first so identical documents
+    never pile into one bucket.  Returns (id_a, id_b, hamming).
     """
     exploded = _cap_hot_buckets(
         _simhash_buckets(df, content_col, id_col, max_hamming, blocks),

@@ -418,9 +418,11 @@ def pack_sequences(
     larger than the whole budget gets a pack to itself.
 
     Returns ``(id, bucket, pack_id, n_tokens)`` — ``(bucket, pack_id)`` is
-    the global pack key.  Deterministic: bucket is ``id % num_buckets`` and
-    order within a bucket is id order, so the same corpus packs the same
-    way everywhere (exact DuckDB oracle via a recursive CTE).
+    the global pack key.  Deterministic: bucket is ``id % num_buckets``
+    for numeric ids (md5-prefix mod for string/uuid ids) and order within
+    a bucket is id order (lexicographic for strings), so the same corpus
+    packs the same way everywhere (exact DuckDB oracle via a recursive
+    CTE for the numeric-id case).
 
     Scale: ONE shuffle, on the bucket key; each bucket packs independently
     in a single `applyInPandas` pass (a cheap cumulative scan — the loop is
@@ -429,14 +431,28 @@ def pack_sequences(
     (id, n_tokens) pairs — ~16 bytes/doc, the text never enters the
     shuffle — fit an executor.  1e12 docs / 1e5 buckets = 160 MB/bucket.
     """
+    from pyspark.sql import types as T
+
     n_tok = (
         F.col(tokens_col)
         if tokens_col
         else token_count(text_col, "whitespace")
     ).cast("long")
+    # numeric ids bucket by value (portable to the SQL oracle); string /
+    # uuid point ids — the collection schema's canonical id type — bucket
+    # by their 32-bit md5 prefix (ANSI mode would throw on a string→long
+    # cast)
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        bucket = F.pmod(F.col(id_col).cast("long"), F.lit(num_buckets))
+    else:
+        prefix = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        bucket = F.pmod(prefix, F.lit(num_buckets))
     slim = df.select(
         F.col(id_col),
-        F.pmod(F.col(id_col).cast("long"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        bucket.cast("int").alias("bucket"),
         n_tok.alias("n_tokens"),
     )
     id_type = slim.schema[id_col].dataType.simpleString()

@@ -14,11 +14,13 @@ like the QueryPoints JSON any Python Qdrant client accepts.
 One deliberate improvement: the reference receives the pushed filters and
 silently ignores them (``src/table.rs:174-175``, ``:276`` binds them as
 ``_filters``).  Here the same pyspark ``Filter`` objects the reader's
-``pushFilters`` accepts are translated into the Qdrant filter DSL
-(``must`` conditions with ``match``/``range``/``is_null``), and anything
-untranslatable is returned for local evaluation — the same
-accept/reject contract ``pushFilters`` itself uses, so no filter is ever
-dropped.
+``pushFilters`` accepts are translated into the Qdrant filter DSL —
+point-id equality/IN to ``has_id``, nested ``payload.<key>`` refs to
+``match``/merged-``range`` field conditions — and anything whose remote
+semantics would differ from Spark's (null checks on possibly-absent
+keys, whole-payload string ops) is returned for local evaluation: the
+same accept/reject contract ``pushFilters`` itself uses, so no filter
+is ever dropped and every accepted one holds exactly.
 
 Scale: request construction is O(schema) on the driver once per scan;
 what matters at 100 TB is what it *removes* from the wire — unprojected
@@ -36,8 +38,6 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     In,
-    IsNotNull,
-    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -84,8 +84,18 @@ def _filter_conditions(
 ) -> tuple[list[dict], list[dict], list[Filter]]:
     """Spark Filters → (must, must_not, rejected-for-local-eval).
 
-    Comparisons on one key merge into a single ``range`` condition, the
-    Qdrant idiom for ``lo <= x < hi``.
+    Only filters with an EXACT remote equivalent translate — a pushed
+    filter the reader accepts must hold remotely with Spark semantics:
+
+    - top-level ``id`` equality / IN → ``has_id`` (a field condition on a
+      key literally named "id" would match a *payload* field, not the
+      point id);
+    - nested ``payload.<key>`` refs (a connector exposing payload as a
+      struct) → field conditions; comparisons on one key merge into a
+      single ``range``;
+    - everything else — whole-payload string ops, IsNull/IsNotNull (the
+      remote is_null ≠ Spark null semantics for absent keys), Not() —
+      comes back for local evaluation.  No filter is ever dropped.
     """
     must: list[dict] = []
     must_not: list[dict] = []
@@ -99,10 +109,20 @@ def _filter_conditions(
     }
     for f in filters:
         attr = getattr(f, "attribute", None)
-        if attr is None or len(attr) != 1:  # nested / Not()-wrapped: local
+        if attr is not None and len(attr) == 1 and attr[0] == "id":
+            if isinstance(f, EqualTo) and isinstance(f.value, (str, int)):
+                must.append({"has_id": [f.value]})
+            elif isinstance(f, In) and all(
+                isinstance(v, (str, int)) for v in f.value
+            ):
+                must.append({"has_id": list(f.value)})
+            else:
+                rejected.append(f)
+            continue
+        if attr is None or len(attr) != 2 or attr[0] != "payload":
             rejected.append(f)
             continue
-        key = attr[0]
+        key = attr[1]
         if isinstance(f, EqualTo) and isinstance(f.value, _FILTERABLE_VALUE):
             must.append({"key": key, "match": {"value": f.value}})
         elif type(f) in _RANGE_OPS and isinstance(f.value, _FILTERABLE_VALUE):
@@ -115,12 +135,8 @@ def _filter_conditions(
             isinstance(v, _FILTERABLE_VALUE) for v in f.value
         ):
             must.append({"key": key, "match": {"any": list(f.value)}})
-        elif isinstance(f, IsNull):
-            must.append({"is_null": {"key": key}})
-        elif isinstance(f, IsNotNull):
-            must_not.append({"is_null": {"key": key}})
         else:
-            rejected.append(f)  # string ops etc.: semantics differ remotely
+            rejected.append(f)  # null checks / string ops: semantics differ
     for key in sorted(ranges):
         must.append({"key": key, "range": ranges[key]})
     return must, must_not, rejected

@@ -198,10 +198,11 @@ def stream_near_dup_ingest(
     Scale: the per-batch work is the batch-sized slice of the batch
     operator (bucket-keyed joins only); the store grows with accepted
     docs, and its join side is bucket-partitioned parquet a 1000-executor
-    join handles like any LSH self-join half.  Replay after a crash
-    re-appends signatures — duplicate signature rows only add candidate
-    pairs (verified away), never wrong results; the OUTPUT sink relies on
-    the checkpoint exactly-once contract like every foreachBatch sink.
+    join handles like any LSH self-join half.  ``foreachBatch`` is
+    at-least-once, so both sinks write ``_batch_id``-partitioned parquet
+    with dynamic partition overwrite: a replayed batch overwrites its own
+    partition instead of appending twice — idempotent output without a
+    table format.
     """
     from qdrant_datafusion_spark.operators.dedup import (
         _minhash_buckets,
@@ -224,10 +225,12 @@ def stream_near_dup_ingest(
         )
         buckets = _minhash_buckets(batch, content_col, id_col, k, num_hashes, bands)
         # 2. check against the accepted-history store
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             store = spark.read.parquet(store_dir)
-        except Exception:  # first batch, no store yet
-            store = None
+        except AnalysisException:  # first batch: PATH_NOT_FOUND only —
+            store = None  # any other read failure must fail the batch
         if store is not None:
             inter = F.size(F.array_intersect(F.col("_fp"), F.col("_s_fp")))
             union = F.size(F.col("_fp")) + F.size(F.col("_s_fp")) - inter
@@ -248,9 +251,19 @@ def stream_near_dup_ingest(
             buckets = _minhash_buckets(
                 batch, content_col, id_col, k, num_hashes, bands
             )
-        # 3. novel docs out; their signatures into the store
-        batch.write.mode("append").parquet(out_dir)
-        buckets.write.mode("append").parquet(store_dir)
+        # 3. novel docs out; their signatures into the store — both keyed
+        # by batch id so a replayed batch overwrites itself (idempotent)
+        def sink(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        sink(batch, out_dir)
+        sink(buckets, store_dir)
 
     return (
         points.writeStream.foreachBatch(process)

@@ -235,3 +235,20 @@ class TestQualityPercentileFilter:
         df = spark.createDataFrame([(1, "g", 1.0)], "doc_id long, source string, q double")
         with _pytest.raises(ValueError):
             quality_percentile_filter(df, "q", keep_frac=1.5)
+
+
+class TestPackSequencesStringIds:
+    def test_string_and_uuid_ids_pack(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import pack_sequences
+
+        docs = spark.createDataFrame(
+            [("doc-1", "w " * 3), ("doc-2", "w " * 4),
+             ("43cf51e2-8777-4f52-bc74-c2cbde0c8b04", "w " * 5)],
+            "doc_id string, text string",
+        )
+        out = pack_sequences(docs, budget=8, num_buckets=2).collect()
+        assert len(out) == 3
+        assert all(0 <= r.bucket < 2 for r in out)
+        # deterministic across reruns
+        again = pack_sequences(docs, budget=8, num_buckets=2).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))

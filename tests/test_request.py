@@ -7,6 +7,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     IsNotNull,
+    IsNull,
     LessThan,
     StringContains,
 )
@@ -75,22 +76,34 @@ class TestQueryRequest:
     def test_filters_translate_and_merge(self):
         schema = _project(_DESC.schema(), "id", "payload")
         filters = [
-            EqualTo(("city",), "berlin"),
-            GreaterThanOrEqual(("price",), 10),
-            LessThan(("price",), 100),
-            In(("tag",), ("a", "b")),
-            IsNotNull(("score",)),
-            StringContains(("city",), "ber"),  # no remote equivalent
+            EqualTo(("id",), "42"),  # point id → has_id, NOT a field match
+            In(("id",), ("a", "b")),
+            EqualTo(("payload", "city"), "berlin"),
+            GreaterThanOrEqual(("payload", "price"), 10),
+            LessThan(("payload", "price"), 100),
+            In(("payload", "tag"), ("a", "b")),
+            # all of these differ semantically remotely → stay local:
+            IsNotNull(("payload", "score")),   # remote is_null ≠ Spark null
+            IsNull(("payload", "score")),
+            EqualTo(("payload",), "{}"),       # whole-JSON string compare
+            StringContains(("payload", "city"), "ber"),
         ]
         req, rejected = build_query_request("req", schema, filters=filters)
         assert req["filter"]["must"] == [
+            {"has_id": ["42"]},
+            {"has_id": ["a", "b"]},
             {"key": "city", "match": {"value": "berlin"}},
             {"key": "tag", "match": {"any": ["a", "b"]}},
             {"key": "price", "range": {"gte": 10, "lt": 100}},
         ]
-        assert req["filter"]["must_not"] == [{"is_null": {"key": "score"}}]
+        assert "must_not" not in req["filter"]
         # untranslatable filters come back for local evaluation, not dropped
-        assert rejected == [StringContains(("city",), "ber")]
+        assert rejected == [
+            IsNotNull(("payload", "score")),
+            IsNull(("payload", "score")),
+            EqualTo(("payload",), "{}"),
+            StringContains(("payload", "city"), "ber"),
+        ]
 
     def test_no_filters_no_filter_key(self):
         req, rejected = build_query_request("req", _DESC.schema())
