@@ -252,3 +252,10 @@ class TestPackSequencesStringIds:
         # deterministic across reruns
         again = pack_sequences(docs, budget=8, num_buckets=2).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestHashSplitSingleBucket:
+    def test_degenerate_single_split(self, spark):
+        df = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", {"all": 1.0})
+        assert {r.split for r in out.collect()} == {"all"}

@@ -166,3 +166,19 @@ class TestTemporalPlans:
         q.awaitTermination(120)
         rows = spark.sql("SELECT * FROM iv_stream").collect()
         assert {(r.tag, r.win) for r in rows} == {("a", "w1")}
+
+
+class TestIntervalJoinMultiKey:
+    def test_composite_key_containment(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import interval_join
+
+        points = spark.createDataFrame(
+            [(1, "eu", 5, "a"), (1, "us", 5, "b")],
+            "user_id int, region string, ts long, tag string",
+        )
+        iv = spark.createDataFrame(
+            [(1, "eu", 0, 10, "w-eu")],
+            "user_id int, region string, start_ts long, end_ts long, win string",
+        )
+        rows = interval_join(points, iv, by=["user_id", "region"]).collect()
+        assert [(r.tag, r.win) for r in rows] == [("a", "w-eu")]
