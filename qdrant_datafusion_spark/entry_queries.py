@@ -3002,6 +3002,140 @@ QUERIES["q_interval_signup_window"] = q_interval_signup_window
 ORACLES["q_asof_purchase_click"] = Q_ASOF_SQL
 ORACLES["q_interval_signup_window"] = Q_INTERVAL_SQL
 
+# ===========================================================================
+# round 3: chunking, distributed token budget, BM25
+# ===========================================================================
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 40, 10
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (40-token windows, 10-token overlap)
+    — narrow projection + one explode of start offsets, no shuffle; the
+    md5 chunk hash stands in for the chunk text in the gate compare."""
+    from qdrant_datafusion_spark.operators.pipeline import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
+TEXT_CHUNKING_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+),
+e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n - 1, {_CHUNK_STEP})) AS start
+  FROM s
+)
+SELECT doc_id,
+       (start // {_CHUNK_STEP})::INTEGER AS chunk_id,
+       least({_CHUNK_SIZE}, n - start)::INTEGER AS n_tokens,
+       md5(array_to_string(toks[start + 1:start + {_CHUNK_SIZE}], ' ')) AS chunk_hash
+FROM e
+WHERE start = 0 OR start - {_CHUNK_STEP} + {_CHUNK_SIZE} < n
+"""
+
+
+_TOKEN_BUDGET = 12_000
+
+
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget prefix of the corpus in deterministic md5-shuffled
+    order, via the two-phase distributed prefix sum (bucket totals →
+    offsets → within-bucket window) — no global sort anywhere.  The
+    budget is fixed in tokens, so the result stays bounded at ANY scale
+    factor (a larger corpus just cuts earlier in hash order)."""
+    from qdrant_datafusion_spark.operators.pipeline import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs, "text", "doc_id", budget=_TOKEN_BUDGET, seed=42
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+keyed AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR || ':' || '42') AS key
+  FROM t
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+_BM25_QUERY = "spark vector fast query"
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def match_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (k1=1.2, b=0.75, Lucene idf) — per-term codegen
+    tf + one broadcast stats row, same shape as match_text_tfidf."""
+    from qdrant_datafusion_spark.functions.text import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_rank(
+        docs, "text", "doc_id", _BM25_QUERY, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_sql() -> str:
+    terms = list(dict.fromkeys(_BM25_QUERY.split()))
+    k1, b = _BM25_K1, _BM25_B
+    tf_exprs = ",\n       ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::INT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ",\n       ".join(
+        f"sum((tf{i} > 0)::INT)::BIGINT AS df{i}" for i in range(len(terms))
+    )
+    # mirror the Spark associativity exactly: idf * (tf*(k1+1)) / (tf + norm)
+    score = " + ".join(
+        f"(CASE WHEN df{i} > 0 THEN "
+        f"ln((n::DOUBLE - df{i}::DOUBLE + 0.5) / (df{i}::DOUBLE + 0.5) + 1.0)"
+        f" * (tf{i}::DOUBLE * {k1 + 1.0}) "
+        f"/ (tf{i}::DOUBLE + {k1} * ({1.0 - b} + {b} * dl / avgdl)) "
+        f"ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH t AS ({{_TOKS_SQL}}),
+tf AS (
+SELECT doc_id, len(toks)::DOUBLE AS dl,
+       {tf_exprs}
+FROM t
+),
+d AS (
+SELECT count(*)::BIGINT AS n, sum(dl) / count(*)::DOUBLE AS avgdl,
+       {df_exprs}
+FROM tf
+)
+SELECT doc_id, round({score}, 6) AS score
+FROM tf, d
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""".replace("{_TOKS_SQL}", _TOKS_SQL)
+
+
+QUERIES["text_chunking"] = text_chunking
+QUERIES["pipeline_token_budget"] = pipeline_token_budget
+QUERIES["match_text_bm25"] = match_text_bm25
+ORACLES["text_chunking"] = TEXT_CHUNKING_SQL
+ORACLES["pipeline_token_budget"] = TOKEN_BUDGET_SQL
+ORACLES["match_text_bm25"] = _bm25_sql()
+
+
 # A time-budgeted driver that stops early drops TRAILING entries —
 # v_random_sample had no CORRECTNESS row in round 1 purely by being the
 # last registration.  Re-order so the cheap rows-only queries run first

@@ -235,6 +235,74 @@ def tfidf_rank(df, text_col: str, id_col: str, query: str, k: int = 10):
     )
 
 
+def bm25_rank(
+    df,
+    text_col: str,
+    id_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 ranked retrieval — the tf-saturating, length-normalized
+    upgrade of :func:`tfidf_rank` (the scoring most production text
+    retrieval actually runs):
+
+    ``score(doc) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`` (the
+    non-negative Lucene form).
+
+    Same execution shape as tfidf_rank — per-term codegen'd
+    ``regexp_count`` tf (no explode), document length from the token
+    count, one tiny corpus aggregate (N, avgdl, per-term df) broadcast
+    back over the scan, top-k via TakeOrderedAndProject.  Zero wide
+    operations besides the final top-k; terms in no document contribute
+    0.  Fixed left-to-right term order keeps the double sum
+    bit-deterministic for oracle comparison.
+    """
+    import re as _re
+
+    qterms = list(dict.fromkeys(t for t in query.lower().split() if t))
+    if not qterms:
+        raise ValueError("bm25_rank requires a non-empty query")
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col(text_col))), F.lit(" "))
+    tf_cols = [
+        F.regexp_count(padded, F.lit(f"(?<=\\s){_re.escape(t)}(?=\\s)")).alias(f"_tf{i}")
+        for i, t in enumerate(qterms)
+    ]
+    with_tf = df.select(
+        F.col(id_col), token_count(text_col).cast("double").alias("_dl"), *tf_cols
+    )
+    stats = with_tf.agg(
+        F.count("*").alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
+            for i in range(len(qterms))
+        ],
+    )
+    avgdl = F.col("_sumdl") / F.col("_n").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+    score = None
+    for i in range(len(qterms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfi = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            (F.col("_n").cast("double") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        term = F.when(
+            F.col(f"_df{i}") > 0, idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        with_tf.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text cleaning: PII redaction + markup stripping (the scrub stage every
 # web-scale corpus runs before training).  Patterns stay inside the

@@ -37,6 +37,7 @@ from typing import Iterable, Mapping
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as SqlWindow
 
 from qdrant_datafusion_spark.functions.text import token_count, tokens, word_shingles
 
@@ -48,6 +49,8 @@ __all__ = [
     "mix_datasets",
     "stratified_sample",
     "quality_percentile_filter",
+    "chunk_documents",
+    "token_budget_select",
 ]
 
 
@@ -478,3 +481,135 @@ def pack_sequences(
         return pdf[[id_col, "bucket", "pack_id", "n_tokens"]]
 
     return slim.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 40,
+    overlap: int = 10,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window fitting step of
+    LLM corpus prep (and of RAG indexing): split each document's
+    whitespace tokens into windows of ``chunk_size`` tokens that advance
+    by ``chunk_size - overlap``, so consecutive chunks share ``overlap``
+    tokens.  The final window may be shorter; a window that would be
+    entirely contained in its predecessor (tail shorter than the
+    advance) is not emitted, matching the standard ``while start < n:
+    emit; if start + size >= n: break`` chunker loop.
+
+    Returns ``(id, chunk_id, n_tokens, chunk_hash)`` with
+    ``chunk_hash = md5(space-joined window)`` — the hash stands in for
+    the chunk text so the gate compares content without shipping it.
+
+    Scale: a narrow projection + one ``explode`` of the start offsets —
+    no shuffle, no UDF; output rows ≈ docs × (doc_tokens / advance), and
+    each task chunks only its own partition.  The token array lives only
+    inside the projection (never shuffled).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step))
+    ex = base.select(F.col(id_col), "_toks", "_n", F.explode(starts).alias("_start"))
+    # a start > 0 is emitted only if the previous window did not already
+    # cover the end of the document
+    keep = (F.col("_start") == 0) | (F.col("_start") - step + chunk_size < F.col("_n"))
+    window = F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_size))
+    return ex.filter(keep).select(
+        F.col(id_col),
+        (F.col("_start") / step).cast("int").alias("chunk_id"),
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("_start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select — distributed prefix sum without a global sort
+# ---------------------------------------------------------------------------
+
+def token_budget_select(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 12_000,
+    seed: int = 42,
+    bucket_chars: int = 2,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Select a token-budget prefix of the corpus in deterministic
+    shuffled order — "give me the first N training tokens" — via a
+    DISTRIBUTED PREFIX SUM, not a global sort.
+
+    Order is ``md5(id:seed)``: engine-independent, uniform, and stable
+    (the same corpus yields the same prefix everywhere — the property a
+    resumable training run needs).  The cumulative token count in that
+    order decides the cut: a document stays while the running total
+    (inclusive) is ≤ ``budget``.
+
+    Scale — the naive form is ``SUM(...) OVER (ORDER BY key)``, a global
+    single-partition sort.  This implementation is the classic two-phase
+    scan instead:
+
+    1. coarse bucket = first ``bucket_chars`` hex chars of the key
+       (16^bucket_chars buckets — 256 at the default); per-bucket token
+       totals are one tiny aggregate (≤256 rows),
+    2. each bucket's global offset = running total of the buckets before
+       it (a window over the ≤256-row totals frame — single partition by
+       construction and trivially small),
+    3. offsets broadcast back; the within-bucket cumulative sum is a
+       window partitioned BY BUCKET, so no task ever sorts more than
+       ~N/256 rows.  More scale → more ``bucket_chars``.
+
+    The md5-prefix bucket is ALSO the key's most-significant digits, so
+    bucket order == key order and offset + within-bucket cumsum == the
+    exact global cumsum.
+    """
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    n_tok = (
+        F.col(tokens_col) if tokens_col else token_count(text_col, "whitespace")
+    ).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.substring(key, 1, bucket_chars).alias("_bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    totals = keyed.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bucket_total"))
+    # ≤ 16^bucket_chars rows: the unpartitioned window below is a
+    # deliberate single-partition sort of a few hundred rows, not of data
+    w_off = (
+        SqlWindow.partitionBy(F.lit(0))
+        .orderBy("_bucket")
+        .rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_total").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = (
+        SqlWindow.partitionBy("_bucket")
+        .orderBy("_key")
+        .rowsBetween(SqlWindow.unboundedPreceding, SqlWindow.currentRow)
+    )
+    cum = (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("_offset") + F.sum("n_tokens").over(w_in)).alias("cum_tokens"),
+        )
+    )
+    return cum.filter(F.col("cum_tokens") <= budget)

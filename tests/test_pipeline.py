@@ -259,3 +259,172 @@ class TestHashSplitSingleBucket:
         df = spark.range(0, 20).withColumnRenamed("id", "doc_id")
         out = hash_split(df, "doc_id", {"all": 1.0})
         assert {r.split for r in out.collect()} == {"all"}
+
+
+class TestChunkDocuments:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_short_doc_single_chunk(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import chunk_documents
+
+        df = self._mk(spark, [(1, "a b c")])
+        out = chunk_documents(df, chunk_size=10, overlap=2).collect()
+        assert len(out) == 1
+        assert out[0].chunk_id == 0 and out[0].n_tokens == 3
+
+    def test_overlap_and_tail(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import chunk_documents
+
+        # 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6 then stop: the
+        # while-loop chunker emits starts 0,2,4,6 (start 6 covers 7..10)
+        # and then breaks because 6+4 >= 10
+        text = " ".join(f"t{i}" for i in range(10))
+        out = chunk_documents(
+            self._mk(spark, [(1, text)]), chunk_size=4, overlap=2
+        ).collect()
+        starts = sorted(r.chunk_id * 2 for r in out)
+        assert starts == [0, 2, 4, 6]
+        assert all(r.n_tokens == 4 for r in out)
+
+    def test_tail_contained_window_suppressed(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import chunk_documents
+
+        # 30 tokens, chunk 32, step 24: start=24 would emit tokens 25..30,
+        # all already inside chunk 0 (covers 1..30) — must not be emitted
+        text = " ".join(f"t{i}" for i in range(30))
+        out = chunk_documents(
+            self._mk(spark, [(1, text)]), chunk_size=32, overlap=8
+        ).collect()
+        assert len(out) == 1 and out[0].n_tokens == 30
+
+    def test_empty_text_no_rows(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import chunk_documents
+
+        out = chunk_documents(
+            self._mk(spark, [(1, ""), (2, "   ")]), chunk_size=4, overlap=1
+        ).collect()
+        assert out == []
+
+    def test_bad_overlap_raises(self, spark):
+        import pytest as _pytest
+
+        from qdrant_datafusion_spark.operators.pipeline import chunk_documents
+
+        with _pytest.raises(ValueError):
+            chunk_documents(self._mk(spark, [(1, "x")]), chunk_size=4, overlap=4)
+
+
+class TestTokenBudgetSelect:
+    def test_matches_naive_global_cumsum(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from qdrant_datafusion_spark.operators.pipeline import token_budget_select
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.pmod("id", 17) + 1).cast("int"))).alias("text"),
+        )
+        got = {
+            (r.doc_id, r.n_tokens, r.cum_tokens)
+            for r in token_budget_select(df, budget=400, seed=7).collect()
+        }
+        key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("7")))
+        naive = (
+            df.select(
+                "doc_id",
+                F.size(F.split(F.trim("text"), "\\s+")).cast("long").alias("n_tokens"),
+                key.alias("k"),
+            )
+            .withColumn(
+                "cum_tokens",
+                F.sum("n_tokens").over(
+                    Window.partitionBy(F.lit(0)).orderBy("k").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+            .filter(F.col("cum_tokens") <= 400)
+        )
+        want = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in naive.collect()}
+        assert got == want and len(got) > 0
+
+    def test_budget_is_inclusive_prefix(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import token_budget_select
+
+        df = spark.createDataFrame(
+            [(i, "one two three") for i in range(10)], "doc_id long, text string"
+        )
+        out = sorted(
+            token_budget_select(df, budget=9, seed=1).collect(),
+            key=lambda r: r.cum_tokens,
+        )
+        # 3 tokens per doc → exactly 3 docs fit a 9-token budget
+        assert [r.cum_tokens for r in out] == [3, 6, 9]
+
+    def test_more_bucket_chars_same_result(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import token_budget_select
+
+        df = spark.createDataFrame(
+            [(i, "a b") for i in range(50)], "doc_id long, text string"
+        )
+        one = {tuple(r) for r in token_budget_select(df, budget=30, bucket_chars=1).collect()}
+        three = {tuple(r) for r in token_budget_select(df, budget=30, bucket_chars=3).collect()}
+        assert one == three
+
+
+class TestBM25:
+    def test_ranking_properties(self, spark):
+        from qdrant_datafusion_spark.functions.text import bm25_rank
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark spark"),          # high tf, short
+                (2, "spark engine for data processing"),  # tf 1
+                (3, "nothing relevant here at all"),      # tf 0
+                (4, "spark spark plus lots of extra padding words here now"),  # tf 2, long
+            ],
+            "doc_id long, text string",
+        )
+        out = bm25_rank(docs, "text", "doc_id", "spark", k=4).collect()
+        scores = {r.doc_id: r.score for r in out}
+        assert scores[3] == 0.0
+        assert scores[1] > scores[4] > scores[2] > scores[3]
+
+    def test_matches_reference_formula(self, spark):
+        import math
+
+        from qdrant_datafusion_spark.functions.text import bm25_rank
+
+        corpus = {1: "a b a", 2: "b c d", 3: "a a a a"}
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        k1, b = 1.2, 0.75
+        n = len(corpus)
+        dls = {d: len(t.split()) for d, t in corpus.items()}
+        avgdl = sum(dls.values()) / n
+
+        def score(doc, terms):
+            s = 0.0
+            for t in dict.fromkeys(terms):
+                tf = corpus[doc].split().count(t)
+                dft = sum(1 for x in corpus.values() if t in x.split())
+                if dft == 0 or tf == 0:
+                    continue
+                idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dls[doc] / avgdl))
+            return round(s, 6)
+
+        out = bm25_rank(docs, "text", "doc_id", "a c", k=3, k1=k1, b=b).collect()
+        for r in out:
+            assert r.score == pytest.approx(score(r.doc_id, ["a", "c"]), abs=1e-6)
+
+    def test_duplicate_query_terms_deduped(self, spark):
+        from qdrant_datafusion_spark.functions.text import bm25_rank
+
+        docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        once = bm25_rank(docs, "text", "doc_id", "x", k=1).collect()[0].score
+        twice = bm25_rank(docs, "text", "doc_id", "x x", k=1).collect()[0].score
+        assert once == twice
