@@ -3128,6 +3128,26 @@ LIMIT 10
 """.replace("{_TOKS_SQL}", _TOKS_SQL)
 
 
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decontamination contract as ``text_decontaminate`` but through
+    the Bloom-prefilter + exact-verify path — the oracle is REUSED
+    verbatim because a Bloom filter has no false negatives, so the
+    verified output matches the exact operator bit-for-bit.  A tiny
+    2^14-bit filter is deliberate: at sf0.01 it forces a real
+    false-positive rate, proving the verify stage scrubs FPs."""
+    from qdrant_datafusion_spark.operators.pipeline import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate_bloom(
+        corpus, bench, "text", "doc_id", k=5, min_hits=1, m_bits=1 << 14
+    )
+
+
+QUERIES["text_decontaminate_bloom"] = text_decontaminate_bloom
+ORACLES["text_decontaminate_bloom"] = TEXT_DECONTAMINATE_SQL
+
 QUERIES["text_chunking"] = text_chunking
 QUERIES["pipeline_token_budget"] = pipeline_token_budget
 QUERIES["match_text_bm25"] = match_text_bm25

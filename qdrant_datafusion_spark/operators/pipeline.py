@@ -51,6 +51,7 @@ __all__ = [
     "quality_percentile_filter",
     "chunk_documents",
     "token_budget_select",
+    "decontaminate_bloom",
 ]
 
 
@@ -613,3 +614,110 @@ def token_budget_select(
         )
     )
     return cum.filter(F.col("cum_tokens") <= budget)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom — Bloom-prefiltered decontamination (the 100×-eval-set
+# scale path of `decontaminate`)
+# ---------------------------------------------------------------------------
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_hits: int = 1,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """`decontaminate` with a Bloom-filter prefilter: same output, exactly
+    (a Bloom filter has NO false negatives — every shingle that was
+    inserted tests positive — so prefilter + exact-verify of the
+    survivors reproduces the exact hit counts bit-for-bit).
+
+    Why: :func:`decontaminate` broadcasts the benchmark's distinct
+    shingle-hash set — 8 bytes/shingle, fine for MB-scale eval suites but
+    not for a 100M-shingle holdout (800 MB broadcast).  Here the
+    broadcast is a FIXED ``m_bits/8`` bytes (128 KB at the 2^20 default)
+    regardless of benchmark size:
+
+    1. benchmark shingle hashes set ``num_hashes`` bit positions each
+       (``xxhash64(shh, seed)`` mod ``m_bits``); the bitmap is built as a
+       ``bit_or`` aggregate over 64-bit words — ≤ ``m_bits/64`` rows,
+    2. each corpus shingle probes the bitmap via ``num_hashes`` broadcast
+       joins on the word index (map-side, zero shuffle of the corpus);
+       a shingle survives only if ALL its bits are set,
+    3. survivors — true hits plus the Bloom false-positive residue — are
+       exact-verified against the real shingle set with a plain join
+       (the candidate stream is tiny post-Bloom, so AQE picks a cheap
+       strategy; the eval set is never broadcast).
+
+    Sizing: FP rate ≈ (1 − e^(−kn/m))^k; at n = 100k shingles,
+    m = 2^20, k = 3 → ~0.2%.  Scale m_bits with the benchmark
+    (m ≈ 10–16 bits/shingle keeps FP < 1%).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(text_col, k)).alias("sh"))
+        .select(F.xxhash64("sh").alias("shh"))
+        .distinct()
+    )
+
+    def pos(c: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+
+    bitmap = (
+        bench_sh.select(
+            F.explode(
+                F.array(*[pos(F.col("shh"), i) for i in range(num_hashes)])
+            ).alias("_pos")
+        )
+        .select(
+            F.floor(F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+        # ≤ m_bits/64 rows but referenced once per probe seed: cache so the
+        # benchmark explode+agg subtree runs once, not num_hashes times
+        .cache()
+    )
+
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
+    ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
+    cand = doc_sh
+    for i in range(num_hashes):
+        cand = cand.withColumn(f"_k{i}", pos(F.col("shh"), i))
+    survive = None
+    for i in range(num_hashes):
+        w = bitmap.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        cand = cand.join(
+            F.broadcast(w),
+            F.floor(F.col(f"_k{i}") / 64).cast("long") == F.col(f"_wi{i}"),
+            "left",
+        )
+        mask = F.expr(f"shiftleft(1L, cast(pmod(_k{i}, 64) as int))")
+        hit = F.col(f"_w{i}").isNotNull() & (
+            F.col(f"_w{i}").bitwiseAND(mask) != 0
+        )
+        survive = hit if survive is None else survive & hit
+    survivors = cand.filter(survive).select(F.col(id_col), "shh")
+
+    # exact verify: only the post-Bloom candidate stream pays this join
+    hits = (
+        survivors.join(bench_sh, "shh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(word_shingles(text_col, k)).cast("long").alias("n_shingles"),
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("hits") >= min_hits)
+    )

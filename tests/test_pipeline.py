@@ -428,3 +428,76 @@ class TestBM25:
         once = bm25_rank(docs, "text", "doc_id", "x", k=1).collect()[0].score
         twice = bm25_rank(docs, "text", "doc_id", "x x", k=1).collect()[0].score
         assert once == twice
+
+
+class TestDecontaminateBloom:
+    def _split(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from pyspark.sql import functions as F
+
+        return (
+            docs.filter(F.col("doc_id") % 17 == 0),
+            docs.filter(F.col("doc_id") % 17 != 0),
+        )
+
+    def test_equals_exact_decontaminate(self, spark, sf_dir):
+        from qdrant_datafusion_spark.operators.pipeline import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        bench, corpus = self._split(spark, sf_dir)
+        exact = {tuple(r) for r in decontaminate(corpus, bench, k=5).collect()}
+        bloom = {
+            tuple(r) for r in decontaminate_bloom(corpus, bench, k=5).collect()
+        }
+        assert bloom == exact and len(exact) > 0
+
+    def test_tiny_filter_still_exact(self, spark, sf_dir):
+        # m=2^10 bits for thousands of shingles → heavy FP load on the
+        # prefilter; the verify stage must still reproduce exact hits
+        from qdrant_datafusion_spark.operators.pipeline import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        bench, corpus = self._split(spark, sf_dir)
+        exact = {tuple(r) for r in decontaminate(corpus, bench, k=5).collect()}
+        bloom = {
+            tuple(r)
+            for r in decontaminate_bloom(
+                corpus, bench, k=5, m_bits=1 << 10, num_hashes=2
+            ).collect()
+        }
+        assert bloom == exact
+
+    def test_bitmap_is_bounded(self, spark, sf_dir):
+        # the broadcast side is ≤ m_bits/64 words no matter the benchmark
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.functions.text import word_shingles
+        from qdrant_datafusion_spark.operators import pipeline as P
+
+        bench, _ = self._split(spark, sf_dir)
+        m = 1 << 12
+        sh = (
+            bench.select(F.explode(word_shingles("text", 5)).alias("sh"))
+            .select(F.xxhash64("sh").alias("shh"))
+            .distinct()
+        )
+        n_words = (
+            sh.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(F.xxhash64("shh", F.lit(i)), F.lit(m))
+                            for i in range(3)
+                        ]
+                    )
+                ).alias("p")
+            )
+            .select(F.floor(F.col("p") / 64).cast("long").alias("w"))
+            .distinct()
+            .count()
+        )
+        assert n_words <= m // 64
