@@ -57,6 +57,10 @@ HEADLINE = [
     "q_asof_purchase_click",
     "v_sparse_batch_inverted",
     "text_clean",
+    "text_chunking",
+    "pipeline_token_budget",
+    "match_text_bm25",
+    "text_decontaminate_bloom",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -67,6 +71,10 @@ HEADLINE = [
 TAGS = {
     "v_lateral_batch_search": "parity-form (production path = v_batch_search window rewrite)",
     "dedup_embedding": "oracle-tier exact grid (production path = dedup_embedding_lsh)",
+    "text_decontaminate_bloom": (
+        "scale-path form (fixed 128KB broadcast; wins when the eval set "
+        "outgrows the exact path's per-shingle broadcast)"
+    ),
 }
 
 
