@@ -64,3 +64,4 @@ from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     as_of_join,
     interval_join,
 )
+from qdrant_datafusion_spark.operators.joins import salted_join  # noqa: F401

@@ -414,3 +414,75 @@ class TestLshScaleDefaults:
             assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
             scores = [r[1] for r in rows]
             assert scores == sorted(scores, reverse=True)
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        from pyspark.sql import functions as F
+
+        # 900 rows on one hot key, 100 spread over 10 keys
+        large = spark.range(0, 1000).select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") < 900, F.lit(0))
+            .otherwise(F.pmod("id", 10))
+            .cast("long")
+            .alias("k"),
+        )
+        small = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+        )
+        return large, small
+
+    def test_inner_equals_plain_join(self, spark):
+        from qdrant_datafusion_spark.operators.joins import salted_join
+
+        large, small = self._skewed(spark)
+        got = {tuple(r) for r in salted_join(large, small, "k", "row_id").collect()}
+        want = {tuple(r) for r in large.join(small, "k").collect()}
+        assert got == want and len(want) == 1000
+
+    def test_left_keeps_unmatched(self, spark):
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.joins import salted_join
+
+        large, small = self._skewed(spark)
+        small_missing_hot = small.filter(F.col("k") != 0)
+        got = {
+            tuple(r)
+            for r in salted_join(
+                large, small_missing_hot, "k", "row_id", how="left"
+            ).collect()
+        }
+        want = {tuple(r) for r in large.join(small_missing_hot, "k", "left").collect()}
+        assert got == want
+
+    def test_salt_spreads_hot_key(self, spark):
+        from pyspark.sql import functions as F
+
+        large, _ = self._skewed(spark)
+        n_salts = 8
+        salts = (
+            large.filter(F.col("k") == 0)
+            .select(F.pmod(F.xxhash64("row_id"), F.lit(n_salts)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert salts == n_salts  # 900 rows cover all 8 salt partitions
+
+    def test_join_key_includes_salt(self, spark):
+        from qdrant_datafusion_spark.operators.joins import salted_join
+        from qdrant_datafusion_spark.plans.inspect import explain_str
+
+        large, small = self._skewed(spark)
+        plan = explain_str(salted_join(large, small, "k", "row_id", num_salts=4))
+        assert "_salt" in plan  # the physical join key carries the salt
+
+    def test_rejects_bad_how(self, spark):
+        import pytest as _pytest
+
+        from qdrant_datafusion_spark.operators.joins import salted_join
+
+        large, small = self._skewed(spark)
+        with _pytest.raises(ValueError):
+            salted_join(large, small, "k", "row_id", how="full")
