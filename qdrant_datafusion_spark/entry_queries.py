@@ -3137,6 +3137,48 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_IN, _JL_OUT, _JL_SEED = 64, 8, "jl-r3"
+
+
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection 64→8 dims over the embeddings table; the
+    gate compares the first four projected coordinates (round 6).  The
+    seed regenerates the same sign matrix in both engines, and the
+    left-to-right fold order makes the double sums bit-identical."""
+    from qdrant_datafusion_spark.operators.quantize import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project("embedding", _JL_IN, _JL_OUT, seed=_JL_SEED)
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(proj, i + 1), 6).alias(f"p{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def _jl_oracle_sql() -> str:
+    import math
+
+    from qdrant_datafusion_spark.operators.quantize import jl_sign_matrix
+
+    signs = jl_sign_matrix(_JL_IN, _JL_OUT, seed=_JL_SEED)
+    scale = 1.0 / math.sqrt(_JL_OUT)
+    cols = []
+    for i in range(4):
+        terms = " + ".join(
+            f"embedding[{j + 1}]::DOUBLE * {signs[j][i]}" for j in range(_JL_IN)
+        )
+        cols.append(f"round(({terms}) * {scale!r}, 6) AS p{i}")
+    exprs = ",\n       ".join(cols)
+    return f"SELECT vec_id,\n       {exprs}\nFROM embeddings"
+
+
+QUERIES["embed_jl_project"] = embed_jl_project
+ORACLES["embed_jl_project"] = _jl_oracle_sql()
+
+
 QUERIES["text_decontaminate_bloom"] = text_decontaminate_bloom
 ORACLES["text_decontaminate_bloom"] = TEXT_DECONTAMINATE_SQL
 

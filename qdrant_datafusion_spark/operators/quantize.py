@@ -430,3 +430,62 @@ def ivfpq_search_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — the dimension-reduction tier
+# ---------------------------------------------------------------------------
+
+def jl_sign_matrix(dim_in: int, dim_out: int, seed: str = "jl") -> list[list[float]]:
+    """±1 Rademacher projection matrix, [j][i] layout, derived from md5 of
+    ``"j:i:seed"`` — deterministic, engine-independent, and cheap to
+    regenerate anywhere (no matrix needs shipping or storing; the seed IS
+    the matrix).  First hex digit < 8 → +1, else −1 (unbiased)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}:{i}:{seed}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(dim_out)
+        ]
+        for j in range(dim_in)
+    ]
+
+
+def jl_project(
+    vec: Column | str,
+    dim_in: int,
+    dim_out: int,
+    seed: str = "jl",
+) -> Column:
+    """Project a ``dim_in`` vector to ``dim_out`` dims with the ±1 JL
+    transform: ``out_i = (Σ_j v_j · s_ji) / √dim_out``.
+
+    Johnson–Lindenstrauss: pairwise distances distort by at most ε with
+    dim_out = O(ln n / ε²) — the standard pre-compression before LSH /
+    brute-force rerank when embeddings are wide (a 4096-d → 64-d
+    projection cuts every downstream shuffle, GEMM block, and broadcast
+    by 64× while keeping neighbor ranking approximately intact).
+
+    Execution: pure codegen'd Column — one ``zip_with`` + sequential
+    ``aggregate`` fold per output dim against a LITERAL sign array
+    (no UDF, no shuffle, deterministic float order for the oracle).
+    The fold is left-to-right, so results are bit-identical across
+    engines that evaluate the same order (DuckDB oracle mirrors the
+    term order textually).
+    """
+    import math
+
+    signs = jl_sign_matrix(dim_in, dim_out, seed)
+    scale = 1.0 / math.sqrt(dim_out)
+    v = _arr(vec)
+    outs = []
+    for i in range(dim_out):
+        col_signs = F.array(*[F.lit(signs[j][i]) for j in range(dim_in)])
+        prod = F.zip_with(v, col_signs, lambda a, b: a.cast("double") * b)
+        outs.append(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale)
+        )
+    return F.array(*outs)

@@ -316,3 +316,59 @@ class TestIvfPq:
             .collect()
         }
         assert got and got <= cell_ids  # results come only from the probed cell
+
+
+class TestJLProjection:
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.quantize import (
+            jl_project,
+            jl_sign_matrix,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+        rows = emb.select("vec_id", "embedding").collect()
+        dim = len(rows[0].embedding)
+        out = {
+            r.vec_id: list(r.p)
+            for r in emb.select(
+                "vec_id", jl_project("embedding", dim, 8, seed="t").alias("p")
+            ).collect()
+        }
+        S = np.array(jl_sign_matrix(dim, 8, seed="t"))
+        for r in rows:
+            want = (np.array(r.embedding, dtype=np.float64) @ S) / np.sqrt(8)
+            assert np.allclose(out[r.vec_id], want, atol=1e-9)
+
+    def test_sign_matrix_deterministic_and_balanced(self):
+        from qdrant_datafusion_spark.operators.quantize import jl_sign_matrix
+
+        a = jl_sign_matrix(32, 16, seed="x")
+        assert a == jl_sign_matrix(32, 16, seed="x")
+        assert a != jl_sign_matrix(32, 16, seed="y")
+        flat = [x for row in a for x in row]
+        assert set(flat) == {1.0, -1.0}
+        # unbiased-ish: within 20% of half
+        assert abs(sum(1 for x in flat if x > 0) - 256) < 51
+
+    def test_preserves_neighbor_structure(self):
+        # JL guarantee, sanity form: on CLUSTERED data (uniform random
+        # vectors have concentrated distances, where correlation is
+        # noise), projected distances track original distances
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.quantize import jl_sign_matrix
+
+        rng = np.random.default_rng(0)
+        centers = rng.normal(size=(5, 64)) * 4.0
+        V = np.vstack([c + rng.normal(size=(12, 64)) * 0.5 for c in centers])
+        S = np.array(jl_sign_matrix(64, 16, seed="t"))
+        P = (V @ S) / np.sqrt(16)
+        pairs = rng.integers(0, len(V), size=(300, 2))
+        d0 = np.linalg.norm(V[pairs[:, 0]] - V[pairs[:, 1]], axis=1)
+        d1 = np.linalg.norm(P[pairs[:, 0]] - P[pairs[:, 1]], axis=1)
+        mask = d0 > 0
+        assert np.corrcoef(d0[mask], d1[mask])[0, 1] > 0.9
