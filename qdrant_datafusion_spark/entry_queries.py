@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from qdrant_datafusion_spark.functions.composite import recommend_composite
 from qdrant_datafusion_spark.functions.distance import (
@@ -55,12 +56,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    Parquet reader rejects; read the nanos as long (runtime conf) and do
-    time arithmetic in integer nanoseconds — deterministic and identical
-    to DuckDB's epoch_ns()."""
+    """Load events.parquet with ``ts`` normalized to integer epoch
+    nanoseconds (long), whatever the file's physical timestamp type —
+    deterministic and identical to DuckDB's epoch_ns().
+
+    Two generations of driver testdata exist: TIMESTAMP(NANOS) (which
+    Spark's vectorized reader only accepts as long via the
+    ``nanosAsLong`` conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
+    All downstream time arithmetic is integer-ns, so both normalize here.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        return ev  # nanos file: already epoch-ns longs
+    # micros file (TIMESTAMP_NTZ): wall-clock -> epoch ns. The NTZ->TZ
+    # cast is tz-sensitive, so pin the session to UTC to match DuckDB's
+    # naive-as-UTC epoch_ns().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return ev.withColumn(
+        "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2796,7 +2811,9 @@ def v_sparse_batch_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
     counts = F.array(
         *[
-            F.regexp_count(padded, F.lit(f"(?<=\\s){w}(?=\\s)")).cast("double")
+            F.regexp_count(
+                padded, F.lit(f"(?<=\\s){re.escape(w)}(?=\\s)")
+            ).cast("double")
             for w in _SPARSE_VOCAB
         ]
     )
@@ -3142,7 +3159,7 @@ _JL_IN, _JL_OUT, _JL_SEED = 64, 8, "jl-r3"
 
 def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL ±1 random projection 64→8 dims over the embeddings table; the
-    gate compares the first four projected coordinates (round 6).  The
+    gate compares the first four projected coordinates rounded to 6dp.  The
     seed regenerates the same sign matrix in both engines, and the
     left-to-right fold order makes the double sums bit-identical."""
     from qdrant_datafusion_spark.operators.quantize import jl_project

@@ -237,17 +237,11 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("V_SPARSE_SEARCH", v_sparse)
     spark.udf.register("V_COLBERT", v_maxsim)
 
-    # V_RANDOM must be a (nondeterministic) Python UDF: SQL-defined
-    # functions are rejected inside Sort, and ORDER BY V_RANDOM() is the
-    # corpus's sampling idiom (tests/bin/tests.sql:310-320)
-    import random as _random
-
-    from pyspark.sql.functions import udf
-    from pyspark.sql.types import DoubleType
-
-    spark.udf.register(
-        "V_RANDOM", udf(lambda: _random.random(), DoubleType()).asNondeterministic()
-    )
+    # V_RANDOM is SQL-defined over native rand() — fully JVM-side, no
+    # Python boundary.  Spark rejects SQL UDFs inside Sort, so the
+    # corpus's ``ORDER BY V_RANDOM()`` idiom (tests/bin/tests.sql:310-320)
+    # is rewritten to bare rand() by sql_dialect.corpus_sql; this
+    # registration covers select-list usage in hand-written SQL.
 
     # the rest of the corpus surface as SQL-defined functions — every body
     # is pure built-in expression, so all of these inline into the plan
@@ -259,6 +253,13 @@ def register_all(spark: SparkSession) -> None:
 #: (reference tests/bin/tests.sql): distance/radius predicates, JSON field
 #: existence, text relevance, geo distance + gaussian decay, random order.
 _SQL_FUNCTION_DDL = [
+    # V_RANDOM(): native rand(), select-list position (Sort position is
+    # rewritten to bare rand() by sql_dialect.corpus_sql)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION V_RANDOM()
+    RETURNS DOUBLE
+    RETURN rand()
+    """,
     # V_DISTANCE(v, q, metric): lower = closer (cosine -> 1 - similarity)
     """
     CREATE OR REPLACE TEMPORARY FUNCTION V_DISTANCE(

@@ -66,6 +66,15 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    if row_col in keys:
+        # salt = hash(join key) is constant within each key group, so the
+        # hot key still lands on one reduce task — the exact misuse the
+        # docstring warns about.  Fail loudly instead of silently no-op.
+        raise ValueError(
+            f"row_col {row_col!r} must vary within a key group; it is one "
+            f"of the join keys {keys!r}, which makes the salt constant "
+            "per key and defeats the salting entirely"
+        )
     if _SALT in large.columns or _SALT in small.columns:
         raise ValueError(f"{_SALT!r} column already present")
     salted_large = large.withColumn(

@@ -666,7 +666,12 @@ def decontaminate_bloom(
     def pos(c: Column, i: int) -> Column:
         return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
 
-    bitmap = (
+    # The bitmap is ≤ m_bits/64 words (128 KB at the 2^20 default) by
+    # construction, so materialize it to the driver once and re-create it
+    # as a literal DataFrame: the benchmark explode+agg subtree runs
+    # exactly once, and no cached partitions outlive this call (a
+    # .cache() here leaked for the app's lifetime across invocations).
+    bitmap_words = (
         bench_sh.select(
             F.explode(
                 F.array(*[pos(F.col("shh"), i) for i in range(num_hashes)])
@@ -678,9 +683,11 @@ def decontaminate_bloom(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("_bit").alias("word"))
-        # ≤ m_bits/64 rows but referenced once per probe seed: cache so the
-        # benchmark explode+agg subtree runs once, not num_hashes times
-        .cache()
+        .collect()
+    )
+    bitmap = docs.sparkSession.createDataFrame(
+        [(int(r["word_idx"]), int(r["word"])) for r in bitmap_words],
+        "word_idx long, word long",
     )
 
     doc_sh = docs.select(

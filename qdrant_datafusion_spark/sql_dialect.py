@@ -326,6 +326,11 @@ def corpus_sql(
     """
     text = re.sub(r"--[^\n]*", "", text)  # args are parsed textually
     text = text.strip().rstrip(";")
+    # V_RANDOM() -> native rand(): rand() is legal in every clause
+    # including Sort (ORDER BY V_RANDOM() is the corpus's sampling idiom,
+    # tests.sql:310-320), while a SQL-defined wrapper is rejected there
+    # and a Python UDF would be the lone per-row lambda in the surface.
+    text = re.sub(r"\bV_RANDOM\s*\(\s*\)", "rand()", text, flags=re.IGNORECASE)
     text = _resolve_arrows(text)
     text = _resolve_containment(text)
     # bracket array literals -> array(...); innermost-out fixpoint so

@@ -95,9 +95,14 @@ CORPUS = [
           FROM emb e ORDER BY score DESC LIMIT 3
         ) t
     """, 6),
-    # -- random sampling (tests.sql:310-320)
+    # -- random sampling (tests.sql:310-320); V_RANDOM is SQL-defined over
+    # rand() so it sits in the select list, and the sort references the
+    # alias (the bare ORDER BY V_RANDOM() corpus form goes through
+    # corpus_sql, which rewrites it to rand() — covered below)
     ("random_sample", """
-        SELECT doc_id FROM docs ORDER BY V_RANDOM() LIMIT 5
+        SELECT doc_id FROM (
+          SELECT doc_id, V_RANDOM() AS r FROM docs
+        ) ORDER BY r LIMIT 5
     """, 5),
     # -- sparse search over the hetero fixture (tests.sql:67-77)
     ("sparse_search", """
@@ -183,6 +188,25 @@ def test_recommend_null_neg_equals_search_on_mean(spark):
         ) > 1e-12
     """).collect()[0].n
     assert n == 0
+
+
+def test_v_random_sort_is_native_rand(spark):
+    """The corpus's ``ORDER BY V_RANDOM()`` resolves to native rand():
+    no Python UDF node anywhere in the plan (V_RANDOM was the last
+    surviving row-at-a-time lambda in the SQL surface), and the rewrite
+    itself is clause-position exact."""
+    from qdrant_datafusion_spark.fixtures import CORPUS_COLL
+    from qdrant_datafusion_spark.sql_dialect import corpus_sql
+
+    resolved = corpus_sql(
+        "SELECT doc_id FROM docs ORDER BY V_RANDOM() LIMIT 5", CORPUS_COLL,
+    )
+    assert "V_RANDOM" not in resolved and "rand()" in resolved
+    df = spark.sql(resolved)
+    assert len(df.collect()) == 5
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in physical
+    assert "ArrowEvalPython" not in physical
 
 
 class TestVerbatimCorpus:
