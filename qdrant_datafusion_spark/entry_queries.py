@@ -45,9 +45,11 @@ from qdrant_datafusion_spark.functions.text import (
 from qdrant_datafusion_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
+    minhash_hot_buckets,
     minhash_lsh_dups,
     ngram_jaccard_dups,
     simhash_dups,
+    simhash_hot_buckets,
 )
 
 
@@ -3205,6 +3207,121 @@ QUERIES["match_text_bm25"] = match_text_bm25
 ORACLES["text_chunking"] = TEXT_CHUNKING_SQL
 ORACLES["pipeline_token_budget"] = TOKEN_BUDGET_SQL
 ORACLES["match_text_bm25"] = _bm25_sql()
+
+
+# ===========================================================================
+# Capped (100 TB-default) dedup gates — skewed boilerplate fixture
+# ===========================================================================
+#
+# The driver-gated dedup_minhash / dedup_simhash run UNCAPPED so the exact
+# pair oracle can model the complete-recall contract.  These gates prove
+# the production skew guard itself (``max_bucket_size`` — the default every
+# 100 TB run keeps): a synthetic hot key — _BOILER_N identical copies of a
+# boilerplate document over a vocabulary disjoint from the corpus's 31
+# words — collapses into ONE bucket per band (MinHash) / block (SimHash),
+# every one of them over the cap, and is dropped wholesale; every organic
+# pair survives untouched (organic buckets max out at 16 members even at
+# sf0.1, vs cap 500).  The pair oracle is therefore exactly the organic
+# exact-pairs SQL, and the drop-audit oracle is the literal bucket
+# geometry: 16 band buckets (5 block buckets) of _BOILER_N members.
+
+_BOILER_TEXT = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod "
+    "tempor incididunt labore et dolore magna aliqua ut enim minim veniam"
+)
+_BOILER_N = 1000
+_BOILER_BASE = 10_000_000
+_DEDUP_CAP = 500
+
+
+def _docs_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ _BOILER_N identical boilerplate rows (the hot key)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = spark.range(1, _BOILER_N + 1).select(
+        (F.lit(_BOILER_BASE) + F.col("id")).alias("doc_id"),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    return docs.unionByName(boiler)
+
+
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs WITH the hot-bucket cap active on the
+    skewed fixture: the 1000-copy boilerplate bucket (> cap in all 16
+    bands) is dropped entirely, so the output is exactly the organic
+    exact-Jaccard pair set — the oracle asserts both the drop and the
+    undisturbed recall below the cap."""
+    pairs = minhash_lsh_dups(
+        _docs_skewed(spark, sf_dir), "text", "doc_id",
+        k=3, num_hashes=32, bands=16, threshold=0.2,
+        max_bucket_size=_DEDUP_CAP,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_minhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps audit on the skewed fixture: every over-cap
+    MinHash bucket.  Boilerplate md5 band buckets admit no organic
+    collisions, so the geometry is exact: 16 buckets × 1000 members."""
+    hot = minhash_hot_buckets(
+        _docs_skewed(spark, sf_dir), "text", "doc_id",
+        k=3, num_hashes=32, bands=16, max_bucket_size=_DEDUP_CAP,
+    )
+    return hot.agg(
+        F.count("*").alias("n_hot_buckets"),
+        F.min("n_members").alias("min_members"),
+        F.max("n_members").alias("max_members"),
+    )
+
+
+DEDUP_MINHASH_HOT_SQL = f"""
+SELECT 16::BIGINT AS n_hot_buckets,
+       {_BOILER_N}::BIGINT AS min_members,
+       {_BOILER_N}::BIGINT AS max_members
+"""
+
+
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs WITH the cap on the skewed fixture (5
+    12-bit blocks): all 5 boilerplate block buckets are hot and dropped;
+    organic pairs keep pigeonhole completeness below the cap."""
+    pairs = simhash_dups(
+        _docs_skewed(spark, sf_dir), "text", "doc_id",
+        max_hamming=4, blocks=5, max_bucket_size=_DEDUP_CAP,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def dedup_simhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop audit for the SimHash cap.  A 12-bit block value CAN collide
+    with organic signatures (4096 values/block), so the member count is
+    asserted as ≥ _BOILER_N rather than an exact literal."""
+    hot = simhash_hot_buckets(
+        _docs_skewed(spark, sf_dir), "text", "doc_id",
+        max_hamming=4, blocks=5, max_bucket_size=_DEDUP_CAP,
+    )
+    return hot.agg(
+        F.count("*").alias("n_hot_buckets"),
+        (F.min("n_members") >= _BOILER_N).alias("boiler_sized"),
+    )
+
+
+DEDUP_SIMHASH_HOT_SQL = """
+SELECT 5::BIGINT AS n_hot_buckets, true AS boiler_sized
+"""
+
+
+QUERIES["dedup_minhash_capped"] = dedup_minhash_capped
+QUERIES["dedup_minhash_hot"] = dedup_minhash_hot
+QUERIES["dedup_simhash_capped"] = dedup_simhash_capped
+QUERIES["dedup_simhash_hot"] = dedup_simhash_hot
+# the capped run over the skewed fixture must equal the uncapped organic
+# pair set — reusing the organic exact-pairs oracles IS the assertion
+ORACLES["dedup_minhash_capped"] = DEDUP_JACCARD_SQL
+ORACLES["dedup_minhash_hot"] = DEDUP_MINHASH_HOT_SQL
+ORACLES["dedup_simhash_capped"] = DEDUP_SIMHASH_SQL
+ORACLES["dedup_simhash_hot"] = DEDUP_SIMHASH_HOT_SQL
 
 
 # A time-budgeted driver that stops early drops TRAILING entries —
