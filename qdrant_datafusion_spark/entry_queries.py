@@ -3312,6 +3312,84 @@ SELECT 5::BIGINT AS n_hot_buckets, true AS boiler_sized
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⨝dim via :func:`salted_join` on a genuinely hot key:
+    ``l_returnflag`` has 3 distinct values over the whole lineitem table,
+    so an unsalted shuffle join lands ~1/3 of the fact on each of THREE
+    reduce tasks regardless of cluster size; the salt spreads each flag
+    over 16.  The oracle is the plain join — salting must be row-for-row
+    invisible in the result."""
+    from qdrant_datafusion_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "flag_label", F.concat(F.lit("flag-"), F.col("l_returnflag"))
+    )
+    joined = salted_join(
+        li, dim, on="l_returnflag", row_col="l_orderkey", num_salts=16
+    )
+    return joined.groupBy("flag_label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_price"),
+    )
+
+
+Q_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT DISTINCT l_returnflag, 'flag-' || l_returnflag AS flag_label
+  FROM lineitem
+)
+SELECT flag_label, count(*) AS n,
+       round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE, 2) AS total_price
+FROM lineitem JOIN dim USING (l_returnflag)
+GROUP BY flag_label
+"""
+
+
+QUERIES["q_salted_join"] = q_salted_join
+ORACLES["q_salted_join"] = Q_SALTED_JOIN_SQL
+
+
+def q_json_length_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_length + json_object_keys — the last two functions of the
+    reference's registered datafusion-functions-json suite
+    (reference src/udfs.rs:13-16) previously uncovered here.  events.props
+    is a flat object (key count), and a data-derived JSON *array* —
+    ``[0,0,...]`` with (k mod 4)+1 elements — exercises the array arm of
+    json_length with a value the oracle can recompute."""
+    from qdrant_datafusion_spark.functions.json_fns import json_keys, json_length
+
+    ev = _t(spark, sf_dir, "events")
+    arr_json = F.concat(
+        F.lit("["), F.expr("repeat('0,', pmod(cast(get_json_object(props, '$.k') as int), 4))"), F.lit("0]")
+    )
+    sel = ev.select(
+        json_length(arr_json).alias("arr_len"),
+        F.array_join(json_keys(F.col("props")), ",").alias("obj_keys"),
+        json_length(F.col("props")).alias("n_keys"),
+    )
+    return sel.groupBy("arr_len", "obj_keys", "n_keys").agg(
+        F.count("*").alias("n")
+    )
+
+
+Q_JSON_LENGTH_KEYS_SQL = """
+WITH j AS (
+  SELECT json_array_length('[' || repeat('0,', (props->>'k')::INT % 4) || '0]')::INT AS arr_len,
+         array_to_string(json_keys(props), ',') AS obj_keys,
+         len(json_keys(props))::INT AS n_keys
+  FROM events
+)
+SELECT arr_len, obj_keys, n_keys, count(*) AS n
+FROM j
+GROUP BY arr_len, obj_keys, n_keys
+"""
+
+
+QUERIES["q_json_length_keys"] = q_json_length_keys
+ORACLES["q_json_length_keys"] = Q_JSON_LENGTH_KEYS_SQL
 QUERIES["dedup_minhash_capped"] = dedup_minhash_capped
 QUERIES["dedup_minhash_hot"] = dedup_minhash_hot
 QUERIES["dedup_simhash_capped"] = dedup_simhash_capped

@@ -59,6 +59,25 @@ def payload_contains(payload: ColumnOrName, field_path: str, value) -> Column:
     return F.array_contains(arr, value)
 
 
+def json_length(payload: ColumnOrName) -> Column:
+    """Element count of a JSON array, or key count of a JSON object —
+    the datafusion-functions-json ``json_length`` semantics the reference
+    registers wholesale (reference src/udfs.rs:13-16).  Scalar / invalid
+    JSON → NULL.  Composed from two Spark natives, so it stays inside
+    codegen: ``json_array_length`` answers arrays (NULL on objects) and
+    ``size(json_object_keys(...))`` answers objects (NULL on arrays under
+    ANSI null-size semantics)."""
+    c = _as_col(payload)
+    return F.coalesce(F.json_array_length(c), F.size(F.json_object_keys(c)))
+
+
+def json_keys(payload: ColumnOrName) -> Column:
+    """Top-level key list of a JSON object (``json_object_keys`` in both
+    the reference's registered suite and Spark natively); NULL for
+    non-objects."""
+    return F.json_object_keys(_as_col(payload))
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 VariantType path — the modern engine-native encoding for the
 # reference's JSON payload surface (SURVEY.md §1.4/§2.8).  parse_json

@@ -260,6 +260,15 @@ _SQL_FUNCTION_DDL = [
     RETURNS DOUBLE
     RETURN rand()
     """,
+    # JSON_LENGTH: array element count or object key count (the
+    # datafusion-functions-json semantics, reference src/udfs.rs:13-16);
+    # scalar/invalid JSON -> NULL.  json_object_keys needs no wrapper —
+    # Spark's native shares the reference suite's name.
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_LENGTH(s STRING)
+    RETURNS INT
+    RETURN coalesce(json_array_length(s), size(json_object_keys(s)))
+    """,
     # V_DISTANCE(v, q, metric): lower = closer (cosine -> 1 - similarity)
     """
     CREATE OR REPLACE TEMPORARY FUNCTION V_DISTANCE(

@@ -219,6 +219,44 @@ class TestJson:
         assert by["1"].has_a is True and by["1"].has_z is False
         assert not by["2"].hf and by["2"].city is None
 
+    def test_json_length_and_keys(self, spark):
+        """datafusion-functions-json json_length semantics (reference
+        src/udfs.rs:13-16): array -> element count, object -> key count,
+        scalar/invalid/NULL -> NULL."""
+        from qdrant_datafusion_spark.functions.json_fns import json_keys, json_length
+
+        rows = [
+            ("arr", "[1, 2, 3]"),
+            ("obj", '{"x": 1, "y": {"z": 2}}'),
+            ("scalar", "42"),
+            ("bad", "{nope"),
+            ("none", None),
+        ]
+        df = spark.createDataFrame(rows, "id string, j string")
+        got = {
+            r.id: r
+            for r in df.select(
+                "id",
+                json_length("j").alias("n"),
+                json_keys("j").alias("ks"),
+            ).collect()
+        }
+        assert got["arr"].n == 3 and got["arr"].ks is None
+        assert got["obj"].n == 2 and got["obj"].ks == ["x", "y"]
+        assert got["scalar"].n is None
+        assert got["bad"].n is None
+        assert got["none"].n is None and got["none"].ks is None
+
+    def test_json_length_sql_registration(self, spark):
+        from qdrant_datafusion_spark.functions.registry import register_all
+
+        register_all(spark)
+        r = spark.sql(
+            """SELECT JSON_LENGTH('[1,2]') a, JSON_LENGTH('{"x":1}') b,
+                      JSON_LENGTH('s') c"""
+        ).collect()[0]
+        assert r.a == 2 and r.b == 1 and r.c is None
+
 
 class TestText:
     def test_match_text(self, spark):
