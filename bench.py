@@ -1,10 +1,26 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
 Each query is executed once on a warm session (the driver compares
 wall-clock against BASELINE.md at the same scale factor).  Timing counts
 full execution to a driver-side collect of the (small) result.
+
+Two additions beyond raw per-query times:
+
+- **Control query** (machine-drift attribution): a fixed full-scan
+  aggregate over lineitem whose code never changes across rounds, timed
+  immediately after warmup AND after the headline loop.  Round-over-round
+  per-query ratios should be read as ``(q_rN / q_rM) / (control_rN /
+  control_rM)`` — the round-3 verdict found a uniform ~1.6x slowdown on
+  unchanged queries that could not be attributed without this row.
+- **sf1 scale-headroom section**: the scale-path operators re-run on a
+  10x deterministic scale-up of documents/embeddings/events (generated
+  once into .scale_cache/, embeddings perturbed per-replica so
+  similarity structure doesn't degenerate into exact copies).  A
+  scale-safe plan should grow roughly linearly (growth ~ 10x or less
+  after fixed overhead); a quadratic plan would show ~100x.  Skip with
+  SPARK_GRAFT_SKIP_SF1=1.
 """
 
 from __future__ import annotations
@@ -61,6 +77,12 @@ HEADLINE = [
     "pipeline_token_budget",
     "match_text_bm25",
     "text_decontaminate_bloom",
+    # round 4
+    "dedup_minhash_capped",
+    "dedup_simhash_capped",
+    "q_salted_join",
+    "q_json_length_keys",
+    "embed_jl_project",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -75,7 +97,114 @@ TAGS = {
         "scale-path form (fixed 128KB broadcast; wins when the eval set "
         "outgrows the exact path's per-shingle broadcast)"
     ),
+    "dedup_minhash_capped": "skew-guard form on the +1000-copy boilerplate fixture",
+    "dedup_simhash_capped": "skew-guard form on the +1000-copy boilerplate fixture",
 }
+
+#: operators whose 100 TB story rests on a bucketed / single-shuffle /
+#: broadcast plan — these re-run at the 10x scale-up to measure growth
+SCALE_PATH = [
+    "dedup_embedding_lsh",
+    "ann_knn_graph_blocked",
+    "q_asof_purchase_click",
+    "pipeline_pack_sequences",
+    "v_sparse_batch_inverted",
+    "text_decontaminate_bloom",
+]
+
+_SCALE_REPLICAS = 10
+_SCALE_TABLES = ("documents", "embeddings", "events")
+
+
+def _control(spark, sf_dir: str) -> float:
+    """Fixed-cost full-scan aggregate; the machine-drift yardstick.
+
+    NEVER change this query: its only value is being identical across
+    rounds.  (lineitem full scan, three aggregates, one collect.)
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_extendedprice").alias("s"),
+            F.avg("l_quantity").alias("a"),
+        )
+        .collect()
+    )
+    return round(time.time() - t0, 3)
+
+
+def _ensure_sf1(spark, base_dir: str) -> tuple[str, float]:
+    """Deterministic 10x scale-up of the scale-path input tables, written
+    once to .scale_cache/sf1x/ next to this file.  Ids shift per replica;
+    embeddings get a small deterministic per-replica perturbation so the
+    scaled similarity structure stays non-degenerate (10 exact copies of
+    every vector would turn near-dup output quadratic in replicas and
+    measure the data, not the operator)."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_cache",
+        f"{os.path.basename(os.path.normpath(base_dir))}_x{_SCALE_REPLICAS}",
+    )
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir, 0.0
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    rep = spark.range(_SCALE_REPLICAS).withColumnRenamed("id", "_rep")
+
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("_rep") * F.lit(1_000_000)).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    other = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: x
+        + (
+            (F.pmod(F.col("vec_id") * 31 + i * 7 + F.col("_rep") * 13, F.lit(97)) - 48)
+            / F.lit(9700.0)
+        )
+        * F.col("_rep").cast("double"),
+    )
+    (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("_rep") * F.lit(1_000_000)).alias("vec_id"),
+            perturbed.alias("embedding"),
+            *other,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+    ev = spark.read.parquet(os.path.join(base_dir, "events.parquet"))
+    (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") + F.col("_rep") * F.lit(100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.col("_rep") * F.lit(1_000_000)).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out_dir, round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -87,8 +216,13 @@ def main() -> None:
     from qdrant_datafusion_spark.session import get_spark
 
     spark = get_spark(app_name="qdrant-datafusion-spark-bench")
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, then the
+    # control query itself once untimed (codegen + scan-path warmup) so
+    # control_first measures the machine, not first-run compilation
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    _control(spark, sf_dir)
+
+    control_first = _control(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -99,8 +233,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    control_last = _control(spark, sf_dir)
+    print(
+        f"# control: first={control_first:.2f}s last={control_last:.2f}s",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
-    # the headline set GREW across rounds (24 queries in round 1, 37 now) —
+    # the headline set GREW across rounds (24 queries in round 1, 46 now) —
     # emit the round-1 subset total too so total-vs-BASELINE comparisons
     # stay apples-to-apples
     r1_subset = [
@@ -113,22 +253,52 @@ def main() -> None:
         "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
         "text_quality", "doc_fingerprints",
     ]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tags": TAGS,
-                "r1_subset_sec": round(
-                    sum(timings[q] for q in r1_subset if q in timings), 3
-                ),
-                "r1_subset_n": len(r1_subset),
-                "sf": sf,
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "tags": TAGS,
+        "control_first_sec": control_first,
+        "control_last_sec": control_last,
+        "r1_subset_sec": round(
+            sum(timings[q] for q in r1_subset if q in timings), 3
+        ),
+        "r1_subset_n": len(r1_subset),
+        "sf": sf,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        try:
+            sf1_dir, gen_sec = _ensure_sf1(spark, sf_dir)
+            sf1_timings: dict[str, float] = {}
+            for name in SCALE_PATH:
+                fn = QUERIES[name]
+                t0 = time.time()
+                n = fn(spark, sf1_dir).count()
+                sf1_timings[name] = round(time.time() - t0, 3)
+                print(
+                    f"# sf1x {name}: {sf1_timings[name]:.2f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+            result["sf1"] = {
+                "data_growth": _SCALE_REPLICAS,
+                "gen_sec": gen_sec,
+                "queries": sf1_timings,
+                # wall-clock growth vs the same query at sf0.1 this run —
+                # linear-or-better plans sit at ~data_growth or below
+                # (fixed overhead amortizes); quadratic would be ~100x
+                "growth": {
+                    q: round(sf1_timings[q] / timings[q], 2)
+                    for q in SCALE_PATH
+                    if timings.get(q)
+                },
             }
-        )
-    )
+        except Exception as e:  # the scale section must never sink the bench
+            result["sf1"] = {"error": str(e)[:300]}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
