@@ -1,0 +1,206 @@
+"""The optional live-dispatch layer (sources.client).
+
+Two tiers, mirroring the env-gated design:
+
+- the REST translation + HTTP dispatch run unconditionally against an
+  in-process ``http.server`` speaking the Qdrant REST response shape —
+  no network, no Spark;
+- the genuine live roundtrip runs iff ``QDRANT_URL`` points at a real
+  server (never in the sandbox): it creates a collection, upserts, and
+  reads back through build_query_request → QdrantRestClient →
+  points_to_rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from pyspark.sql.datasource import EqualTo
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from qdrant_datafusion_spark.sources.client import (
+    QdrantRestClient,
+    live_client_from_env,
+    rest_point_to_wire,
+)
+from qdrant_datafusion_spark.sources.request import build_query_request
+from qdrant_datafusion_spark.sources.wire import points_to_rows
+
+
+class TestRestPointToWire:
+    def test_unnamed_dense(self):
+        wire = rest_point_to_wire({"id": 7, "payload": {"k": 1}, "vector": [1.0, 2.0]})
+        assert wire["id"] == {"num": 7}
+        assert wire["payload"] == {"k": 1}
+        assert wire["vectors"] == {"vector": {"vector": {"dense": {"data": [1.0, 2.0]}}}}
+
+    def test_uuid_id_and_named_map(self):
+        wire = rest_point_to_wire(
+            {
+                "id": "a-b-c",
+                "vector": {
+                    "emb": [0.5, 0.5],
+                    "sp": {"indices": [3], "values": [0.25]},
+                    "multi": [[1.0], [2.0]],
+                },
+            }
+        )
+        assert wire["id"] == {"uuid": "a-b-c"}
+        named = wire["vectors"]["vectors"]
+        assert named["emb"]["vector"]["dense"]["data"] == [0.5, 0.5]
+        assert named["sp"]["vector"]["sparse"] == {"indices": [3], "values": [0.25]}
+        assert named["multi"]["vector"]["multi_dense"]["vectors"] == [
+            {"data": [1.0]},
+            {"data": [2.0]},
+        ]
+
+    def test_empty_payload_normalizes_null(self):
+        wire = rest_point_to_wire({"id": 1, "payload": {}, "vector": None})
+        assert wire["payload"] is None and wire["vectors"] is None
+
+    def test_top_level_sparse_is_unnamed(self):
+        wire = rest_point_to_wire(
+            {"id": 2, "vector": {"indices": [1, 2], "values": [0.1, 0.2]}}
+        )
+        assert wire["vectors"]["vector"]["vector"]["sparse"]["indices"] == [1, 2]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Qdrant REST Query API lookalike: one canned collection, honors
+    with_payload/with_vector/limit, records the request for assertions."""
+
+    store = [
+        {"id": i, "payload": {"rank": i, "tag": "t"}, "vector": [float(i), 1.0]}
+        for i in range(10)
+    ]
+    last_request: dict | None = None
+
+    def do_POST(self):  # noqa: N802  (http.server API)
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        type(self).last_request = {"path": self.path, "body": body}
+        pts = []
+        for p in self.store[: body.get("limit", len(self.store))]:
+            q: dict = {"id": p["id"]}
+            if body.get("with_payload"):
+                q["payload"] = p["payload"]
+            if body.get("with_vector"):
+                q["vector"] = p["vector"]
+            pts.append(q)
+        payload = json.dumps({"status": "ok", "result": {"points": pts}}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def mock_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("vector", ArrayType(FloatType()), True),
+        StructField("payload", StringType(), True),
+    ]
+)
+
+
+class TestMockHttpRoundtrip:
+    def test_request_translation_and_decode(self, mock_server):
+        request, rejected = build_query_request(
+            "c1", SCHEMA, limit=3, filters=[EqualTo(("payload", "tag"), "t")]
+        )
+        assert rejected == []
+        client = QdrantRestClient(mock_server)
+        points = client.query_points(request)
+        assert len(points) == 3
+
+        sent = _Handler.last_request
+        assert sent["path"] == "/collections/c1/points/query"
+        assert sent["body"]["with_vector"] is True
+        assert sent["body"]["with_payload"] is True
+        assert sent["body"]["limit"] == 3
+        assert sent["body"]["filter"] == {
+            "must": [{"key": "tag", "match": {"value": "t"}}]
+        }
+
+        rows = points_to_rows(points, SCHEMA)
+        assert rows[0][0] == "0"
+        assert rows[1][1] == [1.0, 1.0]
+        assert json.loads(rows[2][2]) == {"rank": 2, "tag": "t"}
+
+    def test_metadata_only_projection_fetches_no_vectors(self, mock_server):
+        pruned = StructType([f for f in SCHEMA.fields if f.name == "id"])
+        request, _ = build_query_request("c1", pruned, limit=2)
+        QdrantRestClient(mock_server).query_points(request)
+        assert _Handler.last_request["body"]["with_vector"] is False
+        assert _Handler.last_request["body"]["with_payload"] is False
+
+
+@pytest.mark.skipif(
+    not os.environ.get("QDRANT_URL"),
+    reason="QDRANT_URL not set — live Qdrant integration runs only "
+    "against a real server",
+)
+class TestLiveQdrant:
+    """End-to-end against a real Qdrant: seed a collection over REST,
+    then read it back through the seam."""
+
+    COLL = "qdrant_datafusion_spark_it"
+
+    def test_live_roundtrip(self):
+        client = live_client_from_env()
+        assert client is not None
+        import urllib.request
+
+        # seed: create the collection and upsert three points
+        def _put(path, body):
+            req = urllib.request.Request(
+                f"{client.base_url}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="PUT",
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read().decode())
+
+        _put(
+            f"/collections/{self.COLL}",
+            {"vectors": {"size": 2, "distance": "Cosine"}},
+        )
+        _put(
+            f"/collections/{self.COLL}/points?wait=true",
+            {
+                "points": [
+                    {"id": i, "vector": [float(i), 1.0], "payload": {"rank": i}}
+                    for i in range(3)
+                ]
+            },
+        )
+        request, rejected = build_query_request(self.COLL, SCHEMA, limit=3)
+        assert rejected == []
+        points = client.query_points(request)
+        rows = points_to_rows(points, SCHEMA)
+        assert len(rows) == 3
+        assert {r[0] for r in rows} == {"0", "1", "2"}
