@@ -2442,31 +2442,33 @@ def group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector — the distributed centroid computation
     behind clustering summaries and by-group V_RECOMMEND positives
     (groupwise sibling of SQL V_MEAN_VEC).  posexplode → (label, dim)
-    decimal-sum aggregation (order-independent ⇒ oracle-exact) →
-    re-assembled in dim order.  Shuffles only (label, dim) partials,
-    never whole vectors — the same shape train_ivf_centroids uses, here
-    as a gated query."""
+    decimal-sum aggregation (order-independent ⇒ oracle-exact).  Shuffles
+    only (label, dim) partials, never whole vectors — the same shape
+    train_ivf_centroids uses, here as a gated query.
+
+    Output is LONG-FORM ``(label, pos, m, n)`` — one row per centroid
+    dimension, scalar columns only.  (The r4 wide form carried the
+    centroid as ``array<double>``, which the driver's pandas sort
+    canonicalization cannot order — "unhashable type: 'list'" — so the
+    only value-correct red row in CORRECTNESS_r04 was a shape artifact.
+    Reassemble with ``array_sort(collect_list(struct(pos, m)))`` when a
+    vector is needed downstream.)"""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     e = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
-    per_dim = e.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("x").cast("decimal(20,12)")).cast("double") / F.count("*")
-        ).alias("m"),
-        F.count("*").alias("n"),
-    )
     return (
-        per_dim.groupBy("label")
+        e.groupBy("label", "pos")
         .agg(
-            F.max("n").alias("n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: F.round(s["m"], 6),
-            ).alias("centroid"),
+            F.round(
+                F.sum(F.col("x").cast("decimal(20,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m"),
+            F.count("*").cast("long").alias("n"),
         )
-        .select("label", F.col("n").cast("long").alias("n"), "centroid")
+        .select("label", F.col("pos").cast("int").alias("pos"), "m", "n")
     )
 
 
@@ -2476,19 +2478,13 @@ WITH e AS (
   FROM embeddings
   CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) t
   WHERE embedding IS NOT NULL
-),
-per_dim AS (
-  SELECT label, pos,
-         sum(x::DECIMAL(20,12))::DOUBLE / count(*) AS m,
-         count(*) AS n
-  FROM e
-  GROUP BY label, pos
 )
 SELECT label,
-       max(n)::BIGINT AS n,
-       list(round(m, 6) ORDER BY pos) AS centroid
-FROM per_dim
-GROUP BY label
+       pos::INT AS pos,
+       round(sum(x::DECIMAL(20,12))::DOUBLE / count(*), 6) AS m,
+       count(*)::BIGINT AS n
+FROM e
+GROUP BY label, pos
 """
 
 
@@ -3216,44 +3212,55 @@ ORACLES["match_text_bm25"] = _bm25_sql()
 # The driver-gated dedup_minhash / dedup_simhash run UNCAPPED so the exact
 # pair oracle can model the complete-recall contract.  These gates prove
 # the production skew guard itself (``max_bucket_size`` — the default every
-# 100 TB run keeps): a synthetic hot key — _BOILER_N identical copies of a
+# 100 TB run keeps): a synthetic hot key — 2·n_docs identical copies of a
 # boilerplate document over a vocabulary disjoint from the corpus's 31
 # words — collapses into ONE bucket per band (MinHash) / block (SimHash),
 # every one of them over the cap, and is dropped wholesale; every organic
-# pair survives untouched (organic buckets max out at 16 members even at
-# sf0.1, vs cap 500).  The pair oracle is therefore exactly the organic
-# exact-pairs SQL, and the drop-audit oracle is the literal bucket
-# geometry: 16 band buckets (5 block buckets) of _BOILER_N members.
+# pair survives untouched.  The fixture is SCALE-RELATIVE: a SimHash block
+# is only 12 bits (4096 values), so organic block buckets grow linearly
+# with the corpus — measured max 57 members at sf0.01 and 549 at sf0.1
+# (~11% of n_docs; a fixed cap of 500 dropped organic pairs at sf0.1).
+# cap = n_docs therefore clears the organic maximum with ~9× headroom at
+# every scale while the 2·n_docs boilerplate buckets always trip it.  The
+# pair oracle is exactly the organic exact-pairs SQL, and the drop-audit
+# oracle derives the bucket geometry from count(documents): 16 band
+# buckets (5 block buckets) of 2·n_docs members.
 
 _BOILER_TEXT = (
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod "
     "tempor incididunt labore et dolore magna aliqua ut enim minim veniam"
 )
-_BOILER_N = 1000
 _BOILER_BASE = 10_000_000
-_DEDUP_CAP = 500
 
 
-def _docs_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ _BOILER_N identical boilerplate rows (the hot key)."""
+def _skew_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, int]:
+    """(documents ∪ 2·n_docs boilerplate rows, cap, boiler_n).
+
+    cap = n_docs (≥ ~9× the largest organic block bucket at any scale);
+    boiler_n = 2·n_docs (> cap, so every boilerplate bucket is hot).  At
+    sf0.01 this is the original literal geometry (cap 500, boiler 1000).
+    """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    boiler = spark.range(1, _BOILER_N + 1).select(
+    n_docs = docs.count()
+    boiler_n = 2 * n_docs
+    boiler = spark.range(1, boiler_n + 1).select(
         (F.lit(_BOILER_BASE) + F.col("id")).alias("doc_id"),
         F.lit(_BOILER_TEXT).alias("text"),
     )
-    return docs.unionByName(boiler)
+    return docs.unionByName(boiler), n_docs, boiler_n
 
 
 def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs WITH the hot-bucket cap active on the
-    skewed fixture: the 1000-copy boilerplate bucket (> cap in all 16
+    skewed fixture: the 2·n_docs-copy boilerplate bucket (> cap in all 16
     bands) is dropped entirely, so the output is exactly the organic
     exact-Jaccard pair set — the oracle asserts both the drop and the
     undisturbed recall below the cap."""
+    skewed, cap, _ = _skew_fixture(spark, sf_dir)
     pairs = minhash_lsh_dups(
-        _docs_skewed(spark, sf_dir), "text", "doc_id",
+        skewed, "text", "doc_id",
         k=3, num_hashes=32, bands=16, threshold=0.2,
-        max_bucket_size=_DEDUP_CAP,
+        max_bucket_size=cap,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -3261,10 +3268,12 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The no-silent-caps audit on the skewed fixture: every over-cap
     MinHash bucket.  Boilerplate md5 band buckets admit no organic
-    collisions, so the geometry is exact: 16 buckets × 1000 members."""
+    collisions, so the geometry is exact: 16 buckets × 2·n_docs members
+    (the oracle recomputes 2·n_docs from count(documents))."""
+    skewed, cap, _ = _skew_fixture(spark, sf_dir)
     hot = minhash_hot_buckets(
-        _docs_skewed(spark, sf_dir), "text", "doc_id",
-        k=3, num_hashes=32, bands=16, max_bucket_size=_DEDUP_CAP,
+        skewed, "text", "doc_id",
+        k=3, num_hashes=32, bands=16, max_bucket_size=cap,
     )
     return hot.agg(
         F.count("*").alias("n_hot_buckets"),
@@ -3273,20 +3282,22 @@ def dedup_minhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_HOT_SQL = f"""
+DEDUP_MINHASH_HOT_SQL = """
 SELECT 16::BIGINT AS n_hot_buckets,
-       {_BOILER_N}::BIGINT AS min_members,
-       {_BOILER_N}::BIGINT AS max_members
+       (2 * (SELECT count(*) FROM documents))::BIGINT AS min_members,
+       (2 * (SELECT count(*) FROM documents))::BIGINT AS max_members
 """
 
 
 def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs WITH the cap on the skewed fixture (5
     12-bit blocks): all 5 boilerplate block buckets are hot and dropped;
-    organic pairs keep pigeonhole completeness below the cap."""
+    organic pairs keep pigeonhole completeness below the cap (largest
+    organic block bucket measures ~11% of n_docs vs cap = n_docs)."""
+    skewed, cap, _ = _skew_fixture(spark, sf_dir)
     pairs = simhash_dups(
-        _docs_skewed(spark, sf_dir), "text", "doc_id",
-        max_hamming=4, blocks=5, max_bucket_size=_DEDUP_CAP,
+        skewed, "text", "doc_id",
+        max_hamming=4, blocks=5, max_bucket_size=cap,
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -3296,14 +3307,15 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop audit for the SimHash cap.  A 12-bit block value CAN collide
     with organic signatures (4096 values/block), so the member count is
-    asserted as ≥ _BOILER_N rather than an exact literal."""
+    asserted as ≥ 2·n_docs rather than an exact literal."""
+    skewed, cap, boiler_n = _skew_fixture(spark, sf_dir)
     hot = simhash_hot_buckets(
-        _docs_skewed(spark, sf_dir), "text", "doc_id",
-        max_hamming=4, blocks=5, max_bucket_size=_DEDUP_CAP,
+        skewed, "text", "doc_id",
+        max_hamming=4, blocks=5, max_bucket_size=cap,
     )
     return hot.agg(
         F.count("*").alias("n_hot_buckets"),
-        (F.min("n_members") >= _BOILER_N).alias("boiler_sized"),
+        (F.min("n_members") >= boiler_n).alias("boiler_sized"),
     )
 
 
