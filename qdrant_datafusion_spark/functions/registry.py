@@ -375,4 +375,46 @@ _SQL_FUNCTION_DDL = [
                      (acc, e) -> zip_with(acc, e.ctxs, (a, b) -> a + e.ws * b))
       END)
     """,
+    # ------------------------------------------------------------------
+    # Named typed-getter aliases of the reference's registered
+    # datafusion-functions-json suite (reference src/udfs.rs:13-16), so
+    # SQL written against the reference runs verbatim by function NAME.
+    # `key` accepts a bare key or a dotted path ('address.city');
+    # try_cast -> NULL (never error) on type mismatch, matching the
+    # suite's lenient getters.  json_object_keys and JSON_LENGTH (above)
+    # complete the suite; json_get_json's quoted-scalar re-encoding has
+    # no native Spark equivalent and stays uncovered (documented).
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_STR(s STRING, key STRING)
+    RETURNS STRING
+    RETURN get_json_object(s, concat('$.', key))
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_INT(s STRING, key STRING)
+    RETURNS BIGINT
+    RETURN try_cast(get_json_object(s, concat('$.', key)) AS BIGINT)
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_FLOAT(s STRING, key STRING)
+    RETURNS DOUBLE
+    RETURN try_cast(get_json_object(s, concat('$.', key)) AS DOUBLE)
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_BOOL(s STRING, key STRING)
+    RETURNS BOOLEAN
+    RETURN try_cast(get_json_object(s, concat('$.', key)) AS BOOLEAN)
+    """,
+    # ->> : value as text (strings unquoted — get_json_object's behavior)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_AS_TEXT(s STRING, key STRING)
+    RETURNS STRING
+    RETURN get_json_object(s, concat('$.', key))
+    """,
+    # key/path existence (JSON null at the path reads as absent, the
+    # same idiom the reference's json_get-based HAS_FIELD uses)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_CONTAINS(s STRING, key STRING)
+    RETURNS BOOLEAN
+    RETURN get_json_object(s, concat('$.', key)) IS NOT NULL
+    """,
 ]

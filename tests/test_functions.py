@@ -301,6 +301,34 @@ class TestSqlRegistry:
         ).collect()
         assert rows[0].score == pytest.approx(1.0, abs=1e-6)
 
+    def test_json_named_getter_aliases(self, spark):
+        """The reference registers the datafusion-functions-json getters
+        by NAME (reference src/udfs.rs:13-16); SQL calling those names
+        verbatim must run: typed extraction, dotted paths, lenient NULL
+        on type mismatch / absent key."""
+        from qdrant_datafusion_spark.functions import register_all
+
+        register_all(spark)
+        r = spark.sql(
+            """
+            SELECT JSON_GET_STR(j, 'name')             AS s,
+                   JSON_GET_STR(j, 'address.city')     AS nested,
+                   JSON_GET_INT(j, 'age')              AS i,
+                   JSON_GET_INT(j, 'name')             AS bad_int,
+                   JSON_GET_FLOAT(j, 'score')          AS f,
+                   JSON_GET_BOOL(j, 'active')          AS b,
+                   JSON_AS_TEXT(j, 'age')              AS t,
+                   JSON_CONTAINS(j, 'age')             AS has_age,
+                   JSON_CONTAINS(j, 'missing')         AS has_missing,
+                   JSON_LENGTH(j)                      AS n_keys
+            FROM (SELECT '{"name":"ada","age":36,"score":9.5,"active":true,
+                          "address":{"city":"london"}}' AS j)
+            """
+        ).collect()[0]
+        assert (r.s, r.nested, r.i, r.bad_int) == ("ada", "london", 36, None)
+        assert r.f == pytest.approx(9.5) and r.b is True
+        assert (r.t, r.has_age, r.has_missing, r.n_keys) == ("36", True, False, 5)
+
 
 class TestCorpusEdgeCases:
     """The reference corpus's explicit edge cases
