@@ -3436,47 +3436,46 @@ ORACLES["dedup_simhash_hot"] = DEDUP_SIMHASH_HOT_SQL
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
-# only judge-side (local mirror) evidence, never a driver row.  Order is
-# therefore the gate-evidence budget.  Priority for this round's window:
+# only judge-side (local mirror) evidence for that round.  Order is
+# therefore the gate-evidence budget.  Round-5 window (exactly 50):
 #   1. the two cheap rows-only queries (a time-budgeted driver that stops
 #      early drops TRAILING entries — v_random_sample lost its row in
 #      round 1 purely by being last),
-#   2. the 28 queries that have never had a driver row (registered in
-#      rounds 2-3 past the cap — quantization, PQ/IVF+PQ, LSH defaults,
-#      temporal joins, assembly pipeline, BM25, bloom, JL),
-#   3. this round's new gates (capped dedup + audits, salted join,
-#      json_length),
-#   4. queries whose code changed this round (the events.ts
-#      normalization touches every _events consumer),
-#   5. a rotation of previously-green core rows with the remaining slots.
-# Everything else keeps its relative order after the window; the local
-# mirror (scripts/check_correctness.py) still covers all of them.
+#   2. every query whose code or output shape changed this round:
+#      group_centroids (reshaped long-form — the one red r4 row), the
+#      four capped-dedup gates (scale-relative skew fixture), parse-once
+#      q_json_length_keys, and all _events consumers (the loader dropped
+#      its session-timezone side effect),
+#   3. the 34 queries whose last driver row is r3 — after this window
+#      every registered query's driver evidence is ≤ 2 rounds old.
+# Everything else (r4-green, code unchanged) keeps its relative order
+# after the window; the local mirror (scripts/check_correctness.py)
+# still covers all 84.
 _RUN_FIRST = [
     # -- 1: cheap rows-only
     "v_random_sample", "q_approx_distinct",
-    # -- 2: never driver-graded (rounds 2-3 registrations past the cap)
-    "v_discover_topk", "payload_contains", "lsh_bucket_topk",
-    "dedup_embedding_lsh", "dedup_embedding_recall", "ann_knn_graph_blocked",
-    "ann_pq_topk", "ann_ivfpq_topk", "quant_error_stats",
-    "v_search_scalar_quant", "v_search_binary_quant", "group_centroids",
-    "pipeline_hash_split", "text_decontaminate", "text_repetition",
-    "pipeline_pack_sequences", "pipeline_mix_datasets",
-    "pipeline_stratified_sample", "text_quality_filter",
-    "v_sparse_batch_inverted", "text_clean", "q_asof_purchase_click",
-    "q_interval_signup_window", "embed_jl_project",
-    "text_decontaminate_bloom", "text_chunking", "pipeline_token_budget",
-    "match_text_bm25",
-    # -- 3: new round-4 gates
-    "dedup_minhash_capped", "dedup_minhash_hot", "dedup_simhash_capped",
-    "dedup_simhash_hot", "q_salted_join", "q_json_length_keys",
-    # -- 4: code changed this round (events.ts normalization)
-    "q_events_hourly", "q_events_sessions", "q_event_percentiles",
-    "q_pivot_events", "q_events_json", "q_events_json_variant",
-    # -- 5: rotation of previously-green core rows
-    "q1_pricing_summary", "q3_topk_revenue", "q5_nation_revenue",
-    "v_search_topk", "v_fusion_hybrid", "dedup_exact", "dedup_minhash",
-    "dedup_simhash",
+    # -- 2: code-touched this round
+    "group_centroids",
+    "dedup_minhash_capped", "dedup_minhash_hot",
+    "dedup_simhash_capped", "dedup_simhash_hot",
+    "q_json_length_keys",
+    "q_events_json", "q_events_json_variant", "q_events_hourly",
+    "q_events_sessions", "q_event_percentiles", "q_pivot_events",
+    "q_interval_signup_window", "q_asof_purchase_click",
+    # -- 3: refresh the r3-evidence set
+    "q_group_having", "q_semi_join", "q_anti_join", "q_case_boost",
+    "q_window_topk_per_group", "q_setops", "q_distinct_aggregates",
+    "q_rollup", "q_grouping_sets", "v_search_dot_topk", "v_within_radius",
+    "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
+    "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
+    "dedup_embedding", "text_quality", "text_token_stats", "text_lang_id",
+    "doc_fingerprints", "multimodal_bytes", "dedup_clusters",
+    "q14_promo_revenue", "q_top_supplier_per_nation", "q_above_avg_orders",
+    "ann_knn_graph", "text_vocabulary", "match_text_tfidf",
+    "v_batch_search", "v_lateral_batch_search", "v_prefetch_rerank",
+    "ann_ivf_topk",
 ]
+assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
 assert not _missing, f"_RUN_FIRST names not registered: {_missing}"
 QUERIES = {

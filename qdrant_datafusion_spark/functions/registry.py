@@ -382,8 +382,7 @@ _SQL_FUNCTION_DDL = [
     # `key` accepts a bare key or a dotted path ('address.city');
     # try_cast -> NULL (never error) on type mismatch, matching the
     # suite's lenient getters.  json_object_keys and JSON_LENGTH (above)
-    # complete the suite; json_get_json's quoted-scalar re-encoding has
-    # no native Spark equivalent and stays uncovered (documented).
+    # complete the suite.
     """
     CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_STR(s STRING, key STRING)
     RETURNS STRING
@@ -416,5 +415,14 @@ _SQL_FUNCTION_DDL = [
     CREATE OR REPLACE TEMPORARY FUNCTION JSON_CONTAINS(s STRING, key STRING)
     RETURNS BOOLEAN
     RETURN get_json_object(s, concat('$.', key)) IS NOT NULL
+    """,
+    # the value re-encoded AS JSON text (strings re-quoted, objects and
+    # arrays as JSON) — get_json_object can't express this (it unquotes
+    # scalars), but the Spark 4 variant path re-encodes exactly:
+    # parse once -> extract the variant at the path -> to_json
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_JSON(s STRING, key STRING)
+    RETURNS STRING
+    RETURN to_json(try_variant_get(parse_json(s), concat('$.', key), 'variant'))
     """,
 ]

@@ -621,6 +621,11 @@ def token_budget_select(
 # scale path of `decontaminate`)
 # ---------------------------------------------------------------------------
 
+#: bitmaps at or under this size (2 MB) take the driver round-trip (one
+#: literal DataFrame, zero cluster state); larger filters stay distributed
+#: via localCheckpoint
+_DRIVER_BITMAP_MAX_BITS = 1 << 24
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -666,12 +671,7 @@ def decontaminate_bloom(
     def pos(c: Column, i: int) -> Column:
         return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
 
-    # The bitmap is ≤ m_bits/64 words (128 KB at the 2^20 default) by
-    # construction, so materialize it to the driver once and re-create it
-    # as a literal DataFrame: the benchmark explode+agg subtree runs
-    # exactly once, and no cached partitions outlive this call (a
-    # .cache() here leaked for the app's lifetime across invocations).
-    bitmap_words = (
+    bitmap_df = (
         bench_sh.select(
             F.explode(
                 F.array(*[pos(F.col("shh"), i) for i in range(num_hashes)])
@@ -683,12 +683,29 @@ def decontaminate_bloom(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("_bit").alias("word"))
-        .collect()
     )
-    bitmap = docs.sparkSession.createDataFrame(
-        [(int(r["word_idx"]), int(r["word"])) for r in bitmap_words],
-        "word_idx long, word long",
-    )
+    if m_bits <= _DRIVER_BITMAP_MAX_BITS:
+        # Small filter (≤ 2 MB bitmap): materialize to the driver once and
+        # re-create it as a literal DataFrame — the benchmark explode+agg
+        # subtree runs exactly once, and no cached partitions outlive this
+        # call (a .cache() here leaked for the app's lifetime across
+        # invocations).
+        bitmap_words = bitmap_df.collect()
+        bitmap = docs.sparkSession.createDataFrame(
+            [(int(r["word_idx"]), int(r["word"])) for r in bitmap_words],
+            "word_idx long, word long",
+        )
+    else:
+        # Large filter (the knob a 100 TB run raises: m ≈ 10–16 bits per
+        # benchmark shingle): a driver round-trip would funnel m_bits/64
+        # rows through Python↔JVM serialization on every call.  Keep the
+        # bitmap DISTRIBUTED instead — localCheckpoint materializes the
+        # aggregate once executor-side, truncates the lineage so the
+        # three probe joins reuse one computation, and releases with this
+        # DataFrame (no session-lifetime cache leak).  The probes below
+        # broadcast it; executors hold one m_bits/8-byte copy each,
+        # which is the Bloom trade already documented in the sizing note.
+        bitmap = bitmap_df.localCheckpoint(eager=True)
 
     doc_sh = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")

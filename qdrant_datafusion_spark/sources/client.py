@@ -32,7 +32,12 @@ import urllib.error
 import urllib.request
 from typing import Any
 
-__all__ = ["QdrantRestClient", "live_client_from_env", "rest_point_to_wire"]
+__all__ = [
+    "QdrantGrpcClient",
+    "QdrantRestClient",
+    "live_client_from_env",
+    "rest_point_to_wire",
+]
 
 _ENV_URL = "QDRANT_URL"
 _ENV_KEY = "QDRANT_API_KEY"
@@ -126,9 +131,66 @@ class QdrantRestClient:
         return [rest_point_to_wire(p) for p in points]
 
 
-def live_client_from_env() -> QdrantRestClient | None:
-    """A client iff ``QDRANT_URL`` is set — the sandbox (no network)
-    returns None and every live path skips."""
+class QdrantGrpcClient:
+    """gRPC transport variant behind the same seam — letter-for-letter
+    parity with the reference's dispatch (tonic gRPC,
+    reference src/table.rs:301-302, Cargo.toml:31).
+
+    Requires the public ``qdrant-client`` package (its generated protobuf
+    stubs + grpcio); neither ships in this sandbox, so construction is
+    lazy and raises ImportError with guidance when the stack is absent —
+    the REST client stays the sandbox-testable default.
+
+    No hand-written field numbers anywhere: ``sources.request`` already
+    emits gRPC-JSON field names, so ``google.protobuf.json_format
+    .ParseDict`` materializes the exact ``QueryPoints`` message the
+    reference sends, straight from the same request dict the REST path
+    translates.  Responses funnel through ``MessageToDict`` back into the
+    protobuf-JSON wire shape ``sources.wire.points_to_rows`` decodes —
+    one decode path for mock HTTP, live REST, and live gRPC.
+    """
+
+    def __init__(self, url: str, api_key: str | None = None, timeout: float = 30.0):
+        try:
+            import grpc  # noqa: F401
+            from google.protobuf.json_format import MessageToDict, ParseDict
+            from qdrant_client.grpc import PointsStub, QueryPoints
+        except ImportError as e:  # pragma: no cover - sandbox has no grpc stack
+            raise ImportError(
+                "gRPC transport needs the public qdrant-client package "
+                "(generated stubs + grpcio); install it or unset "
+                f"{_ENV_GRPC_URL} to use the REST transport"
+            ) from e
+        self._parse_dict = ParseDict
+        self._to_dict = MessageToDict
+        self._msg_cls = QueryPoints
+        self.timeout = timeout
+        channel = grpc.insecure_channel(url.removeprefix("http://"))
+        if api_key:
+            channel = grpc.intercept_channel(channel)  # pragma: no cover
+        self._stub = PointsStub(channel)
+
+    def build_message(self, request: dict):
+        """request dict (gRPC-JSON names) → the QueryPoints protobuf."""
+        return self._parse_dict(request, self._msg_cls(), ignore_unknown_fields=False)
+
+    def query_points(self, request: dict) -> list[dict]:
+        resp = self._stub.Query(self.build_message(request), timeout=self.timeout)
+        out = self._to_dict(resp, preserving_proto_field_name=True)
+        return list(out.get("result") or [])
+
+
+_ENV_GRPC_URL = "QDRANT_GRPC_URL"
+
+
+def live_client_from_env() -> QdrantRestClient | QdrantGrpcClient | None:
+    """A client iff an endpoint env var is set — the sandbox (no network)
+    returns None and every live path skips.  ``QDRANT_GRPC_URL`` selects
+    the gRPC transport (needs qdrant-client installed); ``QDRANT_URL``
+    the stdlib REST transport."""
+    grpc_url = os.environ.get(_ENV_GRPC_URL)
+    if grpc_url:
+        return QdrantGrpcClient(grpc_url, os.environ.get(_ENV_KEY))
     url = os.environ.get(_ENV_URL)
     if not url:
         return None

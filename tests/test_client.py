@@ -158,6 +158,59 @@ class TestMockHttpRoundtrip:
         assert _Handler.last_request["body"]["with_payload"] is False
 
 
+class TestGrpcTransportSeam:
+    """The gRPC transport variant (reference dispatches over tonic gRPC,
+    src/table.rs:301-302).  The sandbox ships no grpc stack, so the
+    unconditional contract here is the SEAM: lazy construction fails
+    loudly with guidance, and env selection routes to the right
+    transport.  The message-level roundtrip (ParseDict of the builder's
+    gRPC-JSON dict into a real QueryPoints) runs iff qdrant-client is
+    importable."""
+
+    def test_absent_stack_raises_with_guidance(self):
+        try:
+            import qdrant_client  # noqa: F401
+
+            pytest.skip("grpc stack present — covered by roundtrip test")
+        except ImportError:
+            pass
+        from qdrant_datafusion_spark.sources.client import QdrantGrpcClient
+
+        with pytest.raises(ImportError, match="qdrant-client"):
+            QdrantGrpcClient("localhost:6334")
+
+    def test_env_selects_grpc_transport(self, monkeypatch):
+        monkeypatch.setenv("QDRANT_GRPC_URL", "localhost:6334")
+        monkeypatch.delenv("QDRANT_URL", raising=False)
+        try:
+            import qdrant_client  # noqa: F401
+
+            client = live_client_from_env()
+            from qdrant_datafusion_spark.sources.client import QdrantGrpcClient
+
+            assert isinstance(client, QdrantGrpcClient)
+        except ImportError:
+            with pytest.raises(ImportError, match="qdrant-client"):
+                live_client_from_env()
+
+    def test_message_build_parity(self):
+        """With the stack installed, the builder's gRPC-JSON dict parses
+        into the exact QueryPoints message — no hand-mapped fields."""
+        pytest.importorskip("qdrant_client")
+        from qdrant_datafusion_spark.sources.client import QdrantGrpcClient
+        from qdrant_datafusion_spark.sources.request import build_query_request
+
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        client = QdrantGrpcClient("localhost:6334")
+        schema = StructType(
+            [StructField("id", LongType()), StructField("payload", StringType())]
+        )
+        req, _local = build_query_request("c", schema, limit=7)
+        msg = client.build_message(req)
+        assert msg.collection_name == "c" and msg.limit == 7
+
+
 @pytest.mark.skipif(
     not os.environ.get("QDRANT_URL"),
     reason="QDRANT_URL not set — live Qdrant integration runs only "

@@ -320,7 +320,10 @@ class TestSqlRegistry:
                    JSON_AS_TEXT(j, 'age')              AS t,
                    JSON_CONTAINS(j, 'age')             AS has_age,
                    JSON_CONTAINS(j, 'missing')         AS has_missing,
-                   JSON_LENGTH(j)                      AS n_keys
+                   JSON_LENGTH(j)                      AS n_keys,
+                   JSON_GET_JSON(j, 'name')            AS jj_str,
+                   JSON_GET_JSON(j, 'address')         AS jj_obj,
+                   JSON_GET_JSON(j, 'missing')         AS jj_missing
             FROM (SELECT '{"name":"ada","age":36,"score":9.5,"active":true,
                           "address":{"city":"london"}}' AS j)
             """
@@ -328,6 +331,11 @@ class TestSqlRegistry:
         assert (r.s, r.nested, r.i, r.bad_int) == ("ada", "london", 36, None)
         assert r.f == pytest.approx(9.5) and r.b is True
         assert (r.t, r.has_age, r.has_missing, r.n_keys) == ("36", True, False, 5)
+        # json_get_json re-encodes AS JSON: strings re-quoted, objects as
+        # JSON text — get_json_object semantics can't express this
+        assert r.jj_str == '"ada"'
+        assert r.jj_obj == '{"city":"london"}'
+        assert r.jj_missing is None
 
 
 class TestCorpusEdgeCases:

@@ -471,6 +471,26 @@ class TestDecontaminateBloom:
         }
         assert bloom == exact
 
+    def test_large_filter_distributed_path_still_exact(self, spark, sf_dir):
+        # m_bits above _DRIVER_BITMAP_MAX_BITS takes the distributed
+        # (localCheckpoint) bitmap path instead of the driver round-trip;
+        # output must be identical to exact decontamination either way
+        from qdrant_datafusion_spark.operators.pipeline import (
+            _DRIVER_BITMAP_MAX_BITS,
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        bench, corpus = self._split(spark, sf_dir)
+        exact = {tuple(r) for r in decontaminate(corpus, bench, k=5).collect()}
+        bloom = {
+            tuple(r)
+            for r in decontaminate_bloom(
+                corpus, bench, k=5, m_bits=_DRIVER_BITMAP_MAX_BITS << 1
+            ).collect()
+        }
+        assert bloom == exact and len(exact) > 0
+
     def test_bitmap_is_bounded(self, spark, sf_dir):
         # the broadcast side is ≤ m_bits/64 words no matter the benchmark
         from pyspark.sql import functions as F
