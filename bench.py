@@ -373,12 +373,11 @@ def _lsh_occupancy_probe(spark, base_dir: str, sf1_dir: str) -> dict:
     occupancy, shown by the p-scaled row."""
     from pyspark.sql import functions as F
 
-    from qdrant_datafusion_spark.entry_queries import (
-        EMB_LSH_P,
-        EMB_LSH_TABLES,
-        _seeded_vec,
+    from qdrant_datafusion_spark.entry_queries import EMB_LSH_P, EMB_LSH_TABLES
+    from qdrant_datafusion_spark.operators.dedup import (
+        _make_lsh_bucket_udf,
+        auto_bucket_planes,
     )
-    from qdrant_datafusion_spark.operators.dedup import _make_lsh_bucket_udf
 
     def probe(dir_, planes, tables):
         emb = (
@@ -403,13 +402,15 @@ def _lsh_occupancy_probe(spark, base_dir: str, sf1_dir: str) -> dict:
             "pair_mass": int(r["pair_mass"]),
         }
 
-    import math
-
-    fixed = [_seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * EMB_LSH_P)]
-    # p scaled up by log2(data_growth) ≈ +3 planes/table at 10x keeps
-    # per-bucket occupancy (and so per-task GEMM cost) roughly flat
-    p_scaled = EMB_LSH_P + max(1, round(math.log2(_SCALE_REPLICAS)))
-    scaled = [_seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * p_scaled)]
+    # the gate's fixed planes (p=4, seed 200 — auto_bucket_planes
+    # reproduces EMB_LSH_PLANES bit-for-bit at p=4) vs the corpus-scaled
+    # p from the production helper: constant occupancy target, so
+    # per-task GEMM cost stays flat while the fixed config grows ~x²
+    fixed, _ = auto_bucket_planes(1, 64, tables=EMB_LSH_TABLES, min_planes=EMB_LSH_P)
+    n_sf1 = (
+        spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet")).count()
+    )
+    scaled, p_scaled = auto_bucket_planes(n_sf1, 64, tables=EMB_LSH_TABLES)
     return {
         "planes_fixed": f"{EMB_LSH_TABLES}x{EMB_LSH_P}",
         "planes_scaled": f"{EMB_LSH_TABLES}x{p_scaled}",

@@ -116,6 +116,40 @@ def ngram_jaccard_dups(
     )
 
 
+def auto_bucket_planes(
+    n_rows: int,
+    dim: int,
+    tables: int = 16,
+    target_bucket: int = 512,
+    min_planes: int = 4,
+    seed: int = 200,
+) -> tuple[list[list[float]], int]:
+    """Deterministic hyperplanes for :func:`embedding_near_dups`, with the
+    per-table plane count SCALED TO THE CORPUS: p = max(min_planes,
+    ceil(log2(n_rows / target_bucket))), so expected bucket occupancy
+    (~n/2^p) — and with it per-task GEMM cost, which grows with the
+    SQUARE of occupancy — stays near ``target_bucket`` at any scale.  A
+    fixed p is the one knob that silently degrades at 100 TB: 10× the
+    rows at constant p is ~100× the candidate pair mass (measured in
+    BENCH_DETAIL.json's lsh_occupancy probe: 16×4 planes grow pair mass
+    ~100× at 10× data; p+log2(10) holds it ~linear).
+
+    Recall at constant table count drops as p rises (1-(1-q^p)^L); raise
+    ``tables`` alongside for recall-critical runs — the OR-construction
+    makes tables additive in cost but multiplicative in recall.  Returns
+    ``(planes, p)`` ready to pass as ``bucket_planes=``/``tables=``.
+    """
+    import math
+    import random
+
+    p = max(min_planes, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    rng_planes = []
+    for i in range(tables * p):
+        rng = random.Random(seed + i)
+        rng_planes.append([round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)])
+    return rng_planes, p
+
+
 def _make_lsh_bucket_udf(planes: Sequence[Sequence[float]], tables: int):
     """Arrow-batched bucket assignment: ONE (batch × dim) @ (dim × planes)
     GEMM yields every sign bit, formatted as the same "t|bits" keys the

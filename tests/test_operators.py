@@ -181,6 +181,46 @@ class TestDedup:
         assert bucketed <= exact
         assert len(bucketed) > 0
 
+    def test_auto_bucket_planes_scales_with_corpus(self):
+        from qdrant_datafusion_spark.operators.dedup import auto_bucket_planes
+
+        # p tracks log2(n / target): constant occupancy target at any scale
+        _, p_small = auto_bucket_planes(8_000, 64, target_bucket=512)
+        _, p_10x = auto_bucket_planes(80_000, 64, target_bucket=512)
+        _, p_100tb = auto_bucket_planes(50_000_000_000, 64, target_bucket=512)
+        assert p_small == 4          # ceil(log2(15.625)) = 4
+        assert p_10x == 8            # ceil(log2(156.25)) = 8
+        assert p_100tb == 27
+        # the floor keeps tiny corpora from degenerating to 1-2 planes
+        _, p_floor = auto_bucket_planes(100, 64)
+        assert p_floor == 4
+
+        # deterministic, and at p=4/seed=200 bit-identical to the gate's
+        # literal EMB_LSH_PLANES (same seeded generator)
+        planes_a, _ = auto_bucket_planes(8_000, 64)
+        planes_b, _ = auto_bucket_planes(8_000, 64)
+        assert planes_a == planes_b
+        from qdrant_datafusion_spark.entry_queries import EMB_LSH_PLANES
+
+        assert planes_a == EMB_LSH_PLANES
+
+    def test_auto_planes_drive_near_dups(self, emb):
+        from qdrant_datafusion_spark.operators.dedup import auto_bucket_planes
+
+        n = emb.count()
+        planes, _p = auto_bucket_planes(n, 64, tables=16)
+        exact = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(emb, "embedding", "vec_id", 0.3).collect()
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(
+                emb, "embedding", "vec_id", 0.3, bucket_planes=planes, tables=16
+            ).collect()
+        }
+        assert got <= exact and len(got) >= 0.9 * len(exact)
+
 
 class TestAnn:
     def test_ivf_recall(self, emb, rng_query):
