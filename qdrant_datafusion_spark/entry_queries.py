@@ -3239,15 +3239,22 @@ _BOILER_TEXT = (
 _BOILER_BASE = 10_000_000
 
 
+_N_DOCS_MEMO: dict[str, int] = {}
+
+
 def _skew_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, int]:
     """(documents ∪ 2·n_docs boilerplate rows, cap, boiler_n).
 
     cap = n_docs (≥ ~9× the largest organic block bucket at any scale);
     boiler_n = 2·n_docs (> cap, so every boilerplate bucket is hot).  At
     sf0.01 this is the original literal geometry (cap 500, boiler 1000).
+    n_docs is memoized per sf_dir — four gate queries share the fixture
+    and would otherwise each pay a count() scan of documents.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
+    n_docs = _N_DOCS_MEMO.get(sf_dir)
+    if n_docs is None:
+        n_docs = _N_DOCS_MEMO[sf_dir] = docs.count()
     boiler_n = 2 * n_docs
     boiler = spark.range(1, boiler_n + 1).select(
         (F.lit(_BOILER_BASE) + F.col("id")).alias("doc_id"),

@@ -419,10 +419,12 @@ _SQL_FUNCTION_DDL = [
     # the value re-encoded AS JSON text (strings re-quoted, objects and
     # arrays as JSON) — get_json_object can't express this (it unquotes
     # scalars), but the Spark 4 variant path re-encodes exactly:
-    # parse once -> extract the variant at the path -> to_json
+    # parse once -> extract the variant at the path -> to_json.
+    # try_parse_json, not parse_json: malformed input must yield NULL
+    # like every sibling getter, never a runtime error.
     """
     CREATE OR REPLACE TEMPORARY FUNCTION JSON_GET_JSON(s STRING, key STRING)
     RETURNS STRING
-    RETURN to_json(try_variant_get(parse_json(s), concat('$.', key), 'variant'))
+    RETURN to_json(try_variant_get(try_parse_json(s), concat('$.', key), 'variant'))
     """,
 ]

@@ -35,6 +35,8 @@ from typing import Any
 __all__ = [
     "QdrantGrpcClient",
     "QdrantRestClient",
+    "grpc_point_to_wire",
+    "grpc_query_body",
     "live_client_from_env",
     "rest_point_to_wire",
 ]
@@ -131,28 +133,151 @@ class QdrantRestClient:
         return [rest_point_to_wire(p) for p in points]
 
 
+def grpc_query_body(request: dict) -> dict:
+    """Builder request dict → protobuf-JSON for ``QueryPoints``.
+
+    ``build_query_request`` emits the REST-leaning shapes (bare bools for
+    the selectors, ``{"has_id": [ids]}`` / ``{"key", "match"}`` filter
+    conditions); the gRPC message needs the protobuf-JSON of qdrant's
+    public ``points.proto``: selector messages with explicit oneof arms
+    (``{"enable": bool}`` / ``{"include": {...}}``), ``Condition`` arms
+    (``field`` / ``has_id``), and *typed* ``Match`` variants (``keyword``
+    / ``integer`` / ``boolean`` / ``keywords`` / ``integers``) instead of
+    REST's type-inferring ``value`` / ``any``.  Pure dict→dict, so the
+    translation is pinned by unit tests even where the grpc stack (and
+    hence ParseDict) can't run.
+    """
+    body: dict = {"collection_name": request["collection_name"]}
+    wv = request.get("with_vectors", False)
+    body["with_vectors"] = (
+        {"include": {"names": list(wv["names"])}} if isinstance(wv, dict)
+        else {"enable": bool(wv)}
+    )
+    body["with_payload"] = {"enable": bool(request.get("with_payload", False))}
+    if "limit" in request:
+        body["limit"] = int(request["limit"])
+    if "filter" in request:
+        body["filter"] = {
+            side: [_grpc_condition(c) for c in conds]
+            for side, conds in request["filter"].items()
+        }
+    if "query" in request:  # pre-shaped by the caller; pass through
+        body["query"] = request["query"]
+    return body
+
+
+def _grpc_point_id(v) -> dict:
+    return {"num": v} if isinstance(v, int) else {"uuid": str(v)}
+
+
+def _grpc_condition(cond: dict) -> dict:
+    """One REST filter condition → protobuf-JSON ``Condition``."""
+    if "has_id" in cond:
+        return {"has_id": {"has_id": [_grpc_point_id(v) for v in cond["has_id"]]}}
+    field: dict = {"key": cond["key"]}
+    if "match" in cond:
+        m = cond["match"]
+        if "value" in m:
+            v = m["value"]
+            if isinstance(v, bool):
+                field["match"] = {"boolean": v}
+            elif isinstance(v, int):
+                field["match"] = {"integer": v}
+            else:
+                field["match"] = {"keyword": str(v)}
+        else:  # {"any": [...]} — homogeneous by pushFilters contract
+            vals = list(m["any"])
+            if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+                field["match"] = {"integers": {"integers": vals}}
+            else:
+                field["match"] = {"keywords": {"strings": [str(v) for v in vals]}}
+    if "range" in cond:
+        field["range"] = {k: float(v) for k, v in cond["range"].items()}
+    return {"field": field}
+
+
+def _grpc_value(v) -> object:
+    """qdrant ``Value`` (own oneof, int64-as-string under proto-JSON) →
+    plain JSON value, recursively."""
+    if not isinstance(v, dict):
+        return v
+    if "null_value" in v:
+        return None
+    if "integer_value" in v:
+        return int(v["integer_value"])
+    if "double_value" in v:
+        return float(v["double_value"])
+    if "string_value" in v:
+        return v["string_value"]
+    if "bool_value" in v:
+        return bool(v["bool_value"])
+    if "struct_value" in v:
+        return {
+            k: _grpc_value(x)
+            for k, x in (v["struct_value"].get("fields") or {}).items()
+        }
+    if "list_value" in v:
+        return [_grpc_value(x) for x in (v["list_value"].get("values") or [])]
+    return v
+
+
+def _grpc_vector_output(vo: dict) -> dict:
+    """``VectorOutput`` under MessageToDict: the current-generation oneof
+    arm (``dense`` / ``sparse`` / ``multi_dense``) appears at the TOP
+    level (proto-JSON flattens oneofs); the repo's wire shape carries it
+    under a ``vector`` wrapper.  Legacy deprecated fields (bare ``data``
+    / ``indices``) pass through — ``sources.wire`` decodes both
+    generations already."""
+    for arm in ("dense", "sparse", "multi_dense"):
+        if arm in vo:
+            return {"vector": {arm: vo[arm]}}
+    return vo
+
+
+def grpc_point_to_wire(point: dict) -> dict:
+    """One ``ScoredPoint`` from ``MessageToDict(preserving_proto_field_name
+    =True)`` → the wire-shaped dict ``points_to_rows`` consumes: uint64
+    ids arrive as JSON strings (proto-JSON rule) and payload values as
+    qdrant ``Value`` wrappers; both normalize here."""
+    pid = dict(point.get("id") or {})
+    if "num" in pid:
+        pid["num"] = int(pid["num"])
+    payload = point.get("payload") or None
+    if payload:
+        payload = {k: _grpc_value(v) for k, v in payload.items()}
+    wire: dict = {"id": pid, "payload": payload}
+    vecs = point.get("vectors")
+    if not vecs:
+        wire["vectors"] = None
+    elif "vector" in vecs:
+        wire["vectors"] = {"vector": _grpc_vector_output(vecs["vector"])}
+    else:  # named map: NamedVectorsOutput adds one more "vectors" level
+        named = (vecs.get("vectors") or {}).get("vectors") or {}
+        wire["vectors"] = {
+            "vectors": {name: _grpc_vector_output(vo) for name, vo in named.items()}
+        }
+    return wire
+
+
 class QdrantGrpcClient:
-    """gRPC transport variant behind the same seam — letter-for-letter
-    parity with the reference's dispatch (tonic gRPC,
-    reference src/table.rs:301-302, Cargo.toml:31).
+    """gRPC transport variant behind the same seam — transport parity
+    with the reference's dispatch (tonic gRPC, reference
+    src/table.rs:301-302, Cargo.toml:31).
 
     Requires the public ``qdrant-client`` package (its generated protobuf
     stubs + grpcio); neither ships in this sandbox, so construction is
     lazy and raises ImportError with guidance when the stack is absent —
-    the REST client stays the sandbox-testable default.
-
-    No hand-written field numbers anywhere: ``sources.request`` already
-    emits gRPC-JSON field names, so ``google.protobuf.json_format
-    .ParseDict`` materializes the exact ``QueryPoints`` message the
-    reference sends, straight from the same request dict the REST path
-    translates.  Responses funnel through ``MessageToDict`` back into the
-    protobuf-JSON wire shape ``sources.wire.points_to_rows`` decodes —
-    one decode path for mock HTTP, live REST, and live gRPC.
+    the REST client stays the sandbox-testable default.  The
+    dict-level translation (:func:`grpc_query_body` request-side,
+    :func:`grpc_point_to_wire` response-side) is pure and unit-tested
+    unconditionally; only the ParseDict/stub dispatch needs the stack.
+    ``https://`` targets get a TLS channel; the api key rides as
+    ``api-key`` call metadata (same header the REST client sends).
     """
 
     def __init__(self, url: str, api_key: str | None = None, timeout: float = 30.0):
         try:
-            import grpc  # noqa: F401
+            import grpc
             from google.protobuf.json_format import MessageToDict, ParseDict
             from qdrant_client.grpc import PointsStub, QueryPoints
         except ImportError as e:  # pragma: no cover - sandbox has no grpc stack
@@ -165,19 +290,30 @@ class QdrantGrpcClient:
         self._to_dict = MessageToDict
         self._msg_cls = QueryPoints
         self.timeout = timeout
-        channel = grpc.insecure_channel(url.removeprefix("http://"))
-        if api_key:
-            channel = grpc.intercept_channel(channel)  # pragma: no cover
+        self._metadata = (("api-key", api_key),) if api_key else ()
+        secure = url.startswith("https://")
+        target = url.removeprefix("https://").removeprefix("http://")
+        channel = (
+            grpc.secure_channel(target, grpc.ssl_channel_credentials())
+            if secure
+            else grpc.insecure_channel(target)
+        )
         self._stub = PointsStub(channel)
 
     def build_message(self, request: dict):
-        """request dict (gRPC-JSON names) → the QueryPoints protobuf."""
-        return self._parse_dict(request, self._msg_cls(), ignore_unknown_fields=False)
+        """Builder request dict → the QueryPoints protobuf message."""
+        return self._parse_dict(
+            grpc_query_body(request), self._msg_cls(), ignore_unknown_fields=False
+        )
 
     def query_points(self, request: dict) -> list[dict]:
-        resp = self._stub.Query(self.build_message(request), timeout=self.timeout)
+        resp = self._stub.Query(
+            self.build_message(request),
+            timeout=self.timeout,
+            metadata=self._metadata,
+        )
         out = self._to_dict(resp, preserving_proto_field_name=True)
-        return list(out.get("result") or [])
+        return [grpc_point_to_wire(p) for p in out.get("result") or []]
 
 
 _ENV_GRPC_URL = "QDRANT_GRPC_URL"

@@ -193,14 +193,122 @@ class TestGrpcTransportSeam:
             with pytest.raises(ImportError, match="qdrant-client"):
                 live_client_from_env()
 
+    def test_grpc_query_body_shapes(self):
+        """Builder dict → protobuf-JSON: selector messages with explicit
+        oneof arms, Condition arms, typed Match variants (qdrant's public
+        points.proto JSON mapping) — pure dicts, testable without the
+        grpc stack."""
+        from qdrant_datafusion_spark.sources.client import grpc_query_body
+
+        body = grpc_query_body(
+            {
+                "collection_name": "c",
+                "with_vectors": {"names": ["text_vec"]},
+                "with_payload": True,
+                "limit": 7,
+                "filter": {
+                    "must": [
+                        {"has_id": [3, "u-1"]},
+                        {"key": "city", "match": {"value": "berlin"}},
+                        {"key": "rank", "match": {"value": 5}},
+                        {"key": "ok", "match": {"value": True}},
+                        {"key": "tag", "match": {"any": ["a", "b"]}},
+                        {"key": "n", "match": {"any": [1, 2]}},
+                        {"key": "price", "range": {"gte": 10, "lt": 20}},
+                    ]
+                },
+            }
+        )
+        assert body["with_vectors"] == {"include": {"names": ["text_vec"]}}
+        assert body["with_payload"] == {"enable": True}
+        assert body["limit"] == 7
+        must = body["filter"]["must"]
+        assert must[0] == {
+            "has_id": {"has_id": [{"num": 3}, {"uuid": "u-1"}]}
+        }
+        assert must[1] == {"field": {"key": "city", "match": {"keyword": "berlin"}}}
+        assert must[2] == {"field": {"key": "rank", "match": {"integer": 5}}}
+        assert must[3] == {"field": {"key": "ok", "match": {"boolean": True}}}
+        assert must[4] == {
+            "field": {"key": "tag", "match": {"keywords": {"strings": ["a", "b"]}}}
+        }
+        assert must[5] == {
+            "field": {"key": "n", "match": {"integers": {"integers": [1, 2]}}}
+        }
+        assert must[6] == {
+            "field": {"key": "price", "range": {"gte": 10.0, "lt": 20.0}}
+        }
+        # metadata-only projection: fetch-no-vectors arm
+        assert grpc_query_body(
+            {"collection_name": "c", "with_vectors": False, "with_payload": False}
+        )["with_vectors"] == {"enable": False}
+
+    def test_grpc_point_to_wire_feeds_points_to_rows(self):
+        """MessageToDict-shaped ScoredPoints (uint64-as-string ids,
+        qdrant Value payload wrappers, oneof-flattened VectorOutput)
+        normalize into the repo's wire shape and decode through the SAME
+        points_to_rows path the REST/mock tier uses."""
+        from qdrant_datafusion_spark.sources.client import grpc_point_to_wire
+
+        raw = [
+            {
+                "id": {"num": "7"},
+                "payload": {
+                    "rank": {"integer_value": "3"},
+                    "name": {"string_value": "ada"},
+                    "tags": {
+                        "list_value": {"values": [{"string_value": "x"}]}
+                    },
+                },
+                "vectors": {"vector": {"dense": {"data": [0.1, 0.2]}}},
+            },
+            {
+                "id": {"uuid": "u-9"},
+                "vectors": {
+                    "vectors": {
+                        "vectors": {
+                            "text_vec": {"dense": {"data": [1.0]}},
+                            "sp": {
+                                "sparse": {"indices": [2], "values": [0.5]}
+                            },
+                        }
+                    }
+                },
+            },
+        ]
+        wire = [grpc_point_to_wire(p) for p in raw]
+        assert wire[0]["id"] == {"num": 7}
+        assert wire[0]["payload"] == {"rank": 3, "name": "ada", "tags": ["x"]}
+
+        schema = StructType(
+            [
+                StructField("id", StringType()),
+                StructField("payload", StringType()),
+                StructField("vector", ArrayType(FloatType())),
+            ]
+        )
+        rows = points_to_rows(wire[:1], schema)
+        assert rows[0][0] == "7"
+        assert json.loads(rows[0][1]) == {"rank": 3, "name": "ada", "tags": ["x"]}
+        assert [round(x, 3) for x in rows[0][2]] == [0.1, 0.2]
+
+        named_schema = StructType(
+            [
+                StructField("id", StringType()),
+                StructField("text_vec", ArrayType(FloatType())),
+            ]
+        )
+        nrows = points_to_rows(wire[1:], named_schema)
+        assert nrows[0][0] == "u-9" and list(nrows[0][1]) == [1.0]
+
     def test_message_build_parity(self):
-        """With the stack installed, the builder's gRPC-JSON dict parses
-        into the exact QueryPoints message — no hand-mapped fields."""
+        """With the stack installed, the translated body parses into the
+        real QueryPoints message (ParseDict validates every field name
+        against the generated stubs)."""
         pytest.importorskip("qdrant_client")
         from qdrant_datafusion_spark.sources.client import QdrantGrpcClient
-        from qdrant_datafusion_spark.sources.request import build_query_request
 
-        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        from pyspark.sql.types import LongType, StructField, StructType
 
         client = QdrantGrpcClient("localhost:6334")
         schema = StructType(
@@ -223,8 +331,12 @@ class TestLiveQdrant:
     COLL = "qdrant_datafusion_spark_it"
 
     def test_live_roundtrip(self):
-        client = live_client_from_env()
-        assert client is not None
+        # construct the REST client explicitly: live_client_from_env
+        # prefers the gRPC transport when QDRANT_GRPC_URL is also set,
+        # and this test's seeding helpers speak REST
+        client = QdrantRestClient(
+            os.environ["QDRANT_URL"], os.environ.get("QDRANT_API_KEY")
+        )
         import urllib.request
 
         # seed: create the collection and upsert three points

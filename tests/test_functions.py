@@ -323,7 +323,8 @@ class TestSqlRegistry:
                    JSON_LENGTH(j)                      AS n_keys,
                    JSON_GET_JSON(j, 'name')            AS jj_str,
                    JSON_GET_JSON(j, 'address')         AS jj_obj,
-                   JSON_GET_JSON(j, 'missing')         AS jj_missing
+                   JSON_GET_JSON(j, 'missing')         AS jj_missing,
+                   JSON_GET_JSON('not json', 'x')      AS jj_malformed
             FROM (SELECT '{"name":"ada","age":36,"score":9.5,"active":true,
                           "address":{"city":"london"}}' AS j)
             """
@@ -335,7 +336,10 @@ class TestSqlRegistry:
         # JSON text — get_json_object semantics can't express this
         assert r.jj_str == '"ada"'
         assert r.jj_obj == '{"city":"london"}'
+        # lenient like every sibling getter: absent key AND malformed
+        # JSON yield NULL (try_parse_json), never a runtime error
         assert r.jj_missing is None
+        assert r.jj_malformed is None
 
 
 class TestCorpusEdgeCases:
