@@ -235,17 +235,25 @@ GROUP BY n_name
 
 
 def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (corpus shape tests/bin/tests.sql:233-242)."""
+    """GROUP BY + HAVING (corpus shape tests/bin/tests.sql:233-242).
+
+    avg_price rounds via exact integer HALF_UP — floor((2p+q)/2q) on
+    cent-scaled bigints — because sum/count is a terminating decimal that
+    can land EXACTLY on a 4th-decimal half boundary (sf0.1 has three
+    16-order customers whose mean ends in ...5), where double round
+    diverges between engines (Spark rounds the decimal repr HALF_UP;
+    DuckDB rounds the binary double).  Same integers both sides ⇒ same
+    quotient bit-for-bit."""
     orders = _t(spark, sf_dir, "orders")
+    cents = "sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint))"
     return (
         orders.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-                / F.count("*"),
-                4,
+            (
+                F.expr(f"(2 * {cents} * 100 + count(*)) div (2 * count(*))")
+                / F.lit(10000.0)
             ).alias("avg_price"),
         )
         .filter(F.col("n_orders") >= 12)
@@ -255,7 +263,8 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_GROUP_HAVING_SQL = """
 SELECT o_custkey, count(*) AS n_orders,
        round(max(o_totalprice), 2) AS max_price,
-       round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*), 4) AS avg_price
+       ((2 * sum(cast(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) * 100 + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_price
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12
