@@ -97,8 +97,14 @@ TAGS = {
         "scale-path form (fixed 128KB broadcast; wins when the eval set "
         "outgrows the exact path's per-shingle broadcast)"
     ),
-    "dedup_minhash_capped": "skew-guard form on the +1000-copy boilerplate fixture",
-    "dedup_simhash_capped": "skew-guard form on the +1000-copy boilerplate fixture",
+    "dedup_minhash_capped": (
+        "skew-guard form on the scale-relative boilerplate fixture "
+        "(+2x n_docs copies; 10k extra docs at sf0.1)"
+    ),
+    "dedup_simhash_capped": (
+        "skew-guard form on the scale-relative boilerplate fixture "
+        "(+2x n_docs copies; 10k extra docs at sf0.1)"
+    ),
 }
 
 #: operators whose 100 TB story rests on a bucketed / single-shuffle /

@@ -334,3 +334,109 @@ class TestPackSequencesProperties:
             state[b] = (pack, fill, True)
             expect[i] = (b, pack, n)
         assert got == expect
+
+
+_json_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12),
+)
+_json_value = st.recursive(
+    _json_scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=6), inner, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+def _to_grpc_value(v) -> dict:
+    """Plain JSON value → qdrant ``Value`` proto-JSON (what MessageToDict
+    emits, int64 as string) — the test-side inverse of _grpc_value."""
+    if v is None:
+        return {"null_value": "NULL_VALUE"}
+    if isinstance(v, bool):
+        return {"bool_value": v}
+    if isinstance(v, int):
+        return {"integer_value": str(v)}
+    if isinstance(v, float):
+        return {"double_value": v}
+    if isinstance(v, str):
+        return {"string_value": v}
+    if isinstance(v, list):
+        return {"list_value": {"values": [_to_grpc_value(x) for x in v]}}
+    return {
+        "struct_value": {"fields": {k: _to_grpc_value(x) for k, x in v.items()}}
+    }
+
+
+class TestGrpcTranslationProperties:
+    """The pure gRPC dict translations (sources.client) against
+    structural invariants: payload Value decoding inverts the proto-JSON
+    encoding for any JSON value, and every builder request produces a
+    body whose oneof arms are exclusive and typed."""
+
+    @SETTINGS
+    @given(st.dictionaries(st.text(min_size=1, max_size=6), _json_value, max_size=4))
+    def test_value_decode_inverts_proto_json(self, payload):
+        from qdrant_datafusion_spark.sources.client import grpc_point_to_wire
+
+        point = {
+            "id": {"num": "7"},
+            "payload": {k: _to_grpc_value(v) for k, v in payload.items()},
+        }
+        wire = grpc_point_to_wire(point)
+        got = wire["payload"] or {}
+        assert set(got) == set(payload)
+        for k, v in payload.items():
+            if isinstance(v, float):
+                assert got[k] == pytest.approx(v, nan_ok=False)
+            else:
+                assert got[k] == v
+
+    @SETTINGS
+    @given(
+        st.booleans(),
+        st.one_of(st.integers(0, 2**31), st.text(min_size=1, max_size=8)),
+        st.lists(
+            st.one_of(
+                st.integers(-(2**31), 2**31), st.text(min_size=1, max_size=6)
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    )
+    def test_query_body_match_arms_are_typed(self, with_payload, eq_value, any_values):
+        from qdrant_datafusion_spark.sources.client import grpc_query_body
+
+        body = grpc_query_body(
+            {
+                "collection_name": "c",
+                "with_vectors": False,
+                "with_payload": with_payload,
+                "filter": {
+                    "must": [
+                        {"key": "a", "match": {"value": eq_value}},
+                        {"key": "b", "match": {"any": any_values}},
+                    ]
+                },
+            }
+        )
+        assert body["with_payload"] == {"enable": with_payload}
+        eq_match = body["filter"]["must"][0]["field"]["match"]
+        assert len(eq_match) == 1  # exactly one oneof arm
+        arm, val = next(iter(eq_match.items()))
+        assert arm == ("integer" if isinstance(eq_value, int) else "keyword")
+        assert val == eq_value
+        any_match = body["filter"]["must"][1]["field"]["match"]
+        assert len(any_match) == 1
+        arm = next(iter(any_match))
+        if all(isinstance(v, int) for v in any_values):
+            assert arm == "integers" and any_match[arm] == {"integers": any_values}
+        else:
+            assert arm == "keywords" and any_match[arm] == {
+                "strings": [str(v) for v in any_values]
+            }
