@@ -87,6 +87,48 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact rounded averages — the engine-portable form of round(sum/count, 6)
+# ---------------------------------------------------------------------------
+#
+# sum/count over a decimal-quantized column is a terminating decimal that
+# can land EXACTLY on a 6th-decimal half boundary, where Spark (HALF_UP on
+# the decimal repr) and DuckDB (rounding the binary double) disagree by one
+# ulp in the last digit — q_group_having hit this at sf0.1 with three
+# 16-order customers.  These helpers compute round-half-away-from-zero as
+# exact integer arithmetic — |r| = (2·|p|·m + q) div (2·q) on the scaled
+# units — in decimal(38,0) (Spark) / HUGEINT (DuckDB), so both engines
+# produce the same integer at any scale, overflow-free past 10^38.
+
+def _avg_round6(units: Column, scale_in: int) -> Column:
+    """round(sum(x)/count(*), 6), HALF_UP, exact.  ``units`` = per-row
+    bigint units of x at 10**scale_in (the column's exact quantization)."""
+    p = F.sum(units.cast("decimal(38,0)"))
+    if scale_in <= 6:
+        ap = F.abs(p) * F.lit(10 ** (6 - scale_in))
+        q = F.count("*")
+    else:
+        ap = F.abs(p)
+        q = F.count("*") * F.lit(10 ** (scale_in - 6))
+    a = ap * 2 + q
+    b = q * 2
+    absr = (a - a % b) / b  # exact: (a - a%b) is divisible by b
+    r = F.when(p < 0, -absr).otherwise(absr)
+    return r.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
+
+
+def _avg6_sql(units_sql: str, scale_in: int) -> str:
+    """The DuckDB mirror of :func:`_avg_round6` (HUGEINT // division)."""
+    s = f"sum(({units_sql})::HUGEINT)"
+    if scale_in <= 6:
+        a = f"(2 * abs({s}) * {10 ** (6 - scale_in)} + count(*))"
+        b = "(2 * count(*))"
+    else:
+        a = f"(2 * abs({s}) + count(*) * {10 ** (scale_in - 6)})"
+        b = f"(2 * count(*) * {10 ** (scale_in - 6)})"
+    return f"((CASE WHEN {s} < 0 THEN -({a} // {b}) ELSE ({a} // {b}) END) / 1000000.0)"
+
+
+# ---------------------------------------------------------------------------
 # deterministic literal queries (seed 42) shared by Spark + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -134,24 +176,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double"), 2
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+            _avg_round6(
+                F.expr("cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)"), 2
             ).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            _avg_round6(
+                F.expr("cast(cast(l_discount as decimal(18,6)) * 1000000 as bigint)"), 6
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
        round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
        round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2) AS sum_disc_price,
-       round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty,
-       round(sum(l_discount::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_disc,
+       {_avg6_sql("(l_quantity::DECIMAL(18,2) * 100)::BIGINT", 2)} AS avg_qty,
+       {_avg6_sql("(l_discount::DECIMAL(18,6) * 1000000)::BIGINT", 6)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -472,16 +514,18 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(k.cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_k"),
+            _avg_round6((k.cast("decimal(18,6)") * F.lit(1_000_000)).cast("long"), 6).alias("avg_k"),
             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
         )
     )
 
 
-Q_EVENTS_JSON_SQL = """
+Q_EVENTS_JSON_SQL = f"""
 SELECT event_type, count(*) AS n,
-       round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)::DECIMAL(18,6))::DOUBLE
-             / count(*), 6) AS avg_k,
+       {_avg6_sql(
+           "(CAST(json_extract_string(props, '$.k') AS DOUBLE)::DECIMAL(18,6) * 1000000)::BIGINT",
+           6,
+       )} AS avg_k,
        round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -507,7 +551,7 @@ def q_events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(k.cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_k"),
+            _avg_round6((k.cast("decimal(18,6)") * F.lit(1_000_000)).cast("long"), 6).alias("avg_k"),
             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("sum_value"),
         )
     )
@@ -1082,8 +1126,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("source")
         .agg(
-            F.round(
-                F.sum(q.cast("decimal(18,12)")).cast("double") / F.count("*"), 6
+            _avg_round6(
+                (q.cast("decimal(18,12)") * F.lit(10**12)).cast("long"), 12
             ).alias("avg_quality"),
             F.count("*").alias("n_docs"),
         )
@@ -1105,9 +1149,15 @@ WITH q AS (
          AS quality
   FROM documents
 )
-SELECT source, round(sum(quality::DECIMAL(18,12))::DOUBLE / count(*), 6) AS avg_quality, count(*) AS n_docs
+SELECT source,
+       {AVG_QUALITY_EXPR} AS avg_quality,
+       count(*) AS n_docs
 FROM q GROUP BY source
 """
+TEXT_QUALITY_SQL = TEXT_QUALITY_SQL.replace(
+    "{AVG_QUALITY_EXPR}",
+    _avg6_sql("(quality::DECIMAL(18,12) * 1000000000000)::BIGINT", 12),
+)
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,17 +1166,19 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("lang")
         .agg(
-            F.round(F.sum(token_count("text")).cast("double") / F.count("*"), 6).alias("avg_tokens"),
+            _avg_round6(token_count("text").cast("long"), 0).alias("avg_tokens"),
             F.max("n_chars").alias("max_chars"),
             F.count("*").alias("n_docs"),
         )
     )
 
 
-TEXT_TOKEN_SQL = """
+_TOKENS_UNITS_SQL = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))"
+)
+TEXT_TOKEN_SQL = f"""
 SELECT lang,
-       round(avg(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                 x -> x <> ''))), 6) AS avg_tokens,
+       {_avg6_sql(_TOKENS_UNITS_SQL, 0)} AS avg_tokens,
        max(n_chars) AS max_chars,
        count(*) AS n_docs
 FROM documents
@@ -2476,10 +2528,9 @@ def group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(20,12)")).cast("double")
-                / F.count("*"),
-                6,
+            _avg_round6(
+                (F.col("x").cast("decimal(20,12)") * F.lit(10**12)).cast("long"),
+                12,
             ).alias("m"),
             F.count("*").cast("long").alias("n"),
         )
@@ -2487,7 +2538,7 @@ def group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GROUP_CENTROIDS_SQL = """
+GROUP_CENTROIDS_SQL = f"""
 WITH e AS (
   SELECT label, t.pos, embedding[t.pos + 1]::DOUBLE AS x
   FROM embeddings
@@ -2496,7 +2547,7 @@ WITH e AS (
 )
 SELECT label,
        pos::INT AS pos,
-       round(sum(x::DECIMAL(20,12))::DOUBLE / count(*), 6) AS m,
+       {_avg6_sql("(x::DECIMAL(20,12) * 1000000000000)::BIGINT", 12)} AS m,
        count(*)::BIGINT AS n
 FROM e
 GROUP BY label, pos
