@@ -143,7 +143,9 @@ def _control(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
-def _ensure_sf1(spark, base_dir: str) -> tuple[str, float]:
+def _ensure_sf1(
+    spark, base_dir: str, replicas: int = _SCALE_REPLICAS
+) -> tuple[str, float]:
     """Deterministic 10x scale-up of the scale-path input tables, written
     once to .scale_cache/sf1x/ next to this file.  Ids shift per replica;
     embeddings get a small deterministic per-replica perturbation so the
@@ -159,14 +161,14 @@ def _ensure_sf1(spark, base_dir: str) -> tuple[str, float]:
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".scale_cache",
-        f"{os.path.basename(os.path.normpath(base_dir))}_x{_SCALE_REPLICAS}v2",
+        f"{os.path.basename(os.path.normpath(base_dir))}_x{replicas}v2",
     )
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir, 0.0
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    rep = spark.range(_SCALE_REPLICAS).withColumnRenamed("id", "_rep")
+    rep = spark.range(replicas).withColumnRenamed("id", "_rep")
 
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     (

@@ -1,0 +1,72 @@
+"""Deep-scale probe: replicate the scale-path inputs N× (default 100)
+and time selected operators against the same query code the gates run.
+
+The per-round bench measures growth at 10× (bench.py's sf1 section);
+this script pushes the same fixture generator two decades up so the
+claim "this plan survives a 100× scale-up" is measured, not argued.
+Near-dup operators are excluded by default: the replica fixture makes
+their OUTPUT grow superlinearly by construction (every replica family
+is mutually near), so at 100× they measure the fixture, not the plan —
+pass names explicitly to include them.
+
+Usage:
+    python scripts/scale_probe.py [replicas] [op ...]
+
+Prints one JSON line: per-op seconds at base scale and at N×, and the
+wall-clock growth ratio (linear-or-better plans sit at ~N or below).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_OPS = [
+    "q_asof_purchase_click",
+    "pipeline_pack_sequences",
+    "v_sparse_batch_inverted",
+    "text_decontaminate_bloom",
+]
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    ops = sys.argv[2:] or DEFAULT_OPS
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from bench import _ensure_sf1
+    from qdrant_datafusion_spark.entry_queries import QUERIES
+    from qdrant_datafusion_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    scaled_dir, gen_sec = _ensure_sf1(spark, base_dir, replicas=replicas)
+    print(f"# scaled input at {scaled_dir} (gen {gen_sec}s)", file=sys.stderr)
+
+    result: dict = {"replicas": replicas, "base_dir": base_dir, "gen_sec": gen_sec}
+    rows: dict[str, dict] = {}
+    for name in ops:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n_base = fn(spark, base_dir).count()
+        base_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_scaled = fn(spark, scaled_dir).count()
+        scaled_s = round(time.time() - t0, 3)
+        rows[name] = {
+            "base_sec": base_s,
+            "scaled_sec": scaled_s,
+            "growth": round(scaled_s / base_s, 2) if base_s else None,
+            "rows_base": n_base,
+            "rows_scaled": n_scaled,
+        }
+        print(f"# {name}: {base_s}s -> {scaled_s}s at {replicas}x", file=sys.stderr)
+    result["ops"] = rows
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
