@@ -83,6 +83,8 @@ HEADLINE = [
     "q_salted_join",
     "q_json_length_keys",
     "embed_jl_project",
+    # round 5
+    "text_decontaminate_semantic",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

@@ -116,6 +116,27 @@ def _avg_round6(units: Column, scale_in: int) -> Column:
     return r.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
 
 
+def _ratio_round6(num: Column, den: Column) -> Column:
+    """round(num/den, 6), HALF_UP, exact — for NONNEGATIVE integer
+    num/den columns (jaccard and friends).  Same engine-portability
+    argument as :func:`_avg_round6`: a ratio with a 5^b-divisible
+    denominator is a terminating decimal the binary double cannot hold
+    exactly, so double-rounding can disagree between engines."""
+    a = num.cast("decimal(38,0)") * 2 * F.lit(1_000_000) + den
+    b = den.cast("decimal(38,0)") * 2
+    return ((a - a % b) / b).cast("decimal(38,0)").cast("double") / F.lit(
+        1_000_000.0
+    )
+
+
+def _ratio6_sql(num_sql: str, den_sql: str) -> str:
+    """DuckDB mirror of :func:`_ratio_round6` (BIGINT // division)."""
+    return (
+        f"(((2 * ({num_sql})::BIGINT * 1000000 + ({den_sql}))"
+        f" // (2 * ({den_sql})::BIGINT)) / 1000000.0)"
+    )
+
+
 def _avg6_sql(units_sql: str, scale_in: int) -> str:
     """The DuckDB mirror of :func:`_avg_round6` (HUGEINT // division)."""
     s = f"sum(({units_sql})::HUGEINT)"
@@ -1043,22 +1064,24 @@ GROUP BY md5(lower(trim(text)))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard near-dup pairs at threshold 0.2."""
+    """Exact 3-shingle Jaccard near-dup pairs at threshold 0.2.  The
+    presented jaccard rounds via :func:`_ratio_round6` on the operator's
+    integer inter/union — engine-portable at any fixture size."""
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select(
+        "id_a", "id_b", _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard")
+    )
 
 
-DEDUP_JACCARD_SQL = _SHINGLES_SQL + """
+_J_INTER = "len(list_intersect(a.shingles, b.shingles))"
+_J_UNION = f"(len(a.shingles) + len(b.shingles) - {_J_INTER})"
+DEDUP_JACCARD_SQL = _SHINGLES_SQL + f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+       {_ratio6_sql(_J_INTER, _J_UNION)} AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) > 0
-  AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.2
+WHERE {_J_INTER} > 0
+  AND {_J_INTER}::DOUBLE / {_J_UNION} >= 0.2
 """
 
 
@@ -1074,7 +1097,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2,
         max_bucket_size=None,
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select(
+        "id_a", "id_b", _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard")
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,9 +1535,9 @@ DEDUP_CLUSTERS_SQL = _SHINGLES_SQL.replace(
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.shingles, b.shingles)) > 0
-    AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles))), 6) >= 0.2
+    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.2
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pr
@@ -2651,6 +2676,50 @@ FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
 """
 
 
+def text_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based decontamination — the paraphrase-robust sibling of
+    :func:`text_decontaminate` (n-gram overlap misses reworded eval
+    leakage).  label-0 embeddings stand in for the eval set; every other
+    vector is flagged by its max cosine against ANY of them.  Zero-shuffle
+    plan: the eval matrix broadcasts, each partition scores with one GEMM,
+    and the two-tier exact re-score makes the emitted max oracle-exact."""
+    from qdrant_datafusion_spark.operators.pipeline import decontaminate_embedding
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    out = decontaminate_embedding(
+        corpus, bench, "embedding", "vec_id", threshold=0.4
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("max_cosine", 6).alias("max_cosine"),
+        "contaminated",
+    )
+
+
+_SEM_COS = (
+    "list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+TEXT_DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH b AS (
+  SELECT embedding FROM embeddings WHERE label = 0 AND embedding IS NOT NULL
+),
+s AS (
+  SELECT c.vec_id, max({_SEM_COS}) AS mc
+  FROM embeddings c, b
+  WHERE c.label != 0 AND c.embedding IS NOT NULL
+  GROUP BY c.vec_id
+)
+SELECT vec_id::BIGINT AS vec_id,
+       round(mc, 6) AS max_cosine,
+       mc >= 0.4 AS contaminated
+FROM s
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (dup-token /
     dup-line fractions, top bigram/trigram share) — one narrow projection,
@@ -2750,6 +2819,8 @@ SELECT doc_id, bucket, pack_id::INTEGER AS pack_id, n_tokens FROM packed
 
 QUERIES["pipeline_hash_split"] = pipeline_hash_split
 QUERIES["text_decontaminate"] = text_decontaminate
+QUERIES["text_decontaminate_semantic"] = text_decontaminate_semantic
+ORACLES["text_decontaminate_semantic"] = TEXT_DECONTAMINATE_SEMANTIC_SQL
 QUERIES["text_repetition"] = text_repetition
 QUERIES["pipeline_pack_sequences"] = pipeline_pack_sequences
 ORACLES["pipeline_hash_split"] = _hash_split_oracle_sql()
@@ -3335,7 +3406,9 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=32, bands=16, threshold=0.2,
         max_bucket_size=cap,
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select(
+        "id_a", "id_b", _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard")
+    )
 
 
 def dedup_minhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,11 +107,21 @@ def ngram_jaccard_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram (k-word shingle) Jaccard near-dup pairs:
-    J(A,B) = |A∩B| / |A∪B| ≥ threshold.  Returns (id_a, id_b, jaccard)."""
+    J(A,B) = |A∩B| / |A∪B| ≥ threshold.  Returns (id_a, id_b, inter,
+    n_union, jaccard) — the integer numerator/denominator ride along so
+    callers that need an engine-portable *rounded* jaccard can derive it
+    with exact integer arithmetic instead of rounding the double ratio."""
     pairs = _shingle_pairs(df, content_col, id_col, k)
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    jac = F.col("inter") / union
     return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            union.cast("long").alias("n_union"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -248,7 +258,9 @@ def minhash_lsh_dups(
     below the cap: a corpus whose boilerplate collapses >cap docs into a
     bucket loses those pairs — pass ``max_bucket_size=None`` for the
     complete-pairs contract (the driver gate does), and run
-    :func:`exact_dedup` first.  Returns (id_a, id_b, jaccard).
+    :func:`exact_dedup` first.  Returns (id_a, id_b, inter, n_union,
+    jaccard) — integer numerator/denominator ride along as in
+    :func:`ngram_jaccard_dups`.
     """
     buckets = _cap_hot_buckets(
         _minhash_buckets(df, content_col, id_col, k, num_hashes, bands),
@@ -272,7 +284,13 @@ def minhash_lsh_dups(
     return (
         a.join(b_, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("n_union"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -626,6 +626,84 @@ def token_budget_select(
 #: via localCheckpoint
 _DRIVER_BITMAP_MAX_BITS = 1 << 24
 
+
+def decontaminate_embedding(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus rows whose max cosine vs ANY
+    benchmark embedding ≥ ``threshold`` — the paraphrase-robust sibling
+    of :func:`decontaminate` (n-gram overlap misses reworded eval
+    leakage; embedding similarity does not).
+
+    Scale shape: the benchmark matrix is collected once and closed over
+    by an Arrow-batched UDF (eval suites are small — ≤1M × 64 dims is
+    256 MB; for larger suites prefilter with the ANN tier first), so
+    each corpus partition scores with ONE BLAS GEMM per batch and the
+    operator runs with ZERO shuffles — a mapPartitions-shaped plan that
+    scales with corpus partitions alone.
+
+    Determinism contract (same as the near-dup two-tier kernels): the
+    GEMM picks candidates, then every candidate within 1e-9 of the batch
+    max is re-scored with a sequential-order float64 sum, so the emitted
+    ``max_cosine`` is bit-identical to a sequential oracle regardless of
+    BLAS reassociation.  Returns (id, max_cosine, contaminated).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    bench_rows = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in benchmark.select(vector_col).filter(
+            F.col(vector_col).isNotNull()
+        ).collect()
+    ]
+    if not bench_rows:
+        raise ValueError("benchmark has no embeddings")
+    B = np.stack(bench_rows)
+    Bn = np.linalg.norm(B, axis=1)
+    Bn[Bn == 0.0] = np.nan
+
+    def _seq_cos(v: np.ndarray, j: int) -> float:
+        # numpy pairwise summation is sequential under its 128-element
+        # block, so add.reduce matches a sequential-loop oracle's
+        # list_dot_product for the dims this engine targets; norms are
+        # recomputed the same way (BLAS nrm2 scales differently in ulps)
+        nv = np.sqrt(np.add.reduce(v * v))
+        nb = np.sqrt(np.add.reduce(B[j] * B[j]))
+        return float(np.add.reduce(v * B[j]) / (nv * nb))
+
+    @pandas_udf("double")
+    def max_cos(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        Mn = np.linalg.norm(M, axis=1)
+        Mn[Mn == 0.0] = np.nan
+        S = (M @ B.T) / np.outer(Mn, Bn)
+        out = []
+        for i in range(len(M)):
+            row = S[i]
+            approx = np.nanmax(row)
+            if np.isnan(approx):
+                out.append(None)
+                continue
+            cand = np.nonzero(row >= approx - 1e-9)[0]
+            out.append(max(_seq_cos(M[i], j) for j in cand))
+        return pd.Series(out, dtype="float64")
+
+    scored = docs.filter(F.col(vector_col).isNotNull()).select(
+        F.col(id_col), max_cos(F.col(vector_col)).alias("max_cosine")
+    )
+    return scored.select(
+        id_col,
+        "max_cosine",
+        (F.col("max_cosine") >= threshold).alias("contaminated"),
+    )
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,

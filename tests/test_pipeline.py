@@ -491,6 +491,39 @@ class TestDecontaminateBloom:
         }
         assert bloom == exact and len(exact) > 0
 
+    def test_semantic_decontamination_matches_bruteforce(self, spark, sf_dir):
+        # GEMM + exact re-score must equal a sequential per-pair scan:
+        # same max cosine (bit-exact) and same flags
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.pipeline import (
+            decontaminate_embedding,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bench = emb.filter(F.col("label") == 0)
+        corpus = emb.filter(F.col("label") != 0).limit(50)
+        got = {
+            r.vec_id: (r.max_cosine, r.contaminated)
+            for r in decontaminate_embedding(
+                corpus, bench, "embedding", "vec_id", threshold=0.35
+            ).collect()
+        }
+        B = [np.asarray(r.embedding, np.float64) for r in bench.collect()]
+
+        def seq_cos(v, b):
+            nv = np.sqrt(np.add.reduce(v * v))
+            nb = np.sqrt(np.add.reduce(b * b))
+            return float(np.add.reduce(v * b) / (nv * nb))
+
+        for r in corpus.collect():
+            v = np.asarray(r.embedding, np.float64)
+            expect = max(seq_cos(v, b) for b in B)
+            assert got[r.vec_id][0] == expect  # bit-exact, not approx
+            assert got[r.vec_id][1] == (expect >= 0.35)
+
     def test_bitmap_is_bounded(self, spark, sf_dir):
         # the broadcast side is ≤ m_bits/64 words no matter the benchmark
         from pyspark.sql import functions as F
