@@ -148,12 +148,14 @@ def _control(spark, sf_dir: str) -> float:
 def _ensure_sf1(
     spark, base_dir: str, replicas: int = _SCALE_REPLICAS
 ) -> tuple[str, float]:
-    """Deterministic 10x scale-up of the scale-path input tables, written
-    once to .scale_cache/sf1x/ next to this file.  Ids shift per replica;
-    embeddings get a small deterministic per-replica perturbation so the
-    scaled similarity structure stays non-degenerate (10 exact copies of
-    every vector would turn near-dup output quadratic in replicas and
-    measure the data, not the operator)."""
+    """Deterministic ``replicas``× scale-up of the scale-path input
+    tables (default 10× for the per-round bench; scripts/scale_probe.py
+    passes 100), written once to ``.scale_cache/<base>_x{replicas}v2/``
+    next to this file.  Ids shift per replica; embeddings get a small
+    deterministic per-replica perturbation so the scaled similarity
+    structure stays non-degenerate (exact copies of every vector would
+    turn near-dup output quadratic in replicas and measure the data, not
+    the operator)."""
     from pyspark.sql import functions as F
 
     # v2: perturbed embedding elements cast back to the SOURCE element

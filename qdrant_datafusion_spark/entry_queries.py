@@ -99,21 +99,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # units — in decimal(38,0) (Spark) / HUGEINT (DuckDB), so both engines
 # produce the same integer at any scale, overflow-free past 10^38.
 
-def _avg_round6(units: Column, scale_in: int) -> Column:
-    """round(sum(x)/count(*), 6), HALF_UP, exact.  ``units`` = per-row
-    bigint units of x at 10**scale_in (the column's exact quantization)."""
+def _avg_round6(units: Column, scale_in: int, out_scale: int = 6) -> Column:
+    """round(sum(x)/count(*), out_scale), HALF_UP, exact.  ``units`` =
+    per-row bigint units of x at 10**scale_in (the column's exact
+    quantization).  All arithmetic in decimal(38,0) — overflow is a loud
+    ANSI error past 10^38, never a silent wrap."""
     p = F.sum(units.cast("decimal(38,0)"))
-    if scale_in <= 6:
-        ap = F.abs(p) * F.lit(10 ** (6 - scale_in))
+    if scale_in <= out_scale:
+        ap = F.abs(p) * F.lit(10 ** (out_scale - scale_in))
         q = F.count("*")
     else:
         ap = F.abs(p)
-        q = F.count("*") * F.lit(10 ** (scale_in - 6))
+        q = F.count("*") * F.lit(10 ** (scale_in - out_scale))
     a = ap * 2 + q
     b = q * 2
     absr = (a - a % b) / b  # exact: (a - a%b) is divisible by b
     r = F.when(p < 0, -absr).otherwise(absr)
-    return r.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
+    return r.cast("decimal(38,0)").cast("double") / F.lit(float(10**out_scale))
 
 
 def _ratio_round6(num: Column, den: Column) -> Column:
@@ -137,16 +139,19 @@ def _ratio6_sql(num_sql: str, den_sql: str) -> str:
     )
 
 
-def _avg6_sql(units_sql: str, scale_in: int) -> str:
+def _avg6_sql(units_sql: str, scale_in: int, out_scale: int = 6) -> str:
     """The DuckDB mirror of :func:`_avg_round6` (HUGEINT // division)."""
     s = f"sum(({units_sql})::HUGEINT)"
-    if scale_in <= 6:
-        a = f"(2 * abs({s}) * {10 ** (6 - scale_in)} + count(*))"
+    if scale_in <= out_scale:
+        a = f"(2 * abs({s}) * {10 ** (out_scale - scale_in)} + count(*))"
         b = "(2 * count(*))"
     else:
-        a = f"(2 * abs({s}) + count(*) * {10 ** (scale_in - 6)})"
-        b = f"(2 * count(*) * {10 ** (scale_in - 6)})"
-    return f"((CASE WHEN {s} < 0 THEN -({a} // {b}) ELSE ({a} // {b}) END) / 1000000.0)"
+        a = f"(2 * abs({s}) + count(*) * {10 ** (scale_in - out_scale)})"
+        b = f"(2 * count(*) * {10 ** (scale_in - out_scale)})"
+    return (
+        f"((CASE WHEN {s} < 0 THEN -({a} // {b}) ELSE ({a} // {b}) END)"
+        f" / {float(10**out_scale)})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -300,34 +305,32 @@ GROUP BY n_name
 def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + HAVING (corpus shape tests/bin/tests.sql:233-242).
 
-    avg_price rounds via exact integer HALF_UP — floor((2p+q)/2q) on
-    cent-scaled bigints — because sum/count is a terminating decimal that
-    can land EXACTLY on a 4th-decimal half boundary (sf0.1 has three
-    16-order customers whose mean ends in ...5), where double round
-    diverges between engines (Spark rounds the decimal repr HALF_UP;
-    DuckDB rounds the binary double).  Same integers both sides ⇒ same
-    quotient bit-for-bit."""
+    avg_price rounds via :func:`_avg_round6` at 4 decimals — sum/count
+    over 2-decimal money is a terminating decimal that can land EXACTLY
+    on the half boundary (sf0.1 has three 16-order customers whose mean
+    ends in ...5), where double round diverges between engines (Spark
+    rounds the decimal repr HALF_UP; DuckDB rounds the binary double).
+    Same integers both sides ⇒ same quotient bit-for-bit."""
     orders = _t(spark, sf_dir, "orders")
-    cents = "sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint))"
     return (
         orders.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            (
-                F.expr(f"(2 * {cents} * 100 + count(*)) div (2 * count(*))")
-                / F.lit(10000.0)
+            _avg_round6(
+                F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"),
+                2,
+                out_scale=4,
             ).alias("avg_price"),
         )
         .filter(F.col("n_orders") >= 12)
     )
 
 
-Q_GROUP_HAVING_SQL = """
+Q_GROUP_HAVING_SQL = f"""
 SELECT o_custkey, count(*) AS n_orders,
        round(max(o_totalprice), 2) AS max_price,
-       ((2 * sum(cast(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) * 100 + count(*))
-        // (2 * count(*))) / 10000.0 AS avg_price
+       {_avg6_sql("(o_totalprice::DECIMAL(18,2) * 100)::BIGINT", 2, out_scale=4)} AS avg_price
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12

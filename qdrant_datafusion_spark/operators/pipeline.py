@@ -648,14 +648,26 @@ def decontaminate_embedding(
 
     Determinism contract (same as the near-dup two-tier kernels): the
     GEMM picks candidates, then every candidate within 1e-9 of the batch
-    max is re-scored with a sequential-order float64 sum, so the emitted
-    ``max_cosine`` is bit-identical to a sequential oracle regardless of
-    BLAS reassociation.  Returns (id, max_cosine, contaminated).
+    max is re-scored with a TRUE left-to-right float64 loop (a Python
+    fold — numpy's reductions use unrolled partial sums even for small
+    n, which differ from a sequential oracle in ulps), so the emitted
+    ``max_cosine`` is bit-identical to a sequential-loop oracle such as
+    DuckDB's ``list_dot_product`` regardless of BLAS reassociation.  The
+    exact tier touches only O(candidates · dim) elements per row.
+    Unscorable rows (zero-norm vectors) emit NULL, never NaN — NaN
+    compares ``>= threshold`` as true in Spark and would silently flag
+    them contaminated.  Returns (id, max_cosine, contaminated).
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
+
+    def _seq_dot(x, y) -> float:
+        acc = 0.0
+        for a, b in zip(x, y):
+            acc += a * b
+        return acc
 
     bench_rows = [
         np.asarray(r[0], dtype=np.float64)
@@ -668,15 +680,9 @@ def decontaminate_embedding(
     B = np.stack(bench_rows)
     Bn = np.linalg.norm(B, axis=1)
     Bn[Bn == 0.0] = np.nan
-
-    def _seq_cos(v: np.ndarray, j: int) -> float:
-        # numpy pairwise summation is sequential under its 128-element
-        # block, so add.reduce matches a sequential-loop oracle's
-        # list_dot_product for the dims this engine targets; norms are
-        # recomputed the same way (BLAS nrm2 scales differently in ulps)
-        nv = np.sqrt(np.add.reduce(v * v))
-        nb = np.sqrt(np.add.reduce(B[j] * B[j]))
-        return float(np.add.reduce(v * B[j]) / (nv * nb))
+    _b_lists = [b.tolist() for b in bench_rows]
+    # exact sequential norms, precomputed once (loop-invariant)
+    _b_norms = [float(np.sqrt(_seq_dot(b, b))) for b in _b_lists]
 
     @pandas_udf("double")
     def max_cos(vs: pd.Series) -> pd.Series:
@@ -687,13 +693,22 @@ def decontaminate_embedding(
         out = []
         for i in range(len(M)):
             row = S[i]
-            approx = np.nanmax(row)
+            approx = np.nanmax(row) if not np.all(np.isnan(row)) else np.nan
             if np.isnan(approx):
                 out.append(None)
                 continue
             cand = np.nonzero(row >= approx - 1e-9)[0]
-            out.append(max(_seq_cos(M[i], j) for j in cand))
-        return pd.Series(out, dtype="float64")
+            v = M[i].tolist()
+            nv = float(np.sqrt(_seq_dot(v, v)))
+            out.append(
+                max(
+                    _seq_dot(v, _b_lists[j]) / (nv * _b_norms[j])
+                    for j in cand
+                )
+            )
+        # object dtype so None survives as SQL NULL (a float64 Series
+        # coerces None -> NaN, and NaN >= threshold is TRUE in Spark)
+        return pd.Series(out, dtype="object")
 
     scored = docs.filter(F.col(vector_col).isNotNull()).select(
         F.col(id_col), max_cos(F.col(vector_col)).alias("max_cosine")

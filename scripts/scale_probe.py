@@ -43,6 +43,11 @@ def main() -> None:
     from qdrant_datafusion_spark.session import get_spark
 
     spark = get_spark(app_name="scale-probe")
+    # warm the JVM / codegen / parquet-footer path before any timing, as
+    # bench.py does — a cold first base_sec inflates that op's baseline
+    # and understates its growth ratio
+    for t in ("documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(base_dir, f"{t}.parquet")).count()
     scaled_dir, gen_sec = _ensure_sf1(spark, base_dir, replicas=replicas)
     print(f"# scaled input at {scaled_dir} (gen {gen_sec}s)", file=sys.stderr)
 

@@ -504,7 +504,9 @@ class TestDecontaminateBloom:
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         bench = emb.filter(F.col("label") == 0)
-        corpus = emb.filter(F.col("label") != 0).limit(50)
+        # orderBy before limit: an unordered limit may pick different
+        # rows across the two actions that evaluate `corpus`
+        corpus = emb.filter(F.col("label") != 0).orderBy("vec_id").limit(50)
         got = {
             r.vec_id: (r.max_cosine, r.contaminated)
             for r in decontaminate_embedding(
@@ -513,10 +515,21 @@ class TestDecontaminateBloom:
         }
         B = [np.asarray(r.embedding, np.float64) for r in bench.collect()]
 
+        def seq_dot(x, y):
+            # TRUE left-to-right float64 fold — the independent reference
+            # (numpy reductions use unrolled partial sums and would make
+            # this assertion tautological with the operator's kernel)
+            acc = 0.0
+            for a, b in zip(x.tolist(), y.tolist()):
+                acc += a * b
+            return acc
+
         def seq_cos(v, b):
-            nv = np.sqrt(np.add.reduce(v * v))
-            nb = np.sqrt(np.add.reduce(b * b))
-            return float(np.add.reduce(v * b) / (nv * nb))
+            import math
+
+            return seq_dot(v, b) / (
+                math.sqrt(seq_dot(v, v)) * math.sqrt(seq_dot(b, b))
+            )
 
         for r in corpus.collect():
             v = np.asarray(r.embedding, np.float64)
