@@ -85,6 +85,7 @@ HEADLINE = [
     "embed_jl_project",
     # round 5
     "text_decontaminate_semantic",
+    "dedup_keep_best",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

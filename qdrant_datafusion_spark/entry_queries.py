@@ -3577,6 +3577,101 @@ ORACLES["dedup_simhash_capped"] = DEDUP_SIMHASH_SQL
 ORACLES["dedup_simhash_hot"] = DEDUP_SIMHASH_HOT_SQL
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup removal — the full curation policy in one
+    query: exact-Jaccard pairs → connected components → keep per cluster
+    the HIGHEST-quality member (not the min id), ties broken by id.
+    This is what production pipelines actually ship (of a boilerplate
+    family, keep the clean copy, drop the mangled ones); min-id survivor
+    selection (dedup_clusters) is the policy-free default.
+
+    Ranking is exact cross-engine: the quality double converts to e12
+    fixed-point (the text_quality gate's convention) BEFORE the window,
+    so the order-by compares integers.  Output (doc_id, cluster_id,
+    quality_e12, kept) is one row per document — survivors and the drop
+    audit in the same result.  Plan: the pair/cluster path is the
+    dedup_clusters plan; the policy adds one broadcast-size join (only
+    paired docs have cluster rows) + ONE shuffle on cluster_id.
+    """
+    from qdrant_datafusion_spark.functions.text import quality_score
+    from qdrant_datafusion_spark.operators.dedup import select_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    clusters = dup_clusters(pairs)
+    q12 = (
+        quality_score("text", stopwords=("the", "a")).cast("decimal(18,12)")
+        * F.lit(10**12)
+    ).cast("long")
+    out = select_canonical(docs, clusters, "doc_id", q12)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.col("score").alias("quality_e12"),
+        "kept",
+    )
+
+
+# cluster CTEs identical to DEDUP_CLUSTERS_SQL; quality expression and its
+# e12 fixed-point conversion identical to TEXT_QUALITY_SQL's inner CTE
+DEDUP_KEEP_BEST_SQL = _SHINGLES_SQL.replace(
+    "WITH t AS", "WITH RECURSIVE t AS", 1
+) + """
+, pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+),
+cl AS (
+  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+),
+q AS (
+  SELECT doc_id,
+         ((0.4 * least(length(text)::DOUBLE / 1000.0, 1.0)
+          + 0.3 * (CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                             / length(text)
+                        ELSE 0 END)
+          + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                              x -> x <> ''), 'the')::INT
+                    + list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                                x -> x <> ''), 'a')::INT)::DOUBLE / 2)
+          )::DECIMAL(18,12) * 1000000000000)::BIGINT AS quality_e12
+  FROM documents
+),
+lab AS (
+  SELECT d.doc_id,
+         coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         q.quality_e12
+  FROM documents d
+  JOIN q USING (doc_id)
+  LEFT JOIN cl ON cl.id = d.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id,
+       cluster_id::BIGINT AS cluster_id,
+       quality_e12,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality_e12 DESC, doc_id ASC) = 1 AS kept
+FROM lab
+"""
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = DEDUP_KEEP_BEST_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -3604,7 +3699,7 @@ _RUN_FIRST = [
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
     "q_json_length_keys", "dedup_minhash", "q1_pricing_summary",
-    "text_decontaminate_semantic",
+    "text_decontaminate_semantic", "dedup_keep_best",
     "q_events_json", "q_events_json_variant", "q_events_hourly",
     "q_events_sessions", "q_event_percentiles", "q_pivot_events",
     "q_interval_signup_window", "q_asof_purchase_click",
@@ -3616,10 +3711,12 @@ _RUN_FIRST = [
     "q_rollup", "q_grouping_sets", "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
+    # (match_text_tfidf yielded its slot to the new dedup_keep_best gate:
+    # its scoring kernel is shared with match_text_bm25, r4-green)
     "dedup_embedding", "text_quality", "text_token_stats", "text_lang_id",
     "doc_fingerprints", "multimodal_bytes", "dedup_clusters",
     "q14_promo_revenue", "q_top_supplier_per_nation", "q_above_avg_orders",
-    "ann_knn_graph", "text_vocabulary", "match_text_tfidf",
+    "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)

@@ -883,3 +883,54 @@ def dup_clusters(
             stacklevel=2,
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def select_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: Column | str,
+) -> DataFrame:
+    """Quality-aware survivor selection: given rows and a (id, cluster_id)
+    map from :func:`dup_clusters`, keep per cluster the row with the
+    HIGHEST score (ties broken by smallest id) instead of the smallest id
+    — the standard near-dup removal policy when a quality signal exists
+    (drop the mangled OCR copy, keep the clean one).
+
+    Rows absent from ``clusters`` (never paired with anything) form
+    singleton clusters of themselves and are always kept.  ``score_col``
+    should be an exact-ordering column (integer or decimal) when
+    cross-engine reproducibility matters; ranking on raw doubles ties are
+    engine-dependent only within equal-score groups, which the id
+    tie-break resolves.
+
+    Returns (id, cluster_id, score, kept) — one row per input row, so
+    both the survivor set (``kept``) and the drop audit (``NOT kept``)
+    come from the same DataFrame.  Plan shape: the clusters map is the
+    dedup output (≪ corpus, only paired docs) joined on id — broadcast
+    at typical dup rates — then ONE shuffle on cluster_id for the
+    row_number window.
+    """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    scored = df.select(
+        F.col(id_col).cast("long").alias("id"), score.alias("score")
+    )
+    labeled = (
+        scored.join(
+            clusters.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+            "score",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return labeled.withColumn("kept", F.row_number().over(w) == F.lit(1))

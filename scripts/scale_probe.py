@@ -25,12 +25,46 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Every op here reads only the tables _ensure_sf1 scales (documents,
+# embeddings, events); each row is a distinct physical-plan family, so
+# the probe measures one scaling claim per shuffle/broadcast pattern.
 DEFAULT_OPS = [
-    "q_asof_purchase_click",
-    "pipeline_pack_sequences",
-    "v_sparse_batch_inverted",
-    "text_decontaminate_bloom",
+    "q_asof_purchase_click",      # union + one keyed shuffle + last-carry
+    "pipeline_pack_sequences",    # distributed prefix sum
+    "v_sparse_batch_inverted",    # posting-list broadcast join
+    "text_decontaminate_bloom",   # scale-invariant bitmap broadcast
+    "q_events_sessions",          # sessionization window (per-user lag/sum)
+    "q_event_percentiles",        # exact interpolated percentiles per group
+    "match_text_bm25",            # 1-row corpus-stats broadcast + idf join
+    "pipeline_token_budget",      # ordered prefix sum + cutoff
+    "ann_knn_graph_autoplanes",   # LSH-blocked per-bucket GEMM, corpus-scaled p
 ]
+
+
+def _ann_knn_graph_autoplanes(spark, sf_dir: str):
+    """Probe-only production form of the kNN graph: the gate
+    (ann_knn_graph_blocked) pins 16×4 hyperplanes so its DuckDB oracle
+    is literal — but a FIXED p is quadratic in data size (occupancy
+    ~N/2^p, per-bucket GEMM ~occupancy²), which is exactly what
+    auto_bucket_planes exists to fix.  Here p scales with the corpus
+    (p = ceil(log2(N/512))), the knob a 100 TB run would use; output is
+    N×k rows by construction, so growth measures the plan, not the
+    fixture."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.ann import self_knn_join_lsh
+    from qdrant_datafusion_spark.operators.dedup import auto_bucket_planes
+
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+    )
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    planes, _p = auto_bucket_planes(n, dim, tables=16, target_bucket=512)
+    return self_knn_join_lsh(emb, "embedding", "vec_id", planes, k=5, tables=16)
 
 
 def main() -> None:
@@ -53,8 +87,9 @@ def main() -> None:
 
     result: dict = {"replicas": replicas, "base_dir": base_dir, "gen_sec": gen_sec}
     rows: dict[str, dict] = {}
+    probe_only = {"ann_knn_graph_autoplanes": _ann_knn_graph_autoplanes}
     for name in ops:
-        fn = QUERIES[name]
+        fn = probe_only.get(name) or QUERIES[name]
         t0 = time.time()
         n_base = fn(spark, base_dir).count()
         base_s = round(time.time() - t0, 3)

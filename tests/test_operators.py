@@ -143,6 +143,30 @@ class TestDedup:
         out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
+    def test_select_canonical_keeps_best_quality(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import select_canonical
+
+        # cluster {1,2,3}: scores 10, 30, 30 — tie at the top resolves to
+        # the smaller id (2); 4 and 9 were never paired -> singletons kept
+        df = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 7), (9, 5)], "id long, s long"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "id long, cluster_id long"
+        )
+        out = {
+            r.id: (r.cluster_id, r.score, r.kept)
+            for r in select_canonical(df, clusters, "id", "s").collect()
+        }
+        assert out == {
+            1: (1, 10, False),
+            2: (1, 30, True),
+            3: (1, 30, False),
+            4: (4, 7, True),
+            9: (9, 5, True),
+        }
+        assert sum(1 for _, _, k in out.values() if k) == 3  # one per cluster
+
     def test_embedding_near_dups_multiblock_matches_bruteforce(self, spark, emb):
         # small block_size forces a multi-block grid; hash blocking doesn't
         # order ids across blocks, so this catches any ordered-pair
