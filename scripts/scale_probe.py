@@ -67,6 +67,46 @@ def _ann_knn_graph_autoplanes(spark, sf_dir: str):
     return self_knn_join_lsh(emb, "embedding", "vec_id", planes, k=5, tables=16)
 
 
+def _autoplanes_recall(spark, sf_dir: str, sample_mod: int = 1999, k: int = 5) -> dict:
+    """Sampled edge recall of the auto-planes kNN graph vs exact ground
+    truth — the 'is the fast graph any good' check the 100× row needs.
+    Exact top-k for the FULL corpus is the quadratic thing the probe
+    exists to avoid, so ground truth is computed only for a deterministic
+    ~O(N/sample_mod) node sample via one broadcast batch_search pass
+    (sample × corpus GEMM — linear in N)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.topk import batch_search
+
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+    )
+    sample = emb.filter(F.pmod("vec_id", F.lit(sample_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # top-(k+1) then drop the self match (always present at cosine 1.0)
+    exact = (
+        batch_search(emb, sample, "embedding", k + 1, id_col="vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+    sampled_ids = {q for q, _ in truth}
+    graph = _ann_knn_graph_autoplanes(spark, sf_dir)
+    got = {
+        (r.id, r.nbr_id)
+        for r in graph.filter(F.col("id").isin(list(sampled_ids))).collect()
+    }
+    hit = len(truth & got)
+    return {
+        "sampled_nodes": len(sampled_ids),
+        "exact_edges": len(truth),
+        "recall": round(hit / len(truth), 4) if truth else None,
+    }
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -105,6 +145,12 @@ def main() -> None:
         }
         print(f"# {name}: {base_s}s -> {scaled_s}s at {replicas}x", file=sys.stderr)
     result["ops"] = rows
+    if "ann_knn_graph_autoplanes" in rows:
+        t0 = time.time()
+        rec = _autoplanes_recall(spark, scaled_dir)
+        rec["measure_sec"] = round(time.time() - t0, 3)
+        result["autoplanes_recall"] = rec
+        print(f"# autoplanes recall at {replicas}x: {rec}", file=sys.stderr)
     print(json.dumps(result))
 
 
