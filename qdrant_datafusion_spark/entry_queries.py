@@ -3597,7 +3597,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qdrant_datafusion_spark.operators.dedup import select_canonical
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    # banded MinHash-LSH is the pair generator (not the exact shingle
+    # join): raw-shingle join keys go hot on common shingles at scale,
+    # band buckets don't.  At the gate banding the LSH pair set equals
+    # the exact Jaccard pair set — that equality is ITSELF gate-proven
+    # (dedup_minhash grades against the exact-pairs oracle), which is
+    # what entitles this gate's oracle to model clusters from exact
+    # pairs.  Uncapped to match the oracle's complete-pairs contract;
+    # production composes the capped form + minhash_hot_buckets audit.
+    pairs = minhash_lsh_dups(
+        docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2,
+        max_bucket_size=None,
+    )
     clusters = dup_clusters(pairs)
     q12 = (
         quality_score("text", stopwords=("the", "a")).cast("decimal(18,12)")

@@ -829,6 +829,13 @@ def dup_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: every propagation round joins edges twice and
+        # runs two actions — without this, each of those re-executes the
+        # full upstream candidate-generation plan (the expensive jaccard /
+        # LSH join), turning an O(rounds) loop into O(rounds × pair-gen).
+        # localCheckpoint spills to executor-local storage, so it holds at
+        # edge counts far beyond driver memory (unlike a collect).
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
@@ -864,14 +871,19 @@ def dup_clusters(
                 ).alias("label"),
             )
         )
+        # checkpoint FIRST, then diff against the old labels from the
+        # materialized copy — computing `changed` off the raw plan and
+        # checkpointing afterwards would execute the round's propagation
+        # twice
+        new_cp = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
+            new_cp.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_cp
         if changed == 0:
             break
     if changed != 0:
