@@ -108,6 +108,10 @@ TAGS = {
         "skew-guard form on the scale-relative boilerplate fixture "
         "(+2x n_docs copies; 10k extra docs at sf0.1)"
     ),
+    "dedup_keep_best": (
+        "composition gate (MinHash pairs -> connected components -> "
+        "quality argmax); cost is the full dedup pipeline, not one op"
+    ),
 }
 
 #: operators whose 100 TB story rests on a bucketed / single-shuffle /

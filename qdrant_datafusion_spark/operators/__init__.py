@@ -22,6 +22,7 @@ from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_dups,
     ngram_jaccard_dups,
+    select_canonical,
     simhash_dups,
 )
 from qdrant_datafusion_spark.operators.ann import (  # noqa: F401

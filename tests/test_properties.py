@@ -177,6 +177,36 @@ class TestDedupProperties:
         assert got == truth
 
     @SETTINGS
+    @given(
+        edges,
+        st.lists(st.integers(0, 5), min_size=31, max_size=31),
+    )
+    def test_select_canonical_matches_argmax(self, spark, pairs, scores):
+        from qdrant_datafusion_spark.operators import dup_clusters, select_canonical
+
+        ids = sorted({x for p in pairs for x in p} | {97})  # 97: always a singleton
+        rows = [(i, scores[i % len(scores)]) for i in ids]
+        df = spark.createDataFrame(rows, "id long, s long")
+        clusters = dup_clusters(
+            spark.createDataFrame(list(pairs), "id_a long, id_b long")
+        )
+        cl = {r.id: r.cluster_id for r in clusters.collect()}
+        got = {
+            r.id: (r.cluster_id, r.kept)
+            for r in select_canonical(df, clusters, "id", "s").collect()
+        }
+        # python reference: per cluster keep max score, tie-break min id
+        score = dict(rows)
+        by_cluster: dict[int, list[int]] = {}
+        for i in ids:
+            by_cluster.setdefault(cl.get(i, i), []).append(i)
+        for cid, members in by_cluster.items():
+            best = max(members, key=lambda i: (score[i], -i))
+            for i in members:
+                assert got[i] == (cid, i == best), (cid, i, got[i])
+        assert len(got) == len(ids)
+
+    @SETTINGS
     @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=12))
     def test_exact_dedup_partitions_the_input(self, spark, texts):
         from qdrant_datafusion_spark.operators import exact_dedup
