@@ -808,6 +808,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min member id.  This turns pairwise dedup output into
@@ -823,9 +824,24 @@ def dup_clusters(
     changed labels, the result may be partially propagated and a
     non-convergence warning is raised (silent wrong survivor selection is
     worse than a warning).
+
+    Fault tolerance at cluster scale: the default materialization is
+    ``localCheckpoint`` — lineage is truncated, so a lost executor mid-loop
+    loses its partitions unrecoverably and fails the job (acceptable for
+    short jobs; Spark restarts it).  On long 100 TB runs pass
+    ``reliable=True`` to use reliable ``checkpoint()`` instead, which
+    persists rounds to the configured checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` — typically HDFS/S3) and
+    survives executor loss at the cost of a write per round.
     """
     import warnings
-    edges = (
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
@@ -833,9 +849,8 @@ def dup_clusters(
         # runs two actions — without this, each of those re-executes the
         # full upstream candidate-generation plan (the expensive jaccard /
         # LSH join), turning an O(rounds) loop into O(rounds × pair-gen).
-        # localCheckpoint spills to executor-local storage, so it holds at
-        # edge counts far beyond driver memory (unlike a collect).
-        .localCheckpoint(eager=True)
+        # Checkpointing spills to (executor-local or reliable) storage, so
+        # it holds at edge counts far beyond driver memory (unlike collect).
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("label")
@@ -875,7 +890,7 @@ def dup_clusters(
         # materialized copy — computing `changed` off the raw plan and
         # checkpointing afterwards would execute the round's propagation
         # twice
-        new_cp = new_labels.localCheckpoint(eager=True)
+        new_cp = _materialize(new_labels)
         changed = (
             new_cp.alias("n")
             .join(labels.alias("o"), "id")

@@ -143,6 +143,20 @@ class TestDedup:
         out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
+    def test_dup_clusters_reliable_checkpoint_path(self, spark, tmp_path):
+        # the fault-tolerant materialization for long cluster runs:
+        # reliable=True persists rounds via checkpoint() to the configured
+        # dir and must produce identical components
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+        )
+        out = {
+            r.id: r.cluster_id
+            for r in dup_clusters(pairs, reliable=True).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
     def test_select_canonical_keeps_best_quality(self, spark):
         from qdrant_datafusion_spark.operators.dedup import select_canonical
 
