@@ -756,6 +756,11 @@ def v_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     by_id = {r.vec_id: [float(x) for x in r.embedding] for r in examples}
+    missing = [i for i in (*RECOMMEND_POS, *RECOMMEND_NEG) if i not in by_id]
+    if missing:
+        # Qdrant errors on unknown example point ids; a bare KeyError here
+        # (e.g. empty or truncated collection) would hide which id is gone
+        raise ValueError(f"V_RECOMMEND example ids not in collection: {missing}")
     composite = recommend_composite(
         [by_id[i] for i in RECOMMEND_POS], [by_id[i] for i in RECOMMEND_NEG]
     )

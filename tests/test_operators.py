@@ -564,3 +564,67 @@ class TestSaltedJoin:
         large, small = self._skewed(spark)
         with _pytest.raises(ValueError):
             salted_join(large, small, "k", "row_id", how="full")
+
+
+class TestEmptyInput:
+    """Empty partitions are routine at cluster scale (filters that match
+    nothing, skewed splits); a kernel that np.stack's an empty Arrow batch
+    or indexes a missing example id dies there.  Sweep the kernel-bearing
+    driver queries over fully-empty tables: every one must plan + execute
+    to an empty result, except the two documented example-resolution
+    guards, which must raise their clear ValueError (never a bare
+    KeyError/IndexError)."""
+
+    KERNEL_QUERIES = [
+        # pandas-UDF / GEMM paths — the np.stack-on-empty class
+        "dedup_embedding", "dedup_embedding_lsh", "ann_knn_graph",
+        "ann_knn_graph_blocked", "lsh_bucket_topk", "group_centroids",
+        "embed_jl_project", "ann_pq_topk", "ann_ivfpq_topk",
+        # signature kernels + CC loop + policy window
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_clusters",
+        "dedup_keep_best", "dedup_ngram_jaccard",
+        # prefix sums / stats broadcasts / sessionization
+        "pipeline_pack_sequences", "pipeline_token_budget",
+        "text_decontaminate_bloom", "match_text_bm25", "q_events_sessions",
+        "q_event_percentiles", "v_sparse_batch_inverted",
+        "q_asof_purchase_click", "q_salted_join",
+    ]
+    GUARDED = {
+        "text_decontaminate_semantic": "benchmark has no embeddings",
+        "v_recommend_topk": "example ids not in collection",
+    }
+
+    @pytest.fixture(scope="class")
+    def empty_dir(self, spark, sf_dir, tmp_path_factory):
+        import os
+
+        dst = str(tmp_path_factory.mktemp("sf_empty"))
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            (
+                spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+                .limit(0)
+                .write.mode("overwrite")
+                .parquet(os.path.join(dst, f"{t}.parquet"))
+            )
+        return dst
+
+    def test_kernel_queries_survive_empty_tables(self, spark, empty_dir):
+        from qdrant_datafusion_spark.entry_queries import QUERIES
+
+        failures = []
+        for name in self.KERNEL_QUERIES:
+            try:
+                QUERIES[name](spark, empty_dir).count()
+            except Exception as ex:  # noqa: BLE001 - collecting evidence
+                failures.append(f"{name}: {type(ex).__name__}: {ex}")
+        assert not failures, "\n".join(failures)
+
+    def test_example_resolution_guards_raise_clearly(self, spark, empty_dir):
+        from qdrant_datafusion_spark.entry_queries import QUERIES
+
+        for name, msg in self.GUARDED.items():
+            with pytest.raises(ValueError, match=msg):
+                QUERIES[name](spark, empty_dir).count()
