@@ -755,11 +755,16 @@ def v_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    by_id = {r.vec_id: [float(x) for x in r.embedding] for r in examples}
+    by_id = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in examples
+        if r.embedding is not None
+    }
     missing = [i for i in (*RECOMMEND_POS, *RECOMMEND_NEG) if i not in by_id]
     if missing:
-        # Qdrant errors on unknown example point ids; a bare KeyError here
-        # (e.g. empty or truncated collection) would hide which id is gone
+        # Qdrant errors on unknown example point ids; a bare KeyError /
+        # TypeError here (empty collection, or a point whose vector is
+        # NULL) would hide which id is unusable
         raise ValueError(f"V_RECOMMEND example ids not in collection: {missing}")
     composite = recommend_composite(
         [by_id[i] for i in RECOMMEND_POS], [by_id[i] for i in RECOMMEND_NEG]

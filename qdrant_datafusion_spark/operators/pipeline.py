@@ -437,11 +437,18 @@ def pack_sequences(
     """
     from pyspark.sql import types as T
 
-    n_tok = (
-        F.col(tokens_col)
-        if tokens_col
-        else token_count(text_col, "whitespace")
-    ).cast("long")
+    # NULL text / NULL token counts pack as 0 tokens: the row stays in the
+    # output map (auditable — a silent drop would desync any id-aligned
+    # join downstream) but consumes no budget.  Without the coalesce the
+    # NaN reaches the per-bucket int() and kills the whole task.
+    n_tok = F.coalesce(
+        (
+            F.col(tokens_col)
+            if tokens_col
+            else token_count(text_col, "whitespace")
+        ).cast("long"),
+        F.lit(0),
+    )
     # numeric ids bucket by value (portable to the SQL oracle); string /
     # uuid point ids — the collection schema's canonical id type — bucket
     # by their 32-bit md5 prefix (ANSI mode would throw on a string→long

@@ -628,3 +628,48 @@ class TestEmptyInput:
         for name, msg in self.GUARDED.items():
             with pytest.raises(ValueError, match=msg):
                 QUERIES[name](spark, empty_dir).count()
+
+    @pytest.fixture(scope="class")
+    def nullful_dir(self, spark, sf_dir, tmp_path_factory):
+        import os
+
+        dst = str(tmp_path_factory.mktemp("sf_nulls"))
+        nullers = {
+            "documents": {"text": "doc_id % 2 = 0", "lang": "doc_id % 3 = 0"},
+            "embeddings": {"embedding": "vec_id % 2 = 0"},
+            "events": {"props": "event_id % 2 = 0", "value": "event_id % 3 = 0"},
+        }
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            for col, cond in nullers.get(t, {}).items():
+                df = df.withColumn(
+                    col, F.when(F.expr(cond), F.lit(None)).otherwise(F.col(col))
+                )
+            df.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+        return dst
+
+    def test_kernel_queries_survive_null_heavy_tables(self, spark, nullful_dir):
+        """Real corpora carry NULL text / vectors / payloads; a kernel that
+        lets a NULL reach np.asarray or int() kills the whole task.  Found
+        live: pack_sequences died on NaN token counts, v_recommend on a
+        NULL example vector."""
+        from qdrant_datafusion_spark.entry_queries import QUERIES
+
+        failures = []
+        for name in self.KERNEL_QUERIES:
+            try:
+                QUERIES[name](spark, nullful_dir).count()
+            except Exception as ex:  # noqa: BLE001 - collecting evidence
+                failures.append(f"{name}: {type(ex).__name__}: {ex}")
+        assert not failures, "\n".join(failures)
+
+    def test_null_example_vector_raises_clearly(self, spark, nullful_dir):
+        # the NULL fixture nulls even vec_ids, which includes recommend
+        # example ids -> the guard must name them, not die in float(None)
+        from qdrant_datafusion_spark.entry_queries import QUERIES
+
+        with pytest.raises(ValueError, match="example ids not in collection"):
+            QUERIES["v_recommend_topk"](spark, nullful_dir).count()
