@@ -2711,10 +2711,16 @@ def text_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLIF guards the zero-norm edge so the oracle models the operator's
+# NULL-never-NaN contract: 0/0 in DuckDB is NaN, and NaN sorts ABOVE every
+# double, so an unguarded max() would flip `contaminated` to true for rows
+# the operator deliberately emits as NULL (and one zero-norm benchmark
+# vector would poison the max for the whole corpus); with NULLIF the pair
+# cosine is NULL, max() ignores it, matching the Spark side exactly
 _SEM_COS = (
     "list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-    " / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
-    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    " / nullif(sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0)"
 )
 TEXT_DECONTAMINATE_SEMANTIC_SQL = f"""
 WITH b AS (

@@ -939,14 +939,19 @@ def select_canonical(
     row_number window.
     """
     score = F.col(score_col) if isinstance(score_col, str) else score_col
-    scored = df.select(
-        F.col(id_col).cast("long").alias("id"), score.alias("score")
-    )
+    # ids keep their NATIVE type: collection point ids are canonically
+    # string/uuid (see pack_sequences), and a long cast would throw under
+    # ANSI — or, ANSI off, null every unpaired id and collapse all
+    # singletons into one NULL cluster with a single survivor.  The
+    # cluster map's ids are cast to the input's id type instead (they
+    # originate from the same column via dup_clusters).
+    id_type = df.schema[id_col].dataType
+    scored = df.select(F.col(id_col).alias("id"), score.alias("score"))
     labeled = (
         scored.join(
             clusters.select(
-                F.col("id").cast("long").alias("id"),
-                F.col("cluster_id").cast("long").alias("cluster_id"),
+                F.col("id").cast(id_type).alias("id"),
+                F.col("cluster_id").cast(id_type).alias("cluster_id"),
             ),
             "id",
             "left",

@@ -687,12 +687,25 @@ def decontaminate_embedding(
     B = np.stack(bench_rows)
     Bn = np.linalg.norm(B, axis=1)
     Bn[Bn == 0.0] = np.nan
-    _b_lists = [b.tolist() for b in bench_rows]
-    # exact sequential norms, precomputed once (loop-invariant)
-    _b_norms = [float(np.sqrt(_seq_dot(b, b))) for b in _b_lists]
 
     @pandas_udf("double")
     def max_cos(vs: pd.Series) -> pd.Series:
+        # exact-tier benchmark rows are materialized LAZILY per index and
+        # memoized: only B (one float64 ndarray) ships in the closure.  A
+        # precomputed list-of-lists copy of B would multiply the per-worker
+        # footprint several-fold in boxed floats (at the documented 1M x 64
+        # ceiling: ~3-5 GB of Python objects vs B's 512 MB) for rows the
+        # exact tier mostly never touches.
+        b_cache: dict = {}
+
+        def bench_exact(j: int):
+            hit = b_cache.get(j)
+            if hit is None:
+                bl = B[j].tolist()
+                hit = (bl, float(np.sqrt(_seq_dot(bl, bl))))
+                b_cache[j] = hit
+            return hit
+
         M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
         Mn = np.linalg.norm(M, axis=1)
         Mn[Mn == 0.0] = np.nan
@@ -707,12 +720,13 @@ def decontaminate_embedding(
             cand = np.nonzero(row >= approx - 1e-9)[0]
             v = M[i].tolist()
             nv = float(np.sqrt(_seq_dot(v, v)))
-            out.append(
-                max(
-                    _seq_dot(v, _b_lists[j]) / (nv * _b_norms[j])
-                    for j in cand
-                )
-            )
+            best = None
+            for j in cand:
+                bl, bn = bench_exact(int(j))
+                c = _seq_dot(v, bl) / (nv * bn)
+                if best is None or c > best:
+                    best = c
+            out.append(best)
         # object dtype so None survives as SQL NULL (a float64 Series
         # coerces None -> NaN, and NaN >= threshold is TRUE in Spark)
         return pd.Series(out, dtype="object")

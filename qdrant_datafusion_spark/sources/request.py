@@ -43,8 +43,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-#: scalar values the Qdrant filter DSL can carry
-_FILTERABLE_VALUE = (int, float, str, bool)
+#: scalar types Qdrant ``match`` can carry EXACTLY: keyword / integer /
+#: boolean.  float is deliberately absent — Qdrant has no float match
+#: (REST rejects it; the gRPC Match oneof would stringify it), so float
+#: equality stays local.  Ranges are double-valued and accept int/float.
+_MATCH_VALUE = (int, str, bool)
 
 _METADATA_COLUMNS = ("id", "payload")
 
@@ -123,16 +126,27 @@ def _filter_conditions(
             rejected.append(f)
             continue
         key = attr[1]
-        if isinstance(f, EqualTo) and isinstance(f.value, _FILTERABLE_VALUE):
+        # exact-only remote subset per value type: Qdrant match supports
+        # keyword/integer/bool but NOT float (REST rejects it; the gRPC
+        # Match oneof would coerce it to a keyword string and silently
+        # match nothing), and Range is double-valued — string bounds
+        # (datetimes) belong to a different condition type whose ordering
+        # is not Spark's string comparison.  Anything outside the subset
+        # is rejected to local evaluation, never dropped.
+        if isinstance(f, EqualTo) and isinstance(f.value, _MATCH_VALUE):
             must.append({"key": key, "match": {"value": f.value}})
-        elif type(f) in _RANGE_OPS and isinstance(f.value, _FILTERABLE_VALUE):
+        elif (
+            type(f) in _RANGE_OPS
+            and isinstance(f.value, (int, float))
+            and not isinstance(f.value, bool)
+        ):
             op = _RANGE_OPS[type(f)]
             if op in ranges.setdefault(key, {}):  # contradictory duplicate
                 rejected.append(f)
             else:
                 ranges[key][op] = f.value
         elif isinstance(f, In) and all(
-            isinstance(v, _FILTERABLE_VALUE) for v in f.value
+            isinstance(v, _MATCH_VALUE) for v in f.value
         ):
             must.append({"key": key, "match": {"any": list(f.value)}})
         else:

@@ -181,6 +181,30 @@ class TestDedup:
         }
         assert sum(1 for _, _, k in out.values() if k) == 3  # one per cluster
 
+    def test_select_canonical_preserves_string_ids(self, spark):
+        # collection point ids are canonically string/uuid; the operator
+        # must not force a numeric cast (ANSI would throw; non-ANSI would
+        # null every unpaired id into one giant NULL cluster)
+        from qdrant_datafusion_spark.operators.dedup import select_canonical
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 9), ("c", 9), ("lone", 4)], "id string, s long"
+        )
+        clusters = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("c", "a")], "id string, cluster_id string"
+        )
+        out = {
+            r.id: (r.cluster_id, r.kept)
+            for r in select_canonical(df, clusters, "id", "s").collect()
+        }
+        # tie at 9 between b and c -> lexicographically smaller id b wins
+        assert out == {
+            "a": ("a", False),
+            "b": ("a", True),
+            "c": ("a", False),
+            "lone": ("lone", True),
+        }
+
     def test_embedding_near_dups_multiblock_matches_bruteforce(self, spark, emb):
         # small block_size forces a multi-block grid; hash blocking doesn't
         # order ids across blocks, so this catches any ordered-pair

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     EqualTo,
+    GreaterThan,
     GreaterThanOrEqual,
     In,
     IsNotNull,
@@ -104,6 +105,24 @@ class TestQueryRequest:
             EqualTo(("payload",), "{}"),
             StringContains(("payload", "city"), "ber"),
         ]
+
+    def test_value_types_outside_remote_subset_stay_local(self):
+        """Qdrant match has no float variant (gRPC would stringify 3.5 into
+        a keyword that matches nothing) and Range is double-valued (string
+        datetime bounds are a different condition type with non-Spark
+        ordering) — those filters must come back for local eval, while
+        float RANGE bounds still push."""
+        filters = [
+            EqualTo(("payload", "price"), 3.5),            # float match: local
+            In(("payload", "price"), (1.5, 2.5)),          # float IN: local
+            GreaterThan(("payload", "created"), "2024-01-01"),  # str range: local
+            GreaterThanOrEqual(("payload", "score"), 0.25),     # float range: push
+        ]
+        req, rejected = build_query_request("req", _DESC.schema(), filters=filters)
+        assert req["filter"]["must"] == [
+            {"key": "score", "range": {"gte": 0.25}},
+        ]
+        assert rejected == filters[:3]
 
     def test_no_filters_no_filter_key(self):
         req, rejected = build_query_request("req", _DESC.schema())
