@@ -3699,6 +3699,164 @@ QUERIES["dedup_keep_best"] = dedup_keep_best
 ORACLES["dedup_keep_best"] = DEDUP_KEEP_BEST_SQL
 
 
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022 shape): per document, how
+    many of its tokens sit inside a k-token span that occurs at more than
+    one (doc, pos) location corpus-wide.  k=5 on the word-soup fixture;
+    production uses k≈50 BPE tokens.  ``dup_frac`` is the curation gate
+    ("drop or trim documents over X% duplicated text")."""
+    from qdrant_datafusion_spark.operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dup_spans(docs, "text", "doc_id", k=5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_starts",
+        "covered_tokens",
+        _ratio_round6(F.col("covered_tokens"), F.col("n_tokens")).alias("dup_frac"),
+    )
+
+
+#: mirrors substring_dup_spans: shingle md5 at every position (not
+#: distinct — within-doc repeats are duplications too), duplicated =
+#: count > 1 anywhere, coverage = closed-form union of sorted [p, p+5)
+#: intervals via lag
+DEDUP_SUBSTRING_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+ps AS (
+  SELECT doc_id, len(toks) AS n, toks,
+         unnest(generate_series(0, len(toks) - 5)) AS p
+  FROM t WHERE len(toks) >= 5
+),
+sh2 AS (
+  SELECT doc_id, n, p, md5(array_to_string(toks[p + 1 : p + 5], ' ')) AS h
+  FROM ps
+),
+dup AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) > 1),
+fl AS (SELECT sh2.doc_id, sh2.n, sh2.p FROM sh2 JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, n,
+         least(5, p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                               -5)) AS c
+  FROM fl
+)
+SELECT doc_id,
+       max(n)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_dup_starts,
+       sum(c)::BIGINT AS covered_tokens,
+       {_ratio6_sql("sum(c)", "max(n)")} AS dup_frac
+FROM cov
+GROUP BY doc_id
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup, arXiv:2303.09540):
+    assign each embedding to its nearest centroid (the 8 seeded literal
+    IVF centroids — deterministic and SQL-mirrorable, exactly like
+    ann_ivf_topk), then within each cluster drop rows with a lower-id
+    member inside the cosine-0.35 ball.  One row per embedded vector:
+    survivors (dropped = 0) plus the removal audit."""
+    from qdrant_datafusion_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", IVF_CENTROIDS, threshold=0.35
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_lower_dups",
+        "dropped",
+        "max_cos_lower",
+    )
+
+
+def _semantic_oracle_sql() -> str:
+    cent_dots = ", ".join(
+        f"list_dot_product(v, {_sql_array(c)}::DOUBLE[])" for c in IVF_CENTROIDS
+    )
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cl AS (
+  SELECT vec_id, v,
+         (list_position([{cent_dots}],
+                        list_max([{cent_dots}])) - 1)::INT AS cluster
+  FROM assigned
+),
+pairs AS (
+  SELECT b.vec_id AS id, {cos} AS cos
+  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.35
+),
+agg AS (
+  SELECT id, count(*) AS n_lower_dups, max(cos) AS max_cos_lower
+  FROM pairs GROUP BY id
+)
+SELECT c.vec_id,
+       c.cluster,
+       coalesce(a.n_lower_dups, 0)::BIGINT AS n_lower_dups,
+       (a.id IS NOT NULL)::INT AS dropped,
+       coalesce(a.max_cos_lower, -1.0) AS max_cos_lower
+FROM cl c LEFT JOIN agg a ON c.vec_id = a.id
+"""
+
+
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (training-order randomization) —
+    md5(id:seed) order via the distributed two-phase position scan, never
+    a single-partition sort.  The gate summarizes 50-row stripes of the
+    permutation with a position-weighted checksum, so any row at the
+    wrong global position flips a stripe row."""
+    from qdrant_datafusion_spark.operators.pipeline import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = global_shuffle(docs, "doc_id", seed=42)
+    return (
+        out.groupBy(F.floor(F.col("pos") / 50).cast("long").alias("stripe"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum((F.col("pos") + 1) * F.col("doc_id"))
+            .cast("long")
+            .alias("pos_id_sum"),
+        )
+    )
+
+
+PIPELINE_GLOBAL_SHUFFLE_SQL = """
+WITH k AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS key FROM documents
+),
+p AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key) - 1 AS pos FROM k
+)
+SELECT (pos // 50)::BIGINT AS stripe,
+       count(*)::BIGINT AS n,
+       sum(doc_id)::BIGINT AS id_sum,
+       sum((pos + 1) * doc_id)::BIGINT AS pos_id_sum
+FROM p
+GROUP BY 1
+"""
+
+
+QUERIES["dedup_substring"] = dedup_substring
+ORACLES["dedup_substring"] = DEDUP_SUBSTRING_SQL
+QUERIES["dedup_semantic"] = dedup_semantic
+ORACLES["dedup_semantic"] = _semantic_oracle_sql()
+QUERIES["pipeline_global_shuffle"] = pipeline_global_shuffle
+ORACLES["pipeline_global_shuffle"] = PIPELINE_GLOBAL_SHUFFLE_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -3742,7 +3900,13 @@ _RUN_FIRST = [
     # its scoring kernel is shared with match_text_bm25, r4-green)
     "dedup_embedding", "text_quality", "text_token_stats", "text_lang_id",
     "doc_fingerprints", "multimodal_bytes", "dedup_clusters",
-    "q14_promo_revenue", "q_top_supplier_per_nation", "q_above_avg_orders",
+    # NEW round-5 operators take three slots (zero driver evidence beats
+    # refreshing r3-green rows): dedup_substring (span-level exact dedup),
+    # dedup_semantic (SemDeDup), pipeline_global_shuffle.  Displaced to
+    # round 6: q14_promo_revenue / q_top_supplier_per_nation /
+    # q_above_avg_orders — pure built-in Catalyst SQL shapes, r3-green,
+    # code unchanged since.
+    "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]

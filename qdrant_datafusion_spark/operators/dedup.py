@@ -966,3 +966,170 @@ def select_canonical(
         F.col("score").desc(), F.col("id").asc()
     )
     return labeled.withColumn("kept", F.row_number().over(w) == F.lit(1))
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact duplicated-substring detection at k-token granularity — the
+    span-level sibling of document-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    50-token spans anywhere in the corpus are memorization fuel even when
+    no two *documents* are near-dups).
+
+    A position ``i`` in a document is *flagged* when its k-token shingle
+    occurs at more than one (doc, pos) location corpus-wide (including
+    twice within one document).  Flagged starts cover token intervals
+    ``[i, i+k)``; overlapping intervals merge.  Per surviving document the
+    result reports how much of it is duplicated text:
+
+    ``(id, n_tokens, n_dup_starts, covered_tokens)`` — only documents
+    with ≥1 flagged position appear; ``covered_tokens / n_tokens`` is the
+    duplicated-text fraction a curation pass gates on.
+
+    Plan shape (all shuffles linear in corpus token count):
+    1. shingle hashes explode to (id, pos, md5) rows — a narrow map,
+       k-gram built JVM-side via ``transform(sequence(...))`` + ``slice``;
+    2. duplicated hashes = one groupBy on the 32-char hash (map-side
+       partial count; the shuffle carries hashes, never text);
+    3. flagged positions = shuffle join back on the hash;
+    4. interval merge = per-document window (``lag`` over pos): a start
+       contributes ``min(k, pos - prev_pos)`` new covered tokens — the
+       closed-form union of sorted fixed-length intervals, no iterative
+       merging.
+    The suffix-array construction the paper uses is a single-machine
+    algorithm; the shingle-hash form is its standard distributed
+    approximation and is exact for duplicated spans of length ≥ k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = (
+        df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= k)
+    )
+    sh = base.select(
+        "_id",
+        "_n",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {k}),"
+                f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {k}))))"
+            )
+        ).alias("_pos", "_h"),
+    )
+    dup = sh.groupBy("_h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
+    flagged = sh.join(dup.select("_h"), "_h")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    cov = flagged.withColumn(
+        "_new",
+        F.least(
+            F.lit(k), F.col("_pos") - F.coalesce(F.lag("_pos").over(w), F.lit(-k))
+        ),
+    )
+    return cov.groupBy(F.col("_id").alias(id_col)).agg(
+        F.max("_n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_dup_starts"),
+        F.sum("_new").cast("long").alias("covered_tokens"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.95,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    corpus into k-means clusters, then prune *within each cluster* the
+    rows whose embedding sits inside the cosine-``threshold`` ball of a
+    kept row — semantic duplicates that exact/MinHash dedup cannot see
+    (paraphrases, translations, re-renders).
+
+    Deterministic pair-based variant: a row is **dropped** when a
+    lower-id member of its cluster is within the threshold (the paper
+    keeps one random member per ε-ball; min-id is the reproducible
+    choice, same policy as :func:`exact_dedup`).  Returns one row per
+    input row — ``(id, cluster, n_lower_dups, dropped, max_cos_lower)``
+    with ``max_cos_lower = -1.0`` for rows with no lower-id neighbor —
+    so the survivor set (``dropped = 0``) and the audit of what was
+    removed come from the same DataFrame.
+
+    Plan shape: centroid assignment is a narrow map (argmax of
+    ``len(centroids)`` sequential dots — no shuffle); the ONLY wide
+    exchange groups (id, vector) rows by cluster for one in-task GEMM
+    per cluster (same two-tier contract as :func:`embedding_near_dups`:
+    BLAS candidates behind a 1e-6 margin, survivors re-scored with the
+    sequential-order native kernel so emitted cosines are oracle-exact).
+    At 100 TB the cluster count scales with the corpus
+    (``train_ivf_centroids`` with k ∝ N / target-occupancy keeps
+    per-cluster GEMMs constant-size — the paper uses k = 50k for LAION);
+    ``max_cluster_size`` is the skew guard for degenerate clusters
+    (audit via :func:`_hot_bucket_stats` on the assignment).
+    """
+    import numpy as np
+    from qdrant_datafusion_spark.operators.ann import assign_ivf_cells
+
+    id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
+    base = assign_ivf_cells(
+        df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
+        "_v",
+        centroids,
+        cell_col="_cluster",
+    )
+    capped = _cap_hot_buckets(base, ["_cluster"], max_cluster_size)
+    margin = float(threshold) - 1e-6
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        ids = pdf["_id"].to_numpy()
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0.0] = np.nan
+        C = (M @ M.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = C[iu, ju] >= margin
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = b < a
+        return pd.DataFrame(
+            {"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)}
+        )
+
+    cands = capped.groupBy("_cluster").applyInPandas(
+        block, schema=f"id_a {id_dt}, id_b {id_dt}"
+    )
+    va = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+        norm(F.col("_v")).alias("n_a"),
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+        norm(F.col("_v")).alias("n_b"),
+    )
+    exact_cos = F.try_divide(
+        dot_product(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b")
+    )
+    dups = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(exact_cos, 6).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+    )
+    per_row = dups.groupBy(F.col("id_b").alias("_id")).agg(
+        F.count("*").cast("long").alias("n_lower_dups"),
+        F.max("_cos").alias("max_cos_lower"),
+    )
+    return (
+        base.join(per_row, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cluster").alias("cluster"),
+            F.coalesce("n_lower_dups", F.lit(0)).cast("long").alias("n_lower_dups"),
+            (F.coalesce("n_lower_dups", F.lit(0)) > 0).cast("int").alias("dropped"),
+            F.coalesce("max_cos_lower", F.lit(-1.0)).alias("max_cos_lower"),
+        )
+    )

@@ -623,6 +623,61 @@ def token_budget_select(
     return cum.filter(F.col("cum_tokens") <= budget)
 
 
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    bucket_chars: int = 2,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization
+    step (every epoch of a data loader wants the corpus in a reproducible
+    pseudo-random permutation, NOT file order, which is correlated with
+    crawl time / source / quality).
+
+    Order is ``md5(id:seed)``: engine-independent, uniform, and stable —
+    the same corpus enumerates identically on any cluster layout, which
+    is what makes a training run resumable and an ablation comparable.
+    Returns the input columns plus ``pos_col`` = the 0-based global
+    position in that order.
+
+    Scale — a global ``row_number()`` window is a single-partition sort
+    of the whole corpus.  This uses the same two-phase distributed scan
+    as :func:`token_budget_select`: the md5 prefix (``bucket_chars`` hex
+    chars, 256 buckets at the default) is both a balanced partition key
+    AND the key's most-significant digits, so bucket order == key order;
+    per-bucket counts make a ≤256-row offset table (tiny driver-free
+    window), and position = bucket offset + within-bucket row_number —
+    no task ever sorts more than ~N/256 rows.  More scale → more
+    ``bucket_chars``.
+    """
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    keyed = df.select(
+        "*",
+        key.alias("_key"),
+        F.substring(key, 1, bucket_chars).alias("_bucket"),
+    )
+    totals = keyed.groupBy("_bucket").agg(F.count("*").alias("_bucket_n"))
+    w_off = (
+        SqlWindow.partitionBy(F.lit(0))
+        .orderBy("_bucket")
+        .rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_n").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = SqlWindow.partitionBy("_bucket").orderBy("_key")
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            pos_col,
+            (F.col("_offset") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("_key", "_bucket", "_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # decontaminate_bloom — Bloom-prefiltered decontamination (the 100×-eval-set
 # scale path of `decontaminate`)

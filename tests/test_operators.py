@@ -697,3 +697,146 @@ class TestEmptyInput:
 
         with pytest.raises(ValueError, match="example ids not in collection"):
             QUERIES["v_recommend_topk"](spark, nullful_dir).count()
+
+
+class TestSubstringDupSpans:
+    """substring_dup_spans vs a brute-force per-position reference."""
+
+    @staticmethod
+    def _reference(rows, k):
+        from collections import Counter
+
+        toks = {i: t.lower().split() for i, t in rows}
+        occ = Counter()
+        for i, ts in toks.items():
+            for p in range(len(ts) - k + 1):
+                occ[" ".join(ts[p : p + k])] += 1
+        expect = {}
+        for i, ts in toks.items():
+            starts = [
+                p
+                for p in range(len(ts) - k + 1)
+                if occ[" ".join(ts[p : p + k])] > 1
+            ]
+            if not starts:
+                continue
+            covered = set()
+            for p in starts:
+                covered.update(range(p, p + k))
+            expect[i] = (len(ts), len(starts), len(covered))
+        return expect
+
+    def test_matches_bruteforce_interval_union(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import substring_dup_spans
+
+        rows = [
+            (1, "a b c d e f g h"),          # shares 'a b c d e' with 2
+            (2, "a b c d e x y z"),
+            (3, "p q r s t u v w"),          # clean
+            (4, "m m m m m m m m m m"),      # within-doc repeats only
+            (5, "x y z a b c d e f g"),      # shares with 1 and 2, offset
+            (6, "one two three four"),       # shorter than k=5 window? no: 4 < 5
+        ]
+        k = 5
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_starts, r.covered_tokens)
+            for r in substring_dup_spans(df, "text", "doc_id", k=k).collect()
+        }
+        assert got == self._reference(rows, k)
+
+    def test_overlapping_spans_merge_not_doublecount(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import substring_dup_spans
+
+        # doc 1 and 2 share a 7-token run -> 3 flagged starts each (k=5),
+        # covering exactly 7 tokens, not 15
+        rows = [
+            (1, "u1 u2 c1 c2 c3 c4 c5 c6 c7 t1"),
+            (2, "v1 c1 c2 c3 c4 c5 c6 c7 w1 w2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_dup_starts, r.covered_tokens)
+            for r in substring_dup_spans(df, "text", "doc_id", k=5).collect()
+        }
+        assert got == {1: (3, 7), 2: (3, 7)}
+
+    def test_clean_corpus_empty_output(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import substring_dup_spans
+
+        rows = [(1, "a b c d e f"), (2, "g h i j k l")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert substring_dup_spans(df, "text", "doc_id", k=5).count() == 0
+
+
+class TestSemanticDedup:
+    CENTROIDS = [[1.0, 0.0], [0.0, 1.0]]
+
+    def test_matches_bruteforce(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.05]),   # cluster 0
+            (2, [1.0, 0.06]),   # near-dup of 1, same cluster -> dropped
+            (3, [0.9, 0.4]),    # cluster 0 but outside the 0.99 ball
+            (4, [0.05, 1.0]),   # cluster 1
+            (5, [0.04, 1.0]),   # near-dup of 4 -> dropped
+            (6, [0.05, 1.0]),   # near-dup of 4 AND 5 -> dropped, 2 lower dups
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.vec_id: (r.cluster, r.n_lower_dups, r.dropped)
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", self.CENTROIDS, threshold=0.99
+            ).collect()
+        }
+        # numpy reference
+        M = np.array([r[1] for r in rows], dtype=np.float64)
+        C = np.array(self.CENTROIDS)
+        cl = np.argmax(M @ C.T, axis=1)
+        cos = (M @ M.T) / np.outer(
+            np.linalg.norm(M, axis=1), np.linalg.norm(M, axis=1)
+        )
+        for i, (vid, _) in enumerate(rows):
+            lower = [
+                j
+                for j in range(i)
+                if cl[j] == cl[i] and round(cos[i, j], 6) >= 0.99
+            ]
+            assert out[vid] == (cl[i], len(lower), int(bool(lower))), vid
+
+    def test_cross_cluster_dup_not_seen(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import semantic_dedup
+
+        # identical vectors forced into different clusters never pair —
+        # the documented SemDeDup blind spot (the paper accepts it; the
+        # gate must reproduce it, not silently 'fix' it)
+        rows = [(1, [1.0, 1.0]), (2, [1.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semantic_dedup(
+            df, "embedding", "vec_id", self.CENTROIDS, threshold=0.9
+        ).collect()
+        # tie on centroid dot -> both land in cluster 0 (first max), so
+        # they DO pair here; verify the tie-break side instead
+        assert {r.cluster for r in out} == {0}
+        assert {r.vec_id: r.dropped for r in out} == {1: 0, 2: 1}
+
+    def test_max_cluster_size_cap_drops_hot_cluster_candidates(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import semantic_dedup
+
+        rows = [(i, [1.0, 0.001 * i]) for i in range(20)] + [
+            (100, [0.0, 1.0]),
+            (101, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.vec_id: r.dropped
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", self.CENTROIDS,
+                threshold=0.99, max_cluster_size=5,
+            ).collect()
+        }
+        # hot cluster 0 (20 members > cap) contributes no pairs; the small
+        # cluster 1 still dedups
+        assert all(out[i] == 0 for i in range(20))
+        assert out[100] == 0 and out[101] == 1

@@ -567,3 +567,51 @@ class TestDecontaminateBloom:
             .count()
         )
         assert n_words <= m // 64
+
+
+class TestGlobalShuffle:
+    def test_positions_are_exact_md5_permutation(self, spark):
+        import hashlib
+
+        from qdrant_datafusion_spark.operators.pipeline import global_shuffle
+
+        ids = list(range(200))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = {r.doc_id: r.pos for r in global_shuffle(df, "doc_id", seed=7).collect()}
+        ref = sorted(ids, key=lambda i: hashlib.md5(f"{i}:7".encode()).hexdigest())
+        assert out == {doc: pos for pos, doc in enumerate(ref)}
+
+    def test_layout_independent(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import global_shuffle
+
+        df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.pos for r in global_shuffle(df, "doc_id").collect()}
+        b = {
+            r.doc_id: r.pos
+            for r in global_shuffle(df.repartition(7), "doc_id").collect()
+        }
+        assert a == b
+
+    def test_bucket_chars_do_not_change_order(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import global_shuffle
+
+        df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+        a = {
+            r.doc_id: r.pos
+            for r in global_shuffle(df, "doc_id", bucket_chars=1).collect()
+        }
+        b = {
+            r.doc_id: r.pos
+            for r in global_shuffle(df, "doc_id", bucket_chars=3).collect()
+        }
+        assert a == b
+
+    def test_keeps_payload_columns(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import global_shuffle
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "doc_id long, text string"
+        )
+        out = global_shuffle(df, "doc_id")
+        assert set(out.columns) == {"doc_id", "text", "pos"}
+        assert sorted(r.pos for r in out.collect()) == [0, 1]
