@@ -86,6 +86,9 @@ HEADLINE = [
     # round 5
     "text_decontaminate_semantic",
     "dedup_keep_best",
+    "dedup_substring",
+    "dedup_semantic",
+    "pipeline_global_shuffle",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

@@ -1076,12 +1076,31 @@ def semantic_dedup(
     from qdrant_datafusion_spark.operators.ann import assign_ivf_cells
 
     id_dt = df.select(id_col).schema.fields[0].dataType.simpleString()
-    base = assign_ivf_cells(
-        df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")),
-        "_v",
-        centroids,
-        cell_col="_cluster",
-    )
+    rows = df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+    if len(centroids) <= 32:
+        # native sequential-dot argmax — plan-inlined, bit-identical to
+        # the SQL oracle's list_position/list_max (the gate path)
+        base = assign_ivf_cells(rows, "_v", centroids, cell_col="_cluster")
+    else:
+        # large-k path (k scales with N at 100 TB): one Arrow-batched
+        # GEMM argmax instead of a k-column expression tree — Catalyst
+        # folds a few dozen dot columns fine, but k=thousands of
+        # centroids belongs in BLAS.  np.argmax keeps the same
+        # first-max tie-break as array_position.
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)
+
+        @pandas_udf("int")
+        def _cell(vs: pd.Series) -> pd.Series:
+            if vs.empty:
+                return pd.Series([], dtype="int32")
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+            return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+        base = rows.filter(F.col("_v").isNotNull()).withColumn(
+            "_cluster", _cell(F.col("_v"))
+        )
     capped = _cap_hot_buckets(base, ["_cluster"], max_cluster_size)
     margin = float(threshold) - 1e-6
 

@@ -38,6 +38,9 @@ DEFAULT_OPS = [
     "match_text_bm25",            # 1-row corpus-stats broadcast + idf join
     "pipeline_token_budget",      # ordered prefix sum + cutoff
     "ann_knn_graph_autoplanes",   # LSH-blocked per-bucket GEMM, corpus-scaled p
+    "pipeline_global_shuffle",    # two-phase distributed position scan
+    "dedup_substring",            # shingle-hash groupBy + join-back + lag union
+    "dedup_semantic_autok",       # SemDeDup, cluster count scaled with corpus
 ]
 
 
@@ -107,6 +110,33 @@ def _autoplanes_recall(spark, sf_dir: str, sample_mod: int = 1999, k: int = 5) -
     }
 
 
+def _dedup_semantic_autok(spark, sf_dir: str):
+    """Probe-only production form of SemDeDup: the gate (dedup_semantic)
+    pins 8 literal centroids so its DuckDB oracle is exact — but a FIXED
+    cluster count is quadratic in data size (occupancy ~N/k, per-cluster
+    GEMM ~occupancy²).  At scale k grows with the corpus (the paper uses
+    50k clusters for LAION); here k = ceil(N/512) seeded centroids keeps
+    expected occupancy constant, and the operator's large-k path assigns
+    via one Arrow-batched GEMM argmax instead of a k-column expression."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.entry_queries import _seeded_vec
+    from qdrant_datafusion_spark.operators.dedup import semantic_dedup
+
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("embedding").isNotNull())
+    )
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    k = max(8, math.ceil(n / 512))
+    centroids = [_seeded_vec(dim, 60 + i) for i in range(k)]
+    return semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.35)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -127,7 +157,10 @@ def main() -> None:
 
     result: dict = {"replicas": replicas, "base_dir": base_dir, "gen_sec": gen_sec}
     rows: dict[str, dict] = {}
-    probe_only = {"ann_knn_graph_autoplanes": _ann_knn_graph_autoplanes}
+    probe_only = {
+        "ann_knn_graph_autoplanes": _ann_knn_graph_autoplanes,
+        "dedup_semantic_autok": _dedup_semantic_autok,
+    }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
         t0 = time.time()

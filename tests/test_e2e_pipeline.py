@@ -1,5 +1,6 @@
 """End-to-end curation pipeline: clean → quality-cut → exact dedup →
-near-dup keep-best → decontaminate → pack → split.
+near-dup keep-best → substring-span gate → SemDeDup → decontaminate →
+pack → split → global shuffle.
 
 Every stage is an individually-gated operator; this test proves they
 COMPOSE — schemas line up across stages, filters stay monotone, the
@@ -20,18 +21,25 @@ from qdrant_datafusion_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dups,
     select_canonical,
+    semantic_dedup,
+    substring_dup_spans,
 )
 from qdrant_datafusion_spark.operators.pipeline import (
     decontaminate,
+    global_shuffle,
     hash_split,
     pack_sequences,
     quality_percentile_filter,
 )
 
 BUDGET = 256
+#: the 8 seeded literal centroids the dedup_semantic gate uses
+SEM_CENTROIDS_SEEDS = range(60, 68)
 
 
 def run_pipeline(spark, sf_dir):
+    from qdrant_datafusion_spark.entry_queries import _seeded_vec
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     # 1. clean: PII redaction + markup strip (text changes, ids stay)
@@ -61,17 +69,45 @@ def run_pipeline(spark, sf_dir):
         canon.filter("kept").select(F.col("id").alias("doc_id")), "doc_id"
     )
 
+    # 4a. substring-span gate AFTER document-level dedup: with whole-doc
+    #     near-dups already collapsed, what the span stats flag now is
+    #     residual partial boilerplate (repeated headers/footers) — the
+    #     thing document-level dedup cannot see.  (Run BEFORE keep-best
+    #     it would eat the near-dup families and starve that stage.)
+    spans = substring_dup_spans(near_kept, "text", "doc_id", k=5)
+    heavy = spans.filter(
+        F.col("covered_tokens") * 2 > F.col("n_tokens")
+    ).select("doc_id")
+    span_kept = near_kept.join(heavy, "doc_id", "left_anti")
+
+    # 4b. SemDeDup: embedding-level semantic duplicates (paraphrases the
+    #     token-level stages cannot see).  The synthetic fixture keys
+    #     embeddings by the same id space as documents.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = [_seeded_vec(64, s) for s in SEM_CENTROIDS_SEEDS]
+    sem = semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.35)
+    sem_kept = span_kept.join(
+        sem.filter(F.col("dropped") == 1).select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
     # 5. decontaminate against a deterministic pseudo-benchmark
     benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-    decon = decontaminate(near_kept, benchmark, "text", "doc_id", k=5, min_hits=1)
-    final = near_kept.join(
+    decon = decontaminate(sem_kept, benchmark, "text", "doc_id", k=5, min_hits=1)
+    final = sem_kept.join(
         decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
     )
 
-    # 6. pack into training sequences; 7. split train/val/test
+    # 6. pack into training sequences; 7. split train/val/test;
+    # 8. deterministic global shuffle = the training read order
     packed = pack_sequences(final, "doc_id", "text", budget=BUDGET, num_buckets=4)
     split = hash_split(final, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
-    return docs, quality_kept, exact_kept, near_kept, final, packed, split
+    shuffled = global_shuffle(final.select("doc_id", "text"), "doc_id", seed=1)
+    return (
+        docs, quality_kept, exact_kept, near_kept, span_kept, sem_kept,
+        final, packed, split, shuffled,
+    )
 
 
 class TestCurationPipeline:
@@ -80,29 +116,38 @@ class TestCurationPipeline:
         return run_pipeline(spark, sf_dir)
 
     def test_stages_monotone_and_subset(self, flow):
-        docs, quality_kept, exact_kept, near_kept, final, _, _ = flow
-        counts = [df.count() for df in (docs, quality_kept, exact_kept, near_kept, final)]
-        assert counts[0] >= counts[1] >= counts[2] >= counts[3] >= counts[4] > 0
-        # every stage only FILTERS: ids remain a subset of the prior stage
+        filtering = flow[:7]  # docs .. final — each stage only removes rows
+        counts = [df.count() for df in filtering]
+        assert counts == sorted(counts, reverse=True)
+        assert counts[-1] > 0
         prev = None
-        for df in (docs, quality_kept, exact_kept, near_kept, final):
+        for df in filtering:
             ids = {r.doc_id for r in df.select("doc_id").collect()}
             if prev is not None:
                 assert ids <= prev
             prev = ids
 
     def test_near_dup_stage_really_dropped_a_duplicate(self, flow):
-        _, _, exact_kept, near_kept, _, _, _ = flow
+        exact_kept, near_kept, span_kept = flow[2], flow[3], flow[4]
         # the sf fixture plants organic near-dup families that survive the
         # exact stage; keep-best must remove at least their non-canonical
         # members, or the stage is a no-op and the test is vacuous
         assert near_kept.count() < exact_kept.count()
+        assert span_kept.count() <= near_kept.count()
+
+    def test_semantic_stage_really_dropped_a_duplicate(self, flow):
+        span_kept, sem_kept = flow[4], flow[5]
+        # the embedding fixture's planted similarity structure sits at
+        # cosine ~0.35+ (the dedup_embedding gate's threshold); at that
+        # ball at least one survivor of the token-level stages must fall
+        # to SemDeDup (else the stage is vacuously wired)
+        assert sem_kept.count() < span_kept.count()
 
     def test_pack_budget_invariant(self, flow):
-        *_, packed, _ = flow
+        final, packed = flow[6], flow[7]
         rows = packed.collect()
         assert {r.doc_id for r in rows} == {
-            r.doc_id for r in flow[4].select("doc_id").collect()
+            r.doc_id for r in final.select("doc_id").collect()
         }  # packing maps every final doc exactly once
         fills: dict[tuple, int] = {}
         for r in rows:
@@ -117,12 +162,20 @@ class TestCurationPipeline:
         assert set(over) <= singles, (over, singles)
 
     def test_split_partitions_the_final_set(self, flow):
-        *_, split = flow
+        split = flow[8]
         n = split.count()
         by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
         assert sum(by.values()) == n
         assert set(by) <= {"train", "val", "test"}
         assert by.get("train", 0) > 0.7 * n  # 90% weight, generous tolerance
+
+    def test_shuffle_is_a_permutation_of_the_final_set(self, flow):
+        final, shuffled = flow[6], flow[9]
+        rows = shuffled.collect()
+        assert sorted(r.pos for r in rows) == list(range(len(rows)))
+        assert {r.doc_id for r in rows} == {
+            r.doc_id for r in final.select("doc_id").collect()
+        }
 
     def test_pipeline_is_deterministic_end_to_end(self, spark, sf_dir, flow):
         import hashlib
@@ -139,9 +192,9 @@ class TestCurationPipeline:
                 pd.util.hash_pandas_object(pdf, index=False).values.tobytes()
             ).hexdigest()
 
-        *_, final1, packed1, split1 = run_pipeline(spark, sf_dir)
-        assert digest(final1) == digest(flow[4])
-        assert digest(packed1) == digest(flow[5])
-        assert digest(split1.select("doc_id", "split")) == digest(
-            flow[6].select("doc_id", "split")
+        rerun = run_pipeline(spark, sf_dir)
+        for i in (6, 7, 9):  # final, packed, shuffled
+            assert digest(rerun[i]) == digest(flow[i]), i
+        assert digest(rerun[8].select("doc_id", "split")) == digest(
+            flow[8].select("doc_id", "split")
         )

@@ -612,6 +612,8 @@ class TestEmptyInput:
         "text_decontaminate_bloom", "match_text_bm25", "q_events_sessions",
         "q_event_percentiles", "v_sparse_batch_inverted",
         "q_asof_purchase_click", "q_salted_join",
+        # round-5 additions: span dedup, SemDeDup GEMM, shuffle prefix scan
+        "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     ]
     GUARDED = {
         "text_decontaminate_semantic": "benchmark has no embeddings",
@@ -840,3 +842,34 @@ class TestSemanticDedup:
         # cluster 1 still dedups
         assert all(out[i] == 0 for i in range(20))
         assert out[100] == 0 and out[101] == 1
+
+
+class TestSemanticDedupLargeK:
+    def test_large_k_gemm_path_matches_native(self, spark):
+        """The >32-centroid Arrow GEMM argmax must agree with the native
+        sequential-dot argmax: pad the centroid list with never-winning
+        dummies (strongly negative dots for nonnegative vectors) so both
+        paths face the same effective clustering."""
+        from qdrant_datafusion_spark.operators.dedup import semantic_dedup
+
+        rng = random.Random(11)
+        rows = [
+            (i, [round(rng.uniform(0.0, 1.0), 4) for _ in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        real = [[1.0 if j == d else 0.1 for j in range(8)] for d in range(4)]
+        dummies = [[-1000.0] * 8 for _ in range(33)]
+        a = {
+            (r.vec_id, r.cluster, r.n_lower_dups, r.dropped)
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", real, threshold=0.98
+            ).collect()
+        }
+        b = {
+            (r.vec_id, r.cluster, r.n_lower_dups, r.dropped)
+            for r in semantic_dedup(
+                df, "embedding", "vec_id", real + dummies, threshold=0.98
+            ).collect()
+        }
+        assert a == b
