@@ -991,12 +991,13 @@ def substring_dup_spans(
     duplicated-text fraction a curation pass gates on.
 
     Plan shape (all shuffles linear in corpus token count):
-    1. shingle hashes explode to (id, pos, md5) rows — a narrow map,
+    1. shingle hashes explode to (id, pos, hash) rows — a narrow map,
        k-gram built JVM-side via ``transform(sequence(...))`` + ``slice``;
-    2. duplicated hashes = one groupBy on the 32-char hash (map-side
-       partial count; the shuffle carries hashes, never text);
-    3. flagged positions = shuffle join back on the hash;
-    4. interval merge = per-document window (``lag`` over pos): a start
+    2. flagged positions = ONE shuffle on the hash + a per-hash window
+       count > 1 (the groupBy-then-join-back form computes the whole
+       shingle subtree twice — the window form shuffles the same rows
+       once and never rescans);
+    3. interval merge = per-document window (``lag`` over pos): a start
        contributes ``min(k, pos - prev_pos)`` new covered tokens — the
        closed-form union of sorted fixed-length intervals, no iterative
        merging.
@@ -1021,8 +1022,11 @@ def substring_dup_spans(
             )
         ).alias("_pos", "_h"),
     )
-    dup = sh.groupBy("_h").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
-    flagged = sh.join(dup.select("_h"), "_h")
+    flagged = (
+        sh.withColumn("_c", F.count("*").over(Window.partitionBy("_h")))
+        .filter(F.col("_c") > 1)
+        .drop("_c")
+    )
     w = Window.partitionBy("_id").orderBy("_pos")
     cov = flagged.withColumn(
         "_new",

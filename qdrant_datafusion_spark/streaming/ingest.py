@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -253,6 +255,131 @@ def stream_near_dup_ingest(
             )
         # 3. novel docs out; their signatures into the store — both keyed
         # by batch id so a replayed batch overwrites itself (idempotent)
+        def sink(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        sink(batch, out_dir)
+        sink(buckets, store_dir)
+
+    return (
+        points.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_semantic_ingest(
+    points: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_planes: Sequence[Sequence[float]] | None = None,
+    tables: int = 4,
+    threshold: float = 0.95,
+) -> StreamingQuery:
+    """Ingest-time SEMANTIC dedup — the embedding sibling of
+    :func:`stream_near_dup_ingest`: each micro-batch is hyperplane-LSH
+    checked against the vector store of everything already accepted;
+    only semantically novel rows (no accepted vector within the cosine
+    ``threshold`` ball) append to ``out_dir``, and their (id, vector,
+    bucket) rows extend the store for later batches.
+
+    Mechanics per batch (``foreachBatch``):
+
+    1. in-batch collapse via the batch operator
+       :func:`~qdrant_datafusion_spark.operators.dedup.embedding_near_dups`
+       with the same planes (keep the smallest id per near-pair);
+    2. survivors' LSH buckets join the store on the bucket key; the
+       exact sequential-fold cosine kernel verifies candidates inside
+       the join (the store carries vectors, so no second lookup);
+    3. novel rows and their bucket signatures append, both
+       ``_batch_id``-partitioned with dynamic overwrite — a replayed
+       batch overwrites itself (idempotent, the at-least-once contract).
+
+    ``bucket_planes`` defaults to
+    :func:`~qdrant_datafusion_spark.operators.dedup.auto_bucket_planes`
+    sized for a million-row store — pass corpus-scaled planes at real
+    scale, exactly like the batch operator.  Every shuffle keys on the
+    bucket; vectors travel only store→join, never pairwise.
+    """
+    from qdrant_datafusion_spark.functions.distance import dot_product, norm
+    from qdrant_datafusion_spark.operators.dedup import (
+        _make_lsh_bucket_udf,
+        auto_bucket_planes,
+        embedding_near_dups,
+    )
+
+    # default planes need the vector dim — resolved lazily from the first
+    # non-null row of each batch rather than the stream schema (which a
+    # file source reports, but a socket/rate-shaped source may not)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        first = batch.select(vector_col).filter(F.col(vector_col).isNotNull()).take(1)
+        if not first:
+            return
+        planes = bucket_planes
+        if planes is None:
+            planes, _p = auto_bucket_planes(
+                1_000_000, len(first[0][0]), tables=tables
+            )
+        # 1. collapse in-batch semantic dups (keep the smallest id)
+        pairs = embedding_near_dups(
+            batch, vector_col, id_col, threshold=threshold,
+            bucket_planes=planes, tables=tables,
+        )
+        batch = batch.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        bucket_udf = _make_lsh_bucket_udf(planes, tables)
+
+        def buckets_of(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vector_col).alias("_v"),
+                F.explode(bucket_udf(F.col(vector_col))).alias("bucket"),
+            ).filter(F.col("_v").isNotNull())
+
+        buckets = buckets_of(batch)
+        # 2. check against the accepted-history vector store
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_dir)
+        except AnalysisException:  # first batch: PATH_NOT_FOUND only —
+            store = None  # any other read failure must fail the batch
+        if store is not None:
+            cos = F.try_divide(
+                dot_product(F.col("_v"), F.col("_s_v")),
+                norm(F.col("_v")) * norm(F.col("_s_v")),
+            )
+            dup_ids = (
+                buckets.join(
+                    store.select(
+                        F.col("_id").alias("_s_id"),
+                        F.col("_v").alias("_s_v"),
+                        "bucket",
+                    ),
+                    "bucket",
+                )
+                .filter(cos >= threshold)
+                .select(F.col("_id").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(dup_ids, id_col, "left_anti")
+            buckets = buckets_of(batch)
+        # 3. novel rows out; their vector signatures into the store
         def sink(df: DataFrame, path: str) -> None:
             (
                 df.withColumn("_batch_id", F.lit(int(batch_id)))

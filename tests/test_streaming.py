@@ -295,3 +295,54 @@ class TestStreamNearDupIngest:
         # the store now carries signatures for every accepted doc
         store_ids = {r._id for r in spark.read.parquet(store).collect()}
         assert store_ids == {1, 2, 12}
+
+
+class TestStreamSemanticIngest:
+    def test_cross_batch_semantic_dups_are_dropped(self, spark, tmp_path):
+        """Two file-source batches of embeddings: batch 2 carries a
+        near-identical vector of an accepted batch-1 row (cos > 0.99),
+        an exact copy, and a genuinely different vector — only the
+        different one survives; in-batch semantic dups also collapse."""
+        from qdrant_datafusion_spark.streaming.ingest import stream_semantic_ingest
+
+        def roww(vid, v):
+            return (vid, [float(x) for x in v])
+
+        base = [1.0, 0.0, 0.0, 0.0]
+        other = [0.0, 1.0, 0.0, 0.0]
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "vec_id long, embedding array<float>"
+
+        b1 = spark.createDataFrame([roww(1, base), roww(2, other)], schema)
+        b1.coalesce(1).write.mode("append").parquet(src)
+        q = stream_semantic_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            store, out, ckpt, threshold=0.99,
+        )
+        q.awaitTermination(120)
+        assert {r.vec_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+        near = [1.0, 0.02, 0.0, 0.0]          # cos ~0.9998 with base
+        novel = [0.0, 0.0, 1.0, 0.0]
+        b2 = spark.createDataFrame(
+            [
+                roww(10, near),               # semantic dup of 1 -> drop
+                roww(11, base),               # exact dup of 1 -> drop
+                roww(12, novel),
+                roww(13, [0.0, 0.0, 1.0, 0.01]),  # in-batch dup of 12 -> drop
+            ],
+            schema,
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q = stream_semantic_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            store, out, ckpt, threshold=0.99,
+        )
+        q.awaitTermination(120)
+        accepted = {r.vec_id for r in spark.read.parquet(out).collect()}
+        assert accepted == {1, 2, 12}
+        store_ids = {r._id for r in spark.read.parquet(store).collect()}
+        assert store_ids == {1, 2, 12}
