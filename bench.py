@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_substring",
     "dedup_semantic",
     "pipeline_global_shuffle",
+    "text_perplexity",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -126,6 +127,7 @@ SCALE_PATH = [
     "pipeline_pack_sequences",
     "v_sparse_batch_inverted",
     "text_decontaminate_bloom",
+    "text_perplexity",
 ]
 
 _SCALE_REPLICAS = 10

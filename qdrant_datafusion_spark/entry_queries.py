@@ -3849,12 +3849,77 @@ GROUP BY 1
 """
 
 
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): a bigram
+    LM trained on the corpus itself scores every document's average
+    token log-probability; documents split into 3 perplexity buckets
+    (1 = head / most fluent, 3 = tail).  The distributed shape — model
+    build by shrinking aggregation, model apply by broadcast join,
+    bucket by two-phase global rank — is exactly what a KenLM-scored
+    100 TB curation run does."""
+    from qdrant_datafusion_spark.operators.pipeline import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(docs, "text", "doc_id", n_buckets=3)
+
+
+#: mirrors lm_perplexity: add-one bigram LM, log-probs quantized to
+#: integer 1e-9 units (the double division of exact integers is
+#: IEEE-identical, so both engines round the same double), exact HALF_UP
+#: 9->6 weighted mean, bucket = (rank * 3) div total on (u6 DESC, id)
+TEXT_PERPLEXITY_SQL = f"""
+WITH t AS ({_TOKS_SQL}),
+big AS (
+  SELECT doc_id, u.bg[1] AS w1, u.bg[2] AS w2
+  FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 2) s,
+       unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS u(bg)
+),
+doc_big AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM big GROUP BY ALL),
+bgc AS (SELECT w1, w2, sum(cnt) AS c_bg FROM doc_big GROUP BY ALL),
+ctx AS (SELECT w1, sum(c_bg) AS c_w1 FROM bgc GROUP BY ALL),
+voc AS (
+  SELECT count(DISTINCT tok) AS V
+  FROM (SELECT w1 AS tok FROM bgc UNION SELECT w2 FROM bgc)
+),
+model AS (
+  SELECT w1, w2,
+         round(ln((c_bg + 1)::DOUBLE / (c_w1 + V)::DOUBLE) * 1e9)::BIGINT AS lp9
+  FROM bgc JOIN ctx USING (w1) CROSS JOIN voc
+),
+sc AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+         sum(cnt::HUGEINT * lp9) AS p
+  FROM doc_big JOIN model USING (w1, w2) GROUP BY doc_id
+),
+u AS (
+  SELECT doc_id, n_bigrams,
+         (CASE WHEN p < 0
+           THEN -((2 * abs(p) + n_bigrams::HUGEINT * 1000)
+                  // (2 * n_bigrams::HUGEINT * 1000))
+           ELSE ((2 * abs(p) + n_bigrams::HUGEINT * 1000)
+                 // (2 * n_bigrams::HUGEINT * 1000)) END)::BIGINT AS u6
+  FROM sc
+),
+pos AS (
+  SELECT doc_id, n_bigrams, u6,
+         row_number() OVER (ORDER BY u6 DESC, doc_id) - 1 AS pos,
+         count(*) OVER () AS total
+  FROM u
+)
+SELECT doc_id, n_bigrams, (u6 / 1000000.0) AS avg_logp,
+       ((pos * 3) // total + 1)::INT AS ppl_bucket
+FROM pos
+"""
+
+
 QUERIES["dedup_substring"] = dedup_substring
 ORACLES["dedup_substring"] = DEDUP_SUBSTRING_SQL
 QUERIES["dedup_semantic"] = dedup_semantic
 ORACLES["dedup_semantic"] = _semantic_oracle_sql()
 QUERIES["pipeline_global_shuffle"] = pipeline_global_shuffle
 ORACLES["pipeline_global_shuffle"] = PIPELINE_GLOBAL_SHUFFLE_SQL
+QUERIES["text_perplexity"] = text_perplexity
+ORACLES["text_perplexity"] = TEXT_PERPLEXITY_SQL
 
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
@@ -3892,7 +3957,7 @@ _RUN_FIRST = [
     #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
     #       slots went to the code-touched set above)
     "q_group_having", "q_semi_join", "q_anti_join", "q_case_boost",
-    "q_window_topk_per_group", "q_setops", "q_distinct_aggregates",
+    "q_window_topk_per_group", "q_distinct_aggregates",
     "q_rollup", "q_grouping_sets", "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
@@ -3906,7 +3971,11 @@ _RUN_FIRST = [
     # round 6: q14_promo_revenue / q_top_supplier_per_nation /
     # q_above_avg_orders — pure built-in Catalyst SQL shapes, r3-green,
     # code unchanged since.
+    # text_perplexity (bigram-LM quality buckets) is new too; q_setops
+    # (pure built-in Catalyst set ops, r3-green, code unchanged) yields
+    # its slot the same way.
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
+    "text_perplexity",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]

@@ -52,6 +52,7 @@ __all__ = [
     "chunk_documents",
     "token_budget_select",
     "decontaminate_bloom",
+    "lm_perplexity",
 ]
 
 
@@ -913,4 +914,171 @@ def decontaminate_bloom(
         totals.join(hits, id_col, "left")
         .withColumn("hits", F.coalesce("hits", F.lit(0).cast("long")))
         .withColumn("contaminated", F.col("hits") >= min_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity — corpus bigram-LM quality scoring (CCNet-style buckets)
+# ---------------------------------------------------------------------------
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    broadcast_model: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 shape): train a
+    bigram language model ON the corpus itself, score every document by
+    its average token log-probability, and split the corpus into
+    ``n_buckets`` perplexity buckets (1 = head / best, ``n_buckets`` =
+    tail).  Real pipelines score against a KenLM 5-gram trained on a
+    reference corpus; the self-trained bigram keeps the exact same
+    distributed shape (model-build aggregation + model-apply join) while
+    staying engine-mirrorable for the oracle gate.
+
+    Model: add-one-smoothed bigram conditional
+    ``p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)`` over whitespace tokens
+    (:func:`functions.text.tokens`); ``V`` = distinct tokens of the
+    bigram-eligible corpus.  Per-doc score = count-weighted mean of
+    ``ln p`` over its bigrams, computed exactly: each bigram's log-prob
+    is quantized once to integer 1e-9 units, doc sums are exact
+    decimal(38,0), and the 9→6-digit mean uses the repo's HALF_UP
+    integer division — bit-identical across engines regardless of
+    summation order (q1_pricing_summary's argument).
+
+    Scale:
+
+    - model build: one shuffle to (doc, w1, w2) counts, then strictly
+      shrinking aggregations (bigram counts, context counts, vocab) —
+      the 100 TB token stream is never re-shuffled.
+    - re-use, not re-derivation: ``doc_big`` feeds both the model build
+      and the scoring join, and ``bg_counts`` feeds three consumers
+      (model, contexts, vocab) — Catalyst shares no common subplans, so
+      without materialization the corpus would be scanned and exploded
+      four times.  ``materialize=True`` (default) lazily
+      ``localCheckpoint``-s the two shrinking intermediates once; the
+      token stream is read exactly once per run.
+    - model apply: broadcast hash join by default (a bigram model is
+      bounded by V² and Zipf-truncated in practice); pass
+      ``broadcast_model=False`` to let AQE pick a shuffle join when the
+      model outgrows the broadcast threshold.
+    - bucketing: NEVER a single-partition ``ntile`` window — global rank
+      comes from ``repartitionByRange`` + per-partition offsets (the
+      distributed two-phase scan of :func:`global_shuffle`), so no task
+      sorts more than ~N/partitions rows; the bucket is the exact
+      integer ``(rank * n_buckets) div total``.
+
+    Returns one row per document with ≥ 2 tokens: ``(id, n_bigrams,
+    avg_logp, ppl_bucket)`` — ``avg_logp`` at 6 decimals, higher = more
+    probable = lower perplexity; bucket 1 holds the highest-``avg_logp``
+    docs (ties broken by id, matching ``ORDER BY u6 DESC, id``).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).where(F.size("_toks") >= 2)
+    big = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2),"
+                " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    doc_big = big.groupBy(id_col, "_w1", "_w2").agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    if materialize:
+        doc_big = doc_big.localCheckpoint(eager=False)
+    bg_counts = doc_big.groupBy("_w1", "_w2").agg(
+        F.sum("_cnt").alias("_c_bg")
+    )
+    if materialize:
+        bg_counts = bg_counts.localCheckpoint(eager=False)
+    ctx = bg_counts.groupBy("_w1").agg(F.sum("_c_bg").alias("_c_w1"))
+    vocab = (
+        bg_counts.select(F.col("_w1").alias("_t"))
+        .union(bg_counts.select(F.col("_w2").alias("_t")))
+        .agg(F.countDistinct("_t").alias("_V"))
+    )
+    # log-prob in integer 1e-9 units: the double division of exact
+    # integers is IEEE-identical in every engine, so both sides round
+    # the same double; everything after this line is exact integer math
+    model = (
+        bg_counts.join(ctx, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_w1",
+            "_w2",
+            F.round(
+                F.log(
+                    (F.col("_c_bg") + 1).cast("double")
+                    / (F.col("_c_w1") + F.col("_V")).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("_lp9"),
+        )
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    scored = (
+        doc_big.join(model, ["_w1", "_w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_cnt") * F.col("_lp9"))
+            .cast("decimal(38,0)")
+            .alias("_p"),
+        )
+    )
+    # HALF_UP 9 -> 6 digits, weighted by n_bigrams (exact: see _avg_round6)
+    q = F.col("n_bigrams").cast("decimal(38,0)") * F.lit(1000)
+    a = F.abs(F.col("_p")) * 2 + q
+    b = q * 2
+    absr = ((a - a % b) / b).cast("decimal(38,0)")
+    u6 = F.when(F.col("_p") < 0, -absr).otherwise(absr).cast("long")
+    scored = scored.select(id_col, "n_bigrams", u6.alias("_u6"))
+
+    # exact global rank without a single-task sort: range-partition on
+    # the sort key, then rank = partition offset + within-partition
+    # row_number (partition boundaries don't affect the result)
+    ranked = scored.repartitionByRange(
+        F.col("_u6").desc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = (
+        SqlWindow.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_n").over(SqlWindow.partitionBy(F.lit(0))).alias("_total"),
+    )
+    w_in = SqlWindow.partitionBy("_pid").orderBy(
+        F.col("_u6").desc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_pos",
+            (F.col("_offset") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_u6").cast("double") / F.lit(1e6)).alias("avg_logp"),
+            (
+                F.expr(f"(_pos * {int(n_buckets)}) div _total") + 1
+            )
+            .cast("int")
+            .alias("ppl_bucket"),
+        )
     )

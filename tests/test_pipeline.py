@@ -615,3 +615,104 @@ class TestGlobalShuffle:
         out = global_shuffle(df, "doc_id")
         assert set(out.columns) == {"doc_id", "text", "pos"}
         assert sorted(r.pos for r in out.collect()) == [0, 1]
+
+
+class TestLmPerplexity:
+    """lm_perplexity — CCNet-style bigram-LM quality bucketing."""
+
+    CORPUS = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),          # twin of 0: same score
+        (2, "the the the the the the the the"), # repeated common bigram
+        (3, "zq xv qj wk pz kv"),               # all-rare bigrams: tail
+        (4, "the cat"),                         # single bigram
+        (5, "solo"),                            # < 2 tokens: excluded
+    ]
+
+    def _run(self, spark, n_buckets=3, **kw):
+        from qdrant_datafusion_spark.operators.pipeline import lm_perplexity
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in lm_perplexity(
+                df, "text", "doc_id", n_buckets=n_buckets, **kw
+            ).collect()
+        }
+
+    @staticmethod
+    def _py_reference(corpus):
+        """Independent python bigram-LM: returns doc_id -> (n, avg_lp9)."""
+        import math
+        from collections import Counter
+
+        docs = {
+            i: [t for t in txt.lower().split() if t] for i, txt in corpus
+        }
+        bgs = {
+            i: list(zip(ts, ts[1:])) for i, ts in docs.items() if len(ts) >= 2
+        }
+        c_bg = Counter(b for bs in bgs.values() for b in bs)
+        c_w1 = Counter(b[0] for bs in bgs.values() for b in bs)
+        vocab = {w for b in c_bg for w in b}
+        V = len(vocab)
+        lp9 = {
+            b: round(math.log((c + 1) / (c_w1[b[0]] + V)) * 1e9)
+            for b, c in c_bg.items()
+        }
+        out = {}
+        for i, bs in bgs.items():
+            p = sum(lp9[b] for b in bs)
+            n = len(bs)
+            # HALF_UP 9 -> 6 via exact integer arithmetic
+            q = n * 1000
+            a = 2 * abs(p) + q
+            u6 = (a - a % (2 * q)) // (2 * q)
+            out[i] = (n, -u6 if p < 0 else u6)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        got = self._run(spark)
+        ref = self._py_reference(self.CORPUS)
+        assert set(got) == set(ref)  # doc 5 excluded
+        for i, (n, u6) in ref.items():
+            assert got[i].n_bigrams == n
+            assert got[i].avg_logp == pytest.approx(u6 / 1e6, abs=1e-12)
+
+    def test_buckets_rank_fluency(self, spark):
+        got = self._run(spark)
+        # twins score identically; the common-bigram docs beat the
+        # all-rare doc 3, which must land in the last bucket
+        assert got[0].avg_logp == got[1].avg_logp
+        assert got[3].avg_logp == min(r.avg_logp for r in got.values())
+        assert got[3].ppl_bucket == 3
+        assert min(r.ppl_bucket for r in got.values()) == 1
+        # bucket sizes = ntile split of 5 docs into 3: 2 / 2 / 1
+        from collections import Counter
+
+        sizes = Counter(r.ppl_bucket for r in got.values())
+        assert sorted(sizes.values(), reverse=True) == [2, 2, 1]
+
+    def test_layout_and_broadcast_independent(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import lm_perplexity
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        a = {
+            (r.doc_id, r.n_bigrams, r.avg_logp, r.ppl_bucket)
+            for r in lm_perplexity(df, "text", "doc_id").collect()
+        }
+        b = {
+            (r.doc_id, r.n_bigrams, r.avg_logp, r.ppl_bucket)
+            for r in lm_perplexity(
+                df.repartition(7), "text", "doc_id", broadcast_model=False
+            ).collect()
+        }
+        assert a == b
+
+    def test_single_bucket_and_validation(self, spark):
+        import pytest as _pytest
+
+        got = self._run(spark, n_buckets=1)
+        assert {r.ppl_bucket for r in got.values()} == {1}
+        with _pytest.raises(ValueError):
+            self._run(spark, n_buckets=0)
