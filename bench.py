@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_semantic",
     "pipeline_global_shuffle",
     "text_perplexity",
+    "q_events_funnel",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

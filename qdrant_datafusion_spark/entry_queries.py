@@ -3922,6 +3922,66 @@ QUERIES["text_perplexity"] = text_perplexity
 ORACLES["text_perplexity"] = TEXT_PERPLEXITY_SQL
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users who
+    performed each stage strictly after their earliest qualifying
+    previous-stage event, with per-stage conversion ratios (exact
+    HALF_UP at 6 decimals).  One keyed join + groupBy per stage — see
+    operators.temporal.funnel_stages for the scale argument."""
+    from qdrant_datafusion_spark.operators.temporal import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    base = funnel_stages(ev, ["view", "click", "purchase"])
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("users").over(w)
+    first = F.first("users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "stage_idx",
+        "stage",
+        "users",
+        F.coalesce(
+            _ratio_round6(F.col("users"), prev), F.lit(1.0)
+        ).alias("conv_prev"),
+        _ratio_round6(F.col("users"), first).alias("conv_start"),
+    )
+
+
+_FUNNEL_PREV = "lag(users) OVER (ORDER BY stage_idx)"
+_FUNNEL_FIRST = "first_value(users) OVER (ORDER BY stage_idx)"
+Q_EVENTS_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+c AS (
+  SELECT 1 AS stage_idx, 'view' AS stage,
+         (SELECT count(*) FROM s1) AS users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT stage_idx::INT AS stage_idx, stage, users::BIGINT AS users,
+       coalesce({_ratio6_sql("users", _FUNNEL_PREV)}, 1.0) AS conv_prev,
+       {_ratio6_sql("users", _FUNNEL_FIRST)} AS conv_start
+FROM c
+"""
+
+
+QUERIES["q_events_funnel"] = q_events_funnel
+ORACLES["q_events_funnel"] = Q_EVENTS_FUNNEL_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -3957,7 +4017,7 @@ _RUN_FIRST = [
     #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
     #       slots went to the code-touched set above)
     "q_group_having", "q_semi_join", "q_anti_join", "q_case_boost",
-    "q_window_topk_per_group", "q_distinct_aggregates",
+    "q_window_topk_per_group",
     "q_rollup", "q_grouping_sets", "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
@@ -3971,11 +4031,12 @@ _RUN_FIRST = [
     # round 6: q14_promo_revenue / q_top_supplier_per_nation /
     # q_above_avg_orders — pure built-in Catalyst SQL shapes, r3-green,
     # code unchanged since.
-    # text_perplexity (bigram-LM quality buckets) is new too; q_setops
-    # (pure built-in Catalyst set ops, r3-green, code unchanged) yields
-    # its slot the same way.
+    # text_perplexity (bigram-LM quality buckets) and q_events_funnel
+    # (ordered-conversion funnel) are new too; q_setops and
+    # q_distinct_aggregates (pure built-in Catalyst shapes, r3-green,
+    # code unchanged) yield their slots the same way.
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
-    "text_perplexity",
+    "text_perplexity", "q_events_funnel",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["as_of_join", "interval_join"]
+__all__ = ["as_of_join", "interval_join", "funnel_stages"]
 
 
 def as_of_join(
@@ -149,3 +149,67 @@ def interval_join(
     proj = [F.col(f"__pts.{c}") for c in points.columns]
     proj += [F.col(f"__ivl.{c}") for c in intervals.columns if c not in by_cols]
     return joined.select(*proj)
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap: Column | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users progress through
+    ``stages`` in strict timestamp order (stage *i+1*'s event must be
+    STRICTLY after the user's earliest qualifying stage-*i* event, and —
+    with ``max_gap`` — within that gap of it).
+
+    The per-user state is the earliest qualifying timestamp of the
+    current stage; each stage is ONE keyed equi-join against that state
+    plus a groupBy — never a window over a user's whole history, so a
+    100 TB event log pays S keyed shuffles of the (shrinking) qualifying
+    stream and nothing pairwise.  Stage states are lazily
+    ``localCheckpoint``-ed (``materialize``) so counting stage *i* does
+    not recompute stages 1..i-1 — the standard lineage-truncation move
+    for iterative DataFrame chains.
+
+    Returns one row per stage: ``(stage_idx, stage, users)`` with
+    ``stage_idx`` 1-based; ratios are left to the caller (they need the
+    caller's rounding policy).
+
+    ``max_gap``: a Column interval (e.g. ``F.expr("INTERVAL 7 DAYS")``)
+    bounding ``t_next - t_prev``; ``None`` = unbounded.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    spark = events.sparkSession
+    cur: DataFrame | None = None
+    per_stage: list[DataFrame] = []
+    for idx, st in enumerate(stages):
+        ev = events.where(F.col(type_col) == st).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        if cur is None:
+            nxt = ev.groupBy("_u").agg(F.min("_t").alias("_t"))
+        else:
+            j = ev.join(
+                cur.select("_u", F.col("_t").alias("_pt")), "_u"
+            ).where(F.col("_t") > F.col("_pt"))
+            if max_gap is not None:
+                j = j.where(F.col("_t") <= F.col("_pt") + max_gap)
+            nxt = j.groupBy("_u").agg(F.min("_t").alias("_t"))
+        if materialize:
+            nxt = nxt.localCheckpoint(eager=False)
+        cur = nxt
+        per_stage.append(
+            cur.agg(F.count("*").cast("long").alias("users")).select(
+                F.lit(idx + 1).cast("int").alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                "users",
+            )
+        )
+    out = per_stage[0]
+    for s in per_stage[1:]:
+        out = out.unionByName(s)
+    return out

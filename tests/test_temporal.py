@@ -182,3 +182,55 @@ class TestIntervalJoinMultiKey:
         )
         rows = interval_join(points, iv, by=["user_id", "region"]).collect()
         assert [(r.tag, r.win) for r in rows] == [("a", "w-eu")]
+
+
+class TestFunnelStages:
+    """funnel_stages — ordered conversion funnel."""
+
+    @staticmethod
+    def _events(spark, rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-0{d} 00:00:00", t) for u, d, t in rows],
+            "user_id long, ts string, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def _run(self, spark, rows, stages=("a", "b", "c"), **kw):
+        from qdrant_datafusion_spark.operators.temporal import funnel_stages
+
+        out = funnel_stages(self._events(spark, rows), list(stages), **kw)
+        return {r.stage: r.users for r in out.collect()}
+
+    def test_strict_order_required(self, spark):
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),   # full conversion
+            (2, 2, "a"), (2, 1, "b"),                 # b BEFORE a: no stage 2
+            (3, 1, "a"), (3, 1, "b"),                 # same ts: strict > fails
+            (4, 1, "b"), (4, 2, "c"),                 # never entered stage 1
+        ]
+        got = self._run(spark, rows)
+        assert got == {"a": 3, "b": 1, "c": 1}
+
+    def test_earliest_qualifying_timestamp_carries(self, spark):
+        # user 1 has a second later, the chain must use the EARLIEST a
+        rows = [(1, 1, "a"), (1, 5, "a"), (1, 2, "b"), (1, 3, "c")]
+        got = self._run(spark, rows)
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_max_gap(self, spark):
+        rows = [
+            (1, 1, "a"), (1, 2, "b"),   # 1-day gap: within
+            (2, 1, "a"), (2, 5, "b"),   # 4-day gap: outside 2 days
+        ]
+        got = self._run(
+            spark, rows, stages=("a", "b"),
+            max_gap=F.expr("INTERVAL 2 DAYS"),
+        )
+        assert got == {"a": 2, "b": 1}
+
+    def test_empty_and_validation(self, spark):
+        import pytest as _pytest
+
+        got = self._run(spark, [(1, 1, "a")], stages=("a", "zzz"))
+        assert got == {"a": 1, "zzz": 0}
+        with _pytest.raises(ValueError):
+            self._run(spark, [(1, 1, "a")], stages=())
