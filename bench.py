@@ -91,6 +91,7 @@ HEADLINE = [
     "pipeline_global_shuffle",
     "text_perplexity",
     "q_events_funnel",
+    "graph_pagerank",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

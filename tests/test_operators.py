@@ -873,3 +873,72 @@ class TestSemanticDedupLargeK:
             ).collect()
         }
         assert a == b
+
+
+class TestPageRank:
+    """operators.graph.pagerank — integer fixed-point PageRank."""
+
+    EDGES = [(1, 2), (2, 3), (3, 1), (1, 3)]
+
+    @staticmethod
+    def _reference(edges, iters, units=10**9, d=85):
+        def hu(a, b):
+            return (2 * a + b) // (2 * b)
+
+        nodes = sorted({n for e in edges for n in e})
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        N = len(nodes)
+        r = {n: hu(units, N) for n in nodes}
+        for _ in range(iters):
+            s_in = {n: 0 for n in nodes}
+            for a, b in edges:
+                s_in[b] += hu(r[a], deg[a])
+            r = {
+                n: hu((100 - d) * units, 100 * N) + hu(d * s_in[n], 100)
+                for n in nodes
+            }
+        return r
+
+    def _run(self, spark, edges, **kw):
+        from qdrant_datafusion_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.rank_units for r in pagerank(df, **kw).collect()}
+
+    def test_matches_integer_reference(self, spark):
+        for iters in (0, 1, 3):
+            got = self._run(spark, self.EDGES, iters=iters, materialize=False)
+            assert got == self._reference(self.EDGES, iters)
+
+    def test_mass_conserved_no_dangling(self, spark):
+        got = self._run(spark, self.EDGES, iters=3)
+        # every node has out-edges: total mass stays ~1 (quantization only)
+        assert abs(sum(got.values()) - 10**9) <= len(got)
+
+    def test_dangling_node_documented_leak(self, spark):
+        # node 3 has no out-edges: its mass leaves circulation
+        edges = [(1, 2), (2, 3), (1, 3)]
+        got = self._run(spark, edges, iters=2, materialize=False)
+        assert got == self._reference(edges, 2)
+        assert sum(got.values()) < 10**9
+
+    def test_layout_and_materialize_independent(self, spark):
+        from qdrant_datafusion_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = {r.node: r.rank_units for r in pagerank(df, iters=3).collect()}
+        b = {
+            r.node: r.rank_units
+            for r in pagerank(
+                df.repartition(5), iters=3, materialize=False
+            ).collect()
+        }
+        assert a == b
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            self._run(spark, self.EDGES, iters=-1)
+        with pytest.raises(ValueError):
+            self._run(spark, self.EDGES, damping_pct=101)
