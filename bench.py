@@ -92,6 +92,7 @@ HEADLINE = [
     "text_perplexity",
     "q_events_funnel",
     "graph_pagerank",
+    "v_search_mmr",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

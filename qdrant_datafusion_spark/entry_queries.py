@@ -4048,6 +4048,69 @@ QUERIES["graph_pagerank"] = graph_pagerank
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 
 
+def v_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-10 (λ=0.7) against the shared literal query —
+    the diversity-aware sibling of v_search_topk: picks trade relevance
+    against max-similarity to the already-picked set, all-integer
+    argmax so the unrolled DuckDB oracle matches exactly.  See
+    operators.ann.mmr_select for the scale/driver-state argument."""
+    from qdrant_datafusion_spark.operators.ann import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    picks = mmr_select(
+        emb, "embedding", "vec_id", QUERY_VEC, k=10, lambda_pct=70
+    )
+    return spark.createDataFrame(
+        picks, "rank int, vec_id long, mmr_units long"
+    )
+
+
+def _mmr_oracle_sql(k: int = 10, lp: int = 70, units: int = 10**6) -> str:
+    """Unrolled greedy-MMR oracle mirroring mmr_select's integer argmax."""
+    mu = 100 - lp
+
+    def cos_u(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))) * {units})::BIGINT"
+        )
+
+    sql = f"""
+WITH q AS (SELECT {_sql_array(QUERY_VEC)}::DOUBLE[] AS qv),
+cand AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {cos_u('embedding::DOUBLE[]', 'qv')} AS rel_u
+  FROM embeddings, q
+  WHERE embedding IS NOT NULL
+),
+s1 AS (
+  SELECT id, v, ({lp} * rel_u)::BIGINT AS mmr_u
+  FROM cand ORDER BY mmr_u DESC, id LIMIT 1
+),
+sel1 AS (SELECT id, v FROM s1)"""
+    for i in range(2, k + 1):
+        sql += f""",
+s{i} AS (
+  SELECT c.id, c.v,
+         ({lp} * c.rel_u - {mu} * max({cos_u('c.v', 's.v')}))::BIGINT AS mmr_u
+  FROM cand c CROSS JOIN sel{i - 1} s
+  WHERE c.id NOT IN (SELECT id FROM sel{i - 1})
+  GROUP BY c.id, c.v, c.rel_u
+  ORDER BY mmr_u DESC, c.id LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT id, v FROM sel{i - 1} UNION ALL SELECT id, v FROM s{i})"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT {i}::INT AS rank, id AS vec_id, mmr_u AS mmr_units FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return sql
+
+
+QUERIES["v_search_mmr"] = v_search_mmr
+ORACLES["v_search_mmr"] = _mmr_oracle_sql()
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -4084,7 +4147,7 @@ _RUN_FIRST = [
     #       slots went to the code-touched set above)
     "q_group_having", "q_semi_join", "q_anti_join", "q_case_boost",
     "q_window_topk_per_group",
-    "q_grouping_sets", "v_search_dot_topk", "v_within_radius",
+    "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
     # (match_text_tfidf yielded its slot to the new dedup_keep_best gate:
@@ -4101,9 +4164,12 @@ _RUN_FIRST = [
     # (ordered-conversion funnel) and graph_pagerank (integer
     # fixed-point kNN-graph centrality) are new too; q_setops,
     # q_distinct_aggregates and q_rollup (pure built-in Catalyst
-    # shapes, r3-green, code unchanged) yield their slots the same way.
+    # shapes, r3-green, code unchanged) yield their slots the same
+    # way, as do q_grouping_sets (for v_search_mmr, the MMR diverse
+    # top-k).
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     "text_perplexity", "q_events_funnel", "graph_pagerank",
+    "v_search_mmr",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]

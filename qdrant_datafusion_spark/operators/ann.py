@@ -414,3 +414,84 @@ def train_ivf_centroids(
             for c in range(k)
         ]
     return centroids
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query: Sequence[float] | None = None,
+    k: int = 10,
+    lambda_pct: int = 70,
+    units: int = 10**6,
+) -> list[tuple]:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    1998) — the diversity-aware data-selection step: greedily pick the
+    candidate maximizing ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)``
+    so the returned set is both relevant to ``query`` and mutually
+    non-redundant (a plain top-k returns near-duplicate clusters).
+
+    Exactness — engine-portable by the same trick as
+    :func:`operators.graph.pagerank`: relevance and pairwise cosines are
+    quantized ONCE to integer ``units`` (``round(cos * units)``) and the
+    MMR objective is the all-integer
+    ``lambda_pct·rel_u − (100−lambda_pct)·max_sim_u``; the argmax orders
+    by ``(mmr_u DESC, id ASC)``, so selection is deterministic and the
+    unrolled DuckDB oracle matches exactly.
+
+    Scale: the relevance pass is one narrow scan (the native
+    sequential-fold cosine kernel), lazily ``localCheckpoint``-ed and
+    re-filtered per step; each of the ``k`` greedy steps is a
+    distributed argmax (``orderBy().limit(1)`` → TakeOrdered, no global
+    sort) against the ≤ ``k``-vector selected set held as plan
+    literals.  Driver state is ``k`` rows — the same bounded-collect
+    budget as IVF training (``ann.train_ivf_centroids``).  k Spark jobs
+    total; MMR is inherently sequential (each pick conditions the
+    next), so the latency floor is k small jobs, not one big one.
+
+    Returns a list of ``(rank, id, mmr_units)`` tuples (rank 1-based) —
+    a list, not a DataFrame, because the result IS driver state (k
+    rows); callers wanting a DataFrame wrap it with
+    ``spark.createDataFrame``.
+    """
+    if query is None:
+        raise ValueError("query vector is required")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError("lambda_pct must be in [0, 100]")
+    qv = [float(x) for x in query]
+    cand = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.round(v_search(vec_col, qv, "cosine") * units)
+        .cast("long")
+        .alias("_rel_u"),
+    ).localCheckpoint(eager=False)
+    mu = 100 - lambda_pct
+    picked: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    for step in range(k):
+        c = cand
+        if picked:
+            c = c.where(~F.col("_id").isin([p[1] for p in picked]))
+            sims = [
+                F.round(v_search("_v", sv, "cosine") * units).cast("long")
+                for sv in sel_vecs
+            ]
+            max_sim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            mmr_u = F.lit(lambda_pct) * F.col("_rel_u") - F.lit(mu) * max_sim
+        else:
+            mmr_u = F.lit(lambda_pct) * F.col("_rel_u")
+        rows = (
+            c.select("_id", "_v", mmr_u.cast("long").alias("_mmr_u"))
+            .orderBy(F.desc("_mmr_u"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break  # fewer than k candidates
+        r = rows[0]
+        picked.append((step + 1, r["_id"], r["_mmr_u"]))
+        sel_vecs.append([float(x) for x in r["_v"]])
+    return picked

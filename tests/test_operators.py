@@ -942,3 +942,87 @@ class TestPageRank:
             self._run(spark, self.EDGES, iters=-1)
         with pytest.raises(ValueError):
             self._run(spark, self.EDGES, damping_pct=101)
+
+
+class TestMmrSelect:
+    """operators.ann.mmr_select — integer-argmax diverse top-k."""
+
+    # query points along +x; a/b near-identical high-relevance pair,
+    # c orthogonal-ish, d negative
+    QUERY = [1.0, 0.0, 0.0, 0.0]
+    VECS = [
+        (0, [1.0, 0.1, 0.0, 0.0]),   # a: most relevant
+        (1, [1.0, 0.11, 0.0, 0.0]),  # b: near-duplicate of a
+        (2, [0.2, 1.0, 0.0, 0.0]),   # c: diverse, mildly relevant
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # d: anti-relevant
+    ]
+
+    def _run(self, spark, k=3, lambda_pct=70, **kw):
+        from qdrant_datafusion_spark.operators.ann import mmr_select
+
+        df = spark.createDataFrame(
+            self.VECS, "vec_id long, embedding array<double>"
+        )
+        return mmr_select(
+            df, "embedding", "vec_id", self.QUERY, k=k,
+            lambda_pct=lambda_pct, **kw
+        )
+
+    @classmethod
+    def _reference(cls, k, lp, units=10**6):
+        import math
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return dot / (na * nb)
+
+        def u(x):
+            # python round is half-even; mirror HALF-AWAY like both engines
+            return int(math.floor(abs(x * units) + 0.5)) * (1 if x >= 0 else -1)
+
+        cand = {i: v for i, v in cls.VECS}
+        rel = {i: u(cos(v, cls.QUERY)) for i, v in cand.items()}
+        picked, out = [], []
+        for step in range(k):
+            best = None
+            for i, v in cand.items():
+                if i in (p for p, _ in picked):
+                    continue
+                if picked:
+                    ms = max(u(cos(v, pv)) for _, pv in picked)
+                    m = lp * rel[i] - (100 - lp) * ms
+                else:
+                    m = lp * rel[i]
+                if best is None or m > best[1] or (m == best[1] and i < best[0]):
+                    best = (i, m)
+            picked.append((best[0], cand[best[0]]))
+            out.append((step + 1, best[0], best[1]))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        assert self._run(spark, k=3) == self._reference(3, 70)
+
+    def test_diversity_beats_redundancy(self, spark):
+        # diversity-heavy λ: pick 1 = most relevant (a); the near-dup b
+        # (cos≈0.99997 to a) must NOT appear in the top 3 at all
+        got = [vid for _, vid, _ in self._run(spark, k=3, lambda_pct=30)]
+        assert got[0] == 0
+        assert 1 not in got
+        assert got == self._reference_ids(3, 30)
+
+    @classmethod
+    def _reference_ids(cls, k, lp):
+        return [vid for _, vid, _ in cls._reference(k, lp)]
+
+    def test_lambda_100_is_pure_topk(self, spark):
+        got = [vid for _, vid, _ in self._run(spark, k=3, lambda_pct=100)]
+        assert got == [0, 1, 2]  # plain relevance order, dup and all
+
+    def test_early_stop_and_validation(self, spark):
+        assert len(self._run(spark, k=99)) == 4
+        with pytest.raises(ValueError):
+            self._run(spark, k=0)
+        with pytest.raises(ValueError):
+            self._run(spark, lambda_pct=101)
