@@ -1,4 +1,5 @@
-"""End-to-end curation pipeline: clean → quality-cut → exact dedup →
+"""End-to-end curation pipeline: clean → quality-cut → perplexity-gate →
+exact dedup →
 near-dup keep-best → substring-span gate → SemDeDup → decontaminate →
 pack → split → global shuffle.
 
@@ -28,6 +29,7 @@ from qdrant_datafusion_spark.operators.pipeline import (
     decontaminate,
     global_shuffle,
     hash_split,
+    lm_perplexity,
     pack_sequences,
     quality_percentile_filter,
 )
@@ -55,9 +57,18 @@ def run_pipeline(spark, sf_dir):
         scored, "q12", by="source", keep_frac=0.8
     )
 
+    # 2a. LM-perplexity gate (CCNet shape): corpus-trained bigram LM,
+    #     drop the worst-fluency decile (bucket 10 of 10).  Identical
+    #     texts score identically, so dup families live or die together
+    #     and later dedup stages stay exercised.
+    ppl = lm_perplexity(quality_kept, "text", "doc_id", n_buckets=10)
+    ppl_kept = quality_kept.join(
+        ppl.filter(F.col("ppl_bucket") < 10).select("doc_id"), "doc_id"
+    )
+
     # 3. exact dedup: keep one row per distinct normalized content
-    exact_ids = exact_dedup(quality_kept, "text", "doc_id").select("doc_id")
-    exact_kept = quality_kept.join(exact_ids, "doc_id")
+    exact_ids = exact_dedup(ppl_kept, "text", "doc_id").select("doc_id")
+    exact_kept = ppl_kept.join(exact_ids, "doc_id")
 
     # 4. near-dup keep-best: MinHash pairs → components → quality argmax
     pairs = minhash_lsh_dups(
@@ -105,8 +116,8 @@ def run_pipeline(spark, sf_dir):
     split = hash_split(final, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     shuffled = global_shuffle(final.select("doc_id", "text"), "doc_id", seed=1)
     return (
-        docs, quality_kept, exact_kept, near_kept, span_kept, sem_kept,
-        final, packed, split, shuffled,
+        docs, quality_kept, ppl_kept, exact_kept, near_kept, span_kept,
+        sem_kept, final, packed, split, shuffled,
     )
 
 
@@ -116,7 +127,7 @@ class TestCurationPipeline:
         return run_pipeline(spark, sf_dir)
 
     def test_stages_monotone_and_subset(self, flow):
-        filtering = flow[:7]  # docs .. final — each stage only removes rows
+        filtering = flow[:8]  # docs .. final — each stage only removes rows
         counts = [df.count() for df in filtering]
         assert counts == sorted(counts, reverse=True)
         assert counts[-1] > 0
@@ -128,7 +139,7 @@ class TestCurationPipeline:
             prev = ids
 
     def test_near_dup_stage_really_dropped_a_duplicate(self, flow):
-        exact_kept, near_kept, span_kept = flow[2], flow[3], flow[4]
+        exact_kept, near_kept, span_kept = flow[3], flow[4], flow[5]
         # the sf fixture plants organic near-dup families that survive the
         # exact stage; keep-best must remove at least their non-canonical
         # members, or the stage is a no-op and the test is vacuous
@@ -136,7 +147,7 @@ class TestCurationPipeline:
         assert span_kept.count() <= near_kept.count()
 
     def test_semantic_stage_really_dropped_a_duplicate(self, flow):
-        span_kept, sem_kept = flow[4], flow[5]
+        span_kept, sem_kept = flow[5], flow[6]
         # the embedding fixture's planted similarity structure sits at
         # cosine ~0.35+ (the dedup_embedding gate's threshold); at that
         # ball at least one survivor of the token-level stages must fall
@@ -144,7 +155,7 @@ class TestCurationPipeline:
         assert sem_kept.count() < span_kept.count()
 
     def test_pack_budget_invariant(self, flow):
-        final, packed = flow[6], flow[7]
+        final, packed = flow[7], flow[8]
         rows = packed.collect()
         assert {r.doc_id for r in rows} == {
             r.doc_id for r in final.select("doc_id").collect()
@@ -162,7 +173,7 @@ class TestCurationPipeline:
         assert set(over) <= singles, (over, singles)
 
     def test_split_partitions_the_final_set(self, flow):
-        split = flow[8]
+        split = flow[9]
         n = split.count()
         by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
         assert sum(by.values()) == n
@@ -170,7 +181,7 @@ class TestCurationPipeline:
         assert by.get("train", 0) > 0.7 * n  # 90% weight, generous tolerance
 
     def test_shuffle_is_a_permutation_of_the_final_set(self, flow):
-        final, shuffled = flow[6], flow[9]
+        final, shuffled = flow[7], flow[10]
         rows = shuffled.collect()
         assert sorted(r.pos for r in rows) == list(range(len(rows)))
         assert {r.doc_id for r in rows} == {
@@ -193,8 +204,8 @@ class TestCurationPipeline:
             ).hexdigest()
 
         rerun = run_pipeline(spark, sf_dir)
-        for i in (6, 7, 9):  # final, packed, shuffled
+        for i in (7, 8, 10):  # final, packed, shuffled
             assert digest(rerun[i]) == digest(flow[i]), i
-        assert digest(rerun[8].select("doc_id", "split")) == digest(
-            flow[8].select("doc_id", "split")
+        assert digest(rerun[9].select("doc_id", "split")) == digest(
+            flow[9].select("doc_id", "split")
         )
