@@ -93,6 +93,7 @@ HEADLINE = [
     "q_events_funnel",
     "graph_pagerank",
     "v_search_mmr",
+    "text_source_profile",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

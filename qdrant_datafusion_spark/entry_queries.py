@@ -4111,6 +4111,98 @@ QUERIES["v_search_mmr"] = v_search_mmr
 ORACLES["v_search_mmr"] = _mmr_oracle_sql()
 
 
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diagnostics — the "is this crawl worth keeping"
+    profile: document/token volume, type-token ratio (lexical
+    diversity), and exact Shannon token entropy in bits.  Entropy uses
+    the perplexity machinery's integer trick: per-token ``log2(c/N)``
+    quantized once to 1e-9 units, count-weighted sums exact in
+    decimal(38,0), HALF_UP 9→6 mean — engine-identical regardless of
+    summation order.  Plan: one explode → one (source, token) count
+    shuffle → strictly shrinking per-source aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    counts = tok.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    # lp9 = round(log2(c / N) * 1e9): the double division of exact longs
+    # is IEEE-identical cross-engine, so both sides round the same double
+    scored = counts.join(per_src, "source").select(
+        "source",
+        "c",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log2(F.col("c").cast("double") / F.col("n_tokens").cast("double"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("_lp9"),
+    )
+    agg = scored.groupBy("source", "n_tokens", "n_types").agg(
+        F.sum(F.col("c") * F.col("_lp9")).cast("decimal(38,0)").alias("_p")
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    # HALF_UP 9 -> 6 weighted by n_tokens; entropy = -mean(log2 p) >= 0
+    q = F.col("n_tokens").cast("decimal(38,0)") * F.lit(1000)
+    a = F.abs(F.col("_p")) * 2 + q
+    b = q * 2
+    u6 = ((a - a % b) / b).cast("decimal(38,0)")
+    return (
+        agg.join(n_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            _ratio_round6(F.col("n_types"), F.col("n_tokens")).alias("ttr"),
+            (u6.cast("double") / F.lit(1e6)).alias("entropy_bits"),
+        )
+    )
+
+
+TEXT_SOURCE_PROFILE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT source, unnest(toks) AS tk FROM t),
+counts AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY ALL),
+per_src AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+  FROM counts GROUP BY source
+),
+scored AS (
+  SELECT c.source, c.c, p.n_tokens, p.n_types,
+         round(log2(c.c::DOUBLE / p.n_tokens::DOUBLE) * 1e9)::BIGINT AS lp9
+  FROM counts c JOIN per_src p USING (source)
+),
+agg AS (
+  SELECT source, n_tokens, n_types,
+         sum(c::HUGEINT * lp9) AS p
+  FROM scored GROUP BY ALL
+),
+nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source)
+SELECT a.source, nd.n_docs, a.n_tokens, a.n_types,
+       {_ratio6_sql("a.n_types", "a.n_tokens")} AS ttr,
+       (((2 * abs(a.p) + a.n_tokens::HUGEINT * 1000)
+         // (2 * a.n_tokens::HUGEINT * 1000)) / 1000000.0) AS entropy_bits
+FROM agg a JOIN nd USING (source)
+"""
+
+
+QUERIES["text_source_profile"] = text_source_profile
+ORACLES["text_source_profile"] = TEXT_SOURCE_PROFILE_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -4145,7 +4237,7 @@ _RUN_FIRST = [
     # -- 3: refresh the r3-evidence set (v_batch_search,
     #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
     #       slots went to the code-touched set above)
-    "q_group_having", "q_semi_join", "q_anti_join", "q_case_boost",
+    "q_group_having", "q_semi_join", "q_anti_join",
     "q_window_topk_per_group",
     "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
@@ -4166,10 +4258,11 @@ _RUN_FIRST = [
     # q_distinct_aggregates and q_rollup (pure built-in Catalyst
     # shapes, r3-green, code unchanged) yield their slots the same
     # way, as do q_grouping_sets (for v_search_mmr, the MMR diverse
-    # top-k).
+    # top-k) and q_case_boost (for text_source_profile, the per-source
+    # TTR/entropy diagnostics).
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     "text_perplexity", "q_events_funnel", "graph_pagerank",
-    "v_search_mmr",
+    "v_search_mmr", "text_source_profile",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]
