@@ -41,6 +41,10 @@ DEFAULT_OPS = [
     "pipeline_global_shuffle",    # two-phase distributed position scan
     "dedup_substring",            # shingle-hash groupBy + join-back + lag union
     "dedup_semantic_autok",       # SemDeDup, cluster count scaled with corpus
+    "text_perplexity",            # checkpointed LM build + broadcast model apply
+    "q_events_funnel",            # per-stage keyed join chain over shrinking state
+    "text_source_profile",        # (source, token) count shuffle + shrinking aggs
+    "graph_pagerank_autoplanes",  # integer PageRank iterations over the LSH graph
 ]
 
 
@@ -137,6 +141,24 @@ def _dedup_semantic_autok(spark, sf_dir: str):
     return semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.35)
 
 
+def _graph_pagerank_autoplanes(spark, sf_dir: str):
+    """Probe-only production form of graph_pagerank: the gate builds
+    EXACT kNN edges (the quadratic oracle-literal tier); at scale the
+    edges come from the LSH-blocked graph (auto-scaled planes, same as
+    ann_knn_graph_autoplanes), so this row measures the PageRank
+    iteration machinery itself — per-iteration keyed edge join +
+    groupBy(dst) shuffle + lazy checkpoint — on a linearly-built
+    graph."""
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.graph import pagerank
+
+    edges = _ann_knn_graph_autoplanes(spark, sf_dir).select(
+        F.col("id").alias("src"), F.col("nbr_id").alias("dst")
+    )
+    return pagerank(edges, "src", "dst", iters=3)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -160,6 +182,7 @@ def main() -> None:
     probe_only = {
         "ann_knn_graph_autoplanes": _ann_knn_graph_autoplanes,
         "dedup_semantic_autok": _dedup_semantic_autok,
+        "graph_pagerank_autoplanes": _graph_pagerank_autoplanes,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]

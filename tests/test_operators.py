@@ -614,6 +614,10 @@ class TestEmptyInput:
         "q_asof_purchase_click", "q_salted_join",
         # round-5 additions: span dedup, SemDeDup GEMM, shuffle prefix scan
         "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
+        # round-5 additions: LM build/apply, funnel chain, integer
+        # pagerank, MMR greedy argmax, per-source entropy
+        "text_perplexity", "q_events_funnel", "graph_pagerank",
+        "v_search_mmr", "text_source_profile",
     ]
     GUARDED = {
         "text_decontaminate_semantic": "benchmark has no embeddings",
