@@ -94,6 +94,8 @@ HEADLINE = [
     "graph_pagerank",
     "v_search_mmr",
     "text_source_profile",
+    "pipeline_mix_temperature",
+    "q_value_histogram",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

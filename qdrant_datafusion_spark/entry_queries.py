@@ -4203,6 +4203,114 @@ QUERIES["text_source_profile"] = text_source_profile
 ORACLES["text_source_profile"] = TEXT_SOURCE_PROFILE_SQL
 
 
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (the α-sampling trick of
+    multilingual corpus assembly, UniMax-style): target share per lang ∝
+    n^α, α=0.5, so the head language (en) is downsampled and the tail
+    upsampled at constant total budget.  Rates are computed from counts
+    (bounded driver collect: one row per language), rounded to 6
+    decimals — the rounding is what makes the md5-coin threshold
+    bit-identical cross-engine — then applied by the zero-shuffle
+    :func:`operators.pipeline.mix_datasets` explode.  Output: per-lang
+    audit (input docs, rate, emitted rows)."""
+    from qdrant_datafusion_spark.operators.pipeline import (
+        mix_datasets,
+        temperature_rates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha=0.5)
+    mixed = mix_datasets(
+        docs, rates, source_col="lang", id_col="doc_id", seed="temp"
+    )
+    out = mixed.groupBy("lang").agg(F.count("*").cast("long").alias("n_emitted"))
+    base = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    rate_col = F.lit(None).cast("double")
+    for s, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == s, F.lit(r)).otherwise(rate_col)
+    return base.join(out, "lang").select(
+        "lang", "n_docs", rate_col.alias("rate"), "n_emitted"
+    )
+
+
+#: mirrors pipeline_mix_temperature: rate6 = round(sqrt(n)/z * total/n, 6)
+#: — the round-to-6 is what absorbs any last-ulp difference in the z
+#: summation order between engines; copies = floor(rate6) +
+#: (md5-prefix < frac(rate6) * 2^32 as 8-hex)
+PIPELINE_MIX_TEMPERATURE_SQL = """
+WITH cnt AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(n)::BIGINT AS total, sum(sqrt(n::DOUBLE)) AS z FROM cnt
+),
+rates AS (
+  SELECT lang, n,
+         round(sqrt(n::DOUBLE) / z * total::DOUBLE / n::DOUBLE, 6) AS rate
+  FROM cnt, tot
+),
+thresholds AS (
+  SELECT lang, n, rate,
+         floor(rate)::BIGINT AS whole,
+         lpad(lower(hex(least(trunc((rate - floor(rate)) * 4294967296.0),
+                              4294967295.0)::BIGINT)), 8, '0') AS coin_hex
+  FROM rates
+),
+emitted AS (
+  SELECT d.lang,
+         sum(t.whole
+             + CASE WHEN substring(md5(d.doc_id::VARCHAR || ':temp'), 1, 8)
+                         < t.coin_hex THEN 1 ELSE 0 END)::BIGINT AS n_emitted
+  FROM documents d JOIN thresholds t USING (lang)
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n AS n_docs, t.rate, e.n_emitted
+FROM thresholds t JOIN emitted e USING (lang)
+WHERE e.n_emitted > 0
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (20 buckets of 25 over
+    [0, 500)): the classic profiling aggregate.  Bucket arithmetic is
+    exact (floor of value/25 on identical doubles); per-bucket count +
+    min/max rounded to 6."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(25.0)).cast("long"), F.lit(19).cast("long")
+    )
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+Q_VALUE_HISTOGRAM_SQL = """
+SELECT least(floor(value / 25.0)::BIGINT, 19) AS bucket,
+       count(*)::BIGINT AS n,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUERIES["pipeline_mix_temperature"] = pipeline_mix_temperature
+ORACLES["pipeline_mix_temperature"] = PIPELINE_MIX_TEMPERATURE_SQL
+QUERIES["q_value_histogram"] = q_value_histogram
+ORACLES["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -4237,8 +4345,7 @@ _RUN_FIRST = [
     # -- 3: refresh the r3-evidence set (v_batch_search,
     #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
     #       slots went to the code-touched set above)
-    "q_group_having", "q_semi_join", "q_anti_join",
-    "q_window_topk_per_group",
+    "q_group_having", "q_semi_join",
     "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
@@ -4258,11 +4365,13 @@ _RUN_FIRST = [
     # q_distinct_aggregates and q_rollup (pure built-in Catalyst
     # shapes, r3-green, code unchanged) yield their slots the same
     # way, as do q_grouping_sets (for v_search_mmr, the MMR diverse
-    # top-k) and q_case_boost (for text_source_profile, the per-source
-    # TTR/entropy diagnostics).
+    # top-k), q_case_boost (for text_source_profile, the per-source
+    # TTR/entropy diagnostics), and q_anti_join / q_window_topk_per_group
+    # (for pipeline_mix_temperature + q_value_histogram).
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     "text_perplexity", "q_events_funnel", "graph_pagerank",
-    "v_search_mmr", "text_source_profile",
+    "v_search_mmr", "text_source_profile", "pipeline_mix_temperature",
+    "q_value_histogram",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]

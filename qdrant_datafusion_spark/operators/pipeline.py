@@ -53,6 +53,7 @@ __all__ = [
     "token_budget_select",
     "decontaminate_bloom",
     "lm_perplexity",
+    "temperature_rates",
 ]
 
 
@@ -1082,3 +1083,31 @@ def lm_perplexity(
             .alias("ppl_bucket"),
         )
     )
+
+
+def temperature_rates(
+    counts: Mapping[str, int], alpha: float = 0.5, budget_factor: float = 1.0
+) -> dict[str, float]:
+    """Temperature-scaled sampling rates from per-group counts — the
+    multilingual α-sampling rule (target share ∝ n^α): the head group is
+    downsampled, the tail upsampled, at a total budget of
+    ``budget_factor × Σn``.  α=1 → natural distribution (every rate ==
+    budget_factor); α=0 → uniform across groups.  Rates are rounded to 6
+    decimals so the md5-coin threshold derived from them is bit-identical
+    in any engine (the fractional part drives :func:`mix_datasets`'s
+    deterministic coin).  Feed the result straight to ``mix_datasets``.
+    """
+    if not counts:
+        return {}
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("counts must be non-negative")
+    total = sum(counts.values())
+    # fixed (sorted) summation order: python-side determinism; the
+    # round-to-6 below is what absorbs engine-side ulp differences
+    z = sum(n**alpha for n in sorted(counts.values()))
+    if z == 0:
+        return {s: 0.0 for s in counts}
+    return {
+        s: round((n**alpha) / z * total * budget_factor / n, 6) if n else 0.0
+        for s, n in counts.items()
+    }

@@ -716,3 +716,51 @@ class TestLmPerplexity:
         assert {r.ppl_bucket for r in got.values()} == {1}
         with _pytest.raises(ValueError):
             self._run(spark, n_buckets=0)
+
+
+class TestTemperatureRates:
+    """temperature_rates — α-sampling rates from group counts."""
+
+    COUNTS = {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64}
+
+    def test_alpha_one_is_natural(self):
+        from qdrant_datafusion_spark.operators.pipeline import temperature_rates
+
+        rates = temperature_rates(self.COUNTS, alpha=1.0)
+        assert all(r == 1.0 for r in rates.values())
+        rates2 = temperature_rates(self.COUNTS, alpha=1.0, budget_factor=2.0)
+        assert all(r == 2.0 for r in rates2.values())
+
+    def test_alpha_zero_is_uniform_share(self):
+        from qdrant_datafusion_spark.operators.pipeline import temperature_rates
+
+        rates = temperature_rates(self.COUNTS, alpha=0.0)
+        total = sum(self.COUNTS.values())
+        for s, n in self.COUNTS.items():
+            expected = round(total / len(self.COUNTS) / n, 6)
+            assert rates[s] == expected
+
+    def test_half_temperature_flattens_head(self):
+        from qdrant_datafusion_spark.operators.pipeline import temperature_rates
+
+        rates = temperature_rates(self.COUNTS, alpha=0.5)
+        # head (en) downsampled, tail (fr) upsampled; budget preserved
+        assert rates["en"] < 1.0 < rates["fr"]
+        emitted = sum(rates[s] * n for s, n in self.COUNTS.items())
+        assert abs(emitted - sum(self.COUNTS.values())) < 1.0
+        # smaller groups get strictly larger rates
+        ordered = sorted(self.COUNTS, key=self.COUNTS.get)
+        assert [rates[s] for s in ordered] == sorted(
+            (rates[s] for s in ordered), reverse=True
+        )
+
+    def test_edge_cases(self):
+        import pytest as _pytest
+
+        from qdrant_datafusion_spark.operators.pipeline import temperature_rates
+
+        assert temperature_rates({}) == {}
+        assert temperature_rates({"a": 0, "b": 0}) == {"a": 0.0, "b": 0.0}
+        assert temperature_rates({"a": 0, "b": 10}, alpha=0.5)["a"] == 0.0
+        with _pytest.raises(ValueError):
+            temperature_rates({"a": -1})
