@@ -398,3 +398,75 @@ def stream_semantic_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful streaming funnel: per user, the running conversion depth
+    through ``stages`` in strict timestamp order — the streaming twin of
+    :func:`operators.temporal.funnel_stages`.
+
+    State per user is one timestamp per REACHED stage — O(S) bounded
+    regardless of stream length.  Each micro-batch sorts its rows by
+    event time and advances the greedy chain: an event advances the
+    funnel iff it is the next stage's type and strictly later than the
+    previous stage's recorded time.  Processing in event-time order
+    makes the greedy advance exactly the batch operator's
+    earliest-qualifying-time semantics (the first stage-i event past
+    the stage-(i-1) time IS the minimum) — asserted by the
+    batch-equivalence test.  Late events older than an already-recorded
+    stage time cannot retroactively improve it (bounded state is the
+    trade; the batch operator is the replay tool when that matters).
+
+    Emits ``(user, depth, reached_ts)`` after every batch that touches
+    the user (update mode): current depth and the time the deepest
+    stage was reached.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    stage_of = {s: i for i, s in enumerate(stages)}
+    out_schema = f"{user_col} bigint, depth int, reached_ts timestamp"
+    state_schema = "times array<bigint>"  # epoch micros per reached stage
+
+    def update(key, pdfs, state):
+        times = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if et in stage_of and not pd.isna(ts):
+                    rows.append((pd.Timestamp(ts).value // 1000, et))
+        rows.sort()
+        for ts_us, et in rows:
+            depth = len(times)
+            if (
+                depth < len(stages)
+                and et == stages[depth]
+                and (depth == 0 or ts_us > times[-1])
+            ):
+                times.append(ts_us)
+        state.update((times,))
+        yield pd.DataFrame(
+            {
+                user_col: [int(key[0])],
+                "depth": [len(times)],
+                "reached_ts": [
+                    pd.Timestamp(times[-1] * 1000) if times else pd.NaT
+                ],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -346,3 +346,69 @@ class TestStreamSemanticIngest:
         assert accepted == {1, 2, 12}
         store_ids = {r._id for r in spark.read.parquet(store).collect()}
         assert store_ids == {1, 2, 12}
+
+
+class TestStreamingFunnel:
+    def test_cross_batch_progression_matches_batch_operator(self, spark, tmp_path):
+        from qdrant_datafusion_spark.operators.temporal import funnel_stages
+        from qdrant_datafusion_spark.streaming import streaming_funnel
+
+        stages = ["view", "click", "purchase"]
+        cols = "event_id long, ts string, user_id long, event_type string, value double, props string"
+        # user 1 converts fully but across batches; user 2's click arrives
+        # BEFORE its view (no progression past view); user 3 views only
+        batch1 = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+                (2, "2024-01-01 09:00:00", 2, "click", 0.0, "{}"),
+                (3, "2024-01-01 10:00:00", 3, "view", 0.0, "{}"),
+            ],
+            cols,
+        ).withColumn("ts", F.to_timestamp("ts"))
+        batch2 = spark.createDataFrame(
+            [
+                (4, "2024-01-01 10:05:00", 1, "click", 0.0, "{}"),
+                (5, "2024-01-01 10:06:00", 1, "purchase", 0.0, "{}"),
+                (6, "2024-01-01 10:00:00", 2, "view", 0.0, "{}"),
+                (7, "2024-01-01 10:07:00", 3, "error", 0.0, "{}"),
+            ],
+            cols,
+        ).withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "funnel_src")
+        batch1.coalesce(1).write.parquet(src)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_funnel(stream, stages)
+        rows = _run_to_memory(out, spark, "funnel_sink", "update").collect()
+        # last emission per user = final depth
+        final = {}
+        for r in rows:
+            final[r.user_id] = max(final.get(r.user_id, 0), r.depth)
+        # cross-batch: user 1's purchase in batch 2 builds on batch-1 view
+        assert final == {1: 3, 2: 1, 3: 1}
+
+        # equivalence with the batch operator over the full event set
+        all_events = batch1.unionByName(batch2)
+        batch_counts = {
+            r.stage_idx: r.users
+            for r in funnel_stages(all_events, stages).collect()
+        }
+        stream_counts = {
+            i: sum(1 for d in final.values() if d >= i)
+            for i in (1, 2, 3)
+        }
+        assert stream_counts == batch_counts
+
+    def test_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from qdrant_datafusion_spark.streaming import streaming_funnel
+
+        df = spark.readStream.schema(EVENT_SCHEMA).parquet(str(tmp_path))
+        with _pytest.raises(ValueError):
+            streaming_funnel(df, [])
