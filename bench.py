@@ -96,6 +96,7 @@ HEADLINE = [
     "text_source_profile",
     "pipeline_mix_temperature",
     "q_value_histogram",
+    "graph_trustrank",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

@@ -4044,8 +4044,86 @@ FROM {prev}
 """
 
 
+#: trusted seed set for graph_trustrank (first 10 vectors stand in for a
+#: hand-vetted corpus; deterministic, oracle-literal)
+TRUST_SEEDS = list(range(10))
+
+
+def graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (personalized PageRank, Gyöngyi et al. 2004): quality
+    propagation from a trusted seed set through the kNN similarity
+    graph — teleport mass goes only to seeds, so rank measures
+    proximity to the vetted corpus.  Same all-integer arithmetic as
+    graph_pagerank; top-50 by rank (rank desc, node asc) keeps the gate
+    output focused on the endorsed set."""
+    from qdrant_datafusion_spark.operators.ann import self_knn_join
+    from qdrant_datafusion_spark.operators.graph import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = self_knn_join(
+        emb, "embedding", "vec_id", k=5, block_size=256
+    ).select(F.col("id").alias("src"), F.col("nbr_id").alias("dst"))
+    out = pagerank(edges, "src", "dst", iters=3, seeds=TRUST_SEEDS)
+    return out.orderBy(F.desc("rank_units"), F.asc("node")).limit(50)
+
+
+def _trustrank_oracle_sql(
+    iters: int = 3, units: int = 10**9, d: int = 85
+) -> str:
+    """Unrolled personalized-PageRank oracle (seed-only teleport)."""
+    ns = len(TRUST_SEEDS)
+    seed_list = ", ".join(str(s) for s in TRUST_SEEDS)
+    r0 = (2 * units + ns) // (2 * ns)
+    base_num = (100 - d) * units
+    base = (2 * base_num + 100 * ns) // (200 * ns)
+    cte = f"""
+WITH scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+),
+rk AS (
+  SELECT id, nbr_id,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+  FROM scored
+),
+e AS (SELECT id AS s, nbr_id AS dd FROM rk WHERE rank <= 5),
+nodes AS (SELECT s AS n FROM e UNION SELECT dd FROM e),
+dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+st0 AS (
+  SELECT n, coalesce(deg, 0) AS deg,
+         CASE WHEN n IN ({seed_list}) THEN {r0} ELSE 0 END AS r
+  FROM nodes LEFT JOIN dg ON n = s
+)"""
+    prev = "st0"
+    for i in range(1, iters + 1):
+        cte += f""",
+st{i} AS (
+  SELECT p.n, p.deg,
+         CASE WHEN p.n IN ({seed_list}) THEN {base} ELSE 0 END
+         + (2 * {d} * coalesce(f.s_in, 0) + 100) // 200 AS r
+  FROM {prev} p LEFT JOIN (
+    SELECT e.dd, sum((2 * st.r + st.deg) // (2 * st.deg)) AS s_in
+    FROM e JOIN {prev} st ON e.s = st.n WHERE st.deg > 0 GROUP BY e.dd
+  ) f ON p.n = f.dd
+)"""
+        prev = f"st{i}"
+    return cte + f"""
+SELECT n AS node, r::BIGINT AS rank_units, (r / {float(units)}) AS pagerank
+FROM {prev}
+ORDER BY rank_units DESC, node ASC
+LIMIT 50
+"""
+
+
 QUERIES["graph_pagerank"] = graph_pagerank
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+QUERIES["graph_trustrank"] = graph_trustrank
+ORACLES["graph_trustrank"] = _trustrank_oracle_sql()
 
 
 def v_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4345,7 +4423,7 @@ _RUN_FIRST = [
     # -- 3: refresh the r3-evidence set (v_batch_search,
     #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
     #       slots went to the code-touched set above)
-    "q_group_having", "q_semi_join",
+    "q_group_having",
     "v_search_dot_topk", "v_within_radius",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
@@ -4366,12 +4444,13 @@ _RUN_FIRST = [
     # shapes, r3-green, code unchanged) yield their slots the same
     # way, as do q_grouping_sets (for v_search_mmr, the MMR diverse
     # top-k), q_case_boost (for text_source_profile, the per-source
-    # TTR/entropy diagnostics), and q_anti_join / q_window_topk_per_group
-    # (for pipeline_mix_temperature + q_value_histogram).
+    # TTR/entropy diagnostics), q_anti_join / q_window_topk_per_group
+    # (for pipeline_mix_temperature + q_value_histogram), and
+    # q_semi_join (for graph_trustrank, the seed-personalized twin).
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     "text_perplexity", "q_events_funnel", "graph_pagerank",
     "v_search_mmr", "text_source_profile", "pipeline_mix_temperature",
-    "q_value_histogram",
+    "q_value_histogram", "graph_trustrank",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]

@@ -45,6 +45,7 @@ def pagerank(
     damping_pct: int = 85,
     units: int = 10**9,
     materialize: bool = True,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """PageRank over an edge list; returns ``(node, rank_units, pagerank)``
     with ``rank_units`` the exact integer fixed-point mass (1/``units``
@@ -52,11 +53,21 @@ def pagerank(
 
     ``damping_pct`` is the damping factor in percent (85 = the classic
     0.85) so the damping arithmetic stays integer-exact.
+
+    ``seeds`` switches to PERSONALIZED PageRank (TrustRank, Gyöngyi et
+    al. 2004): the teleport vector is uniform over the seed set instead
+    of all nodes — initial mass and the ``(1-d)`` base term go only to
+    seeds, so rank measures proximity to the trusted set.  The curation
+    use: propagate quality from a hand-vetted seed corpus through the
+    similarity graph and keep what the seeds endorse.  Seeds are plan
+    literals (a vetted set is small); same integer arithmetic.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be None or non-empty")
     e = edges.select(
         F.col(src_col).cast("long").alias("_s"),
         F.col(dst_col).cast("long").alias("_d"),
@@ -75,13 +86,19 @@ def pagerank(
     # state: (node, out-degree, node count, rank units); r0 = HALF_UP
     # of units/N.  NOTE the count column is `_nn`, not `_N` — Spark
     # resolves names case-insensitively, so `_N` would collide with `_n`.
+    if seeds is None:
+        r0 = F.expr(f"(2 * {units}L + _nn) div (2 * _nn)")
+    else:
+        ns = len(seeds)
+        r0 = F.when(
+            F.col("_n").isin([int(x) for x in seeds]),
+            F.lit((2 * units + ns) // (2 * ns)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
     state = (
         nodes.join(deg, "_n", "left")
         .withColumn("_deg", F.coalesce("_deg", F.lit(0)))
         .crossJoin(F.broadcast(n_df))
-        .withColumn(
-            "_r", F.expr(f"(2 * {units}L + _nn) div (2 * _nn)")
-        )
+        .withColumn("_r", r0)
     )
     if materialize:
         state = state.localCheckpoint(eager=False)
@@ -101,6 +118,16 @@ def pagerank(
             .groupBy("_d")
             .agg(F.sum("_c").alias("_in"))
         )
+        if seeds is None:
+            base = F.expr(
+                f"(2 * {base_num}L + 100 * _nn) div (2 * 100 * _nn)"
+            )
+        else:
+            ns = len(seeds)
+            base = F.when(
+                F.col("_n").isin([int(x) for x in seeds]),
+                F.lit((2 * base_num + 100 * ns) // (200 * ns)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         state = (
             state.join(contrib, state["_n"] == contrib["_d"], "left")
             .select(
@@ -108,7 +135,7 @@ def pagerank(
                 "_deg",
                 "_nn",
                 (
-                    F.expr(f"(2 * {base_num}L + 100 * _nn) div (2 * 100 * _nn)")
+                    base
                     + F.expr(
                         f"(2 * {d} * coalesce(_in, 0L) + 100) div (2 * 100)"
                     )

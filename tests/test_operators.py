@@ -1030,3 +1030,64 @@ class TestMmrSelect:
             self._run(spark, k=0)
         with pytest.raises(ValueError):
             self._run(spark, lambda_pct=101)
+
+
+class TestTrustRank:
+    """pagerank(seeds=...) — personalized teleport (TrustRank)."""
+
+    EDGES = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+
+    @staticmethod
+    def _reference(edges, iters, seeds, units=10**9, d=85):
+        def hu(a, b):
+            return (2 * a + b) // (2 * b)
+
+        nodes = sorted({n for e in edges for n in e})
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        ns = len(seeds)
+        r = {n: (hu(units, ns) if n in seeds else 0) for n in nodes}
+        for _ in range(iters):
+            s_in = {n: 0 for n in nodes}
+            for a, b in edges:
+                if deg.get(a):
+                    s_in[b] += hu(r[a], deg[a])
+            r = {
+                n: (hu((100 - d) * units, 100 * ns) if n in seeds else 0)
+                + hu(d * s_in[n], 100)
+                for n in nodes
+            }
+        return r
+
+    def test_matches_integer_reference(self, spark):
+        from qdrant_datafusion_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for seeds in ([1], [1, 4]):
+            got = {
+                r.node: r.rank_units
+                for r in pagerank(
+                    df, iters=3, seeds=seeds, materialize=False
+                ).collect()
+            }
+            assert got == self._reference(self.EDGES, 3, set(seeds)), seeds
+
+    def test_seed_proximity_ordering(self, spark):
+        from qdrant_datafusion_spark.operators.graph import pagerank
+
+        # seed 4 only points at 1: 1 must outrank 2 (two hops from seed)
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r.node: r.rank_units
+            for r in pagerank(df, iters=3, seeds=[4]).collect()
+        }
+        assert got[1] > got[2]
+        assert got[4] > 0  # seed keeps its teleport mass
+
+    def test_validation(self, spark):
+        from qdrant_datafusion_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError):
+            pagerank(df, seeds=[])
