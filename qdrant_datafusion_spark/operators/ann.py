@@ -440,14 +440,16 @@ def mmr_select(
     unrolled DuckDB oracle matches exactly.
 
     Scale: the relevance pass is one narrow scan (the native
-    sequential-fold cosine kernel), lazily ``localCheckpoint``-ed and
-    re-filtered per step; each of the ``k`` greedy steps is a
-    distributed argmax (``orderBy().limit(1)`` → TakeOrdered, no global
-    sort) against the ≤ ``k``-vector selected set held as plan
-    literals.  Driver state is ``k`` rows — the same bounded-collect
-    budget as IVF training (``ann.train_ivf_centroids``).  k Spark jobs
-    total; MMR is inherently sequential (each pick conditions the
-    next), so the latency floor is k small jobs, not one big one.
+    sequential-fold cosine kernel), lazily ``localCheckpoint``-ed; each
+    of the ``k`` greedy steps folds ONE new cosine per candidate (vs
+    the newest pick, a plan literal) into a stored running ``max_sim``
+    column and takes a distributed argmax (``orderBy().limit(1)`` →
+    TakeOrdered, no global sort) — O(k·N) kernel evaluations total, not
+    the naive O(k²·N).  Driver state is ``k`` rows — the same
+    bounded-collect budget as IVF training
+    (``ann.train_ivf_centroids``).  k Spark jobs total; MMR is
+    inherently sequential (each pick conditions the next), so the
+    latency floor is k small jobs, not one big one.
 
     Returns a list of ``(rank, id, mmr_units)`` tuples (rank 1-based) —
     a list, not a DataFrame, because the result IS driver state (k
@@ -469,22 +471,35 @@ def mmr_select(
         .alias("_rel_u"),
     ).localCheckpoint(eager=False)
     mu = 100 - lambda_pct
+    # running max-sim state: each step computes ONE new cosine per
+    # candidate (vs the newest pick) and folds it into the stored
+    # maximum — O(k·N) kernel evaluations total instead of the naive
+    # O(k²·N) of re-scoring every candidate against every pick each
+    # step.  max over the same value set, so results are identical to
+    # the naive form (and to the unrolled oracle).
+    state = cand.withColumn(
+        "_max_sim", F.lit(-2 * units).cast("long")  # < any cosine unit
+    )
     picked: list[tuple] = []
-    sel_vecs: list[list[float]] = []
     for step in range(k):
-        c = cand
         if picked:
-            c = c.where(~F.col("_id").isin([p[1] for p in picked]))
-            sims = [
-                F.round(v_search("_v", sv, "cosine") * units).cast("long")
-                for sv in sel_vecs
-            ]
-            max_sim = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            mmr_u = F.lit(lambda_pct) * F.col("_rel_u") - F.lit(mu) * max_sim
+            last_id, last_vec = picked[-1][1], picked[-1][3]
+            new_sim = F.round(
+                v_search("_v", last_vec, "cosine") * units
+            ).cast("long")
+            state = (
+                state.where(F.col("_id") != F.lit(last_id))
+                .withColumn("_max_sim", F.greatest("_max_sim", new_sim))
+                .localCheckpoint(eager=False)
+            )
+            mmr_u = (
+                F.lit(lambda_pct) * F.col("_rel_u")
+                - F.lit(mu) * F.col("_max_sim")
+            )
         else:
             mmr_u = F.lit(lambda_pct) * F.col("_rel_u")
         rows = (
-            c.select("_id", "_v", mmr_u.cast("long").alias("_mmr_u"))
+            state.select("_id", "_v", mmr_u.cast("long").alias("_mmr_u"))
             .orderBy(F.desc("_mmr_u"), F.asc("_id"))
             .limit(1)
             .collect()
@@ -492,6 +507,7 @@ def mmr_select(
         if not rows:
             break  # fewer than k candidates
         r = rows[0]
-        picked.append((step + 1, r["_id"], r["_mmr_u"]))
-        sel_vecs.append([float(x) for x in r["_v"]])
-    return picked
+        picked.append(
+            (step + 1, r["_id"], r["_mmr_u"], [float(x) for x in r["_v"]])
+        )
+    return [(rank, pid, mmr) for rank, pid, mmr, _ in picked]
