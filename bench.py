@@ -97,6 +97,7 @@ HEADLINE = [
     "pipeline_mix_temperature",
     "q_value_histogram",
     "graph_trustrank",
+    "q_events_cohorts",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

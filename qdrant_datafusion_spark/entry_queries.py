@@ -4383,6 +4383,82 @@ GROUP BY 1
 """
 
 
+#: epoch-week bucket width in nanoseconds (integer arithmetic — week
+#: boundaries identical in any engine, no calendar/timezone semantics)
+_WEEK_NS = 7 * 86400 * 10**9
+
+
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    shape missing from the window/funnel family: users cohorted by
+    first-signup week, activity counted per (cohort, week-offset),
+    retention = active / cohort size at exact 6 decimals.  All time
+    arithmetic is integer epoch-ns `div` (the q_events_hourly rule), so
+    bucket boundaries are engine-identical."""
+    ev = _events(spark, sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cohort = F.expr(f"s_ts div {_WEEK_NS}")
+    joined = ev.join(signup, "user_id").where(F.col("ts") >= F.col("s_ts"))
+    act = (
+        joined.select(
+            cohort.alias("cohort_week"),
+            (F.expr(f"ts div {_WEEK_NS}") - cohort).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    sizes = (
+        signup.select(cohort.alias("cohort_week"), "user_id")
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").cast("long").alias("cohort_size"))
+    )
+    return act.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        _ratio_round6(F.col("n_active"), F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
+
+
+Q_EVENTS_COHORTS_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+s AS (
+  SELECT user_id, min(tsn) AS s_ts FROM e
+  WHERE event_type = 'signup' GROUP BY 1
+),
+j AS (
+  SELECT e.user_id, s.s_ts // {_WEEK_NS} AS cohort_week,
+         e.tsn // {_WEEK_NS} - s.s_ts // {_WEEK_NS} AS week_offset
+  FROM e JOIN s USING (user_id) WHERE e.tsn >= s.s_ts
+),
+act AS (
+  SELECT cohort_week, week_offset,
+         count(DISTINCT user_id)::BIGINT AS n_active
+  FROM j GROUP BY ALL
+),
+sz AS (
+  SELECT s_ts // {_WEEK_NS} AS cohort_week,
+         count(DISTINCT user_id)::BIGINT AS cohort_size
+  FROM s GROUP BY 1
+)
+SELECT a.cohort_week::BIGINT AS cohort_week,
+       a.week_offset::BIGINT AS week_offset,
+       a.n_active, z.cohort_size,
+       {_ratio6_sql("a.n_active", "z.cohort_size")} AS retention
+FROM act a JOIN sz z USING (cohort_week)
+"""
+
+
+QUERIES["q_events_cohorts"] = q_events_cohorts
+ORACLES["q_events_cohorts"] = Q_EVENTS_COHORTS_SQL
 QUERIES["pipeline_mix_temperature"] = pipeline_mix_temperature
 ORACLES["pipeline_mix_temperature"] = PIPELINE_MIX_TEMPERATURE_SQL
 QUERIES["q_value_histogram"] = q_value_histogram
@@ -4424,7 +4500,7 @@ _RUN_FIRST = [
     #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
     #       slots went to the code-touched set above)
     "q_group_having",
-    "v_search_dot_topk", "v_within_radius",
+    "v_search_dot_topk",
     "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
     "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
     # (match_text_tfidf yielded its slot to the new dedup_keep_best gate:
@@ -4446,11 +4522,13 @@ _RUN_FIRST = [
     # top-k), q_case_boost (for text_source_profile, the per-source
     # TTR/entropy diagnostics), q_anti_join / q_window_topk_per_group
     # (for pipeline_mix_temperature + q_value_histogram), and
-    # q_semi_join (for graph_trustrank, the seed-personalized twin).
+    # q_semi_join (for graph_trustrank, the seed-personalized twin) and
+    # v_within_radius (for q_events_cohorts — the V_DISTANCE kernel
+    # family keeps its refresh via v_search_dot_topk).
     "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
     "text_perplexity", "q_events_funnel", "graph_pagerank",
     "v_search_mmr", "text_source_profile", "pipeline_mix_temperature",
-    "q_value_histogram", "graph_trustrank",
+    "q_value_histogram", "graph_trustrank", "q_events_cohorts",
     "ann_knn_graph", "text_vocabulary",
     "v_lateral_batch_search",
 ]
