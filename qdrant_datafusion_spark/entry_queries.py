@@ -4396,10 +4396,14 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is integer epoch-ns `div` (the q_events_hourly rule), so
     bucket boundaries are engine-identical."""
     ev = _events(spark, sf_dir)
+    # one row per signed-up user, consumed by BOTH the activity join and
+    # the cohort-size aggregate — checkpoint so the event log is scanned
+    # twice (signup build + activity join), not three times
     signup = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)
     )
     cohort = F.expr(f"s_ts div {_WEEK_NS}")
     joined = ev.join(signup, "user_id").where(F.col("ts") >= F.col("s_ts"))
