@@ -3926,25 +3926,31 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: users who
     performed each stage strictly after their earliest qualifying
     previous-stage event, with per-stage conversion ratios (exact
-    HALF_UP at 6 decimals).  One keyed join + groupBy per stage — see
+    HALF_UP at 6 decimals; an empty upstream stage converts at 0.0 —
+    the den=0 guard matters because ANSI integer `%` by zero throws,
+    it does not NULL).  One keyed join + groupBy per stage — see
     operators.temporal.funnel_stages for the scale argument."""
     from qdrant_datafusion_spark.operators.temporal import funnel_stages
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)  # nanos-normalized; ordering-isomorphic
     base = funnel_stages(ev, ["view", "click", "purchase"])
     w = Window.orderBy("stage_idx")
     prev = F.lag("users").over(w)
     first = F.first("users").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    def conv(den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            _ratio_round6(F.col("users"), den)
+        )
+
     return base.select(
         "stage_idx",
         "stage",
         "users",
-        F.coalesce(
-            _ratio_round6(F.col("users"), prev), F.lit(1.0)
-        ).alias("conv_prev"),
-        _ratio_round6(F.col("users"), first).alias("conv_start"),
+        F.coalesce(conv(prev), F.lit(1.0)).alias("conv_prev"),
+        conv(first).alias("conv_start"),
     )
 
 
@@ -3972,8 +3978,11 @@ c AS (
   UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
 )
 SELECT stage_idx::INT AS stage_idx, stage, users::BIGINT AS users,
-       coalesce({_ratio6_sql("users", _FUNNEL_PREV)}, 1.0) AS conv_prev,
-       {_ratio6_sql("users", _FUNNEL_FIRST)} AS conv_start
+       coalesce(CASE WHEN ({_FUNNEL_PREV}) = 0 THEN 0.0
+                ELSE {_ratio6_sql("users", _FUNNEL_PREV)} END, 1.0)
+         AS conv_prev,
+       CASE WHEN ({_FUNNEL_FIRST}) = 0 THEN 0.0
+            ELSE {_ratio6_sql("users", _FUNNEL_FIRST)} END AS conv_start
 FROM c
 """
 
@@ -3998,10 +4007,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, "src", "dst", iters=3)
 
 
-def _pagerank_oracle_sql(iters: int = 3, units: int = 10**9, d: int = 85) -> str:
-    """Unrolled integer-PageRank oracle over the exact kNN edges."""
-    base_num = (100 - d) * units
-    cte = f"""
+def _knn_edges_cte() -> str:
+    """Shared exact-kNN edge CTEs (scored/rk/e/nodes/dg) for the graph
+    oracles — also the edge construction graph_pagerank/graph_trustrank
+    share on the Spark side via self_knn_join."""
+    return """
 WITH scored AS (
   SELECT a.vec_id AS id, b.vec_id AS nbr_id,
          round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -4018,19 +4028,55 @@ rk AS (
 ),
 e AS (SELECT id AS s, nbr_id AS dd FROM rk WHERE rank <= 5),
 nodes AS (SELECT s AS n FROM e UNION SELECT dd FROM e),
-nn AS (SELECT count(*) AS ncount FROM nodes),
-dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s)"""
+
+
+def _pagerank_oracle_sql(
+    iters: int = 3,
+    units: int = 10**9,
+    d: int = 85,
+    seeds: list[int] | None = None,
+    limit: int | None = None,
+) -> str:
+    """ONE unrolled integer-PageRank oracle builder for both teleport
+    modes — mirrors operators.graph.pagerank's seeds parameter exactly,
+    so the uniform and personalized gates cannot drift apart.  With
+    ``seeds``: r0 and the (1-d) base go only to the seed set (both
+    precomputed python ints, matching the Spark side's literals);
+    without: the uniform ncount terms."""
+    base_num = (100 - d) * units
+    if seeds is None:
+        r0_sql = f"(2 * {units} + ncount) // (2 * ncount)"
+        base_sql = "(2 * {bn} + 100 * p.ncount) // (200 * p.ncount)".format(
+            bn=base_num
+        )
+        st0_extra = ", ncount"
+        st0_from = "FROM nodes LEFT JOIN dg ON n = s CROSS JOIN nn"
+        nn_cte = ",\nnn AS (SELECT count(*) AS ncount FROM nodes)"
+        it_cols = "p.n, p.deg, p.ncount"
+    else:
+        ns = len(seeds)
+        seed_list = ", ".join(str(x) for x in seeds)
+        r0 = (2 * units + ns) // (2 * ns)
+        base = (2 * base_num + 100 * ns) // (200 * ns)
+        r0_sql = f"CASE WHEN n IN ({seed_list}) THEN {r0} ELSE 0 END"
+        base_sql = f"CASE WHEN p.n IN ({seed_list}) THEN {base} ELSE 0 END"
+        st0_extra = ""
+        st0_from = "FROM nodes LEFT JOIN dg ON n = s"
+        nn_cte = ""
+        it_cols = "p.n, p.deg"
+    cte = _knn_edges_cte() + nn_cte + f""",
 st0 AS (
-  SELECT n, coalesce(deg, 0) AS deg, ncount,
-         (2 * {units} + ncount) // (2 * ncount) AS r
-  FROM nodes LEFT JOIN dg ON n = s CROSS JOIN nn
+  SELECT n, coalesce(deg, 0) AS deg{st0_extra},
+         {r0_sql} AS r
+  {st0_from}
 )"""
     prev = "st0"
     for i in range(1, iters + 1):
         cte += f""",
 st{i} AS (
-  SELECT p.n, p.deg, p.ncount,
-         (2 * {base_num} + 100 * p.ncount) // (200 * p.ncount)
+  SELECT {it_cols},
+         {base_sql}
          + (2 * {d} * coalesce(f.s_in, 0) + 100) // 200 AS r
   FROM {prev} p LEFT JOIN (
     SELECT e.dd, sum((2 * st.r + st.deg) // (2 * st.deg)) AS s_in
@@ -4038,10 +4084,13 @@ st{i} AS (
   ) f ON p.n = f.dd
 )"""
         prev = f"st{i}"
-    return cte + f"""
+    tail = f"""
 SELECT n AS node, r::BIGINT AS rank_units, (r / {float(units)}) AS pagerank
 FROM {prev}
 """
+    if limit is not None:
+        tail += f"ORDER BY rank_units DESC, node ASC\nLIMIT {limit}\n"
+    return tail and cte + tail
 
 
 #: trusted seed set for graph_trustrank (first 10 vectors stand in for a
@@ -4067,63 +4116,11 @@ def graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("rank_units"), F.asc("node")).limit(50)
 
 
-def _trustrank_oracle_sql(
-    iters: int = 3, units: int = 10**9, d: int = 85
-) -> str:
-    """Unrolled personalized-PageRank oracle (seed-only teleport)."""
-    ns = len(TRUST_SEEDS)
-    seed_list = ", ".join(str(s) for s in TRUST_SEEDS)
-    r0 = (2 * units + ns) // (2 * ns)
-    base_num = (100 - d) * units
-    base = (2 * base_num + 100 * ns) // (200 * ns)
-    cte = f"""
-WITH scored AS (
-  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
-         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-               6) AS score
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-),
-rk AS (
-  SELECT id, nbr_id,
-         row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
-  FROM scored
-),
-e AS (SELECT id AS s, nbr_id AS dd FROM rk WHERE rank <= 5),
-nodes AS (SELECT s AS n FROM e UNION SELECT dd FROM e),
-dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
-st0 AS (
-  SELECT n, coalesce(deg, 0) AS deg,
-         CASE WHEN n IN ({seed_list}) THEN {r0} ELSE 0 END AS r
-  FROM nodes LEFT JOIN dg ON n = s
-)"""
-    prev = "st0"
-    for i in range(1, iters + 1):
-        cte += f""",
-st{i} AS (
-  SELECT p.n, p.deg,
-         CASE WHEN p.n IN ({seed_list}) THEN {base} ELSE 0 END
-         + (2 * {d} * coalesce(f.s_in, 0) + 100) // 200 AS r
-  FROM {prev} p LEFT JOIN (
-    SELECT e.dd, sum((2 * st.r + st.deg) // (2 * st.deg)) AS s_in
-    FROM e JOIN {prev} st ON e.s = st.n WHERE st.deg > 0 GROUP BY e.dd
-  ) f ON p.n = f.dd
-)"""
-        prev = f"st{i}"
-    return cte + f"""
-SELECT n AS node, r::BIGINT AS rank_units, (r / {float(units)}) AS pagerank
-FROM {prev}
-ORDER BY rank_units DESC, node ASC
-LIMIT 50
-"""
-
 
 QUERIES["graph_pagerank"] = graph_pagerank
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 QUERIES["graph_trustrank"] = graph_trustrank
-ORACLES["graph_trustrank"] = _trustrank_oracle_sql()
+ORACLES["graph_trustrank"] = _pagerank_oracle_sql(seeds=TRUST_SEEDS, limit=50)
 
 
 def v_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4224,7 +4221,9 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_lp9"),
     )
     agg = scored.groupBy("source", "n_tokens", "n_types").agg(
-        F.sum(F.col("c") * F.col("_lp9")).cast("decimal(38,0)").alias("_p")
+        # cast BEFORE the sum (the _avg_round6 rule): an int64 sum of
+        # c*lp9 overflows at ~1e9 tokens/source under ANSI
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("_lp9")).alias("_p")
     )
     n_docs = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
     # HALF_UP 9 -> 6 weighted by n_tokens; entropy = -mean(log2 p) >= 0
@@ -4296,7 +4295,10 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_rates,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL langs are uncodable (no rate key, driver sort would choke on
+    # None) and the oracle's USING(lang) join drops them too — exclude
+    # them symmetrically up front
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
     counts = {
         r["lang"]: r["n"]
         for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
@@ -4321,7 +4323,8 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (md5-prefix < frac(rate6) * 2^32 as 8-hex)
 PIPELINE_MIX_TEMPERATURE_SQL = """
 WITH cnt AS (
-  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+  SELECT lang, count(*)::BIGINT AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
 ),
 tot AS (
   SELECT sum(n)::BIGINT AS total, sum(sqrt(n::DOUBLE)) AS z FROM cnt
@@ -4417,9 +4420,9 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
     sizes = (
-        signup.select(cohort.alias("cohort_week"), "user_id")
+        signup.select(cohort.alias("cohort_week"))
         .groupBy("cohort_week")
-        .agg(F.countDistinct("user_id").cast("long").alias("cohort_size"))
+        .agg(F.count("*").cast("long").alias("cohort_size"))
     )
     return act.join(sizes, "cohort_week").select(
         "cohort_week",
@@ -4450,7 +4453,7 @@ act AS (
 ),
 sz AS (
   SELECT s_ts // {_WEEK_NS} AS cohort_week,
-         count(DISTINCT user_id)::BIGINT AS cohort_size
+         count(*)::BIGINT AS cohort_size
   FROM s GROUP BY 1
 )
 SELECT a.cohort_week::BIGINT AS cohort_week,

@@ -1033,8 +1033,9 @@ def lm_perplexity(
         .groupBy(id_col)
         .agg(
             F.sum("_cnt").cast("long").alias("n_bigrams"),
-            F.sum(F.col("_cnt") * F.col("_lp9"))
-            .cast("decimal(38,0)")
+            # cast BEFORE the sum (the _avg_round6 rule): the int64 sum
+            # of cnt*lp9 can overflow under ANSI on pathological docs
+            F.sum(F.col("_cnt").cast("decimal(38,0)") * F.col("_lp9"))
             .alias("_p"),
         )
     )
@@ -1101,13 +1102,24 @@ def temperature_rates(
         return {}
     if any(n < 0 for n in counts.values()):
         raise ValueError("counts must be non-negative")
+    import math
+
     total = sum(counts.values())
     # fixed (sorted) summation order: python-side determinism; the
     # round-to-6 below is what absorbs engine-side ulp differences
     z = sum(n**alpha for n in sorted(counts.values()))
     if z == 0:
         return {s: 0.0 for s in counts}
+
+    def round6_away(x: float) -> float:
+        # HALF AWAY FROM ZERO on the scaled double — the semantics of
+        # DuckDB/Spark round(); python's round() is half-EVEN and would
+        # diverge from an oracle at exact 1e-6 ties
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     return {
-        s: round((n**alpha) / z * total * budget_factor / n, 6) if n else 0.0
+        s: round6_away((n**alpha) / z * total * budget_factor / n)
+        if n
+        else 0.0
         for s, n in counts.items()
     }

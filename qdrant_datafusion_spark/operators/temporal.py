@@ -183,7 +183,6 @@ def funnel_stages(
     """
     if not stages:
         raise ValueError("stages must be non-empty")
-    spark = events.sparkSession
     cur: DataFrame | None = None
     per_stage: list[DataFrame] = []
     for idx, st in enumerate(stages):

@@ -617,7 +617,8 @@ class TestEmptyInput:
         # round-5 additions: LM build/apply, funnel chain, integer
         # pagerank, MMR greedy argmax, per-source entropy
         "text_perplexity", "q_events_funnel", "graph_pagerank",
-        "v_search_mmr", "text_source_profile",
+        "v_search_mmr", "text_source_profile", "pipeline_mix_temperature",
+        "q_value_histogram", "graph_trustrank", "q_events_cohorts",
     ]
     GUARDED = {
         "text_decontaminate_semantic": "benchmark has no embeddings",
@@ -647,7 +648,11 @@ class TestEmptyInput:
         failures = []
         for name in self.KERNEL_QUERIES:
             try:
-                QUERIES[name](spark, empty_dir).count()
+                # collect(), NOT count(): count() lets Catalyst prune the
+                # projection, so a crash inside an output expression (ANSI
+                # division by zero, etc.) would go unexercised — found
+                # live with q_events_funnel's conversion ratios
+                QUERIES[name](spark, empty_dir).collect()
             except Exception as ex:  # noqa: BLE001 - collecting evidence
                 failures.append(f"{name}: {type(ex).__name__}: {ex}")
         assert not failures, "\n".join(failures)
@@ -691,7 +696,7 @@ class TestEmptyInput:
         failures = []
         for name in self.KERNEL_QUERIES:
             try:
-                QUERIES[name](spark, nullful_dir).count()
+                QUERIES[name](spark, nullful_dir).collect()  # see above
             except Exception as ex:  # noqa: BLE001 - collecting evidence
                 failures.append(f"{name}: {type(ex).__name__}: {ex}")
         assert not failures, "\n".join(failures)
