@@ -66,6 +66,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's vectorized reader only accepts as long via the
     ``nanosAsLong`` conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
     All downstream time arithmetic is integer-ns, so both normalize here.
+
+    PRECONDITION shared by every ``div``-bucketing consumer (hourly,
+    sessions, funnel, cohorts): ``ts >= 0`` (post-epoch).  Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, so
+    pre-1970 timestamps would bucket differently across engines; for
+    non-negative ns the two are identical.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
@@ -4369,16 +4375,19 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: mirrors pipeline_mix_temperature: rate6 = round(sqrt(n)/z * total/n, 6)
-#: — the round-to-6 is what absorbs any last-ulp difference in the z
-#: summation order between engines; copies = floor(rate6) +
-#: (md5-prefix < frac(rate6) * 2^32 as 8-hex)
+#: — z is summed as INTEGER 1e-9-quantized terms on BOTH sides (integer
+#: addition is order-independent, so DuckDB's unordered sum() cannot
+#: diverge from python's at exact 0.5e-6 rate ties); copies =
+#: floor(rate6) + (md5-prefix < frac(rate6) * 2^32 as 8-hex)
 PIPELINE_MIX_TEMPERATURE_SQL = """
 WITH cnt AS (
   SELECT lang, count(*)::BIGINT AS n FROM documents
   WHERE lang IS NOT NULL GROUP BY lang
 ),
 tot AS (
-  SELECT sum(n)::BIGINT AS total, sum(sqrt(n::DOUBLE)) AS z FROM cnt
+  SELECT sum(n)::BIGINT AS total,
+         sum(floor(sqrt(n::DOUBLE) * 1e9 + 0.5)::BIGINT)::DOUBLE / 1e9 AS z
+  FROM cnt
 ),
 rates AS (
   SELECT lang, n,
@@ -4410,10 +4419,16 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of events.value (20 buckets of 25 over
     [0, 500)): the classic profiling aggregate.  Bucket arithmetic is
     exact (floor of value/25 on identical doubles); per-bucket count +
-    min/max rounded to 6."""
+    min/max rounded to 6.  Clamped on BOTH ends so out-of-domain values
+    land in the edge buckets (negative → 0, ≥500 → 19) rather than
+    inventing bucket ids outside the documented 20-bucket domain."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    bucket = F.least(
-        F.floor(F.col("value") / F.lit(25.0)).cast("long"), F.lit(19).cast("long")
+    bucket = F.greatest(
+        F.least(
+            F.floor(F.col("value") / F.lit(25.0)).cast("long"),
+            F.lit(19).cast("long"),
+        ),
+        F.lit(0).cast("long"),
     )
     return (
         ev.select(bucket.alias("bucket"), "value")
@@ -4427,7 +4442,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_VALUE_HISTOGRAM_SQL = """
-SELECT least(floor(value / 25.0)::BIGINT, 19) AS bucket,
+SELECT greatest(least(floor(value / 25.0)::BIGINT, 19), 0) AS bucket,
        count(*)::BIGINT AS n,
        round(min(value), 6) AS min_v,
        round(max(value), 6) AS max_v
@@ -4448,7 +4463,9 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-signup week, activity counted per (cohort, week-offset),
     retention = active / cohort size at exact 6 decimals.  All time
     arithmetic is integer epoch-ns `div` (the q_events_hourly rule), so
-    bucket boundaries are engine-identical."""
+    bucket boundaries are engine-identical — under the ``ts >= 0``
+    precondition documented on :func:`_events` (Spark `div` truncates,
+    DuckDB `//` floors; they agree only for non-negative ns)."""
     ev = _events(spark, sf_dir)
     # one row per signed-up user, consumed by BOTH the activity join and
     # the cohort-size aggregate — checkpoint so the event log is scanned

@@ -460,6 +460,15 @@ def mmr_select(
         raise ValueError("query vector is required")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if k > 1000:
+        # each greedy pick is one Spark job — a 10^5-step driver loop is
+        # never the right tool.  Prefetch a candidate pool (ann top-k /
+        # ivf_search) and run MMR over the pool instead.
+        raise ValueError(
+            "k > 1000 would launch k sequential driver jobs; prefetch a "
+            "candidate pool (e.g. brute_force_topk / ivf_search) and run "
+            "mmr_select over the pool"
+        )
     if not 0 <= lambda_pct <= 100:
         raise ValueError("lambda_pct must be in [0, 100]")
     qv = [float(x) for x in query]

@@ -54,6 +54,7 @@ __all__ = [
     "decontaminate_bloom",
     "lm_perplexity",
     "temperature_rates",
+    "global_shuffle",
 ]
 
 
@@ -1105,9 +1106,13 @@ def temperature_rates(
     import math
 
     total = sum(counts.values())
-    # fixed (sorted) summation order: python-side determinism; the
-    # round-to-6 below is what absorbs engine-side ulp differences
-    z = sum(n**alpha for n in sorted(counts.values()))
+    # z is summed as INTEGER 1e-9-quantized terms: integer addition is
+    # order-independent, so any engine mirroring this (e.g. a SQL oracle
+    # with an unordered sum()) gets the bit-identical z — a float sum
+    # would expose summation order at exact 0.5e-6 rate ties
+    z = (
+        sum(math.floor(n**alpha * 1e9 + 0.5) for n in counts.values()) / 1e9
+    )  # floor(x+0.5) = HALF AWAY = DuckDB/Spark round(), not python half-even
     if z == 0:
         return {s: 0.0 for s in counts}
 

@@ -425,15 +425,29 @@ def streaming_funnel(
 
     Emits ``(user, depth, reached_ts)`` after every batch that touches
     the user (update mode): current depth and the time the deepest
-    stage was reached.
+    stage was reached.  The user column keeps whatever type it has in
+    ``events`` (bigint, string, UUID-as-string, ...) — the output schema
+    is derived from ``events.schema``, not hard-coded.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
 
     if not stages:
         raise ValueError("stages must be non-empty")
     stage_of = {s: i for i, s in enumerate(stages)}
-    out_schema = f"{user_col} bigint, depth int, reached_ts timestamp"
+    out_schema = StructType(
+        [
+            StructField(user_col, events.schema[user_col].dataType),
+            StructField("depth", IntegerType()),
+            StructField("reached_ts", TimestampType()),
+        ]
+    )
     state_schema = "times array<bigint>"  # epoch micros per reached stage
 
     def update(key, pdfs, state):
@@ -455,7 +469,7 @@ def streaming_funnel(
         state.update((times,))
         yield pd.DataFrame(
             {
-                user_col: [int(key[0])],
+                user_col: [key[0]],
                 "depth": [len(times)],
                 "reached_ts": [
                     pd.Timestamp(times[-1] * 1000) if times else pd.NaT

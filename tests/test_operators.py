@@ -1036,6 +1036,12 @@ class TestMmrSelect:
         with pytest.raises(ValueError):
             self._run(spark, lambda_pct=101)
 
+    def test_k_depth_guard(self, spark):
+        # k > 1000 = k sequential driver jobs; refuse with a pointer to
+        # prefetch-then-MMR instead of silently launching a 10^5-job loop
+        with pytest.raises(ValueError, match="prefetch"):
+            self._run(spark, k=1001)
+
 
 class TestTrustRank:
     """pagerank(seeds=...) — personalized teleport (TrustRank)."""
