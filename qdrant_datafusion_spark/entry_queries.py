@@ -3991,6 +3991,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)  # nanos-normalized; ordering-isomorphic
     base = funnel_stages(ev, ["view", "click", "purchase"])
+    return _funnel_present(base)
+
+
+def _funnel_present(base: DataFrame) -> DataFrame:
+    """Shared funnel presentation: per-stage conversion ratios (exact
+    HALF_UP at 6 decimals, den=0 → 0.0) over a ``(stage_idx, stage,
+    users)`` frame — used by both the batch funnel gate and its
+    streaming twin so the two are graded by the SAME oracle."""
     w = Window.orderBy("stage_idx")
     prev = F.lag("users").over(w)
     first = F.first("users").over(
@@ -4538,6 +4546,169 @@ QUERIES["pipeline_mix_temperature"] = pipeline_mix_temperature
 ORACLES["pipeline_mix_temperature"] = PIPELINE_MIX_TEMPERATURE_SQL
 QUERIES["q_value_histogram"] = q_value_histogram
 ORACLES["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
+
+
+# ===========================================================================
+# round-6: Structured Streaming under the oracle gate.  Each gate drives
+# the REAL streaming path — spark.readStream file source over the driver's
+# parquet → streaming operator → trigger(availableNow) → memory sink — and
+# presents the sink as a batch DataFrame graded by the same-shaped DuckDB
+# oracle as the batch sibling.  Requires the µs-timestamp testdata
+# generation (the streaming parquet source rejects TIMESTAMP(NANOS)); the
+# batch loaders handle both, so only these three gates carry the
+# constraint.
+# ===========================================================================
+
+#: per-session monotonic suffix so repeated gate invocations (driver runs
+#: the query, then may re-run it) never collide on a memory-sink name
+_STREAM_SEQ = [0]
+
+
+def _run_stream_to_table(
+    stream_df: DataFrame, spark: SparkSession, tag: str, output_mode: str
+) -> DataFrame:
+    """Start ``stream_df`` into a uniquely-named memory sink with an
+    availableNow trigger, block until it drains, return the sink table."""
+    _STREAM_SEQ[0] += 1
+    name = f"_stream_gate_{tag}_{_STREAM_SEQ[0]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"streaming gate {tag} did not drain in 600s")
+    return spark.table(name)
+
+
+def _read_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only batch read
+    # the streaming file source only accepts a DIRECTORY; the driver lays
+    # each table out as a single file, so stream the sf dir with a glob
+    # filter selecting just that table's file
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_events_hourly, graded by the SAME oracle: the
+    tumbling-window aggregate (streaming/ingest.windowed_event_counts)
+    runs as a real streaming query (complete mode — append would withhold
+    the final window until a later batch advanced the watermark), then
+    window_start is mapped back to the batch gate's integer hour bucket.
+    ``value`` is cast to decimal(18,6) BEFORE the streaming sum so the
+    result is exact under any micro-batch summation order — same rule as
+    the batch gate."""
+    from qdrant_datafusion_spark.streaming.ingest import windowed_event_counts
+
+    # watermarks require TIMESTAMP, not TIMESTAMP_NTZ; the session TZ is
+    # pinned to UTC (session.py), so the cast is epoch-preserving and the
+    # hour buckets stay identical to the batch gate's integer-ns `div`
+    ev = _read_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withColumn("value", F.col("value").cast("decimal(18,6)"))
+    agg = windowed_event_counts(ev, window="1 hour", watermark="10 minutes")
+    sink = _run_stream_to_table(agg, spark, "hourly", "complete")
+    return sink.select(
+        F.expr("unix_micros(window_start) div 3600000000")
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under a value oracle, with REAL cross-batch
+    state: documents are re-laid-out as 4 files and streamed with
+    maxFilesPerTrigger=1, so the dropDuplicates state must carry hashes
+    across 4 micro-batches.  Which doc survives per hash is arrival-order
+    dependent (not graded); the oracle-checkable invariant is exactly-once
+    per distinct content hash: every hash present in the corpus appears
+    exactly once among the survivors, whatever the batch split."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import stream_dedup_exact
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    src = os.path.join(tmp, "src")
+    docs.repartition(4).write.parquet(src)
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        kept = stream_dedup_exact(stream, "text")
+        sink = _run_stream_to_table(kept, spark, "dedup", "append")
+        # memory sink holds the rows; the temp source is no longer needed
+        survivors = (
+            sink.select(
+                F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+            )
+            .groupBy("content_hash")
+            .agg(F.count("*").cast("long").alias("n_survivors"))
+        )
+        survivors.collect()  # drain before the finally deletes the source
+        return survivors
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT md5(lower(trim(text))) AS content_hash, 1::BIGINT AS n_survivors
+FROM documents
+GROUP BY 1
+"""
+
+
+def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_events_funnel, graded by the SAME oracle: the
+    stateful funnel (applyInPandasWithState, update mode) runs as a real
+    streaming query over the event log; per-user final depth comes from
+    the last update row (depth is monotone, so max(depth)), stage counts
+    are users with depth ≥ i, and the presentation reuses the batch
+    gate's exact-ratio helper.  Single micro-batch by design: the
+    operator's greedy advance equals batch semantics when rows arrive in
+    event-time order (see streaming_funnel docstring + the
+    batch-equivalence pytest); cross-batch statefulness is exercised by
+    the multi-batch dedup gate, whose output is order-independent."""
+    from qdrant_datafusion_spark.streaming.ingest import streaming_funnel
+
+    stages = ["view", "click", "purchase"]
+    ev = _read_stream(spark, sf_dir, "events")
+    upd = streaming_funnel(ev, stages)
+    sink = _run_stream_to_table(upd, spark, "funnel", "update")
+    final = sink.groupBy("user_id").agg(F.max("depth").alias("depth"))
+    row = final.agg(
+        *[
+            F.sum((F.col("depth") >= i).cast("long")).alias(f"s{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    ).collect()[0]
+    base = spark.createDataFrame(
+        [(i, s, int(row[f"s{i}"] or 0)) for i, s in enumerate(stages, 1)],
+        "stage_idx int, stage string, users long",
+    )
+    return _funnel_present(base)
+
+
+QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
+ORACLES["streaming_hourly_counts"] = Q_EVENTS_HOURLY_SQL
+QUERIES["streaming_dedup_survivors"] = streaming_dedup_survivors
+ORACLES["streaming_dedup_survivors"] = STREAMING_DEDUP_SQL
+QUERIES["streaming_funnel_conversion"] = streaming_funnel_conversion
+ORACLES["streaming_funnel_conversion"] = Q_EVENTS_FUNNEL_SQL
 
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
