@@ -4703,6 +4703,88 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_present(base)
 
 
+# ===========================================================================
+# round-6: distributed BPE tokenizer training (operators/tokenizer.py) —
+# the merge loop is graded by an unrolled-CTE DuckDB oracle, one
+# (pair-count → argmax → greedy replace) stage per merge, the pagerank
+# recipe applied to strings: integer counts, (count DESC, left, right)
+# tie-break, and boundary-anchored replace() whose left-to-right
+# non-overlapping semantics are identical in Spark, DuckDB, and Python.
+# ===========================================================================
+
+BPE_N_MERGES = 12
+
+
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE merge rules over documents.text — see
+    operators/tokenizer.py for the scale argument (corpus collapses to
+    the distinct-word table; each merge = one groupBy + one TakeOrdered
+    + one narrow map).  Output: the learned merge table, fully
+    deterministic."""
+    from qdrant_datafusion_spark.operators.tokenizer import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled-CTE BPE oracle: w{k} = word table after k merges (cross
+    join with the 1-row argmax m{k} applies the merge), p{k} = pair
+    counts from w{k-1}.  If pairs run out at stage k, m{k} is empty, so
+    w{k} (cross join) empties and every later stage yields no row —
+    exactly mirroring the operator's early break."""
+    b = "chr(31)||chr(31)"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT {b} || array_to_string(string_split(word || chr(30), ''), {b})
+         || {b} AS w, n
+  FROM (
+    SELECT tok AS word, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents)
+    WHERE len(tok) > 0
+    GROUP BY 1
+  )
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, sum(n)::BIGINT AS cnt
+  FROM (SELECT l, n, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM (SELECT string_split(trim(w, chr(31)), {b}) AS l, n
+              FROM w{k - 1}))
+  GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+        )
+        if k < n_merges:
+            parts.append(
+                f"""w{k} AS MATERIALIZED (
+  SELECT replace(w, chr(31)||a||{b}||b||chr(31),
+                 chr(31)||a||b||chr(31)) AS w, n
+  FROM w{k - 1}, m{k}
+)"""
+            )
+    union = "\nUNION ALL ".join(
+        f'SELECT {k}::INT AS "rank", a AS "left", b AS "right",'
+        f" cnt AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+TEXT_BPE_VOCAB_SQL = _bpe_oracle_sql(BPE_N_MERGES)
+
+QUERIES["text_bpe_vocab"] = text_bpe_vocab
+ORACLES["text_bpe_vocab"] = TEXT_BPE_VOCAB_SQL
+
+
 QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
 ORACLES["streaming_hourly_counts"] = Q_EVENTS_HOURLY_SQL
 QUERIES["streaming_dedup_survivors"] = streaming_dedup_survivors

@@ -1102,3 +1102,65 @@ class TestTrustRank:
         df = spark.createDataFrame(self.EDGES, "src long, dst long")
         with pytest.raises(ValueError):
             pagerank(df, seeds=[])
+
+
+class TestTrainBpe:
+    """operators.tokenizer.train_bpe — distributed BPE merge learning."""
+
+    TEXTS = [
+        "the cat sat on the mat",
+        "The bat and the cat",
+        "low lower lowest lowest",
+        "a aa aaa aaaa",  # greedy-overlap: (a,a) on aaaa must give aa+aa
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "id long, text string"
+        )
+
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_reference,
+            train_bpe,
+        )
+
+        got = train_bpe(self._df(spark), "text", n_merges=10)
+        assert got == bpe_reference(self.TEXTS, 10)
+
+    def test_greedy_overlap_semantics(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_reference,
+            train_bpe,
+        )
+
+        # pure repeat corpus: merge 1 = (a,a) count 5; greedy left-to-right
+        # turns 'aaaaaa' into aa+aa+aa, so merge 2 must be (aa,aa) count 2
+        # — a re-scanning or boundary-eating replace would leave odd 'a'
+        # residue and pick (a,a)/(aa,a) instead
+        texts = ["aaaaaa"]
+        df = spark.createDataFrame([(0, texts[0])], "id long, text string")
+        got = train_bpe(df, "text", n_merges=2)
+        assert [(r[1], r[2], r[3]) for r in got] == [
+            ("a", "a", 5),
+            ("aa", "aa", 2),
+        ]
+        assert got == bpe_reference(texts, 2)
+
+    def test_early_exhaustion(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import train_bpe
+
+        # one two-symbol word ('a' + end mark): exactly 1 possible merge,
+        # then pairs run out — loop must break, not error
+        df = spark.createDataFrame([(0, "a a a")], "id long, text string")
+        got = train_bpe(df, "text", n_merges=5)
+        assert len(got) == 1
+        assert got[0][3] == 3  # (a, end) weighted by word count
+
+    def test_validation(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import train_bpe
+
+        with pytest.raises(ValueError):
+            train_bpe(self._df(spark), "text", n_merges=0)
+        with pytest.raises(ValueError):
+            train_bpe(self._df(spark), "text", n_merges=10_001)
