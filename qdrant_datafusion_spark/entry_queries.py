@@ -4704,6 +4704,117 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# round-6: perceptual-hash image dedup (operators/phash.py).  The fixture
+# images are planted PNGs whose integer pixel values follow a closed-form
+# formula of (doc_id, y, x) — group gradient + one member-specific pixel
+# bump, so each 8-member group yields near-dup pairs.  The SPARK side runs
+# the REAL path (numpy pixels → encode_png → binary column → stdlib PNG
+# decode → dHash → banded Hamming join); the ORACLE recomputes the 64 dHash
+# bits directly from the same pixel formula (no image codec) and
+# brute-forces pairs with bit_count(xor) — independent derivations meeting
+# at the same integer codes.  Fixture capped at doc_id < 4096 so the
+# oracle's all-pairs check stays O(4096²) at every sf.
+# ===========================================================================
+
+PHASH_DOC_CAP = 4096
+PHASH_MAX_HAMMING = 4
+
+
+def _phash_planted_pixels(i: int):
+    """9×8 grayscale fixture image for doc ``i``: group (i//8) gradient
+    base (mod 150) + a +100 bump at one member-specific pixel — flips ≤2
+    gradient bits vs the group base, so within-group Hamming ≤ 4."""
+    import numpy as np
+
+    g, m = i // 8, i % 8
+    y, x = np.mgrid[0:8, 0:9]
+    p = ((x * 31 + y * 17 + g * 53) % 150).astype(np.int32)
+    if m > 0:
+        p[m - 1, (g + m) % 9] += 100
+    return p.astype(np.uint8)
+
+
+def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup image pairs over planted PNG blobs — real encoder,
+    real decoder, real banded Hamming join (operators/phash.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from qdrant_datafusion_spark.operators.imaging import encode_png
+    from qdrant_datafusion_spark.operators.phash import phash_image_dups
+
+    # no type annotations: this module's `from __future__ import
+    # annotations` would stringify them and break pandas_udf inference
+    _make_png = pandas_udf(
+        lambda ids: pd.Series(
+            [encode_png(_phash_planted_pixels(int(i))) for i in ids]
+        ),
+        "binary",
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < PHASH_DOC_CAP)
+        .select("doc_id")
+    )
+    imgs = docs.select(
+        F.col("doc_id").alias("id"), _make_png("doc_id").alias("media")
+    )
+    pairs = phash_image_dups(
+        imgs, "media", "id", max_hamming=PHASH_MAX_HAMMING
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id AS id, doc_id // 8 AS g, doc_id % 8 AS m
+  FROM documents WHERE doc_id < {PHASH_DOC_CAP}
+),
+px AS (
+  SELECT id, y, x,
+         ((x * 31 + y * 17 + g * 53) % 150)
+         + CASE WHEN m > 0 AND y = m - 1 AND x = (g + m) % 9
+                THEN 100 ELSE 0 END AS p
+  FROM imgs,
+       (SELECT unnest(generate_series(0, 7)) AS y),
+       (SELECT unnest(generate_series(0, 8)) AS x)
+),
+bits AS (
+  SELECT a.id, a.y * 8 + a.x AS k,
+         CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+),
+halves AS (
+  SELECT id,
+         sum(CASE WHEN k < 32 THEN bit * (2::BIGINT ** (31 - k))::BIGINT
+                  ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN k >= 32 THEN bit * (2::BIGINT ** (63 - k))::BIGINT
+                  ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY id
+),
+codes AS MATERIALIZED (
+  -- two's-complement packing: MSB-set codes go negative, matching
+  -- Spark's signed bigint convention
+  SELECT id,
+         CASE WHEN hi >= 2147483648
+              THEN (hi - 4294967296) * 4294967296 + lo
+              ELSE hi * 4294967296 + lo END AS code
+  FROM halves
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.code, b.code))::INT AS hamming
+FROM codes a JOIN codes b ON a.id < b.id
+WHERE bit_count(xor(a.code, b.code)) <= {PHASH_MAX_HAMMING}
+"""
+
+QUERIES["multimodal_phash_dups"] = multimodal_phash_dups
+ORACLES["multimodal_phash_dups"] = MULTIMODAL_PHASH_SQL
+
+
+# ===========================================================================
 # round-6: distributed BPE tokenizer training (operators/tokenizer.py) —
 # the merge loop is graded by an unrolled-CTE DuckDB oracle, one
 # (pair-count → argmax → greedy replace) stage per merge, the pagerank

@@ -5,6 +5,8 @@
 - ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths
 - ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
+- ``phash``      — perceptual-hash (dHash) image dedup over binary columns
+- ``tokenizer``  — distributed BPE merge-rule training
 - ``pipeline``   — dataset assembly: splits, decontamination, repetition
                    quality, sequence packing
 - ``temporal``   — as-of join (union + keyed carry, no pair join) and
@@ -66,3 +68,9 @@ from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     interval_join,
 )
 from qdrant_datafusion_spark.operators.joins import salted_join  # noqa: F401
+from qdrant_datafusion_spark.operators.phash import (  # noqa: F401
+    dhash_codes,
+    hamming_code_dups,
+    phash_image_dups,
+)
+from qdrant_datafusion_spark.operators.tokenizer import train_bpe  # noqa: F401

@@ -1164,3 +1164,115 @@ class TestTrainBpe:
             train_bpe(self._df(spark), "text", n_merges=0)
         with pytest.raises(ValueError):
             train_bpe(self._df(spark), "text", n_merges=10_001)
+
+
+class TestPhashDups:
+    """operators.phash — dHash codes + banded Hamming image dedup."""
+
+    @staticmethod
+    def _img(seed, bumps=()):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 150, size=(8, 9)).astype(np.uint8)
+        for (y, x) in bumps:
+            px[y, x] += 100
+        return px
+
+    def _media_df(self, spark, imgs):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from qdrant_datafusion_spark.operators.imaging import encode_png
+
+        rows = [(i, bytearray(encode_png(px))) for i, px in imgs]
+        return spark.createDataFrame(rows, "id long, media binary")
+
+    def test_dhash_bits_manual(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.phash import dhash64
+
+        # 9x8 integer image: expected bits from the definition directly
+        px = self._img(3)
+        code = dhash64(px)
+        expect = 0
+        for y in range(8):
+            for x in range(8):
+                expect = (expect << 1) | int(px[y, x] > px[y, x + 1])
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert code == expect
+
+    def test_identical_images_distance_zero(self, spark):
+        from qdrant_datafusion_spark.operators.phash import phash_image_dups
+
+        df = self._media_df(
+            spark, [(1, self._img(7)), (2, self._img(7)), (3, self._img(9))]
+        )
+        out = phash_image_dups(df, "media", "id", max_hamming=0).collect()
+        assert {(r.id_a, r.id_b, r.hamming) for r in out} == {(1, 2, 0)}
+
+    def test_planted_near_dup_found(self, spark):
+        from qdrant_datafusion_spark.operators.phash import (
+            dhash64,
+            phash_image_dups,
+        )
+
+        # one bumped pixel flips <= 2 gradient bits vs the base image
+        base, near = self._img(11), self._img(11, bumps=[(2, 4)])
+        d = bin(
+            (dhash64(base) ^ dhash64(near)) & ((1 << 64) - 1)
+        ).count("1")
+        assert 1 <= d <= 2
+        df = self._media_df(
+            spark, [(1, base), (2, near), (3, self._img(99))]
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_image_dups(df, "media", "id", max_hamming=4).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] == d
+        assert all(p == (1, 2) for p in got)  # random 3rd image stays out
+
+    def test_null_and_undecodable_media_skipped(self, spark):
+        from qdrant_datafusion_spark.operators.phash import (
+            dhash_codes,
+            phash_image_dups,
+        )
+
+        df = self._media_df(spark, [(1, self._img(5)), (2, self._img(5))])
+        junk = spark.createDataFrame(
+            [(3, bytearray(b"not a png")), (4, None)], "id long, media binary"
+        )
+        allm = df.unionByName(junk)
+        assert dhash_codes(allm, "media", "id").count() == 2
+        out = phash_image_dups(allm, "media", "id", max_hamming=0).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+    def test_bucket_cap_drops_hot_block(self, spark):
+        from qdrant_datafusion_spark.operators.phash import phash_image_dups
+
+        # 5 identical images: every block bucket holds 5 members; cap 4
+        # removes them all -> no pairs (the SimHash skew-guard contract)
+        df = self._media_df(spark, [(i, self._img(42)) for i in range(5)])
+        assert (
+            phash_image_dups(
+                df, "media", "id", max_hamming=2, max_bucket_size=4
+            ).count()
+            == 0
+        )
+        assert (
+            phash_image_dups(df, "media", "id", max_hamming=2).count() == 10
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from qdrant_datafusion_spark.operators.phash import phash_image_dups
+
+        df = self._media_df(spark, [(1, self._img(1))])
+        with _pytest.raises(ValueError):
+            phash_image_dups(df, "media", "id", max_hamming=-1)
+        with _pytest.raises(ValueError):
+            phash_image_dups(df, "media", "id", max_hamming=1, blocks=65)
