@@ -180,10 +180,14 @@ def _ensure_sf1(
     # type — float+double arithmetic silently widened the array to
     # list<double>, so the r4 "sf1" embeddings scanned ~2x bytes/vector
     # and growth conflated data volume with a type change
+    # v3: adds documents_salted.parquet (per-replica token salting) for
+    # the span-dedup probe — verbatim text replicas make span-dup OUTPUT
+    # grow ~quadratically by construction, so its growth factor measured
+    # the fixture, not the operator
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".scale_cache",
-        f"{os.path.basename(os.path.normpath(base_dir))}_x{replicas}v2",
+        f"{os.path.basename(os.path.normpath(base_dir))}_x{replicas}v3",
     )
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
@@ -201,6 +205,29 @@ def _ensure_sf1(
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    # salted twin for span-level dedup probes: every token of replica
+    # r > 0 gets an "_r<r>" suffix, so within-replica span structure is
+    # IDENTICAL to base (the suffix is constant inside a replica) while
+    # cross-replica spans never match — duplicate RATE stays constant and
+    # output grows exactly linearly in replicas
+    salted_text = F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1_r"), F.col("_rep").cast("string")),
+        )
+    )
+    (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("_rep") * F.lit(1_000_000)).alias("doc_id"),
+            salted_text.alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents_salted.parquet"))
     )
 
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
@@ -293,6 +320,20 @@ def main() -> None:
         "text_quality", "doc_fingerprints",
     ]
 
+    r1_subset_sec = round(
+        sum(timings[q] for q in r1_subset if q in timings), 3
+    )
+    # Drift normalization: every round has re-litigated machine drift
+    # (r3 1.64x -> false alarm; r5 1.12x raw vs ~1.01x clean).  Scale the
+    # subset total by (reference control / this run's control) so the
+    # baseline comparison is ONE number.  The reference control is the
+    # cleanest recorded run of the never-changing _control query on this
+    # hardware (30.2s subset at control 0.317, round-5 BENCH_DETAIL
+    # history); r1 itself predates the control query, so its 29.959s
+    # recording is compared via that anchor.
+    r1_control_ref = 0.317
+    r1_subset_baseline = 29.959
+    norm = round(r1_subset_sec * (r1_control_ref / control_first), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -302,10 +343,10 @@ def main() -> None:
         "tags": TAGS,
         "control_first_sec": control_first,
         "control_last_sec": control_last,
-        "r1_subset_sec": round(
-            sum(timings[q] for q in r1_subset if q in timings), 3
-        ),
+        "r1_subset_sec": r1_subset_sec,
         "r1_subset_n": len(r1_subset),
+        "r1_subset_normalized_sec": norm,
+        "r1_ratio_normalized": round(norm / r1_subset_baseline, 3),
         "sf": sf,
     }
 
@@ -375,6 +416,8 @@ def main() -> None:
         "n_queries": len(timings),
         "r1_subset_sec": detail["r1_subset_sec"],
         "r1_subset_n": len(r1_subset),
+        "r1_subset_normalized_sec": detail["r1_subset_normalized_sec"],
+        "r1_ratio_normalized": detail["r1_ratio_normalized"],
         "control_first_sec": control_first,
         "control_last_sec": control_last,
         "detail_file": "BENCH_DETAIL.json",

@@ -39,7 +39,7 @@ DEFAULT_OPS = [
     "pipeline_token_budget",      # ordered prefix sum + cutoff
     "ann_knn_graph_autoplanes",   # LSH-blocked per-bucket GEMM, corpus-scaled p
     "pipeline_global_shuffle",    # two-phase distributed position scan
-    "dedup_substring",            # shingle-hash groupBy + join-back + lag union
+    "dedup_substring_salted",     # shingle-hash groupBy + join-back + lag union
     "dedup_semantic_autok",       # SemDeDup, cluster count scaled with corpus
     "text_perplexity",            # checkpointed LM build + broadcast model apply
     "q_events_funnel",            # per-stage keyed join chain over shrinking state
@@ -141,6 +141,39 @@ def _dedup_semantic_autok(spark, sf_dir: str):
     return semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.35)
 
 
+def _dedup_substring_salted(spark, sf_dir: str):
+    """Probe-only span-dedup row on the SALTED document replicas: the
+    verbatim replica fixture makes every base span duplicated across all
+    N replicas (242× output growth at 100× in r5 — the number measured
+    the fixture, not the operator).  documents_salted.parquet keeps
+    within-replica structure identical while cross-replica spans never
+    match, so duplicate rate is constant, output grows ~linearly, and
+    the growth factor finally measures the shingle-hash plan itself.
+    Falls back to the unsalted table at base scale (replica 0 == base)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.entry_queries import _ratio_round6
+    from qdrant_datafusion_spark.operators.dedup import substring_dup_spans
+
+    salted = os.path.join(sf_dir, "documents_salted.parquet")
+    path = salted if os.path.exists(salted) else os.path.join(
+        sf_dir, "documents.parquet"
+    )
+    docs = spark.read.parquet(path)
+    out = substring_dup_spans(docs, "text", "doc_id", k=5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_starts",
+        "covered_tokens",
+        _ratio_round6(
+            F.col("covered_tokens"), F.col("n_tokens")
+        ).alias("dup_frac"),
+    )
+
+
 def _graph_pagerank_autoplanes(spark, sf_dir: str):
     """Probe-only production form of graph_pagerank: the gate builds
     EXACT kNN edges (the quadratic oracle-literal tier); at scale the
@@ -183,6 +216,7 @@ def main() -> None:
         "ann_knn_graph_autoplanes": _ann_knn_graph_autoplanes,
         "dedup_semantic_autok": _dedup_semantic_autok,
         "graph_pagerank_autoplanes": _graph_pagerank_autoplanes,
+        "dedup_substring_salted": _dedup_substring_salted,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
