@@ -4907,69 +4907,51 @@ ORACLES["streaming_funnel_conversion"] = Q_EVENTS_FUNNEL_SQL
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
-# therefore the gate-evidence budget.  Round-5 window (exactly 50):
-#   1. the two cheap rows-only queries (a time-budgeted driver that stops
-#      early drops TRAILING entries — v_random_sample lost its row in
-#      round 1 purely by being last),
-#   2. every query whose code or output shape changed this round:
-#      group_centroids (reshaped long-form — the one red r4 row), the
-#      four capped-dedup gates (scale-relative skew fixture), parse-once
-#      q_json_length_keys, and all _events consumers (the loader dropped
-#      its session-timezone side effect),
-#   3. the 34 queries whose last driver row is r3 — after this window
-#      every registered query's driver evidence is ≤ 2 rounds old.
-# Everything else (r4-green, code unchanged) keeps its relative order
-# after the window; the local mirror (scripts/check_correctness.py)
-# still covers all 84.
+# therefore the gate-evidence budget.  Round-6 window (exactly 50):
+#   1. the two reworked property-form gates (v_random_sample /
+#      q_approx_distinct — NEW oracles this round; cheapest first since
+#      a time-budgeted driver drops TRAILING entries),
+#   2. the five gates with ZERO driver evidence: the three streaming
+#      oracle gates, BPE training, and pHash image dedup,
+#   3. the three gates whose code/oracle changed this round
+#      (q_value_histogram clamp, pipeline_mix_temperature quantized z,
+#      q_events_funnel via the shared _funnel_present helper),
+#   4. the full 16-query r3-staleness queue (displaced two rounds ago),
+#   5. 24 of the 32 r4-evidence rows.  The 8 left for round 7 are
+#      stable singletons whose machinery is covered by in-window kin:
+#      dedup_embedding_recall (lsh sibling in), quant_error_stats /
+#      v_search_scalar_quant / embed_jl_project (quantize family keeps
+#      binary/pq/ivfpq rows in), pipeline_stratified_sample /
+#      pipeline_hash_split (md5-split family keeps mix_datasets in),
+#      text_clean / text_chunking (regex-map family keeps
+#      text_repetition in).
+# Everything r5-green with unchanged code moves behind the window; the
+# local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
-    # -- 1: cheap rows-only
+    # -- 1: reworked property-form gates (new oracles)
     "v_random_sample", "q_approx_distinct",
-    # -- 2: code-touched this round (incl. the exact-rounding conversions
-    #       of q1/q_group_having/dedup_minhash/text_quality/token_stats
-    #       and the new semantic-decontamination gate)
-    "group_centroids",
-    "dedup_minhash_capped", "dedup_minhash_hot",
-    "dedup_simhash_capped", "dedup_simhash_hot",
-    "q_json_length_keys", "dedup_minhash", "q1_pricing_summary",
-    "text_decontaminate_semantic", "dedup_keep_best",
-    "q_events_json", "q_events_json_variant", "q_events_hourly",
-    "q_events_sessions", "q_event_percentiles", "q_pivot_events",
-    "q_interval_signup_window", "q_asof_purchase_click",
-    # -- 3: refresh the r3-evidence set (v_batch_search,
-    #       v_prefetch_rerank, ann_ivf_topk wait for round 6 — their
-    #       slots went to the code-touched set above)
-    "q_group_having",
-    "v_search_dot_topk",
-    "v_recommend_topk", "v_colbert_topk", "v_sparse_topk",
-    "v_geo_decay_topk", "match_text_topk", "dedup_ngram_jaccard",
-    # (match_text_tfidf yielded its slot to the new dedup_keep_best gate:
-    # its scoring kernel is shared with match_text_bm25, r4-green)
-    "dedup_embedding", "text_quality", "text_token_stats", "text_lang_id",
-    "doc_fingerprints", "multimodal_bytes", "dedup_clusters",
-    # NEW round-5 operators take three slots (zero driver evidence beats
-    # refreshing r3-green rows): dedup_substring (span-level exact dedup),
-    # dedup_semantic (SemDeDup), pipeline_global_shuffle.  Displaced to
-    # round 6: q14_promo_revenue / q_top_supplier_per_nation /
-    # q_above_avg_orders — pure built-in Catalyst SQL shapes, r3-green,
-    # code unchanged since.
-    # text_perplexity (bigram-LM quality buckets), q_events_funnel
-    # (ordered-conversion funnel) and graph_pagerank (integer
-    # fixed-point kNN-graph centrality) are new too; q_setops,
-    # q_distinct_aggregates and q_rollup (pure built-in Catalyst
-    # shapes, r3-green, code unchanged) yield their slots the same
-    # way, as do q_grouping_sets (for v_search_mmr, the MMR diverse
-    # top-k), q_case_boost (for text_source_profile, the per-source
-    # TTR/entropy diagnostics), q_anti_join / q_window_topk_per_group
-    # (for pipeline_mix_temperature + q_value_histogram), and
-    # q_semi_join (for graph_trustrank, the seed-personalized twin) and
-    # v_within_radius (for q_events_cohorts — the V_DISTANCE kernel
-    # family keeps its refresh via v_search_dot_topk).
-    "dedup_substring", "dedup_semantic", "pipeline_global_shuffle",
-    "text_perplexity", "q_events_funnel", "graph_pagerank",
-    "v_search_mmr", "text_source_profile", "pipeline_mix_temperature",
-    "q_value_histogram", "graph_trustrank", "q_events_cohorts",
-    "ann_knn_graph", "text_vocabulary",
-    "v_lateral_batch_search",
+    # -- 2: zero driver evidence (new this round)
+    "streaming_hourly_counts", "streaming_dedup_survivors",
+    "streaming_funnel_conversion", "text_bpe_vocab",
+    "multimodal_phash_dups",
+    # -- 3: code/oracle touched this round
+    "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
+    # -- 4: the r3-staleness queue, in full
+    "q3_topk_revenue", "q5_nation_revenue", "match_text_tfidf",
+    "q14_promo_revenue", "q_top_supplier_per_nation", "q_above_avg_orders",
+    "v_batch_search", "v_prefetch_rerank", "ann_ivf_topk",
+    "q_setops", "q_distinct_aggregates", "q_rollup", "q_grouping_sets",
+    "q_case_boost", "q_anti_join", "q_window_topk_per_group",
+    "q_semi_join", "v_within_radius",
+    # -- 5: r4-evidence refresh (24 of 32)
+    "v_search_topk", "v_fusion_hybrid", "dedup_exact", "dedup_simhash",
+    "v_discover_topk", "payload_contains", "lsh_bucket_topk",
+    "dedup_embedding_lsh", "ann_knn_graph_blocked", "ann_pq_topk",
+    "ann_ivfpq_topk", "v_search_binary_quant", "text_decontaminate",
+    "text_repetition", "pipeline_pack_sequences", "pipeline_mix_datasets",
+    "text_quality_filter", "v_sparse_batch_inverted",
+    "text_decontaminate_bloom", "pipeline_token_budget", "match_text_bm25",
+    "q_salted_join",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
