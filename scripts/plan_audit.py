@@ -88,6 +88,36 @@ NOTES = {
         "3 exchanges = the three per-stage groupBys; the stage joins "
         "sit behind each stage's lazy localCheckpoint"
     ),
+    "streaming_hourly_counts": (
+        "the gate EXECUTES a real streaming query (readStream -> "
+        "windowed agg -> availableNow -> memory sink) during "
+        "construction; the audited plan is the batch SELECT over the "
+        "already-materialized sink, so scan/shuffle counts describe the "
+        "presentation, not the streaming micro-batch plans (those are "
+        "exercised by the gate itself and test_streaming.py)"
+    ),
+    "streaming_dedup_survivors": (
+        "same as streaming_hourly_counts: the 4-micro-batch dedup "
+        "stream runs during construction; the audit sees the groupBy "
+        "over the memory sink"
+    ),
+    "streaming_funnel_conversion": (
+        "same streaming-gate shape; the returned frame is the 3-row "
+        "LocalRelation of stage counts (driver state), so the row is "
+        "near-zero by design"
+    ),
+    "text_bpe_vocab": (
+        "all-zero row: BPE merges ARE driver state (N argmax-collected "
+        "rows -> LocalRelation); each merge's distributed plan (pair "
+        "groupBy + TakeOrdered over the checkpointed word table) "
+        "executes during construction — scale evidence in "
+        "operators/tokenizer.py docstring + TestTrainBpe"
+    ),
+    "v_random_sample": (
+        "property-form gate: the V_RANDOM sample pins via "
+        "localCheckpoint (LogicalRDD), the audited plan is the tiny "
+        "agg + semi-join over those 25 rows"
+    ),
 }
 
 
