@@ -4896,12 +4896,79 @@ QUERIES["text_bpe_vocab"] = text_bpe_vocab
 ORACLES["text_bpe_vocab"] = TEXT_BPE_VOCAB_SQL
 
 
+def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming top-k (applyInPandasWithState,
+    streaming/ingest.streaming_topk) under a full value oracle, with REAL
+    cross-batch state: events are re-laid-out as 4 files and streamed
+    with maxFilesPerTrigger=1, so the per-key top-5 state must merge
+    across 4 micro-batches.  Top-k merge is associative ((value DESC,
+    id ASC) ties), so the result is batch-split-invariant; the final
+    state is recovered from the update-mode sink as top-k over the
+    distinct emitted rows (every final row was emitted; every emitted
+    non-final row is dominated)."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import streaming_topk
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="sg_stream_topk_")
+    src = os.path.join(tmp, "src")
+    ev.select("event_id", "event_type", "value").repartition(4).write.parquet(
+        src
+    )
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        upd = streaming_topk(
+            stream, key_col="event_type", id_col="event_id",
+            score_col="value", k=5,
+        )
+        sink = _run_stream_to_table(upd, spark, "topk", "update")
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("value"), F.asc("event_id")
+        )
+        out = (
+            sink.select("event_type", "event_id", "value")
+            .dropDuplicates(["event_type", "event_id"])
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5)
+            .select(
+                "event_type",
+                "event_id",
+                F.round("value", 6).alias("value"),
+                "rank",
+            )
+        )
+        out.collect()  # drain before the finally deletes the source
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_TOPK_SQL = """
+SELECT event_type, event_id, round(value, 6) AS value, rank::INT AS rank
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE value IS NOT NULL
+)
+WHERE rank <= 5
+"""
+
+
 QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
 ORACLES["streaming_hourly_counts"] = Q_EVENTS_HOURLY_SQL
 QUERIES["streaming_dedup_survivors"] = streaming_dedup_survivors
 ORACLES["streaming_dedup_survivors"] = STREAMING_DEDUP_SQL
 QUERIES["streaming_funnel_conversion"] = streaming_funnel_conversion
 ORACLES["streaming_funnel_conversion"] = Q_EVENTS_FUNNEL_SQL
+QUERIES["streaming_topk_values"] = streaming_topk_values
+ORACLES["streaming_topk_values"] = STREAMING_TOPK_SQL
 
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
@@ -4917,14 +4984,15 @@ ORACLES["streaming_funnel_conversion"] = Q_EVENTS_FUNNEL_SQL
 #      (q_value_histogram clamp, pipeline_mix_temperature quantized z,
 #      q_events_funnel via the shared _funnel_present helper),
 #   4. the full 16-query r3-staleness queue (displaced two rounds ago),
-#   5. 24 of the 32 r4-evidence rows.  The 8 left for round 7 are
-#      stable singletons whose machinery is covered by in-window kin:
+#   5. the r4-evidence rows.  The 9 left for round 7 are stable
+#      singletons whose machinery is covered by in-window kin:
 #      dedup_embedding_recall (lsh sibling in), quant_error_stats /
 #      v_search_scalar_quant / embed_jl_project (quantize family keeps
 #      binary/pq/ivfpq rows in), pipeline_stratified_sample /
 #      pipeline_hash_split (md5-split family keeps mix_datasets in),
 #      text_clean / text_chunking (regex-map family keeps
-#      text_repetition in).
+#      text_repetition in), text_decontaminate (bloom + semantic
+#      decontamination rows stay in).
 # Everything r5-green with unchanged code moves behind the window; the
 # local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
@@ -4932,8 +5000,8 @@ _RUN_FIRST = [
     "v_random_sample", "q_approx_distinct",
     # -- 2: zero driver evidence (new this round)
     "streaming_hourly_counts", "streaming_dedup_survivors",
-    "streaming_funnel_conversion", "text_bpe_vocab",
-    "multimodal_phash_dups",
+    "streaming_funnel_conversion", "streaming_topk_values",
+    "text_bpe_vocab", "multimodal_phash_dups",
     # -- 3: code/oracle touched this round
     "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
     # -- 4: the r3-staleness queue, in full
@@ -4947,7 +5015,7 @@ _RUN_FIRST = [
     "v_search_topk", "v_fusion_hybrid", "dedup_exact", "dedup_simhash",
     "v_discover_topk", "payload_contains", "lsh_bucket_topk",
     "dedup_embedding_lsh", "ann_knn_graph_blocked", "ann_pq_topk",
-    "ann_ivfpq_topk", "v_search_binary_quant", "text_decontaminate",
+    "ann_ivfpq_topk", "v_search_binary_quant",
     "text_repetition", "pipeline_pack_sequences", "pipeline_mix_datasets",
     "text_quality_filter", "v_sparse_batch_inverted",
     "text_decontaminate_bloom", "pipeline_token_budget", "match_text_bm25",

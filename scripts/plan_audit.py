@@ -106,6 +106,11 @@ NOTES = {
         "LocalRelation of stage counts (driver state), so the row is "
         "near-zero by design"
     ),
+    "streaming_topk_values": (
+        "same streaming-gate shape: the 4-micro-batch stateful top-k "
+        "runs during construction; the audit sees the dedup + window "
+        "presentation over the memory sink"
+    ),
     "text_bpe_vocab": (
         "all-zero row: BPE merges ARE driver state (N argmax-collected "
         "rows -> LocalRelation); each merge's distributed plan (pair "
