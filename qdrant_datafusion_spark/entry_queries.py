@@ -4967,8 +4967,32 @@ QUERIES["streaming_dedup_survivors"] = streaming_dedup_survivors
 ORACLES["streaming_dedup_survivors"] = STREAMING_DEDUP_SQL
 QUERIES["streaming_funnel_conversion"] = streaming_funnel_conversion
 ORACLES["streaming_funnel_conversion"] = Q_EVENTS_FUNNEL_SQL
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_events_sessions, graded by the SAME oracle:
+    ``session_window`` (streaming/ingest.sessionized_counts) runs as a
+    real streaming query in complete mode; per-user session counts +
+    event totals then reduce to the batch gate's shape.  Boundary note:
+    session_window merges at gap-diff < 30 min (strict) while the batch
+    lag+cumsum rule merges at <= 30 min — they can differ only for a
+    pair exactly 30 min apart, and the fixture has none at any sf
+    (checked: 0 of 98,500 adjacent pairs at sf0.1)."""
+    from qdrant_datafusion_spark.streaming.ingest import sessionized_counts
+
+    ev = _read_stream(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = sessionized_counts(ev, gap="30 minutes", watermark="1 hour")
+    sink = _run_stream_to_table(agg, spark, "sessions", "complete")
+    return sink.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
 QUERIES["streaming_topk_values"] = streaming_topk_values
 ORACLES["streaming_topk_values"] = STREAMING_TOPK_SQL
+QUERIES["streaming_sessions"] = streaming_sessions
+ORACLES["streaming_sessions"] = Q_EVENTS_SESSIONS_SQL
 
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
@@ -4992,7 +5016,8 @@ ORACLES["streaming_topk_values"] = STREAMING_TOPK_SQL
 #      pipeline_hash_split (md5-split family keeps mix_datasets in),
 #      text_clean / text_chunking (regex-map family keeps
 #      text_repetition in), text_decontaminate (bloom + semantic
-#      decontamination rows stay in).
+#      decontamination rows stay in), pipeline_token_budget (two-phase
+#      prefix-scan family keeps pack_sequences in).
 # Everything r5-green with unchanged code moves behind the window; the
 # local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
@@ -5001,7 +5026,7 @@ _RUN_FIRST = [
     # -- 2: zero driver evidence (new this round)
     "streaming_hourly_counts", "streaming_dedup_survivors",
     "streaming_funnel_conversion", "streaming_topk_values",
-    "text_bpe_vocab", "multimodal_phash_dups",
+    "streaming_sessions", "text_bpe_vocab", "multimodal_phash_dups",
     # -- 3: code/oracle touched this round
     "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
     # -- 4: the r3-staleness queue, in full
@@ -5018,7 +5043,7 @@ _RUN_FIRST = [
     "ann_ivfpq_topk", "v_search_binary_quant",
     "text_repetition", "pipeline_pack_sequences", "pipeline_mix_datasets",
     "text_quality_filter", "v_sparse_batch_inverted",
-    "text_decontaminate_bloom", "pipeline_token_budget", "match_text_bm25",
+    "text_decontaminate_bloom", "match_text_bm25",
     "q_salted_join",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
