@@ -4815,6 +4815,118 @@ ORACLES["multimodal_phash_dups"] = MULTIMODAL_PHASH_SQL
 
 
 # ===========================================================================
+# round-6: audio fingerprint dedup (operators/audio.py) — same
+# independent-derivation design as the pHash gate: planted WAV clips whose
+# int16 samples follow a closed-form (doc_id, t) formula; Spark runs the
+# REAL path (synth samples → stdlib WAV encode → binary column → stdlib
+# WAV parse → integer energy-envelope hash → banded Hamming join); the
+# oracle recomputes frame energies with exact BIGINT sums from the same
+# formula and brute-forces pairs.  Capped at doc_id < 512 so the oracle
+# materializes only ~2.1M sample rows.
+# ===========================================================================
+
+AUDIO_DOC_CAP = 512
+AUDIO_MAX_HAMMING = 4
+AUDIO_FRAME = 64
+_AUDIO_SAMPLES = 65 * AUDIO_FRAME  # 65 frames -> 64 comparison bits
+
+
+def _audio_planted_samples(i: int):
+    """int16 clip for doc ``i``: group (i//8) pseudo-random-energy base
+    + a half-frame +64 boost in one member-specific frame — flips ≤2
+    envelope bits vs the group base, so within-group Hamming ≤ 4."""
+    import numpy as np
+
+    g, m = i // 8, i % 8
+    t = np.arange(_AUDIO_SAMPLES, dtype=np.int64)
+    x = (t * (3 + g % 7) + (t * t) % 101 + 13 * g) % 256 - 128
+    if m > 0:
+        boost = (t // AUDIO_FRAME == m * 7) & (t % AUDIO_FRAME < 32)
+        x = x + 64 * boost
+    return x.astype(np.int16)
+
+
+def multimodal_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over planted WAV blobs — real encoder, real
+    PCM parse, exact-integer envelope hash, real banded Hamming join
+    (operators/audio.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from qdrant_datafusion_spark.operators.audio import (
+        audio_energy_dups,
+        encode_wav,
+    )
+
+    _make_wav = pandas_udf(
+        lambda ids: pd.Series(
+            [encode_wav(_audio_planted_samples(int(i))) for i in ids]
+        ),
+        "binary",
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < AUDIO_DOC_CAP)
+        .select("doc_id")
+    )
+    clips = docs.select(
+        F.col("doc_id").alias("id"), _make_wav("doc_id").alias("media")
+    )
+    pairs = audio_energy_dups(
+        clips, "media", "id",
+        max_hamming=AUDIO_MAX_HAMMING, frame_len=AUDIO_FRAME,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH snd AS (
+  SELECT doc_id AS id, doc_id // 8 AS g, doc_id % 8 AS m
+  FROM documents WHERE doc_id < {AUDIO_DOC_CAP}
+),
+tt AS (SELECT unnest(generate_series(0, {_AUDIO_SAMPLES - 1})) AS t),
+samp AS (
+  SELECT id, t // {AUDIO_FRAME} AS f,
+         (t * (3 + g % 7) + (t * t) % 101 + 13 * g) % 256 - 128
+         + CASE WHEN m > 0 AND t // {AUDIO_FRAME} = m * 7
+                     AND t % {AUDIO_FRAME} < 32
+                THEN 64 ELSE 0 END AS x
+  FROM snd, tt
+),
+en AS (SELECT id, f, sum(x::BIGINT * x) AS e FROM samp GROUP BY 1, 2),
+bits AS (
+  SELECT a.id, a.f AS k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.id = b.id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+halves AS (
+  SELECT id,
+         sum(CASE WHEN k < 32 THEN bit * (2::BIGINT ** (31 - k))::BIGINT
+                  ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN k >= 32 THEN bit * (2::BIGINT ** (63 - k))::BIGINT
+                  ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY id
+),
+codes AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN hi >= 2147483648
+              THEN (hi - 4294967296) * 4294967296 + lo
+              ELSE hi * 4294967296 + lo END AS code
+  FROM halves
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.code, b.code))::INT AS hamming
+FROM codes a JOIN codes b ON a.id < b.id
+WHERE bit_count(xor(a.code, b.code)) <= {AUDIO_MAX_HAMMING}
+"""
+
+QUERIES["multimodal_audio_dups"] = multimodal_audio_dups
+ORACLES["multimodal_audio_dups"] = MULTIMODAL_AUDIO_SQL
+
+
+# ===========================================================================
 # round-6: distributed BPE tokenizer training (operators/tokenizer.py) —
 # the merge loop is graded by an unrolled-CTE DuckDB oracle, one
 # (pair-count → argmax → greedy replace) stage per merge, the pagerank
@@ -5017,7 +5129,9 @@ ORACLES["streaming_sessions"] = Q_EVENTS_SESSIONS_SQL
 #      text_clean / text_chunking (regex-map family keeps
 #      text_repetition in), text_decontaminate (bloom + semantic
 #      decontamination rows stay in), pipeline_token_budget (two-phase
-#      prefix-scan family keeps pack_sequences in).
+#      prefix-scan family keeps pack_sequences in),
+#      pipeline_mix_datasets (exercised transitively by the in-window
+#      pipeline_mix_temperature, which calls it).
 # Everything r5-green with unchanged code moves behind the window; the
 # local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
@@ -5027,6 +5141,7 @@ _RUN_FIRST = [
     "streaming_hourly_counts", "streaming_dedup_survivors",
     "streaming_funnel_conversion", "streaming_topk_values",
     "streaming_sessions", "text_bpe_vocab", "multimodal_phash_dups",
+    "multimodal_audio_dups",
     # -- 3: code/oracle touched this round
     "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
     # -- 4: the r3-staleness queue, in full
@@ -5041,7 +5156,7 @@ _RUN_FIRST = [
     "v_discover_topk", "payload_contains", "lsh_bucket_topk",
     "dedup_embedding_lsh", "ann_knn_graph_blocked", "ann_pq_topk",
     "ann_ivfpq_topk", "v_search_binary_quant",
-    "text_repetition", "pipeline_pack_sequences", "pipeline_mix_datasets",
+    "text_repetition", "pipeline_pack_sequences",
     "text_quality_filter", "v_sparse_batch_inverted",
     "text_decontaminate_bloom", "match_text_bm25",
     "q_salted_join",

@@ -6,6 +6,7 @@
 - ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
 - ``phash``      — perceptual-hash (dHash) image dedup over binary columns
+- ``audio``      — energy-envelope fingerprint dedup over PCM WAV columns
 - ``tokenizer``  — distributed BPE merge-rule training
 - ``pipeline``   — dataset assembly: splits, decontamination, repetition
                    quality, sequence packing
@@ -68,6 +69,10 @@ from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     interval_join,
 )
 from qdrant_datafusion_spark.operators.joins import salted_join  # noqa: F401
+from qdrant_datafusion_spark.operators.audio import (  # noqa: F401
+    audio_energy_dups,
+    audio_hash_codes,
+)
 from qdrant_datafusion_spark.operators.phash import (  # noqa: F401
     dhash_codes,
     hamming_code_dups,

@@ -1276,3 +1276,100 @@ class TestPhashDups:
             phash_image_dups(df, "media", "id", max_hamming=-1)
         with _pytest.raises(ValueError):
             phash_image_dups(df, "media", "id", max_hamming=1, blocks=65)
+
+
+class TestAudioEnergyDups:
+    """operators.audio — WAV codec + integer energy-envelope Hamming dedup."""
+
+    @staticmethod
+    def _clip(seed, boost_frame=None):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        x = rng.randint(-120, 120, size=65 * 64).astype(np.int16)
+        if boost_frame is not None:
+            x[boost_frame * 64 : boost_frame * 64 + 32] += 100
+        return x
+
+    def _media_df(self, spark, clips):
+        from qdrant_datafusion_spark.operators.audio import encode_wav
+
+        rows = [(i, bytearray(encode_wav(x))) for i, x in clips]
+        return spark.createDataFrame(rows, "id long, media binary")
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.audio import (
+            decode_wav_samples,
+            encode_wav,
+        )
+
+        x = self._clip(1)
+        assert np.array_equal(decode_wav_samples(encode_wav(x)), x)
+
+    def test_hash_matches_manual_bits(self):
+        from qdrant_datafusion_spark.operators.audio import energy_hash64
+
+        x = self._clip(2)
+        e = [sum(int(v) ** 2 for v in x[f * 64 : (f + 1) * 64]) for f in range(65)]
+        expect = 0
+        for f in range(64):
+            expect = (expect << 1) | int(e[f + 1] > e[f])
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert energy_hash64(x, 64) == expect
+
+    def test_gain_invariance(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.audio import energy_hash64
+
+        # uniform gain scales every frame energy by the same factor, so
+        # every comparison bit survives — the envelope-hash dedup property
+        x = self._clip(3)
+        assert energy_hash64(x) == energy_hash64((x.astype(np.int64) * 3))
+
+    def test_planted_near_dup_found(self, spark):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.audio import (
+            audio_energy_dups,
+            energy_hash64,
+        )
+
+        # constructed envelope: per-frame constant amplitude 10+(f%3), so
+        # every comparison bit is known (…10,11,12,10,11,12…).  Boosting
+        # frame 21 — a local MINIMUM (amplitude 10) — to 112 flips
+        # exactly two bits: bit20 (e21>e20: 0→1) and bit21 (e22>e21:
+        # 1→0).  A one-frame perturbation must pair within max_hamming
+        # while an unrelated clip must not.
+        amp = np.repeat([10 + (f % 3) for f in range(65)], 64)
+        base = amp.astype(np.int16)
+        near = base.copy()
+        near[21 * 64 : 22 * 64] = 112
+        d = bin(
+            (energy_hash64(base) ^ energy_hash64(near)) & ((1 << 64) - 1)
+        ).count("1")
+        assert d == 2
+        df = self._media_df(spark, [(1, base), (2, near), (3, self._clip(77))])
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in audio_energy_dups(df, "media", "id", max_hamming=4).collect()
+        }
+        assert got == {(1, 2): d}
+
+    def test_junk_and_null_media_skipped(self, spark):
+        from qdrant_datafusion_spark.operators.audio import (
+            audio_energy_dups,
+            audio_hash_codes,
+        )
+
+        df = self._media_df(spark, [(1, self._clip(9)), (2, self._clip(9))])
+        junk = spark.createDataFrame(
+            [(3, bytearray(b"RIFFnope")), (4, None)], "id long, media binary"
+        )
+        allm = df.unionByName(junk)
+        assert audio_hash_codes(allm, "media", "id").count() == 2
+        out = audio_energy_dups(allm, "media", "id", max_hamming=0).collect()
+        assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
