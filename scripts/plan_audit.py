@@ -111,6 +111,11 @@ NOTES = {
         "runs during construction; the audit sees the dedup + window "
         "presentation over the memory sink"
     ),
+    "streaming_sessions": (
+        "same streaming-gate shape: the session_window aggregation "
+        "runs during construction; the audit sees the per-user groupBy "
+        "over the memory sink"
+    ),
     "text_bpe_vocab": (
         "all-zero row: BPE merges ARE driver state (N argmax-collected "
         "rows -> LocalRelation); each merge's distributed plan (pair "
