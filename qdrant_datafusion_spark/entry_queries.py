@@ -5101,10 +5101,59 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_collection_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom streaming Python DataSource
+    (sources.CollectionStreamReader) under a full value oracle: documents
+    are laid out as a 4-fragment collection dir and streamed through
+    ``format("qdrant_collection")`` with maxFilesPerTrigger-free
+    availableNow (the source's offset IS the consumed fragment list), so
+    the gate proves the offset/replay plumbing delivers EXACTLY the
+    table: per-doc content digest equality against a direct scan."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.sources.collection_source import (
+        register_collection_source,
+    )
+
+    register_collection_source(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_coll_stream_")
+    coll = os.path.join(tmp, "coll")
+    docs.repartition(4).write.parquet(coll)
+    try:
+        stream = (
+            spark.readStream.format("qdrant_collection")
+            .option("path", coll)
+            .load()
+        )
+        sink = _run_stream_to_table(stream, spark, "collsrc", "append")
+        out = sink.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        out.collect()  # drain before the finally deletes the source
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_COLLECTION_SQL = """
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 QUERIES["streaming_topk_values"] = streaming_topk_values
 ORACLES["streaming_topk_values"] = STREAMING_TOPK_SQL
 QUERIES["streaming_sessions"] = streaming_sessions
 ORACLES["streaming_sessions"] = Q_EVENTS_SESSIONS_SQL
+QUERIES["streaming_collection_source"] = streaming_collection_source
+ORACLES["streaming_collection_source"] = STREAMING_COLLECTION_SQL
 
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
@@ -5131,7 +5180,8 @@ ORACLES["streaming_sessions"] = Q_EVENTS_SESSIONS_SQL
 #      decontamination rows stay in), pipeline_token_budget (two-phase
 #      prefix-scan family keeps pack_sequences in),
 #      pipeline_mix_datasets (exercised transitively by the in-window
-#      pipeline_mix_temperature, which calls it).
+#      pipeline_mix_temperature, which calls it), ann_pq_topk (PQ
+#      encode/ADC machinery exercised by in-window ann_ivfpq_topk).
 # Everything r5-green with unchanged code moves behind the window; the
 # local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
@@ -5140,8 +5190,8 @@ _RUN_FIRST = [
     # -- 2: zero driver evidence (new this round)
     "streaming_hourly_counts", "streaming_dedup_survivors",
     "streaming_funnel_conversion", "streaming_topk_values",
-    "streaming_sessions", "text_bpe_vocab", "multimodal_phash_dups",
-    "multimodal_audio_dups",
+    "streaming_sessions", "streaming_collection_source",
+    "text_bpe_vocab", "multimodal_phash_dups", "multimodal_audio_dups",
     # -- 3: code/oracle touched this round
     "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
     # -- 4: the r3-staleness queue, in full
@@ -5154,7 +5204,7 @@ _RUN_FIRST = [
     # -- 5: r4-evidence refresh (24 of 32)
     "v_search_topk", "v_fusion_hybrid", "dedup_exact", "dedup_simhash",
     "v_discover_topk", "payload_contains", "lsh_bucket_topk",
-    "dedup_embedding_lsh", "ann_knn_graph_blocked", "ann_pq_topk",
+    "dedup_embedding_lsh", "ann_knn_graph_blocked",
     "ann_ivfpq_topk", "v_search_binary_quant",
     "text_repetition", "pipeline_pack_sequences",
     "text_quality_filter", "v_sparse_batch_inverted",

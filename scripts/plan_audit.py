@@ -116,6 +116,12 @@ NOTES = {
         "runs during construction; the audit sees the per-user groupBy "
         "over the memory sink"
     ),
+    "streaming_collection_source": (
+        "same streaming-gate shape: the custom qdrant_collection "
+        "Python DataSource streams the 4-fragment dir during "
+        "construction; the audit sees the digest projection over the "
+        "memory sink"
+    ),
     "text_bpe_vocab": (
         "all-zero row: BPE merges ARE driver state (N argmax-collected "
         "rows -> LocalRelation); each merge's distributed plan (pair "
