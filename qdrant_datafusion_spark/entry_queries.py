@@ -611,6 +611,50 @@ GROUP BY event_type
 """
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per event type, graded
+    property-form like q_approx_distinct: the sketch VALUE is
+    engine-specific, but GK guarantees rank error ≤ 1/accuracy, and the
+    achieved rank of the returned value is exactly computable — so
+    ``rank_within_bound`` (|rank(approx_p50)/n − 0.5| ≤ 2/accuracy + 1/n
+    — the sketch guarantee plus one rank step of discreteness, which
+    dominates for small groups) is a deterministic, oracle-checkable
+    property and ``n`` carries a full value oracle.  The sketch genuinely
+    executes on the Spark side; the rank probe is a broadcast join back
+    over the data."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    ap = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("ap50"),
+        F.count("value").alias("n"),
+    )
+    ranked = (
+        ev.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("value") <= F.col("ap50")).cast("long")
+            ).alias("n_le"),
+            F.first("n").alias("n"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.abs(F.col("n_le") / F.col("n") - 0.5)
+            <= 0.002 + 1.0 / F.col("n")
+        ).alias("rank_within_bound"),
+    )
+
+
+Q_APPROX_PERCENTILE_SQL = """
+SELECT event_type, count(value)::BIGINT AS n, TRUE AS rank_within_bound
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming windowed
     agg; timestamps stringified for engine-neutral comparison)."""
@@ -1942,6 +1986,8 @@ GROUP BY l_returnflag
 """
 
 
+QUERIES["q_approx_percentile"] = q_approx_percentile
+ORACLES["q_approx_percentile"] = Q_APPROX_PERCENTILE_SQL
 QUERIES["q_pivot_events"] = q_pivot_events
 QUERIES["q_approx_distinct"] = q_approx_distinct
 ORACLES["q_pivot_events"] = Q_PIVOT_SQL
@@ -5181,12 +5227,14 @@ ORACLES["streaming_collection_source"] = STREAMING_COLLECTION_SQL
 #      prefix-scan family keeps pack_sequences in),
 #      pipeline_mix_datasets (exercised transitively by the in-window
 #      pipeline_mix_temperature, which calls it), ann_pq_topk (PQ
-#      encode/ADC machinery exercised by in-window ann_ivfpq_topk).
+#      encode/ADC machinery exercised by in-window ann_ivfpq_topk),
+#      text_repetition (regex-stats family keeps text_quality_filter
+#      in-window).
 # Everything r5-green with unchanged code moves behind the window; the
 # local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
     # -- 1: reworked property-form gates (new oracles)
-    "v_random_sample", "q_approx_distinct",
+    "v_random_sample", "q_approx_distinct", "q_approx_percentile",
     # -- 2: zero driver evidence (new this round)
     "streaming_hourly_counts", "streaming_dedup_survivors",
     "streaming_funnel_conversion", "streaming_topk_values",
@@ -5206,7 +5254,7 @@ _RUN_FIRST = [
     "v_discover_topk", "payload_contains", "lsh_bucket_topk",
     "dedup_embedding_lsh", "ann_knn_graph_blocked",
     "ann_ivfpq_topk", "v_search_binary_quant",
-    "text_repetition", "pipeline_pack_sequences",
+    "pipeline_pack_sequences",
     "text_quality_filter", "v_sparse_batch_inverted",
     "text_decontaminate_bloom", "match_text_bm25",
     "q_salted_join",
