@@ -4769,12 +4769,17 @@ PHASH_MAX_HAMMING = 4
 def _phash_planted_pixels(i: int):
     """9×8 grayscale fixture image for doc ``i``: group (i//8) gradient
     base (mod 150) + a +100 bump at one member-specific pixel — flips ≤2
-    gradient bits vs the group base, so within-group Hamming ≤ 4."""
+    gradient bits vs the group base, so within-group Hamming ≤ 4.  The
+    horizontal stride is GROUP-dependent (23 + 7g mod 59, coprime-ish to
+    the modulus), so different groups wrap at different columns and the
+    gradient-sign codes decorrelate across groups — near-dup pairs are
+    genuinely group-local, not a fixture-wide blob."""
     import numpy as np
 
     g, m = i // 8, i % 8
     y, x = np.mgrid[0:8, 0:9]
-    p = ((x * 31 + y * 17 + g * 53) % 150).astype(np.int32)
+    stride = 23 + (g * 7) % 59
+    p = ((x * stride + y * 17 + g * 53) % 150).astype(np.int32)
     if m > 0:
         p[m - 1, (g + m) % 9] += 100
     return p.astype(np.uint8)
@@ -4821,7 +4826,7 @@ WITH imgs AS (
 ),
 px AS (
   SELECT id, y, x,
-         ((x * 31 + y * 17 + g * 53) % 150)
+         ((x * (23 + (g * 7) % 59) + y * 17 + g * 53) % 150)
          + CASE WHEN m > 0 AND y = m - 1 AND x = (g + m) % 9
                 THEN 100 ELSE 0 END AS p
   FROM imgs,
