@@ -98,6 +98,16 @@ HEADLINE = [
     "q_value_histogram",
     "graph_trustrank",
     "q_events_cohorts",
+    # round 6
+    "text_bpe_vocab",
+    "multimodal_phash_dups",
+    "multimodal_audio_dups",
+    "q_approx_percentile",
+    "streaming_hourly_counts",
+    "streaming_dedup_survivors",
+    "streaming_funnel_conversion",
+    "streaming_topk_values",
+    "streaming_sessions",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -123,6 +133,33 @@ TAGS = {
     "dedup_keep_best": (
         "composition gate (MinHash pairs -> connected components -> "
         "quality argmax); cost is the full dedup pipeline, not one op"
+    ),
+    "streaming_hourly_counts": (
+        "streaming gate: cost includes a full readStream->availableNow "
+        "micro-batch run plus sink presentation, not a batch plan"
+    ),
+    "streaming_dedup_survivors": (
+        "streaming gate: includes a 4-file re-layout write + 4 "
+        "micro-batches of cross-batch dedup state"
+    ),
+    "streaming_funnel_conversion": (
+        "streaming gate: full applyInPandasWithState funnel run"
+    ),
+    "streaming_topk_values": (
+        "streaming gate: 4-file re-layout + 4 stateful micro-batches"
+    ),
+    "streaming_sessions": "streaming gate: session_window complete-mode run",
+    "text_bpe_vocab": (
+        "driver-loop op: 12 sequential merge jobs over the word table "
+        "(inherent to BPE; each job is one groupBy + argmax + map)"
+    ),
+    "multimodal_phash_dups": (
+        "includes fixture synthesis (PNG encode of 4096 images) ahead "
+        "of the decode+hash+join path under test"
+    ),
+    "multimodal_audio_dups": (
+        "includes fixture synthesis (WAV encode of 512 clips) ahead of "
+        "the parse+hash+join path under test"
     ),
 }
 
