@@ -470,3 +470,62 @@ class TestGrpcTranslationProperties:
             assert arm == "keywords" and any_match[arm] == {
                 "strings": [str(v) for v in any_values]
             }
+
+
+class TestBpeBoundaryEncoding:
+    """The core trick of operators/tokenizer.py: applying a BPE merge as
+    a flat-string ``replace`` over double-separator boundaries must equal
+    the canonical greedy left-to-right tuple scan for ARBITRARY symbol
+    sequences — including pathological overlap runs (aaaa + (a,a))."""
+
+    @staticmethod
+    def _replace_merges(texts, n_merges):
+        # pure-python mirror of the Spark/DuckDB string pipeline: python
+        # str.replace shares the left-to-right non-overlapping contract
+        from qdrant_datafusion_spark.operators.tokenizer import END_MARK, SEP
+
+        B = SEP + SEP
+        freq = {}
+        for t in texts:
+            for w in t.lower().split():
+                freq[w] = freq.get(w, 0) + 1
+        vocab = {
+            B + B.join(list(w) + [END_MARK]) + B: n for w, n in freq.items()
+        }
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for s, n in vocab.items():
+                syms = s.strip(SEP).split(B)
+                for j in range(len(syms) - 1):
+                    p = (syms[j], syms[j + 1])
+                    counts[p] = counts.get(p, 0) + n
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, cnt))
+            new_vocab = {}
+            for s, n in vocab.items():
+                s2 = s.replace(SEP + a + B + b + SEP, SEP + a + b + SEP)
+                new_vocab[s2] = new_vocab.get(s2, 0) + n
+            vocab = new_vocab
+        return merges
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=10),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    def test_replace_equals_greedy_scan(self, words, n_merges):
+        from qdrant_datafusion_spark.operators.tokenizer import bpe_reference
+
+        texts = [" ".join(words)]
+        assert self._replace_merges(texts, n_merges) == bpe_reference(
+            texts, n_merges
+        )
