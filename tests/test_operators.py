@@ -619,6 +619,14 @@ class TestEmptyInput:
         "text_perplexity", "q_events_funnel", "graph_pagerank",
         "v_search_mmr", "text_source_profile", "pipeline_mix_temperature",
         "q_value_histogram", "graph_trustrank", "q_events_cohorts",
+        # round-6 additions: BPE merge loop, image/audio fingerprint
+        # dedup, sketch property gates, and the six streaming gates
+        # (empty source -> zero-row micro-batch -> empty sink)
+        "text_bpe_vocab", "multimodal_phash_dups", "multimodal_audio_dups",
+        "q_approx_percentile", "q_approx_distinct", "v_random_sample",
+        "streaming_hourly_counts", "streaming_dedup_survivors",
+        "streaming_funnel_conversion", "streaming_topk_values",
+        "streaming_sessions", "streaming_collection_source",
     ]
     GUARDED = {
         "text_decontaminate_semantic": "benchmark has no embeddings",
