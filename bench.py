@@ -102,6 +102,7 @@ HEADLINE = [
     "text_bpe_vocab",
     "multimodal_phash_dups",
     "multimodal_audio_dups",
+    "multimodal_video_dups",
     "q_approx_percentile",
     "streaming_hourly_counts",
     "streaming_dedup_survivors",
@@ -160,6 +161,10 @@ TAGS = {
     "multimodal_audio_dups": (
         "includes fixture synthesis (WAV encode of 512 clips) ahead of "
         "the parse+hash+join path under test"
+    ),
+    "multimodal_video_dups": (
+        "includes fixture synthesis (Y4M encode of 256 clips) ahead of "
+        "the demux+hash+join path under test"
     ),
 }
 

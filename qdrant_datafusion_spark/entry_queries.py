@@ -4978,6 +4978,115 @@ ORACLES["multimodal_audio_dups"] = MULTIMODAL_AUDIO_SQL
 
 
 # ===========================================================================
+# round-6: video fingerprint dedup (operators/video.py) — third leg of the
+# multimodal dedup trio, same independent-derivation design: planted Y4M
+# clips whose luma pixels follow a closed-form (doc_id, frame, y, x)
+# formula; Spark runs the REAL path (synth frames → Y4M encode → binary →
+# stdlib Y4M demux → integer temporal-envelope hash → banded Hamming
+# join); the oracle recomputes per-frame luma sums with exact BIGINT
+# arithmetic from the same formula.  doc_id < 256, 65 frames of 16×8
+# luma → the oracle materializes ~2.1M pixel rows.
+# ===========================================================================
+
+VIDEO_DOC_CAP = 256
+VIDEO_MAX_HAMMING = 4
+_VIDEO_W, _VIDEO_H, _VIDEO_FRAMES = 16, 8, 65
+
+
+def _video_planted_frames(i: int):
+    """65 16×8 mono frames for doc ``i``: group (i//8) pseudo-random
+    temporal envelope + a +40 half-row boost in one member-specific
+    frame — flips ≤2 envelope bits vs the group base."""
+    import numpy as np
+
+    g, m = i // 8, i % 8
+    f = np.arange(_VIDEO_FRAMES)[:, None, None]
+    y = np.arange(_VIDEO_H)[None, :, None]
+    x = np.arange(_VIDEO_W)[None, None, :]
+    lum = (x * 7 + y * 11 + f * (5 + g % 5) + (f * f) % 97 + 29 * g) % 200
+    if m > 0:
+        lum = lum + 40 * ((f == m * 8) & (x < 8))
+    return [lum[k].astype(np.uint8) for k in range(_VIDEO_FRAMES)]
+
+
+def multimodal_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs over planted Y4M blobs — real encoder, real
+    demux, exact-integer temporal hash, real banded Hamming join
+    (operators/video.py)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from qdrant_datafusion_spark.operators.imaging import encode_y4m
+    from qdrant_datafusion_spark.operators.video import video_temporal_dups
+
+    _make_y4m = pandas_udf(
+        lambda ids: pd.Series(
+            [encode_y4m(_video_planted_frames(int(i))) for i in ids]
+        ),
+        "binary",
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < VIDEO_DOC_CAP)
+        .select("doc_id")
+    )
+    clips = docs.select(
+        F.col("doc_id").alias("id"), _make_y4m("doc_id").alias("media")
+    )
+    pairs = video_temporal_dups(
+        clips, "media", "id", max_hamming=VIDEO_MAX_HAMMING
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+MULTIMODAL_VIDEO_SQL = f"""
+WITH vids AS (
+  SELECT doc_id AS id, doc_id // 8 AS g, doc_id % 8 AS m
+  FROM documents WHERE doc_id < {VIDEO_DOC_CAP}
+),
+fr AS (SELECT unnest(generate_series(0, {_VIDEO_FRAMES - 1})) AS f),
+yy AS (SELECT unnest(generate_series(0, {_VIDEO_H - 1})) AS y),
+xx AS (SELECT unnest(generate_series(0, {_VIDEO_W - 1})) AS x),
+px AS (
+  SELECT id, f,
+         (x * 7 + y * 11 + f * (5 + g % 5) + (f * f) % 97 + 29 * g) % 200
+         + CASE WHEN m > 0 AND f = m * 8 AND x < 8 THEN 40 ELSE 0 END AS l
+  FROM vids, fr, yy, xx
+),
+en AS (SELECT id, f, sum(l::BIGINT) AS s FROM px GROUP BY 1, 2),
+bits AS (
+  SELECT a.id, a.f AS k, CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.id = b.id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+halves AS (
+  SELECT id,
+         sum(CASE WHEN k < 32 THEN bit * (2::BIGINT ** (31 - k))::BIGINT
+                  ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN k >= 32 THEN bit * (2::BIGINT ** (63 - k))::BIGINT
+                  ELSE 0 END)::BIGINT AS lo
+  FROM bits GROUP BY id
+),
+codes AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN hi >= 2147483648
+              THEN (hi - 4294967296) * 4294967296 + lo
+              ELSE hi * 4294967296 + lo END AS code
+  FROM halves
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.code, b.code))::INT AS hamming
+FROM codes a JOIN codes b ON a.id < b.id
+WHERE bit_count(xor(a.code, b.code)) <= {VIDEO_MAX_HAMMING}
+"""
+
+QUERIES["multimodal_video_dups"] = multimodal_video_dups
+ORACLES["multimodal_video_dups"] = MULTIMODAL_VIDEO_SQL
+
+
+# ===========================================================================
 # round-6: distributed BPE tokenizer training (operators/tokenizer.py) —
 # the merge loop is graded by an unrolled-CTE DuckDB oracle, one
 # (pair-count → argmax → greedy replace) stage per merge, the pagerank
@@ -5234,7 +5343,8 @@ ORACLES["streaming_collection_source"] = STREAMING_COLLECTION_SQL
 #      pipeline_mix_temperature, which calls it), ann_pq_topk (PQ
 #      encode/ADC machinery exercised by in-window ann_ivfpq_topk),
 #      text_repetition (regex-stats family keeps text_quality_filter
-#      in-window).
+#      in-window), v_discover_topk (weighted-combination kernel shared
+#      with r5-green v_recommend_topk).
 # Everything r5-green with unchanged code moves behind the window; the
 # local mirror (scripts/check_correctness.py) still covers all 103.
 _RUN_FIRST = [
@@ -5245,6 +5355,7 @@ _RUN_FIRST = [
     "streaming_funnel_conversion", "streaming_topk_values",
     "streaming_sessions", "streaming_collection_source",
     "text_bpe_vocab", "multimodal_phash_dups", "multimodal_audio_dups",
+    "multimodal_video_dups",
     # -- 3: code/oracle touched this round
     "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
     # -- 4: the r3-staleness queue, in full
@@ -5256,7 +5367,7 @@ _RUN_FIRST = [
     "q_semi_join", "v_within_radius",
     # -- 5: r4-evidence refresh (24 of 32)
     "v_search_topk", "v_fusion_hybrid", "dedup_exact", "dedup_simhash",
-    "v_discover_topk", "payload_contains", "lsh_bucket_topk",
+    "payload_contains", "lsh_bucket_topk",
     "dedup_embedding_lsh", "ann_knn_graph_blocked",
     "ann_ivfpq_topk", "v_search_binary_quant",
     "pipeline_pack_sequences",

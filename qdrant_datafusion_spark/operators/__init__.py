@@ -7,6 +7,7 @@
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
 - ``phash``      — perceptual-hash (dHash) image dedup over binary columns
 - ``audio``      — energy-envelope fingerprint dedup over PCM WAV columns
+- ``video``      — temporal luma-envelope fingerprint dedup over Y4M columns
 - ``tokenizer``  — distributed BPE merge-rule training
 - ``pipeline``   — dataset assembly: splits, decontamination, repetition
                    quality, sequence packing
@@ -79,3 +80,7 @@ from qdrant_datafusion_spark.operators.phash import (  # noqa: F401
     phash_image_dups,
 )
 from qdrant_datafusion_spark.operators.tokenizer import train_bpe  # noqa: F401
+from qdrant_datafusion_spark.operators.video import (  # noqa: F401
+    video_hash_codes,
+    video_temporal_dups,
+)

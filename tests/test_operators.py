@@ -623,6 +623,7 @@ class TestEmptyInput:
         # dedup, sketch property gates, and the six streaming gates
         # (empty source -> zero-row micro-batch -> empty sink)
         "text_bpe_vocab", "multimodal_phash_dups", "multimodal_audio_dups",
+        "multimodal_video_dups",
         "q_approx_percentile", "q_approx_distinct", "v_random_sample",
         "streaming_hourly_counts", "streaming_dedup_survivors",
         "streaming_funnel_conversion", "streaming_topk_values",
@@ -1381,3 +1382,87 @@ class TestAudioEnergyDups:
         assert audio_hash_codes(allm, "media", "id").count() == 2
         out = audio_energy_dups(allm, "media", "id", max_hamming=0).collect()
         assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+class TestVideoTemporalDups:
+    """operators.video — Y4M demux + integer temporal-envelope dedup."""
+
+    @staticmethod
+    def _clip(seed, boost_frame=None):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        frames = [
+            rng.randint(0, 200, size=(8, 16)).astype(np.uint8)
+            for _ in range(65)
+        ]
+        if boost_frame is not None:
+            frames[boost_frame] = np.minimum(
+                frames[boost_frame].astype(np.int32) + 55, 255
+            ).astype(np.uint8)
+        return frames
+
+    def _media_df(self, spark, clips):
+        from qdrant_datafusion_spark.operators.imaging import encode_y4m
+
+        rows = [(i, bytearray(encode_y4m(fs))) for i, fs in clips]
+        return spark.createDataFrame(rows, "id long, media binary")
+
+    def test_hash_matches_manual_bits(self):
+        from qdrant_datafusion_spark.operators.imaging import encode_y4m
+        from qdrant_datafusion_spark.operators.video import (
+            video_temporal_hash64,
+        )
+
+        frames = self._clip(4)
+        sums = [int(f.astype("int64").sum()) for f in frames]
+        expect = 0
+        for k in range(64):
+            expect = (expect << 1) | int(sums[k + 1] > sums[k])
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert video_temporal_hash64(encode_y4m(frames)) == expect
+
+    def test_brightness_invariance(self):
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.imaging import encode_y4m
+        from qdrant_datafusion_spark.operators.video import (
+            video_temporal_hash64,
+        )
+
+        # uniform brightness scaling preserves every luma-sum comparison
+        frames = self._clip(6)
+        dimmed = [(f // 2).astype(np.uint8) for f in frames]
+        assert video_temporal_hash64(
+            encode_y4m(frames)
+        ) == video_temporal_hash64(encode_y4m(dimmed))
+
+    def test_identical_clips_and_junk_media(self, spark):
+        from qdrant_datafusion_spark.operators.video import (
+            video_hash_codes,
+            video_temporal_dups,
+        )
+
+        df = self._media_df(spark, [(1, self._clip(8)), (2, self._clip(8))])
+        junk = spark.createDataFrame(
+            [(3, bytearray(b"YUV4MPEG2 torn")), (4, None)],
+            "id long, media binary",
+        )
+        allm = df.unionByName(junk)
+        assert video_hash_codes(allm, "media", "id").count() == 2
+        out = video_temporal_dups(allm, "media", "id", max_hamming=0).collect()
+        assert {(r.id_a, r.id_b, r.hamming) for r in out} == {(1, 2, 0)}
+
+    def test_short_clip_zero_pads(self):
+        from qdrant_datafusion_spark.operators.imaging import encode_y4m
+        from qdrant_datafusion_spark.operators.video import (
+            video_temporal_hash64,
+        )
+
+        # 3 frames: bits 0..1 from real sums, bit 2 = (0 > s_2) = 0,
+        # bits 3..63 all (0 > 0) = 0 — deterministic, no crash
+        frames = self._clip(2)[:3]
+        code = video_temporal_hash64(encode_y4m(frames))
+        assert code is not None
+        assert code & ((1 << 61) - 1) == 0  # bits 2..63 are zero
