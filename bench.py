@@ -375,7 +375,22 @@ def main() -> None:
     # recording is compared via that anchor.
     r1_control_ref = 0.317
     r1_subset_baseline = 29.959
-    norm = round(r1_subset_sec * (r1_control_ref / control_first), 3)
+    # Round-6 verdict: normalizing by control_first ALONE over-corrected by
+    # ~4.5x when the machine was loaded only at run start (0.912 vs 0.201).
+    # Use min(first, last) — the least-loaded observation bounds true
+    # machine speed from below, so the correction can only shrink toward
+    # 1.0, never flatter the run — and REFUSE to normalize at all when the
+    # control pair spreads >1.5x (the run is too noisy for one number).
+    control_min = min(control_first, control_last)
+    control_spread = round(
+        max(control_first, control_last) / max(control_min, 1e-9), 3
+    )
+    if control_spread <= 1.5:
+        norm = round(r1_subset_sec * (r1_control_ref / control_min), 3)
+        ratio_norm = round(norm / r1_subset_baseline, 3)
+    else:
+        norm = None
+        ratio_norm = None
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -385,10 +400,12 @@ def main() -> None:
         "tags": TAGS,
         "control_first_sec": control_first,
         "control_last_sec": control_last,
+        "control_spread": control_spread,
         "r1_subset_sec": r1_subset_sec,
         "r1_subset_n": len(r1_subset),
+        "r1_subset_raw_ratio": round(r1_subset_sec / r1_subset_baseline, 3),
         "r1_subset_normalized_sec": norm,
-        "r1_ratio_normalized": round(norm / r1_subset_baseline, 3),
+        "r1_ratio_normalized": ratio_norm,
         "sf": sf,
     }
 

@@ -632,17 +632,26 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum(
+                (F.col("value") < F.col("ap50")).cast("long")
+            ).alias("n_lt"),
+            F.sum(
                 (F.col("value") <= F.col("ap50")).cast("long")
             ).alias("n_le"),
             F.first("n").alias("n"),
         )
     )
+    # duplicate-safe rank test (r6 ADVICE): with heavy value ties at the
+    # median, n_le alone is the rank of the LAST duplicate and can exceed
+    # the bound even when the sketch is within guarantee.  The returned
+    # value occupies the whole rank interval [n_lt/n, n_le/n]; the gate
+    # holds iff that interval intersects [0.5 − bound, 0.5 + bound].
+    bound = 0.002 + 1.0 / F.col("n")
     return ranked.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         (
-            F.abs(F.col("n_le") / F.col("n") - 0.5)
-            <= 0.002 + 1.0 / F.col("n")
+            (F.col("n_lt") / F.col("n") <= 0.5 + bound)
+            & (F.col("n_le") / F.col("n") >= 0.5 - bound)
         ).alias("rank_within_bound"),
     )
 
@@ -5120,13 +5129,20 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     w{k} (cross join) empties and every later stage yields no row —
     exactly mirroring the operator's early break."""
     b = "chr(31)||chr(31)"
+    # normalization mirrors operators/tokenizer._word_table exactly:
+    # U+001F/U+001E stripped (they are the encoding's markers), and the
+    # explicit ASCII whitespace class — RE2's \s is [\t\n\f\r ] (no \x0b)
+    # while Spark's is Java's [ \t\n\x0B\f\r], so only a shared literal
+    # class makes the engines tokenize identically
+    clean = "replace(replace(lower(text), chr(31), ''), chr(30), '')"
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT {b} || array_to_string(string_split(word || chr(30), ''), {b})
          || {b} AS w, n
   FROM (
     SELECT tok AS word, count(*)::BIGINT AS n
-    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM (SELECT unnest(string_split_regex({clean},
+                        '[ \\t\\n\\r\\f\\x0b]+')) AS tok
           FROM documents)
     WHERE len(tok) > 0
     GROUP BY 1
@@ -5246,10 +5262,25 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     event totals then reduce to the batch gate's shape.  Boundary note:
     session_window merges at gap-diff < 30 min (strict) while the batch
     lag+cumsum rule merges at <= 30 min — they can differ only for a
-    pair exactly 30 min apart, and the fixture has none at any sf
-    (checked: 0 of 98,500 adjacent pairs at sf0.1)."""
+    pair exactly 30 min apart; the gate ASSERTS that precondition on the
+    actual input (cheap lag scan, r6 ADVICE) so a regenerated fixture
+    that violates it fails loudly instead of silently flipping red."""
     from qdrant_datafusion_spark.streaming.ingest import sessionized_counts
 
+    batch = _events(spark, sf_dir)
+    w_pre = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n_boundary = (
+        batch.withColumn("_gap", F.col("ts") - F.lag("ts").over(w_pre))
+        .where(F.col("_gap") == 1_800_000_000_000)
+        .count()
+    )
+    if n_boundary:
+        raise AssertionError(
+            f"streaming_sessions precondition violated: {n_boundary} "
+            "adjacent pair(s) exactly 30 min apart — the strict "
+            "(session_window) and inclusive (batch lag+cumsum) gap rules "
+            "would disagree on this fixture"
+        )
     ev = _read_stream(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )

@@ -104,6 +104,10 @@ def audio_hash_codes(
 ) -> DataFrame:
     """(id, code) envelope hashes for a binary WAV column — one
     Arrow-batched pass; NULL/unparseable media yields NULL (dropped)."""
+    if frame_len < 1:
+        # fail fast on the driver — otherwise the energy_hash64 raise
+        # only surfaces wrapped inside an executor-side Spark task failure
+        raise ValueError("frame_len must be >= 1")
 
     @pandas_udf("long")
     def _ah(media: pd.Series) -> pd.Series:
@@ -135,6 +139,8 @@ def audio_energy_dups(
     pass, then the banded 8-byte-code join."""
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
+    if frame_len < 1:
+        raise ValueError("frame_len must be >= 1")
     return hamming_code_dups(
         audio_hash_codes(df, media_col, id_col, frame_len),
         max_hamming=max_hamming,

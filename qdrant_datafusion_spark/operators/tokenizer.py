@@ -59,13 +59,34 @@ _B = SEP + SEP
 END_MARK = "\x1e"
 
 
+#: ASCII whitespace class used by BOTH the Spark trainer and the Python
+#: reference — ``str.split()`` splits ALL Unicode whitespace while Spark's
+#: ``\s`` (and DuckDB RE2's) is ASCII-only, so an explicit shared class is
+#: the only way the three engines tokenize identically.
+_WS_CLASS = r"[ \t\n\r\f\x0b]+"
+
+
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     """corpus → distinct lowercased whitespace words with frequencies,
-    each as the boundary-joined character symbol string."""
+    each as the boundary-joined character symbol string.
+
+    The control characters U+001F/U+001E are STRIPPED from the input
+    first: they are the symbol-boundary / end-of-word markers of the
+    encoding, and a corpus byte colliding with them would corrupt the
+    merge ``replace`` patterns.  Both never occur in natural text.
+
+    Cross-engine caveat (documented, not guarded): Spark ``split(w, '')``
+    and Python ``list(w)`` both split CODE POINTS, but DuckDB's
+    ``string_split(w, '')`` splits grapheme clusters — the generated
+    unrolled-CTE oracle is therefore exact on corpora whose words are
+    single-codepoint graphemes (all ASCII, and most non-combining text);
+    the trainer itself is codepoint-correct on any input.
+    """
+    clean = F.regexp_replace(
+        F.lower(F.col(text_col)), "[\x1f\x1e]", ""
+    )
     words = (
-        df.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w")
-        )
+        df.select(F.explode(F.split(clean, _WS_CLASS)).alias("_w"))
         .where(F.length("_w") > 0)
         .groupBy("_w")
         .agg(F.count("*").cast("long").alias("_n"))
@@ -151,10 +172,17 @@ def bpe_reference(
     texts: list[str], n_merges: int
 ) -> list[tuple[int, str, str, int]]:
     """Pure-Python reference implementation (same greedy semantics) for
-    equality testing — dict-based, no Spark."""
+    equality testing — dict-based, no Spark.  Mirrors the trainer's input
+    normalization exactly: U+001F/U+001E stripped, ASCII whitespace class
+    (NOT ``str.split()``, which splits all Unicode whitespace)."""
+    import re
+
+    ws = re.compile(_WS_CLASS)
     freq: dict[str, int] = {}
     for t in texts:
-        for w in t.lower().split():
+        for w in ws.split(t.lower().replace(SEP, "").replace(END_MARK, "")):
+            if not w:
+                continue
             freq[w] = freq.get(w, 0) + 1
     vocab: dict[tuple[str, ...], int] = {}
     for w, n in freq.items():
