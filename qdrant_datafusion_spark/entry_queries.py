@@ -5184,6 +5184,185 @@ QUERIES["text_bpe_vocab"] = text_bpe_vocab
 ORACLES["text_bpe_vocab"] = TEXT_BPE_VOCAB_SQL
 
 
+# ===========================================================================
+# text_unigram_vocab — unigram-LM (SentencePiece-style) tokenizer training,
+# the hard-EM sibling of text_bpe_vocab (operators/tokenizer.train_unigram).
+# The oracle unrolls BOTH loops: the EM iterations (like BPE's merge
+# stages) AND the per-word Viterbi DP over character positions 1..P —
+# b{t}_{p} = best (cost, n_pieces, seg) prefix segmentation of each word's
+# first p chars, a k-way UNION over the last piece's length joined against
+# the current integer cost table.  All arithmetic is BIGINT; the only
+# doubles are inside Q(x) = floor(ln(x)*1e6 + 0.5), which _qlog guards
+# with a cross-engine boundary assertion on the Spark side.
+# ===========================================================================
+
+#: oracle DP position cap — the gate asserts max word length <= this
+UNIGRAM_MAX_WORD = 12
+UNIGRAM_PIECE_LEN = 4
+UNIGRAM_SEED_MULTI = 60
+UNIGRAM_KEEP_MULTI = 40
+UNIGRAM_ITERS = 3
+UNIGRAM_TOP_K = 40
+
+
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a unigram-LM piece vocabulary over documents.text — see
+    operators/tokenizer.py for the scale argument (corpus collapses to
+    the distinct-word table; each EM iteration = one Arrow-batched
+    Viterbi map + one groupBy re-count).  Asserts the two oracle
+    preconditions on the actual input: word length <= UNIGRAM_MAX_WORD
+    (the unrolled DP's position cap) and ASCII-only words (binary vs
+    codepoint string tie-breaks agree)."""
+    from qdrant_datafusion_spark.operators.tokenizer import (
+        _words,
+        train_unigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = (
+        _words(docs, "text")
+        .agg(
+            F.max(F.length("_w")).alias("maxlen"),
+            F.sum(
+                F.col("_w").rlike("[^ -~]").cast("long")
+            ).alias("n_nonascii"),
+        )
+        .collect()[0]
+    )
+    if stats["maxlen"] > UNIGRAM_MAX_WORD or stats["n_nonascii"]:
+        raise AssertionError(
+            f"text_unigram_vocab precondition violated: maxlen="
+            f"{stats['maxlen']} (cap {UNIGRAM_MAX_WORD}), non-ascii words="
+            f"{stats['n_nonascii']} — regenerate the oracle with a larger "
+            "position cap / restrict to ASCII"
+        )
+    vocab = train_unigram(
+        docs,
+        "text",
+        max_piece_len=UNIGRAM_PIECE_LEN,
+        seed_multi=UNIGRAM_SEED_MULTI,
+        keep_multi=UNIGRAM_KEEP_MULTI,
+        n_iters=UNIGRAM_ITERS,
+        top_k=UNIGRAM_TOP_K,
+    )
+    return spark.createDataFrame(vocab, "rank int, piece string, cnt long")
+
+
+def _unigram_oracle_sql(
+    max_word: int = UNIGRAM_MAX_WORD,
+    piece_len: int = UNIGRAM_PIECE_LEN,
+    seed_multi: int = UNIGRAM_SEED_MULTI,
+    keep_multi: int = UNIGRAM_KEEP_MULTI,
+    n_iters: int = UNIGRAM_ITERS,
+    top_k: int = UNIGRAM_TOP_K,
+) -> str:
+    clean = "replace(replace(lower(text), chr(31), ''), chr(30), '')"
+    q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+    parts = [
+        f"""w AS MATERIALIZED (
+  SELECT tok AS word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split_regex({clean},
+               '[ \\t\\n\\r\\f\\x0b]+')) AS tok FROM documents)
+  WHERE len(tok) > 0
+  GROUP BY 1
+)""",
+        f"""seed AS MATERIALIZED (
+  SELECT piece, sum(n)::BIGINT AS cnt FROM (
+    SELECT substr(word, s, k) AS piece, n FROM (
+      SELECT word, n, s,
+             unnest(generate_series(1, least({piece_len},
+                    len(word) - s + 1))) AS k
+      FROM (SELECT word, n,
+                   unnest(generate_series(1, len(word))) AS s FROM w)))
+  GROUP BY 1
+)""",
+        """chars AS MATERIALIZED (
+  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM chars
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM seed WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {seed_multi})
+)""",
+    ]
+    for t in range(1, n_iters + 1):
+        v_prev = f"v{t - 1}"
+        qt = q.format(x="sum(cnt)")
+        qc = q.format(x="cnt")
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT piece, (SELECT {qt} FROM {v_prev}) - {qc} AS cost
+  FROM {v_prev}
+)"""
+        )
+        parts.append(
+            f"b{t}_0 AS (SELECT word, n, 0::BIGINT AS cost, 0 AS np,"
+            f" '' AS seg FROM w)"
+        )
+        for p in range(1, max_word + 1):
+            branches = []
+            for k in range(1, min(piece_len, p) + 1):
+                branches.append(
+                    f"""      SELECT b.word, b.n, b.cost + c.cost AS cost,
+             b.np + 1 AS np, b.seg || chr(31) || c.piece AS seg
+      FROM b{t}_{p - k} b JOIN c{t} c
+        ON c.piece = substr(b.word, {p - k + 1}, {k})
+      WHERE len(b.word) >= {p}"""
+                )
+            union = "\n      UNION ALL\n".join(branches)
+            parts.append(
+                f"""b{t}_{p} AS MATERIALIZED (
+  SELECT word, n, cost, np, seg FROM (
+    SELECT word, n, cost, np, seg,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY cost, np, seg) AS rn
+    FROM (
+{union}
+    )) WHERE rn = 1
+)"""
+            )
+        finals = "\n    UNION ALL ".join(
+            f"SELECT word, n, seg FROM b{t}_{p} WHERE len(word) = {p}"
+            for p in range(1, max_word + 1)
+        )
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT piece, sum(n)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split(substr(seg, 2), chr(31))) AS piece, n
+    FROM ({finals})
+  ) GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT a.piece, greatest(coalesce(m.cnt, 0), 1)::BIGINT AS cnt
+  FROM chars a LEFT JOIN m{t} m ON a.piece = m.piece
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM m{t} WHERE len(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {keep_multi})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT "rank", piece, cnt FROM (
+  SELECT row_number() OVER (ORDER BY cnt DESC, piece)::INT AS "rank",
+         piece, cnt::BIGINT AS cnt
+  FROM v{n_iters}
+) WHERE "rank" <= {top_k}"""
+    )
+
+
+TEXT_UNIGRAM_VOCAB_SQL = _unigram_oracle_sql()
+
+QUERIES["text_unigram_vocab"] = text_unigram_vocab
+ORACLES["text_unigram_vocab"] = TEXT_UNIGRAM_VOCAB_SQL
+
+
 def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming top-k (applyInPandasWithState,
     streaming/ingest.streaming_topk) under a full value oracle, with REAL

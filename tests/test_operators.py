@@ -1175,6 +1175,102 @@ class TestTrainBpe:
             train_bpe(self._df(spark), "text", n_merges=10_001)
 
 
+class TestTrainUnigram:
+    """operators.tokenizer.train_unigram — hard-EM unigram-LM training."""
+
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox",
+        "lazy lazy dog dog dog the the",
+        "quick brown foxes are quick",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "id long, text string"
+        )
+
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            train_unigram,
+            unigram_reference,
+        )
+
+        kw = dict(
+            max_piece_len=4, seed_multi=20, keep_multi=12, n_iters=3, top_k=15
+        )
+        got = train_unigram(self._df(spark), "text", **kw)
+        assert got == unigram_reference(self.TEXTS, **kw)
+
+    def test_single_chars_always_segmentable(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            train_unigram,
+            unigram_reference,
+        )
+
+        # keep_multi=0 prunes every multi-char piece after iteration 1 —
+        # the char-retention rule must keep every word segmentable and
+        # the trainer must not error out
+        texts = ["ab abc abcd", "xyz xyz"]
+        df = spark.createDataFrame([(0, texts[0]), (1, texts[1])],
+                                   "id long, text string")
+        kw = dict(max_piece_len=3, seed_multi=5, keep_multi=0, n_iters=2,
+                  top_k=10)
+        got = train_unigram(df, "text", **kw)
+        assert got == unigram_reference(texts, **kw)
+        assert all(len(p) == 1 for _, p, _ in got)
+
+    def test_viterbi_prefers_frequent_pieces(self):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            _qlog,
+            _viterbi,
+        )
+
+        # 'abc': piece 'abc' (cnt 50) must beat a+b+c (cnt 5 each) —
+        # one high-probability piece vs three low-probability ones
+        counts = {"a": 5, "b": 5, "c": 5, "abc": 50}
+        qt = _qlog(sum(counts.values()))
+        costs = {p: qt - _qlog(c) for p, c in counts.items()}
+        cost, np_, seg = _viterbi("abc", costs, 3)
+        assert seg == "\x1fabc" and np_ == 1
+
+    def test_marker_chars_stripped(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            train_unigram,
+            unigram_reference,
+        )
+
+        texts = ["fo\x1fo bar\x1e bar foo"]
+        df = spark.createDataFrame([(0, texts[0])], "id long, text string")
+        kw = dict(max_piece_len=3, seed_multi=6, keep_multi=4, n_iters=2,
+                  top_k=8)
+        assert train_unigram(df, "text", **kw) == unigram_reference(
+            texts, **kw
+        )
+
+    def test_validation(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import train_unigram
+
+        for kw in (
+            dict(max_piece_len=0),
+            dict(n_iters=0),
+            dict(n_iters=1001),
+            dict(top_k=0),
+            dict(seed_multi=-1),
+        ):
+            with pytest.raises(ValueError):
+                train_unigram(self._df(spark), "text", **kw)
+
+    def test_qlog_boundary_guard(self):
+        from qdrant_datafusion_spark.operators.tokenizer import _qlog
+
+        # ln(1) = 0 exactly -> v = 0.5, frac = 0.5: allowed special case
+        assert _qlog(1) == 0
+        # generic integers sit far from boundaries
+        for n in (2, 3, 7, 1000, 123457):
+            _qlog(n)
+
+
 class TestPhashDups:
     """operators.phash — dHash codes + banded Hamming image dedup."""
 
