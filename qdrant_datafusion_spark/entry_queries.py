@@ -4828,10 +4828,13 @@ def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_PHASH_SQL = f"""
+def _phash_pairs_sql(cap: int) -> str:
+    """Closed-form dHash pair oracle, cap-parametric so the cross-modal
+    composition gate can reuse it at its own doc cap."""
+    return f"""
 WITH imgs AS (
   SELECT doc_id AS id, doc_id // 8 AS g, doc_id % 8 AS m
-  FROM documents WHERE doc_id < {PHASH_DOC_CAP}
+  FROM documents WHERE doc_id < {cap}
 ),
 px AS (
   SELECT id, y, x,
@@ -4869,6 +4872,9 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM codes a JOIN codes b ON a.id < b.id
 WHERE bit_count(xor(a.code, b.code)) <= {PHASH_MAX_HAMMING}
 """
+
+
+MULTIMODAL_PHASH_SQL = _phash_pairs_sql(PHASH_DOC_CAP)
 
 QUERIES["multimodal_phash_dups"] = multimodal_phash_dups
 ORACLES["multimodal_phash_dups"] = MULTIMODAL_PHASH_SQL
@@ -4941,10 +4947,12 @@ def multimodal_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_AUDIO_SQL = f"""
+def _audio_pairs_sql(cap: int) -> str:
+    """Exact-BIGINT energy-envelope pair oracle, cap-parametric."""
+    return f"""
 WITH snd AS (
   SELECT doc_id AS id, doc_id // 8 AS g, doc_id % 8 AS m
-  FROM documents WHERE doc_id < {AUDIO_DOC_CAP}
+  FROM documents WHERE doc_id < {cap}
 ),
 tt AS (SELECT unnest(generate_series(0, {_AUDIO_SAMPLES - 1})) AS t),
 samp AS (
@@ -4981,6 +4989,9 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM codes a JOIN codes b ON a.id < b.id
 WHERE bit_count(xor(a.code, b.code)) <= {AUDIO_MAX_HAMMING}
 """
+
+
+MULTIMODAL_AUDIO_SQL = _audio_pairs_sql(AUDIO_DOC_CAP)
 
 QUERIES["multimodal_audio_dups"] = multimodal_audio_dups
 ORACLES["multimodal_audio_dups"] = MULTIMODAL_AUDIO_SQL
@@ -5050,10 +5061,12 @@ def multimodal_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_VIDEO_SQL = f"""
+def _video_pairs_sql(cap: int) -> str:
+    """Exact-BIGINT temporal-envelope pair oracle, cap-parametric."""
+    return f"""
 WITH vids AS (
   SELECT doc_id AS id, doc_id // 8 AS g, doc_id % 8 AS m
-  FROM documents WHERE doc_id < {VIDEO_DOC_CAP}
+  FROM documents WHERE doc_id < {cap}
 ),
 fr AS (SELECT unnest(generate_series(0, {_VIDEO_FRAMES - 1})) AS f),
 yy AS (SELECT unnest(generate_series(0, {_VIDEO_H - 1})) AS y),
@@ -5091,8 +5104,129 @@ FROM codes a JOIN codes b ON a.id < b.id
 WHERE bit_count(xor(a.code, b.code)) <= {VIDEO_MAX_HAMMING}
 """
 
+
+MULTIMODAL_VIDEO_SQL = _video_pairs_sql(VIDEO_DOC_CAP)
+
 QUERIES["multimodal_video_dups"] = multimodal_video_dups
 ORACLES["multimodal_video_dups"] = MULTIMODAL_VIDEO_SQL
+
+
+# ===========================================================================
+# round-7: cross-modal near-dup composition — the shape a real multimodal
+# pipeline actually runs: ONE mixed media table (image + audio + video
+# columns on the same rows), each modality deduped with its own
+# fingerprint family, survivors = rows no modality marks as a duplicate.
+# Duplicate rule is deterministic keep-lowest-id: a row is a dup in a
+# modality iff it appears as the LARGER id of any near-dup pair there.
+# The oracle composes the three cap-parametric pair oracles above at the
+# shared doc cap via nested-WITH subqueries — independent derivations for
+# all three fingerprints meeting in one combined result.
+# ===========================================================================
+
+CROSS_DOC_CAP = 256  # min of the three modality caps — video's oracle cost
+
+
+def multimodal_cross_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-modal dedup verdicts over one mixed media table:
+    (doc_id, dup_image, dup_audio, dup_video, survivor).  Real codec
+    paths for all three modalities (operators/phash.py, audio.py,
+    video.py) over columns of the SAME DataFrame — the fingerprint passes
+    are independent narrow maps on their columns, the three banded
+    Hamming joins run off one scan, and the flag joins are dup-id-sized."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from qdrant_datafusion_spark.operators.audio import (
+        audio_energy_dups,
+        encode_wav,
+    )
+    from qdrant_datafusion_spark.operators.imaging import (
+        encode_png,
+        encode_y4m,
+    )
+    from qdrant_datafusion_spark.operators.phash import phash_image_dups
+    from qdrant_datafusion_spark.operators.video import video_temporal_dups
+
+    _png = pandas_udf(
+        lambda ids: pd.Series(
+            [encode_png(_phash_planted_pixels(int(i))) for i in ids]
+        ),
+        "binary",
+    )
+    _wav = pandas_udf(
+        lambda ids: pd.Series(
+            [encode_wav(_audio_planted_samples(int(i))) for i in ids]
+        ),
+        "binary",
+    )
+    _y4m = pandas_udf(
+        lambda ids: pd.Series(
+            [encode_y4m(_video_planted_frames(int(i))) for i in ids]
+        ),
+        "binary",
+    )
+    mixed = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < CROSS_DOC_CAP)
+        .select(
+            F.col("doc_id").alias("id"),
+            _png("doc_id").alias("image"),
+            _wav("doc_id").alias("audio"),
+            _y4m("doc_id").alias("video"),
+        )
+        .localCheckpoint(eager=False)  # one synth+encode pass, three readers
+    )
+    dup_sets = {
+        "dup_image": phash_image_dups(
+            mixed.select("id", "image"), "image", "id",
+            max_hamming=PHASH_MAX_HAMMING,
+        ),
+        "dup_audio": audio_energy_dups(
+            mixed.select("id", "audio"), "audio", "id",
+            max_hamming=AUDIO_MAX_HAMMING, frame_len=AUDIO_FRAME,
+        ),
+        "dup_video": video_temporal_dups(
+            mixed.select("id", "video"), "video", "id",
+            max_hamming=VIDEO_MAX_HAMMING,
+        ),
+    }
+    out = mixed.select("id")
+    for flag, pairs in dup_sets.items():
+        dups = pairs.select(F.col("id_b").alias("id")).distinct()
+        out = out.join(
+            F.broadcast(dups.withColumn("_d", F.lit(True))), "id", "left"
+        ).select(
+            *[c for c in out.columns],
+            F.coalesce("_d", F.lit(False)).alias(flag),
+        )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "dup_image",
+        "dup_audio",
+        "dup_video",
+        (
+            ~(F.col("dup_image") | F.col("dup_audio") | F.col("dup_video"))
+        ).alias("survivor"),
+    )
+
+
+MULTIMODAL_CROSS_SQL = f"""
+WITH pi AS MATERIALIZED ({_phash_pairs_sql(CROSS_DOC_CAP)}),
+pa AS MATERIALIZED ({_audio_pairs_sql(CROSS_DOC_CAP)}),
+pv AS MATERIALIZED ({_video_pairs_sql(CROSS_DOC_CAP)}),
+ids AS (SELECT doc_id FROM documents WHERE doc_id < {CROSS_DOC_CAP})
+SELECT i.doc_id,
+       i.doc_id IN (SELECT id_b FROM pi) AS dup_image,
+       i.doc_id IN (SELECT id_b FROM pa) AS dup_audio,
+       i.doc_id IN (SELECT id_b FROM pv) AS dup_video,
+       NOT (i.doc_id IN (SELECT id_b FROM pi)
+            OR i.doc_id IN (SELECT id_b FROM pa)
+            OR i.doc_id IN (SELECT id_b FROM pv)) AS survivor
+FROM ids i
+"""
+
+QUERIES["multimodal_cross_dups"] = multimodal_cross_dups
+ORACLES["multimodal_cross_dups"] = MULTIMODAL_CROSS_SQL
 
 
 # ===========================================================================

@@ -284,3 +284,58 @@ class TestRealVideoKernels:
         # non-Y4M bytes keep the stub shape (slot indices 0..3)
         stub = sorted((r for r in rows if r.id == 2), key=lambda r: r.frame_idx)
         assert [r.frame_idx for r in stub] == [0, 1, 2, 3]
+
+
+class TestCrossModalDups:
+    """entry_queries.multimodal_cross_dups — the three fingerprint
+    families composed over one mixed media table."""
+
+    def test_flags_compose_and_match_per_modality_pairs(self, spark, sf_dir):
+        from qdrant_datafusion_spark.entry_queries import (
+            AUDIO_FRAME,
+            AUDIO_MAX_HAMMING,
+            CROSS_DOC_CAP,
+            multimodal_cross_dups,
+        )
+
+        rows = {r["doc_id"]: r for r in multimodal_cross_dups(
+            spark, sf_dir
+        ).collect()}
+        assert len(rows) == CROSS_DOC_CAP
+        # survivor is exactly the negation of any modality flag
+        for r in rows.values():
+            assert r["survivor"] == (
+                not (r["dup_image"] or r["dup_audio"] or r["dup_video"])
+            )
+        # audio flags must equal the standalone audio pair set's id_b
+        # members restricted to the shared cap (independent recompute)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from qdrant_datafusion_spark.entry_queries import (
+            _audio_planted_samples,
+        )
+        from qdrant_datafusion_spark.operators.audio import (
+            audio_energy_dups,
+            encode_wav,
+        )
+
+        _wav = pandas_udf(
+            lambda ids: pd.Series(
+                [encode_wav(_audio_planted_samples(int(i))) for i in ids]
+            ),
+            "binary",
+        )
+        clips = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < CROSS_DOC_CAP)
+            .select(F.col("doc_id").alias("id"), _wav("doc_id").alias("m"))
+        )
+        audio_dups = {
+            r["id_b"]
+            for r in audio_energy_dups(
+                clips, "m", "id",
+                max_hamming=AUDIO_MAX_HAMMING, frame_len=AUDIO_FRAME,
+            ).collect()
+        }
+        assert {i for i, r in rows.items() if r["dup_audio"]} == audio_dups
