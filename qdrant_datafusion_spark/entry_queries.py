@@ -5652,6 +5652,220 @@ FROM documents
 """
 
 
+# ===========================================================================
+# round-7: the two LSH ingest paths (streaming/ingest.py
+# stream_near_dup_ingest / stream_semantic_ingest) under FULL value
+# oracles — the last streaming operators that had pytest-only evidence.
+# Recipe: the table is split into 4 batch files with STAGGERED mtimes
+# (the file stream source orders by modification time, oldest first), so
+# maxFilesPerTrigger=1 + availableNow forces a deterministic 4-batch
+# arrival order; the oracle then simulates the sequential greedy ingest
+# exactly — 4 unrolled stages of (in-batch collapse: drop the larger id
+# of any qualifying in-batch pair) → (store check: drop anything
+# near-dup to an earlier batch's survivor).
+#
+# The qualifying-pair relations are exact in SQL: text pairs are the
+# exact 3-shingle Jaccard ≥ 0.2 set (dedup_minhash's gate proves LSH
+# banding reaches full recall on this corpus at these parameters —
+# signatures are per-doc, so corpus-wide recall transfers to every
+# subset); vector pairs are the literal-planes bucket match + exact
+# cosine ≥ 0.35 (the same {_EMB_LSH_MATCH} predicate as
+# dedup_embedding_lsh, bucketing reproduced in SQL).
+# ===========================================================================
+
+
+def _staggered_batch_files(df: DataFrame, key_col: str, tmp: str) -> str:
+    """Write df as 4 single-file batches (rows keyed by ``key_col % 4``)
+    into ``tmp/src`` with strictly increasing mtimes — a deterministic
+    4-micro-batch streaming source."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    base = _time.time() - 3600
+    for i in range(4):
+        part_dir = os.path.join(tmp, f"part{i}")
+        (
+            df.where(F.col(key_col) % 4 == i)
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copyfile(part_file, dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
+    return src
+
+
+def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_near_dup_ingest end-to-end: documents stream in 4 forced
+    micro-batches through the MinHash-LSH ingest filter (in-batch
+    collapse + signature-store check, foreachBatch with idempotent
+    _batch_id-partitioned sinks); survivors are graded against the
+    unrolled sequential-greedy oracle."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import (
+        stream_near_dup_ingest,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_neardup_ingest_")
+    try:
+        src = _staggered_batch_files(docs, "doc_id", tmp)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_near_dup_ingest(
+            stream,
+            store_dir=os.path.join(tmp, "store"),
+            out_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            content_col="text",
+            id_col="doc_id",
+            k=3,
+            num_hashes=32,
+            bands=16,
+            threshold=0.2,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("near-dup ingest did not drain in 600s")
+        surv = (
+            spark.read.parquet(os.path.join(tmp, "out"))
+            .select("doc_id", F.col("_batch_id").cast("long").alias("batch_id"))
+            .localCheckpoint(eager=True)  # pin before the source dirs die
+        )
+        return surv
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ingest_stages_sql(id_col: str, pair_cte: str) -> str:
+    """The shared 4-stage sequential-greedy survivor simulation; expects
+    CTEs ``allr({id_col})`` (all rows) and ``P(ia, ib)`` (qualifying
+    pairs, ia < ib) from ``pair_cte``, and yields survivors with their
+    originating batch."""
+    stages = [pair_cte]
+    for i in range(4):
+        prev = " UNION ALL ".join(
+            f"SELECT {id_col} FROM s{j}" for j in range(i)
+        )
+        store_filter = (
+            f"""
+  AND {id_col} NOT IN (
+    SELECT p.ib FROM P p JOIN ({prev}) st ON p.ia = st.{id_col}
+    UNION
+    SELECT p.ia FROM P p JOIN ({prev}) st ON p.ib = st.{id_col})"""
+            if i
+            else ""
+        )
+        stages.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT {id_col} FROM allr WHERE {id_col} % 4 = {i}
+  AND {id_col} NOT IN (
+    SELECT ib FROM P WHERE ia % 4 = {i} AND ib % 4 = {i}){store_filter}
+)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT {id_col}, {i}::BIGINT AS batch_id FROM s{i}"
+        for i in range(4)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + finals
+
+
+STREAMING_NEAR_DUP_INGEST_SQL = _ingest_stages_sql(
+    "doc_id",
+    f"""sh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS shingles
+  FROM ({_TOKS_SQL})
+),
+allr AS (SELECT doc_id FROM documents),
+P AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_J_INTER} > 0
+    AND {_J_INTER}::DOUBLE / {_J_UNION} >= 0.2
+)""",
+)
+
+QUERIES["streaming_near_dup_ingest"] = streaming_near_dup_ingest
+ORACLES["streaming_near_dup_ingest"] = STREAMING_NEAR_DUP_INGEST_SQL
+
+
+def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_semantic_ingest end-to-end: embeddings stream in 4 forced
+    micro-batches through the hyperplane-LSH semantic filter (literal
+    EMB_LSH_PLANES ⇒ deterministic buckets ⇒ full value oracle)."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import (
+        stream_semantic_ingest,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_semantic_ingest_")
+    try:
+        src = _staggered_batch_files(emb, "vec_id", tmp)
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_semantic_ingest(
+            stream,
+            store_dir=os.path.join(tmp, "store"),
+            out_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            vector_col="embedding",
+            id_col="vec_id",
+            bucket_planes=EMB_LSH_PLANES,
+            tables=EMB_LSH_TABLES,
+            threshold=0.35,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("semantic ingest did not drain in 600s")
+        surv = (
+            spark.read.parquet(os.path.join(tmp, "out"))
+            .select("vec_id", F.col("_batch_id").cast("long").alias("batch_id"))
+            .localCheckpoint(eager=True)
+        )
+        return surv
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_SEMANTIC_INGEST_SQL = _ingest_stages_sql(
+    "vec_id",
+    f"""b AS (
+  SELECT vec_id, embedding,
+         {_emb_lsh_bits_sql()}
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+allr AS (SELECT vec_id FROM embeddings),
+P AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM b a JOIN b b ON a.vec_id < b.vec_id AND ({_EMB_LSH_MATCH})
+  WHERE {_EMB_COS} >= 0.35
+)""",
+)
+
+QUERIES["streaming_semantic_ingest"] = streaming_semantic_ingest
+ORACLES["streaming_semantic_ingest"] = STREAMING_SEMANTIC_INGEST_SQL
+
+
 QUERIES["streaming_topk_values"] = streaming_topk_values
 ORACLES["streaming_topk_values"] = STREAMING_TOPK_SQL
 QUERIES["streaming_sessions"] = streaming_sessions
