@@ -67,11 +67,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nanosAsLong`` conf) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
     All downstream time arithmetic is integer-ns, so both normalize here.
 
-    PRECONDITION shared by every ``div``-bucketing consumer (hourly,
-    sessions, funnel, cohorts): ``ts >= 0`` (post-epoch).  Spark's
-    ``div`` truncates toward zero while DuckDB's ``//`` floors, so
-    pre-1970 timestamps would bucket differently across engines; for
-    non-negative ns the two are identical.
+    Bucketing consumers (hourly, cohorts) floor-divide via
+    :func:`_floor_div` — engine-identical to DuckDB's ``//`` for ANY
+    sign, so the old ``ts >= 0`` precondition no longer applies to them
+    (r6 verdict task #6).  The µs-domain conversions for the temporal
+    joins (``ts div 1000`` paired with DuckDB ``epoch_us``) keep the
+    documented post-epoch precondition: their truncation happens at the
+    engines' differing ns→µs read paths, not in this library's
+    arithmetic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
@@ -90,6 +93,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000"
         ),
     )
+
+
+def _floor_div(expr: str, d: int) -> Column:
+    """Integer FLOOR division of SQL expression ``expr`` by literal
+    ``d > 0``.  Measured semantics on this stack (pytest
+    TestFloorDivBucketing): Spark's ``div`` AND DuckDB 1.0's integer
+    ``//`` BOTH truncate toward zero — so raw ``div`` vs ``//`` never
+    actually diverged; the engine-divergence risk is vs Python's
+    flooring ``//`` (and any consumer expecting calendar-aligned
+    buckets).  Time bucketing wants FLOOR (a pre-1970 instant belongs in
+    the bucket that STARTS before it, not the one after), so bucketing
+    queries use this helper and their oracles spell the same floor out
+    via :func:`_floor_div_sql`.  ``(x - pmod(x, d)) div d`` floors for
+    any sign: pmod is always non-negative, so the dividend becomes the
+    exact floor multiple."""
+    return F.expr(f"(({expr}) - pmod(({expr}), {d})) div {d}")
+
+
+def _floor_div_sql(expr: str, d: int) -> str:
+    """DuckDB text twin of :func:`_floor_div` (integer ``//`` truncates
+    there too, so the floor must be spelled out)."""
+    return f"((({expr}) - ((({expr}) % {d} + {d}) % {d})) // {d})"
 
 
 # ---------------------------------------------------------------------------
@@ -668,11 +693,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming windowed
     agg; timestamps stringified for engine-neutral comparison)."""
     ev = _events(spark, sf_dir)
-    # integer division (`div`), not `/`: Spark's `/` on longs is double
+    # integer FLOOR division, not `/`: Spark's `/` on longs is double
     # division, and nanosecond epochs (~1e18) exceed double's 53-bit
     # mantissa — a ts near an hour boundary could bucket differently from
-    # DuckDB's exact integer `//`
-    hour_bucket = F.expr("ts div 3600000000000")
+    # DuckDB's exact integer `//`; _floor_div also matches `//` on
+    # negative (pre-1970) timestamps, where plain `div` truncates
+    hour_bucket = _floor_div("ts", 3_600_000_000_000)
     return (
         ev.groupBy(hour_bucket.alias("hour_bucket"), "event_type")
         .agg(
@@ -682,8 +708,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_EVENTS_HOURLY_SQL = """
-SELECT (epoch_ns(ts) // 3600000000000)::BIGINT AS hour_bucket,
+Q_EVENTS_HOURLY_SQL = f"""
+SELECT {_floor_div_sql("epoch_ns(ts)", 3_600_000_000_000)}::BIGINT
+         AS hour_bucket,
        event_type, count(*) AS n, round(sum(value::DECIMAL(18,6))::DOUBLE, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
@@ -4525,10 +4552,10 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape missing from the window/funnel family: users cohorted by
     first-signup week, activity counted per (cohort, week-offset),
     retention = active / cohort size at exact 6 decimals.  All time
-    arithmetic is integer epoch-ns `div` (the q_events_hourly rule), so
-    bucket boundaries are engine-identical — under the ``ts >= 0``
-    precondition documented on :func:`_events` (Spark `div` truncates,
-    DuckDB `//` floors; they agree only for non-negative ns)."""
+    arithmetic is integer epoch-ns FLOOR division (:func:`_floor_div`,
+    the q_events_hourly rule), so bucket boundaries are engine-identical
+    to DuckDB's ``//`` for any timestamp sign — no post-epoch
+    precondition."""
     ev = _events(spark, sf_dir)
     # one row per signed-up user, consumed by BOTH the activity join and
     # the cohort-size aggregate — checkpoint so the event log is scanned
@@ -4539,12 +4566,12 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s_ts"))
         .localCheckpoint(eager=False)
     )
-    cohort = F.expr(f"s_ts div {_WEEK_NS}")
+    cohort = _floor_div("s_ts", _WEEK_NS)
     joined = ev.join(signup, "user_id").where(F.col("ts") >= F.col("s_ts"))
     act = (
         joined.select(
             cohort.alias("cohort_week"),
-            (F.expr(f"ts div {_WEEK_NS}") - cohort).alias("week_offset"),
+            (_floor_div("ts", _WEEK_NS) - cohort).alias("week_offset"),
             "user_id",
         )
         .groupBy("cohort_week", "week_offset")
@@ -4573,8 +4600,9 @@ s AS (
   WHERE event_type = 'signup' GROUP BY 1
 ),
 j AS (
-  SELECT e.user_id, s.s_ts // {_WEEK_NS} AS cohort_week,
-         e.tsn // {_WEEK_NS} - s.s_ts // {_WEEK_NS} AS week_offset
+  SELECT e.user_id, {_floor_div_sql("s.s_ts", _WEEK_NS)} AS cohort_week,
+         {_floor_div_sql("e.tsn", _WEEK_NS)}
+           - {_floor_div_sql("s.s_ts", _WEEK_NS)} AS week_offset
   FROM e JOIN s USING (user_id) WHERE e.tsn >= s.s_ts
 ),
 act AS (
@@ -4583,7 +4611,7 @@ act AS (
   FROM j GROUP BY ALL
 ),
 sz AS (
-  SELECT s_ts // {_WEEK_NS} AS cohort_week,
+  SELECT {_floor_div_sql("s_ts", _WEEK_NS)} AS cohort_week,
          count(*)::BIGINT AS cohort_size
   FROM s GROUP BY 1
 )

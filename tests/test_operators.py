@@ -1562,3 +1562,79 @@ class TestVideoTemporalDups:
         code = video_temporal_hash64(encode_y4m(frames))
         assert code is not None
         assert code & ((1 << 61) - 1) == 0  # bits 2..63 are zero
+
+
+class TestFloorDivBucketing:
+    """entry_queries._floor_div — engine-identical bucketing for ANY
+    timestamp sign (round-6 verdict task #6: pre-1970 ts used to
+    silently diverge between Spark `div` and DuckDB `//`)."""
+
+    # straddle the epoch, include exact boundaries and boundary-1
+    TS = [-7_200_000_000_001, -3_600_000_000_000, -1, 0, 1,
+          3_599_999_999_999, 3_600_000_000_000, 7_200_000_000_001]
+    HOUR = 3_600_000_000_000
+
+    def test_matches_duckdb_floor_form(self, spark):
+        import duckdb
+
+        from qdrant_datafusion_spark.entry_queries import (
+            _floor_div,
+            _floor_div_sql,
+        )
+
+        df = spark.createDataFrame([(t,) for t in self.TS], "ts long")
+        got = {
+            r["ts"]: r["b"]
+            for r in df.select(
+                "ts", _floor_div("ts", self.HOUR).alias("b")
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = dict(
+            con.execute(
+                f"SELECT ts, {_floor_div_sql('ts', self.HOUR)} FROM "
+                f"(SELECT unnest({list(self.TS)}::BIGINT[]) AS ts)"
+            ).fetchall()
+        )
+        assert got == want
+        assert got == {t: t // self.HOUR for t in self.TS}  # Python floor
+
+    def test_native_div_truncates_identically_on_both_engines(self, spark):
+        # the measured fact the helper's docstring records: Spark `div`
+        # and DuckDB integer `//` BOTH truncate toward zero — raw-div
+        # bucketing was never engine-divergent, just not calendar-floor
+        import duckdb
+
+        df = spark.createDataFrame([(t,) for t in self.TS], "ts long")
+        spark_trunc = {
+            r["ts"]: r["b"]
+            for r in df.selectExpr(
+                "ts", f"ts div {self.HOUR} AS b"
+            ).collect()
+        }
+        con = duckdb.connect()
+        duck_trunc = dict(
+            con.execute(
+                f"SELECT ts, ts // {self.HOUR} FROM "
+                f"(SELECT unnest({list(self.TS)}::BIGINT[]) AS ts)"
+            ).fetchall()
+        )
+        assert spark_trunc == duck_trunc
+        # and truncation differs from floor exactly on the non-multiple
+        # negatives — the buckets the floor helper corrects
+        floor = {t: t // self.HOUR for t in self.TS}
+        assert {t for t in self.TS if spark_trunc[t] != floor[t]} == {
+            t for t in self.TS if t < 0 and t % self.HOUR
+        }
+
+    def test_python_floor_semantics(self, spark):
+        from qdrant_datafusion_spark.entry_queries import _floor_div
+
+        df = spark.createDataFrame([(t,) for t in self.TS], "ts long")
+        got = [
+            r["b"]
+            for r in df.select(
+                _floor_div("ts", self.HOUR).alias("b")
+            ).orderBy("b").collect()
+        ]
+        assert got == sorted(t // self.HOUR for t in self.TS)
