@@ -5905,61 +5905,62 @@ ORACLES["streaming_collection_source"] = STREAMING_COLLECTION_SQL
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
-# therefore the gate-evidence budget.  Round-6 window (exactly 50):
-#   1. the two reworked property-form gates (v_random_sample /
-#      q_approx_distinct — NEW oracles this round; cheapest first since
-#      a time-budgeted driver drops TRAILING entries),
-#   2. the five gates with ZERO driver evidence: the three streaming
-#      oracle gates, BPE training, and pHash image dedup,
-#   3. the three gates whose code/oracle changed this round
-#      (q_value_histogram clamp, pipeline_mix_temperature quantized z,
-#      q_events_funnel via the shared _funnel_present helper),
-#   4. the full 16-query r3-staleness queue (displaced two rounds ago),
-#   5. the r4-evidence rows.  The 9 left for round 7 are stable
-#      singletons whose machinery is covered by in-window kin:
-#      dedup_embedding_recall (lsh sibling in), quant_error_stats /
-#      v_search_scalar_quant / embed_jl_project (quantize family keeps
-#      binary/pq/ivfpq rows in), pipeline_stratified_sample /
-#      pipeline_hash_split (md5-split family keeps mix_datasets in),
-#      text_clean / text_chunking (regex-map family keeps
-#      text_repetition in), text_decontaminate (bloom + semantic
-#      decontamination rows stay in), pipeline_token_budget (two-phase
-#      prefix-scan family keeps pack_sequences in),
-#      pipeline_mix_datasets (exercised transitively by the in-window
-#      pipeline_mix_temperature, which calls it), ann_pq_topk (PQ
-#      encode/ADC machinery exercised by in-window ann_ivfpq_topk),
-#      text_repetition (regex-stats family keeps text_quality_filter
-#      in-window), v_discover_topk (weighted-combination kernel shared
-#      with r5-green v_recommend_topk).
-# Everything r5-green with unchanged code moves behind the window; the
-# local mirror (scripts/check_correctness.py) still covers all 103.
+# therefore the gate-evidence budget.  Round-7 window (exactly 50),
+# executing the r6 verdict's rotation plan (task #2: "after r7, no
+# registry query's newest driver row predates r5"):
+#   1. the four gates with ZERO driver evidence (new this round):
+#      unigram-LM tokenizer training, the cross-modal dedup composition,
+#      and the two streaming LSH ingest oracles;
+#   2. the gates whose code/oracle changed this round: duplicate-safe
+#      q_approx_percentile rank bound, floor-division bucketing
+#      (q_events_hourly / q_events_cohorts / streaming_hourly_counts),
+#      streaming_sessions boundary assertion, tokenizer input
+#      normalization (text_bpe_vocab), audio driver-side guard
+#      (multimodal_audio_dups);
+#   3. the FULL 14-row r4-staleness queue from the r6 verdict;
+#   4. 25 of the 43 r5-vintage rows (oldest evidence otherwise).
+# The 18 r5 rows deferred to round 8 all keep in-window kin:
+#   text_quality / text_token_stats / text_lang_id / text_source_profile
+#   (regex/stopword-stat family — text_clean, text_chunking,
+#   text_repetition in), doc_fingerprints / text_vocabulary (shingle +
+#   vocab family — dedup_minhash, dedup_substring in), multimodal_bytes
+#   (byte-plumbing — the three fingerprint gates stay r6-green),
+#   v_lateral_batch_search (tagged parity twin of r6-green
+#   v_batch_search), q_pivot_events / q_json_length_keys (pivot/JSON —
+#   q_events_json + variant in), group_centroids (agg-over-search —
+#   v_search family in), text_decontaminate_semantic (kin
+#   text_decontaminate + dedup_semantic in), dedup_minhash_capped / _hot
+#   / dedup_simhash_capped / _hot (cap-audit family shares the r6-green
+#   uncapped kernels; dedup_minhash + dedup_keep_best in),
+#   pipeline_global_shuffle (two-phase prefix scan — kin
+#   pipeline_token_budget in), v_search_mmr (kernel shared with
+#   in-window v_search family + k-guard pytest).
+# The local mirror (scripts/check_correctness.py) still covers all 113
+# and now emits CORRECTNESS_LOCAL_r{N}_sf{SF}.json per full sweep.
 _RUN_FIRST = [
-    # -- 1: reworked property-form gates (new oracles)
-    "v_random_sample", "q_approx_distinct", "q_approx_percentile",
-    # -- 2: zero driver evidence (new this round)
-    "streaming_hourly_counts", "streaming_dedup_survivors",
-    "streaming_funnel_conversion", "streaming_topk_values",
-    "streaming_sessions", "streaming_collection_source",
-    "text_bpe_vocab", "multimodal_phash_dups", "multimodal_audio_dups",
-    "multimodal_video_dups",
-    # -- 3: code/oracle touched this round
-    "q_value_histogram", "pipeline_mix_temperature", "q_events_funnel",
-    # -- 4: the r3-staleness queue, in full
-    "q3_topk_revenue", "q5_nation_revenue", "match_text_tfidf",
-    "q14_promo_revenue", "q_top_supplier_per_nation", "q_above_avg_orders",
-    "v_batch_search", "v_prefetch_rerank", "ann_ivf_topk",
-    "q_setops", "q_distinct_aggregates", "q_rollup", "q_grouping_sets",
-    "q_case_boost", "q_anti_join", "q_window_topk_per_group",
-    "q_semi_join", "v_within_radius",
-    # -- 5: r4-evidence refresh (24 of 32)
-    "v_search_topk", "v_fusion_hybrid", "dedup_exact", "dedup_simhash",
-    "payload_contains", "lsh_bucket_topk",
-    "dedup_embedding_lsh", "ann_knn_graph_blocked",
-    "ann_ivfpq_topk", "v_search_binary_quant",
-    "pipeline_pack_sequences",
-    "text_quality_filter", "v_sparse_batch_inverted",
-    "text_decontaminate_bloom", "match_text_bm25",
-    "q_salted_join",
+    # -- 1: zero driver evidence (new this round)
+    "text_unigram_vocab", "multimodal_cross_dups",
+    "streaming_near_dup_ingest", "streaming_semantic_ingest",
+    # -- 2: code/oracle touched this round
+    "q_approx_percentile", "q_events_hourly", "q_events_cohorts",
+    "streaming_hourly_counts", "streaming_sessions", "text_bpe_vocab",
+    "multimodal_audio_dups",
+    # -- 3: the r4-staleness queue, in full
+    "v_discover_topk", "dedup_embedding_recall", "ann_pq_topk",
+    "quant_error_stats", "v_search_scalar_quant", "pipeline_hash_split",
+    "text_decontaminate", "text_repetition", "pipeline_mix_datasets",
+    "pipeline_stratified_sample", "text_clean", "embed_jl_project",
+    "text_chunking", "pipeline_token_budget",
+    # -- 4: r5-evidence refresh (25 of 43)
+    "q1_pricing_summary", "q_group_having", "q_events_json",
+    "q_events_json_variant", "q_event_percentiles", "q_events_sessions",
+    "v_search_dot_topk", "v_recommend_topk", "v_colbert_topk",
+    "v_sparse_topk", "v_geo_decay_topk", "match_text_topk",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+    "dedup_clusters", "dedup_keep_best", "dedup_substring",
+    "dedup_semantic", "ann_knn_graph", "graph_pagerank",
+    "graph_trustrank", "q_asof_purchase_click",
+    "q_interval_signup_window", "text_perplexity",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
