@@ -45,6 +45,11 @@ DEFAULT_OPS = [
     "q_events_funnel",            # per-stage keyed join chain over shrinking state
     "text_source_profile",        # (source, token) count shuffle + shrinking aggs
     "graph_pagerank_autoplanes",  # integer PageRank iterations over the LSH graph
+    "multimodal_phash_probe",     # PNG synth+decode+dHash map + banded join
+    "multimodal_audio_probe",     # WAV synth+parse+energy hash + banded join
+    "multimodal_video_probe",     # Y4M synth+demux+temporal hash + banded join
+    "text_bpe_probe",             # distinct-word collapse + 12 merge iterations
+    "text_unigram_probe",         # distinct-word collapse + 3 EM iterations
 ]
 
 
@@ -174,6 +179,101 @@ def _dedup_substring_salted(spark, sf_dir: str):
     )
 
 
+def _synth_media_udf(kind: str):
+    """Probe-only media synthesizer: per-id PCG64-random pixels/samples/
+    frames through the REAL codecs.  The gates' planted closed-form
+    media are mod-periodic in doc_id (period ~8.8k groups for pHash), so
+    verbatim 100× replicas would repeat identical media and the pair
+    output would grow quadratically — measuring the fixture, exactly the
+    r5 substring-dedup trap.  Random 64-bit-mixed media make expected
+    near-dup pairs ≈ 0 at ANY scale (P[hamming ≤ 4 of 64 random bits]
+    ≈ 4e-14 per pair), so the growth ratio measures the plan: one
+    Arrow-batched synth+encode+decode+hash map and the banded join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from qdrant_datafusion_spark.operators.audio import encode_wav
+    from qdrant_datafusion_spark.operators.imaging import (
+        encode_png,
+        encode_y4m,
+    )
+
+    def synth(i: int) -> bytes:
+        rng = np.random.Generator(np.random.PCG64(int(i)))
+        if kind == "image":
+            return encode_png(
+                rng.integers(0, 256, size=(8, 9)).astype(np.uint8)
+            )
+        if kind == "audio":
+            return encode_wav(
+                rng.integers(-4096, 4096, size=65 * 64).astype(np.int16)
+            )
+        frames = rng.integers(0, 256, size=(65, 8, 16)).astype(np.uint8)
+        return encode_y4m([frames[k] for k in range(65)])
+
+    return pandas_udf(
+        lambda ids: pd.Series([synth(i) for i in ids]), "binary"
+    )
+
+
+def _fingerprint_probe(kind: str):
+    def probe(spark, sf_dir: str):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.audio import audio_energy_dups
+        from qdrant_datafusion_spark.operators.phash import phash_image_dups
+        from qdrant_datafusion_spark.operators.video import (
+            video_temporal_dups,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("id"))
+        media = docs.select(
+            "id", _synth_media_udf(kind)("id").alias("media")
+        )
+        if kind == "image":
+            return phash_image_dups(media, "media", "id", max_hamming=4)
+        if kind == "audio":
+            return audio_energy_dups(
+                media, "media", "id", max_hamming=4, frame_len=64
+            )
+        return video_temporal_dups(media, "media", "id", max_hamming=4)
+
+    return probe
+
+
+def _text_bpe_probe(spark, sf_dir: str):
+    """BPE training at scale: the corpus collapses to the distinct-word
+    table in one shuffle (the fixture vocabulary is fixed, so the table
+    is ~31 rows at every replica count) — growth should track the single
+    corpus-wide word count, near-flat afterwards."""
+    import os
+
+    from qdrant_datafusion_spark.operators.tokenizer import train_bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = train_bpe(docs, "text", n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def _text_unigram_probe(spark, sf_dir: str):
+    """Unigram-LM training at scale — same distinct-word collapse; each
+    EM iteration is one Arrow-batched Viterbi map + one groupBy."""
+    import os
+
+    from qdrant_datafusion_spark.operators.tokenizer import train_unigram
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vocab = train_unigram(docs, "text")
+    return spark.createDataFrame(vocab, "rank int, piece string, cnt long")
+
+
 def _graph_pagerank_autoplanes(spark, sf_dir: str):
     """Probe-only production form of graph_pagerank: the gate builds
     EXACT kNN edges (the quadratic oracle-literal tier); at scale the
@@ -217,6 +317,11 @@ def main() -> None:
         "dedup_semantic_autok": _dedup_semantic_autok,
         "graph_pagerank_autoplanes": _graph_pagerank_autoplanes,
         "dedup_substring_salted": _dedup_substring_salted,
+        "multimodal_phash_probe": _fingerprint_probe("image"),
+        "multimodal_audio_probe": _fingerprint_probe("audio"),
+        "multimodal_video_probe": _fingerprint_probe("video"),
+        "text_bpe_probe": _text_bpe_probe,
+        "text_unigram_probe": _text_unigram_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
