@@ -134,6 +134,33 @@ NOTES = {
         "localCheckpoint (LogicalRDD), the audited plan is the tiny "
         "agg + semi-join over those 25 rows"
     ),
+    "text_unigram_vocab": (
+        "all-zero row: the learned vocabulary IS driver state "
+        "(bounded collect -> LocalRelation); each EM iteration's "
+        "distributed plan (Arrow Viterbi map + groupBy re-count over "
+        "the checkpointed word table) executes during construction — "
+        "scale evidence in operators/tokenizer.py + TestTrainUnigram "
+        "+ the text_unigram_probe SCALE_PROBE row"
+    ),
+    "multimodal_cross_dups": (
+        "the mixed media table pins via localCheckpoint (one "
+        "synth+encode pass, three fingerprint readers), so the audit "
+        "sees the three banded joins + broadcast flag joins over a "
+        "LogicalRDD — scan count 0 by design"
+    ),
+    "streaming_near_dup_ingest": (
+        "foreachBatch ingest gate: the 4-micro-batch MinHash filter "
+        "runs during construction and survivors pin via eager "
+        "localCheckpoint (the temp source dirs are deleted before "
+        "return), so the audited plan is a LogicalRDD projection; "
+        "per-batch plans are the batch MinHash operator's (audited "
+        "under dedup_minhash)"
+    ),
+    "streaming_semantic_ingest": (
+        "same foreachBatch shape as streaming_near_dup_ingest; "
+        "per-batch plans are embedding_near_dups' bucket joins "
+        "(audited under dedup_embedding_lsh)"
+    ),
 }
 
 
