@@ -109,6 +109,11 @@ HEADLINE = [
     "streaming_funnel_conversion",
     "streaming_topk_values",
     "streaming_sessions",
+    # round 7
+    "text_unigram_vocab",
+    "multimodal_cross_dups",
+    "streaming_near_dup_ingest",
+    "streaming_semantic_ingest",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -153,6 +158,23 @@ TAGS = {
     "text_bpe_vocab": (
         "driver-loop op: 12 sequential merge jobs over the word table "
         "(inherent to BPE; each job is one groupBy + argmax + map)"
+    ),
+    "text_unigram_vocab": (
+        "driver-loop op: seed pass + 3 EM iterations (one Arrow "
+        "Viterbi map + one groupBy each) plus the gate's two "
+        "precondition aggs"
+    ),
+    "multimodal_cross_dups": (
+        "composition gate: synthesizes and encodes 256 docs x 3 "
+        "codecs, then runs all three fingerprint dedups + flag joins"
+    ),
+    "streaming_near_dup_ingest": (
+        "streaming ingest gate: 4-file staggered re-layout write + 4 "
+        "foreachBatch micro-batches of MinHash store-join filtering"
+    ),
+    "streaming_semantic_ingest": (
+        "streaming ingest gate: 4-file staggered re-layout write + 4 "
+        "foreachBatch micro-batches of hyperplane-LSH store filtering"
     ),
     "multimodal_phash_dups": (
         "includes fixture synthesis (PNG encode of 4096 images) ahead "
