@@ -5902,15 +5902,104 @@ QUERIES["streaming_collection_source"] = streaming_collection_source
 ORACLES["streaming_collection_source"] = STREAMING_COLLECTION_SQL
 
 
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): keep the 20% of the corpus
+    most like the English slice, by hashed-n-gram (unigram+bigram, 8192
+    md5 buckets) importance weights target-vs-raw, realized as Gumbel
+    top-k weighted sampling without replacement.  The 100 TB shape: one
+    shuffle to (doc, bucket) counts feeding both models and the scoring
+    join, 8192-row broadcast models, md5-coin Gumbel, and the two-phase
+    distributed rank for the keep threshold — no single-task sort, no
+    second corpus pass for the target side."""
+    from qdrant_datafusion_spark.operators.pipeline import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        is_target=F.col("lang") == "en",
+        text_col="text",
+        id_col="doc_id",
+        m_buckets=8192,
+        keep_num=1,
+        keep_den=5,
+        seed="dsir",
+    )
+
+
+#: mirrors dsir_select exactly: md5-prefix feature buckets, add-one
+#: smoothed target/raw bucket models with each ln quantized once to
+#: integer 1e-9 units (IEEE-identical double in), integer log-weight
+#: sums, md5-coin Gumbel perturbation, and the exact rational keep
+#: threshold pos*5 < total (= ceil(total/5) rows)
+TEXT_DSIR_SELECT_SQL = """
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tt AS (SELECT * FROM t WHERE len(toks) >= 1),
+f AS (
+  SELECT doc_id, tgt, u.f AS f
+  FROM tt, unnest(list_concat(
+    list_transform(toks, x -> 'u:' || x),
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]),
+                     p -> 'b:' || p[1] || ' ' || p[2])
+    ELSE [] END)) AS u(f)
+),
+db AS (
+  SELECT doc_id, tgt, ('0x' || substr(md5(f), 1, 8))::BIGINT % 8192 AS b,
+         count(*)::BIGINT AS cnt
+  FROM f GROUP BY ALL
+),
+raw AS (SELECT b, sum(cnt)::BIGINT AS c_r FROM db GROUP BY b),
+tg AS (SELECT b, sum(cnt)::BIGINT AS c_t FROM db WHERE tgt GROUP BY b),
+tot AS (SELECT (SELECT sum(cnt) FROM db)::BIGINT AS n_r,
+               (SELECT coalesce(sum(cnt), 0) FROM db WHERE tgt)::BIGINT AS n_t),
+model AS (
+  SELECT raw.b,
+         round(ln((coalesce(c_t, 0) + 1)::DOUBLE / (n_t + 8192)::DOUBLE)
+               * 1e9)::BIGINT
+       - round(ln((c_r + 1)::DOUBLE / (n_r + 8192)::DOUBLE)
+               * 1e9)::BIGINT AS lr9
+  FROM raw LEFT JOIN tg ON raw.b = tg.b CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_feats,
+         sum(cnt::HUGEINT * lr9)::BIGINT AS log_w9
+  FROM db JOIN model ON db.b = model.b GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, n_feats, log_w9,
+         (log_w9 + round(-ln(-ln(
+            (('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))::BIGINT
+             + 1) / 4294967297.0)) * 1e9)::BIGINT)::BIGINT AS score9
+  FROM sc
+),
+r AS (
+  SELECT doc_id, n_feats, log_w9, score9,
+         row_number() OVER (ORDER BY score9 DESC, doc_id) - 1 AS pos,
+         count(*) OVER () AS total
+  FROM g
+)
+SELECT doc_id, n_feats, log_w9, score9, (pos + 1)::BIGINT AS sel_rank
+FROM r WHERE pos * 5 < total
+"""
+
+QUERIES["text_dsir_select"] = text_dsir_select
+ORACLES["text_dsir_select"] = TEXT_DSIR_SELECT_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
 # therefore the gate-evidence budget.  Round-7 window (exactly 50),
 # executing the r6 verdict's rotation plan (task #2: "after r7, no
 # registry query's newest driver row predates r5"):
-#   1. the four gates with ZERO driver evidence (new this round):
+#   1. the five gates with ZERO driver evidence (new this round):
 #      unigram-LM tokenizer training, the cross-modal dedup composition,
-#      and the two streaming LSH ingest oracles;
+#      the two streaming LSH ingest oracles, and DSIR data selection;
 #   2. the gates whose code/oracle changed this round: duplicate-safe
 #      q_approx_percentile rank bound, floor-division bucketing
 #      (q_events_hourly / q_events_cohorts / streaming_hourly_counts),
@@ -5918,13 +6007,15 @@ ORACLES["streaming_collection_source"] = STREAMING_COLLECTION_SQL
 #      normalization (text_bpe_vocab), audio driver-side guard
 #      (multimodal_audio_dups);
 #   3. the FULL 14-row r4-staleness queue from the r6 verdict;
-#   4. 25 of the 43 r5-vintage rows (oldest evidence otherwise).
-# The 18 r5 rows deferred to round 8 all keep in-window kin:
+#   4. 24 of the 43 r5-vintage rows (oldest evidence otherwise).
+# The 19 r5 rows deferred to round 8 all keep in-window kin:
 #   text_quality / text_token_stats / text_lang_id / text_source_profile
 #   (regex/stopword-stat family — text_clean, text_chunking,
 #   text_repetition in), doc_fingerprints / text_vocabulary (shingle +
 #   vocab family — dedup_minhash, dedup_substring in), multimodal_bytes
 #   (byte-plumbing — the three fingerprint gates stay r6-green),
+#   dedup_embedding (kin dedup_embedding_recall in-window, its LSH
+#   sibling r6-green),
 #   v_lateral_batch_search (tagged parity twin of r6-green
 #   v_batch_search), q_pivot_events / q_json_length_keys (pivot/JSON —
 #   q_events_json + variant in), group_centroids (agg-over-search —
@@ -5941,6 +6032,7 @@ _RUN_FIRST = [
     # -- 1: zero driver evidence (new this round)
     "text_unigram_vocab", "multimodal_cross_dups",
     "streaming_near_dup_ingest", "streaming_semantic_ingest",
+    "text_dsir_select",
     # -- 2: code/oracle touched this round
     "q_approx_percentile", "q_events_hourly", "q_events_cohorts",
     "streaming_hourly_counts", "streaming_sessions", "text_bpe_vocab",
@@ -5956,7 +6048,7 @@ _RUN_FIRST = [
     "q_events_json_variant", "q_event_percentiles", "q_events_sessions",
     "v_search_dot_topk", "v_recommend_topk", "v_colbert_topk",
     "v_sparse_topk", "v_geo_decay_topk", "match_text_topk",
-    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+    "dedup_ngram_jaccard", "dedup_minhash",
     "dedup_clusters", "dedup_keep_best", "dedup_substring",
     "dedup_semantic", "ann_knn_graph", "graph_pagerank",
     "graph_trustrank", "q_asof_purchase_click",

@@ -55,6 +55,7 @@ __all__ = [
     "lm_perplexity",
     "temperature_rates",
     "global_shuffle",
+    "dsir_select",
 ]
 
 
@@ -1128,3 +1129,202 @@ def temperature_rates(
         else 0.0
         for s, n in counts.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# dsir_select — hashed-n-gram importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 8192,
+    keep_num: int = 1,
+    keep_den: int = 5,
+    seed: str = "dsir",
+    materialize: bool = True,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): pick the ``keep_num/keep_den``
+    fraction of the corpus that looks most like a small in-domain TARGET
+    set, by importance weights over hashed n-gram features, sampled with
+    Gumbel top-k (without replacement, probability ∝ weight).
+
+    Model: every unigram ``u:<tok>`` and bigram ``b:<w1> <w2>`` hashes
+    into one of ``m_buckets`` buckets (32-bit md5 prefix mod m — the
+    engine-portable hash of :func:`hash_split`).  Two add-one-smoothed
+    bucket unigram models are fit — ``p`` on the rows matching
+    ``is_target`` (the "give me more like these" exemplar set: a wiki
+    slice, a curated source, a lang tag) and ``q`` on the whole corpus —
+    and a document's log importance weight is ``sum over its feature
+    occurrences of ln p(bucket) - ln q(bucket)``.  Gumbel-perturbed
+    ranking (``log w + Gumbel(0,1)``) then realizes weighted sampling
+    without replacement; the Gumbel uniform is the md5 coin of
+    ``<id>:<seed>``, so the draw is deterministic, position-independent,
+    and engine-portable.
+
+    Exactness contract (the lm_perplexity recipe): each ``ln`` is taken
+    of a ratio of exact integers (IEEE-identical double in on any
+    engine) and quantized once to integer 1e-9 units; all sums,
+    comparisons, and the selection threshold are integer math, so the
+    selected set is bit-identical across engines regardless of
+    partitioning or summation order.  The keep fraction is the exact
+    rational ``keep_num/keep_den``: a document is selected iff
+    ``rank0 * keep_den < total * keep_num`` (= ceil(total·frac) rows).
+
+    Scale shape:
+
+    - feature extraction is a narrow explode; ONE shuffle builds the
+      (doc, bucket) count table, which is localCheckpoint-ed and feeds
+      the raw model, the target model, and the scoring join — the 100 TB
+      token stream is read once and never re-shuffled.
+    - both models are exactly ``m_buckets`` rows (broadcast); scoring is
+      a map-side hash join + per-doc partial agg.
+    - the target side is a FILTER of the same count table, not a second
+      corpus pass — in DSIR the target is a small exemplar set, but this
+      stays one-pass even when ``is_target`` matches half the corpus.
+    - selection uses the two-phase distributed rank of
+      :func:`global_shuffle` (range-partition on the score, ≤P-row
+      offset table) — no single-task sort, any keep fraction.
+
+    Returns the selected rows only: ``(id, n_feats, log_w9, score9,
+    sel_rank)`` — ``log_w9``/``score9`` in integer 1e-9 ln units,
+    ``sel_rank`` 1-based by (score9 DESC, id ASC).
+    """
+    if m_buckets < 2:
+        raise ValueError("m_buckets must be >= 2")
+    if keep_num < 1 or keep_den < 1 or keep_num > keep_den:
+        raise ValueError("keep fraction must satisfy 0 < keep_num/keep_den <= 1")
+    m = int(m_buckets)
+
+    toks = df.select(
+        F.col(id_col),
+        is_target.cast("boolean").alias("_tgt"),
+        tokens(text_col).alias("_toks"),
+    ).where(F.size("_toks") >= 1)
+    feats = toks.select(
+        id_col,
+        "_tgt",
+        F.explode(
+            F.concat(
+                F.expr("transform(_toks, x -> concat('u:', x))"),
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(_toks) - 2),"
+                        " i -> concat('b:', _toks[i], ' ', _toks[i + 1]))"
+                    ),
+                ).otherwise(F.expr("array()")),
+            )
+        ).alias("_f"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long"),
+        F.lit(m),
+    )
+    doc_b = (
+        feats.select(id_col, "_tgt", bucket.alias("_b"))
+        .groupBy(id_col, "_tgt", "_b")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    if materialize:
+        doc_b = doc_b.localCheckpoint(eager=False)
+
+    raw = doc_b.groupBy("_b").agg(F.sum("_cnt").cast("long").alias("_c_r"))
+    tgt = (
+        doc_b.filter(F.col("_tgt"))
+        .groupBy("_b")
+        .agg(F.sum("_cnt").cast("long").alias("_c_t"))
+    )
+    totals = raw.agg(
+        F.sum("_c_r").cast("long").alias("_n_r")
+    ).crossJoin(
+        doc_b.filter(F.col("_tgt")).agg(
+            F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n_t")
+        )
+    )
+    # each ln sees a ratio of exact integers; quantize each ln separately
+    # so the subtraction is integer-exact on every engine
+    lp_t = F.round(
+        F.log(
+            (F.col("_c_t") + 1).cast("double")
+            / (F.col("_n_t") + m).cast("double")
+        )
+        * 1e9
+    ).cast("long")
+    lp_r = F.round(
+        F.log(
+            (F.col("_c_r") + 1).cast("double")
+            / (F.col("_n_r") + m).cast("double")
+        )
+        * 1e9
+    ).cast("long")
+    model = (
+        raw.join(tgt, "_b", "left")
+        .withColumn("_c_t", F.coalesce("_c_t", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select("_b", (lp_t - lp_r).alias("_lr9"))
+    )
+
+    scored = (
+        doc_b.join(F.broadcast(model), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_feats"),
+            # decimal before the product-sum: ANSI-safe on pathological docs
+            F.sum(F.col("_cnt").cast("decimal(38,0)") * F.col("_lr9"))
+            .cast("long")
+            .alias("log_w9"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(4294967297.0)  # (0, 1) exclusive
+    g9 = F.round(-F.log(-F.log(u)) * 1e9).cast("long")
+    scored = scored.withColumn("score9", (F.col("log_w9") + g9).cast("long"))
+
+    # two-phase global rank on (score9 DESC, id ASC) — no single-task sort
+    ranked = scored.repartitionByRange(
+        F.col("score9").desc(), F.col(id_col).asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = (
+        SqlWindow.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+        F.sum("_n").over(SqlWindow.partitionBy(F.lit(0))).alias("_total"),
+    )
+    w_in = SqlWindow.partitionBy("_pid").orderBy(
+        F.col("score9").desc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_pos",
+            (F.col("_offset") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .filter(
+            F.col("_pos") * F.lit(int(keep_den))
+            < F.col("_total") * F.lit(int(keep_num))
+        )
+        .select(
+            id_col,
+            "n_feats",
+            "log_w9",
+            "score9",
+            (F.col("_pos") + 1).cast("long").alias("sel_rank"),
+        )
+    )

@@ -764,3 +764,147 @@ class TestTemperatureRates:
         assert temperature_rates({"a": 0, "b": 10}, alpha=0.5)["a"] == 0.0
         with _pytest.raises(ValueError):
             temperature_rates({"a": -1})
+
+
+class TestDsirSelect:
+    """dsir_select — hashed-n-gram importance resampling (DSIR)."""
+
+    CORPUS = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog sat on the rug", "en"),
+        (2, "el gato se sienta en la alfombra", "es"),
+        (3, "der hund sitzt auf dem teppich", "de"),
+        (4, "the cat and the dog sat", "es"),   # en-like text, es tag
+        (5, "la alfombra y el teppich", "en"),  # mixed text, en tag
+        (6, "cat", "en"),                       # unigram-only doc
+        (7, "  ", "de"),                        # zero tokens: excluded
+        (8, "sat sat sat sat", "es"),
+        (9, "on the mat the cat sat", "de"),
+    ]
+    M = 64
+
+    def _run(self, spark, df=None, **kw):
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.pipeline import dsir_select
+
+        if df is None:
+            df = spark.createDataFrame(
+                self.CORPUS, "doc_id long, text string, lang string"
+            )
+        kw.setdefault("m_buckets", self.M)
+        kw.setdefault("keep_num", 2)
+        kw.setdefault("keep_den", 5)
+        return dsir_select(
+            df, is_target=F.col("lang") == "en", **kw
+        ).collect()
+
+    @classmethod
+    def _py_reference(cls, corpus, m=None, keep=(2, 5), seed="dsir"):
+        """Independent mirror: md5 buckets, add-one models, quantized
+        log-ratio, md5-coin Gumbel, rational keep threshold."""
+        import hashlib
+        import math
+
+        m = m or cls.M
+
+        def r9(x: float) -> int:  # HALF_UP (away from zero), 1e-9 units
+            v = x * 1e9
+            return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+        def bucket(f: str) -> int:
+            return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % m
+
+        docs = {}
+        for i, txt, lang in corpus:
+            ts = [t for t in txt.lower().strip().split() if t]
+            if not ts:
+                continue
+            feats = [f"u:{t}" for t in ts] + [
+                f"b:{a} {b}" for a, b in zip(ts, ts[1:])
+            ]
+            docs[i] = (lang == "en", [bucket(f) for f in feats])
+        c_r, c_t = {}, {}
+        for tgt, bs in docs.values():
+            for b in bs:
+                c_r[b] = c_r.get(b, 0) + 1
+                if tgt:
+                    c_t[b] = c_t.get(b, 0) + 1
+        n_r = sum(c_r.values())
+        n_t = sum(c_t.values())
+        lr9 = {
+            b: r9(math.log((c_t.get(b, 0) + 1) / (n_t + m)))
+            - r9(math.log((c + 1) / (n_r + m)))
+            for b, c in c_r.items()
+        }
+        rows = []
+        for i, (_, bs) in docs.items():
+            lw9 = sum(lr9[b] for b in bs)
+            h = int(
+                hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16
+            )
+            u = (h + 1) / 4294967297.0
+            g9 = r9(-math.log(-math.log(u)))
+            rows.append((i, len(bs), lw9, lw9 + g9))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        num, den = keep
+        total = len(rows)
+        return {
+            r[0]: (r[1], r[2], r[3], pos + 1)
+            for pos, r in enumerate(rows)
+            if pos * den < total * num
+        }
+
+    def test_matches_python_reference(self, spark):
+        got = {r.doc_id: r for r in self._run(spark)}
+        ref = self._py_reference(self.CORPUS)
+        assert set(got) == set(ref)
+        for i, (n, lw9, s9, rank) in ref.items():
+            assert got[i].n_feats == n
+            assert got[i].log_w9 == lw9
+            assert got[i].score9 == s9
+            assert got[i].sel_rank == rank
+
+    def test_keep_fraction_exact(self, spark):
+        # 9 scoreable docs (doc 7 excluded), 2/5 → ceil(18/5) = 4 rows
+        rows = self._run(spark)
+        assert len(rows) == 4
+        assert sorted(r.sel_rank for r in rows) == [1, 2, 3, 4]
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string, lang string"
+        )
+        a = sorted(map(tuple, self._run(spark)))
+        b = sorted(map(tuple, self._run(spark, df=df.repartition(7))))
+        assert a == b
+
+    def test_empty_target_still_selects(self, spark):
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.pipeline import dsir_select
+
+        df = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string, lang string"
+        )
+        rows = dsir_select(
+            df, is_target=F.lit(False), m_buckets=self.M,
+            keep_num=1, keep_den=3,
+        ).collect()
+        assert len(rows) == 3  # ceil(9/3); smoothing-only weights
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.pipeline import dsir_select
+
+        df = spark.createDataFrame(
+            self.CORPUS, "doc_id long, text string, lang string"
+        )
+        with _pytest.raises(ValueError):
+            dsir_select(df, F.lit(True), m_buckets=1)
+        with _pytest.raises(ValueError):
+            dsir_select(df, F.lit(True), keep_num=6, keep_den=5)
+        with _pytest.raises(ValueError):
+            dsir_select(df, F.lit(True), keep_num=0)
