@@ -970,7 +970,7 @@ _SPARSE_TERMS_SQL = " + ".join(
 V_SPARSE_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                      x -> x <> '') AS toks
   FROM documents
 )
@@ -1026,7 +1026,7 @@ dense_r AS (
 ),
 toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -1109,7 +1109,7 @@ _MATCH_TERMS = MATCH_QUERY.split()
 MATCH_TEXT_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                      x -> x <> '') AS toks
   FROM documents
 )
@@ -1128,7 +1128,7 @@ WHERE round(({" + ".join(f"list_contains(toks, '{w}')::INT" for w in _MATCH_TERM
 
 _TOKS_SQL = """
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                      x -> x <> '') AS toks
   FROM documents
 """
@@ -1266,9 +1266,9 @@ WITH q AS (
                        THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
                             / length(text)
                        ELSE 0 END)
-         + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                                              x -> x <> ''), 'the')::INT
-                   + list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   + list_contains(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                                                x -> x <> ''), 'a')::INT)::DOUBLE / 2)
          AS quality
   FROM documents
@@ -1298,7 +1298,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKENS_UNITS_SQL = (
-    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))"
+    "len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> ''))"
 )
 TEXT_TOKEN_SQL = f"""
 SELECT lang,
@@ -3055,9 +3055,9 @@ WITH q AS (
                        THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
                             / length(text)
                        ELSE 0 END)
-         + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                                              x -> x <> ''), 'the')::INT
-                   + list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   + list_contains(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                                                x -> x <> ''), 'a')::INT)::DOUBLE / 2), 6)
          AS quality
   FROM documents
@@ -3811,9 +3811,9 @@ q AS (
                         THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
                              / length(text)
                         ELSE 0 END)
-          + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          + 0.3 * ((list_contains(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                                               x -> x <> ''), 'the')::INT
-                    + list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    + list_contains(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                                                 x -> x <> ''), 'a')::INT)::DOUBLE / 2)
           )::DECIMAL(18,12) * 1000000000000)::BIGINT AS quality_e12
   FROM documents
@@ -4394,7 +4394,7 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_SOURCE_PROFILE_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -5384,9 +5384,11 @@ def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = (
         _words(docs, "text")
         .agg(
-            F.max(F.length("_w")).alias("maxlen"),
-            F.sum(
-                F.col("_w").rlike("[^ -~]").cast("long")
+            # coalesce: F.max is NULL on an empty/whitespace-only corpus,
+            # which must read as "no long words", not a TypeError below
+            F.coalesce(F.max(F.length("_w")), F.lit(0)).alias("maxlen"),
+            F.coalesce(
+                F.sum(F.col("_w").rlike("[^ -~]").cast("long")), F.lit(0)
             ).alias("n_nonascii"),
         )
         .collect()[0]
@@ -5760,6 +5762,7 @@ def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=32,
             bands=16,
             threshold=0.2,
+            max_bucket_size=None,  # oracle models the UNCAPPED pair set
         )
         if not q.awaitTermination(600):
             q.stop()
@@ -5934,7 +5937,7 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_DSIR_SELECT_SQL = """
 WITH t AS (
   SELECT doc_id, (lang = 'en') AS tgt,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0b]+'),
                      x -> x <> '') AS toks
   FROM documents
 ),

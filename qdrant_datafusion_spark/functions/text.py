@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.distance import _as_col, ColumnOrName
 
-TOKEN_PATTERN = "\\s+"
+#: Explicit whitespace class — byte-identical semantics across Java
+#: regex (Spark), RE2 (DuckDB string_split_regex), and Python re.  Java
+#: ``\s`` already equals this set, but RE2's ``\s`` lacks ``\x0b``, so
+#: every oracle must spell the class out; keeping the Spark side on the
+#: same literal makes the cross-engine contract self-evident.
+TOKEN_PATTERN = "[ \\t\\n\\r\\f\\x0b]+"
 #: BPE-ish word/punct splitter for token_count(mode="bpe"): runs of word
 #: chars, or single non-space punctuation marks.
 BPE_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"

@@ -179,6 +179,7 @@ def stream_near_dup_ingest(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> StreamingQuery:
     """Ingest-time NEAR-dup filtering: each micro-batch is MinHash-LSH
     checked against the signature store of everything already accepted
@@ -205,6 +206,12 @@ def stream_near_dup_ingest(
     with dynamic partition overwrite: a replayed batch overwrites its own
     partition instead of appending twice — idempotent output without a
     table format.
+
+    ``max_bucket_size`` is forwarded to the in-batch collapse
+    (`minhash_lsh_dups`); pass ``None`` for the exact uncapped contract
+    (the oracle-graded gate does), or keep the cap in production where a
+    degenerate hot band bucket must not go O(n²).  Note the store-join
+    stage (2) is already cap-free — the cap only affects stage 1.
     """
     from qdrant_datafusion_spark.operators.dedup import (
         _minhash_buckets,
@@ -219,6 +226,7 @@ def stream_near_dup_ingest(
         pairs = minhash_lsh_dups(
             batch, content_col, id_col, k=k, num_hashes=num_hashes,
             bands=bands, threshold=threshold,
+            max_bucket_size=max_bucket_size,
         )
         batch = batch.join(
             pairs.select(F.col("id_b").alias(id_col)).distinct(),
@@ -324,8 +332,33 @@ def stream_semantic_ingest(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if not batch.take(1):
+            return
+
+        def sink(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
         first = batch.select(vector_col).filter(F.col(vector_col).isNotNull()).take(1)
         if not first:
+            # every vector NULL: nothing to hash, nothing can be a dup —
+            # the rows still survive (the oracle keeps NULL-embedding rows)
+            # with an empty bucket signature set, so the store stays
+            # schema-stable for later batches.
+            sink(batch, out_dir)
+            sink(
+                batch.select(
+                    F.col(id_col).alias("_id"),
+                    F.col(vector_col).alias("_v"),
+                    F.lit(None).cast("string").alias("bucket"),
+                ).filter(F.lit(False)),
+                store_dir,
+            )
             return
         planes = bucket_planes
         if planes is None:
@@ -380,15 +413,6 @@ def stream_semantic_ingest(
             batch = batch.join(dup_ids, id_col, "left_anti")
             buckets = buckets_of(batch)
         # 3. novel rows out; their vector signatures into the store
-        def sink(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_batch_id")
-                .parquet(path)
-            )
-
         sink(batch, out_dir)
         sink(buckets, store_dir)
 

@@ -815,9 +815,14 @@ class TestDsirSelect:
         def bucket(f: str) -> int:
             return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % m
 
+        import re
+
+        ws = re.compile("[ \\t\\n\\r\\f\\x0b]+")
         docs = {}
         for i, txt, lang in corpus:
-            ts = [t for t in txt.lower().strip().split() if t]
+            # explicit class, NOT str.split(): str.split eats all Unicode
+            # whitespace while Spark/DuckDB split on the shared 6-char set
+            ts = [t for t in ws.split(txt.lower().strip()) if t]
             if not ts:
                 continue
             feats = [f"u:{t}" for t in ts] + [
