@@ -5284,32 +5284,38 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled-CTE BPE oracle: w{k} = word table after k merges (cross
-    join with the 1-row argmax m{k} applies the merge), p{k} = pair
-    counts from w{k-1}.  If pairs run out at stage k, m{k} is empty, so
-    w{k} (cross join) empties and every later stage yields no row —
-    exactly mirroring the operator's early break."""
-    b = "chr(31)||chr(31)"
-    # normalization mirrors operators/tokenizer._word_table exactly:
-    # U+001F/U+001E stripped (they are the encoding's markers), and the
-    # explicit ASCII whitespace class — RE2's \s is [\t\n\f\r ] (no \x0b)
-    # while Spark's is Java's [ \t\n\x0B\f\r], so only a shared literal
-    # class makes the engines tokenize identically
-    clean = "replace(replace(lower(text), chr(31), ''), chr(30), '')"
+#: DuckDB fragments shared by every BPE oracle: the two-byte symbol
+#: boundary and the trainer's input normalization (markers stripped,
+#: explicit ASCII whitespace class — RE2's \s is [\t\n\f\r ] (no \x0b)
+#: while Spark's is Java's [ \t\n\x0B\f\r], so only a shared literal
+#: class makes the engines tokenize identically; mirrors
+#: operators/tokenizer._word_table exactly)
+_BPE_B = "chr(31)||chr(31)"
+_BPE_CLEAN = "replace(replace(lower(text), chr(31), ''), chr(30), '')"
+
+
+def _bpe_learn_parts(n_merges: int) -> list[str]:
+    """CTE parts learning the merge table: ``wt`` = distinct words with
+    frequencies, w{k} = symbol table after k merges (cross join with the
+    1-row argmax m{k} applies the merge), p{k} = pair counts from
+    w{k-1}.  If pairs run out at stage k, m{k} is empty, so w{k} (cross
+    join) empties and every later stage yields no row — exactly
+    mirroring the operator's early break."""
+    b = _BPE_B
     parts = [
+        f"""wt AS MATERIALIZED (
+  SELECT tok AS word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(string_split_regex({_BPE_CLEAN},
+                      '[ \\t\\n\\r\\f\\x0b]+')) AS tok
+        FROM documents)
+  WHERE len(tok) > 0
+  GROUP BY 1
+)""",
         f"""w0 AS MATERIALIZED (
   SELECT {b} || array_to_string(string_split(word || chr(30), ''), {b})
          || {b} AS w, n
-  FROM (
-    SELECT tok AS word, count(*)::BIGINT AS n
-    FROM (SELECT unnest(string_split_regex({clean},
-                        '[ \\t\\n\\r\\f\\x0b]+')) AS tok
-          FROM documents)
-    WHERE len(tok) > 0
-    GROUP BY 1
-  )
-)"""
+  FROM wt
+)""",
     ]
     for k in range(1, n_merges + 1):
         parts.append(
@@ -5332,12 +5338,17 @@ m{k} AS MATERIALIZED (
   FROM w{k - 1}, m{k}
 )"""
             )
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """The learned merge table itself — see :func:`_bpe_learn_parts`."""
     union = "\nUNION ALL ".join(
         f'SELECT {k}::INT AS "rank", a AS "left", b AS "right",'
         f" cnt AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_learn_parts(n_merges)) + "\n" + union
 
 
 TEXT_BPE_VOCAB_SQL = _bpe_oracle_sql(BPE_N_MERGES)
@@ -5412,6 +5423,47 @@ def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(vocab, "rank int, piece string, cnt long")
 
 
+def _unigram_dp_parts(
+    tag: str, cost_cte: str, max_word: int, piece_len: int
+) -> tuple[list[str], str]:
+    """Unrolled Viterbi DP over the distinct-word table ``w`` under the
+    piece costs of ``cost_cte``: ``b{tag}_p`` is each word's unique best
+    (cost ASC, piece count ASC, segmentation ASC) split of its first
+    ``p`` characters.  Returns the CTE parts plus the UNION ALL yielding
+    every word's full segmentation ``(word, n, seg)``."""
+    parts = [
+        f"b{tag}_0 AS (SELECT word, n, 0::BIGINT AS cost, 0 AS np,"
+        f" '' AS seg FROM w)"
+    ]
+    for p in range(1, max_word + 1):
+        branches = []
+        for k in range(1, min(piece_len, p) + 1):
+            branches.append(
+                f"""      SELECT b.word, b.n, b.cost + c.cost AS cost,
+             b.np + 1 AS np, b.seg || chr(31) || c.piece AS seg
+      FROM b{tag}_{p - k} b JOIN {cost_cte} c
+        ON c.piece = substr(b.word, {p - k + 1}, {k})
+      WHERE len(b.word) >= {p}"""
+            )
+        union = "\n      UNION ALL\n".join(branches)
+        parts.append(
+            f"""b{tag}_{p} AS MATERIALIZED (
+  SELECT word, n, cost, np, seg FROM (
+    SELECT word, n, cost, np, seg,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY cost, np, seg) AS rn
+    FROM (
+{union}
+    )) WHERE rn = 1
+)"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT word, n, seg FROM b{tag}_{p} WHERE len(word) = {p}"
+        for p in range(1, max_word + 1)
+    )
+    return parts, finals
+
+
 def _unigram_oracle_sql(
     max_word: int = UNIGRAM_MAX_WORD,
     piece_len: int = UNIGRAM_PIECE_LEN,
@@ -5420,7 +5472,7 @@ def _unigram_oracle_sql(
     n_iters: int = UNIGRAM_ITERS,
     top_k: int = UNIGRAM_TOP_K,
 ) -> str:
-    clean = "replace(replace(lower(text), chr(31), ''), chr(30), '')"
+    clean = _BPE_CLEAN
     q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
     parts = [
         f"""w AS MATERIALIZED (
@@ -5461,36 +5513,8 @@ def _unigram_oracle_sql(
   FROM {v_prev}
 )"""
         )
-        parts.append(
-            f"b{t}_0 AS (SELECT word, n, 0::BIGINT AS cost, 0 AS np,"
-            f" '' AS seg FROM w)"
-        )
-        for p in range(1, max_word + 1):
-            branches = []
-            for k in range(1, min(piece_len, p) + 1):
-                branches.append(
-                    f"""      SELECT b.word, b.n, b.cost + c.cost AS cost,
-             b.np + 1 AS np, b.seg || chr(31) || c.piece AS seg
-      FROM b{t}_{p - k} b JOIN c{t} c
-        ON c.piece = substr(b.word, {p - k + 1}, {k})
-      WHERE len(b.word) >= {p}"""
-                )
-            union = "\n      UNION ALL\n".join(branches)
-            parts.append(
-                f"""b{t}_{p} AS MATERIALIZED (
-  SELECT word, n, cost, np, seg FROM (
-    SELECT word, n, cost, np, seg,
-           row_number() OVER (PARTITION BY word
-                              ORDER BY cost, np, seg) AS rn
-    FROM (
-{union}
-    )) WHERE rn = 1
-)"""
-            )
-        finals = "\n    UNION ALL ".join(
-            f"SELECT word, n, seg FROM b{t}_{p} WHERE len(word) = {p}"
-            for p in range(1, max_word + 1)
-        )
+        dp_parts, finals = _unigram_dp_parts(str(t), f"c{t}", max_word, piece_len)
+        parts.extend(dp_parts)
         parts.append(
             f"""m{t} AS MATERIALIZED (
   SELECT piece, sum(n)::BIGINT AS cnt FROM (
@@ -5525,6 +5549,301 @@ TEXT_UNIGRAM_VOCAB_SQL = _unigram_oracle_sql()
 
 QUERIES["text_unigram_vocab"] = text_unigram_vocab
 ORACLES["text_unigram_vocab"] = TEXT_UNIGRAM_VOCAB_SQL
+
+
+# --- tokenizer APPLY: encode the corpus with the learned models (the
+# train→apply→pack completion the round-7 verdict asked for) -------------
+
+#: the per-document word sequence with positions, normalized exactly like
+#: the trainers (markers stripped, shared whitespace class)
+_DOC_WORDS_CTE = f"""dw AS MATERIALIZED (
+  SELECT doc_id, ws[i] AS word, i AS wpos
+  FROM (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex({_BPE_CLEAN},
+                                 '[ \\t\\n\\r\\f\\x0b]+'),
+                                 x -> x <> '') AS ws
+              FROM documents))
+)"""
+
+#: reassemble per-word piece lists (CTE ``enc(word, pieces)``) into the
+#: exploded per-document token stream with ids from ``vid(piece, id)``
+_TOKEN_STREAM_SQL = """
+SELECT doc_id, pos, t.piece AS piece, coalesce(v.id, 0)::INT AS token_id
+FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY wpos, j)::INT AS pos,
+         pieces[j] AS piece
+  FROM (SELECT doc_id, wpos,
+               unnest(generate_series(1, len(pieces))) AS j, pieces
+        FROM dw JOIN enc USING (word))
+) t LEFT JOIN vid v ON t.piece = v.piece"""
+
+
+def _bpe_encode_parts(n_merges: int) -> list[str]:
+    """CTE parts applying the learned merges to the distinct-word table:
+    e{k} = symbol strings after replaying merge k (LEFT JOIN ON TRUE, so
+    an empty m{k} — pairs ran out — leaves the strings unchanged instead
+    of emptying the table like the learning stages deliberately do),
+    ``enc`` = each word's final piece list, ``vid`` = the piece→id table
+    (id 0 <unk>, 1..C chars in byte order, C+rank per merge, min id on
+    piece collisions — mirrors tokenizer.bpe_vocab_ids)."""
+    b = _BPE_B
+    parts = [
+        f"""e0 AS (
+  SELECT word,
+         {b} || array_to_string(string_split(word || chr(30), ''), {b})
+         || {b} AS s
+  FROM wt
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""e{k} AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN m.a IS NULL THEN s
+              ELSE replace(s, chr(31)||m.a||{b}||m.b||chr(31),
+                           chr(31)||m.a||m.b||chr(31)) END AS s
+  FROM e{k - 1} LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+    mall = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rk, a, b FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT word, string_split(trim(s, chr(31)), {b}) AS pieces
+  FROM e{n_merges}
+)""",
+    )
+    parts.append(
+        """cid AS MATERIALIZED (
+  SELECT piece, row_number() OVER (ORDER BY piece)::BIGINT AS id
+  FROM (SELECT DISTINCT c AS piece
+        FROM (SELECT unnest(string_split(word || chr(30), '')) AS c
+              FROM wt))
+)"""
+    )
+    parts.append(
+        f"""vid AS MATERIALIZED (
+  SELECT piece, min(id)::INT AS id FROM (
+    SELECT piece, id FROM cid
+    UNION ALL
+    SELECT a || b AS piece, (SELECT count(*) FROM cid) + rk AS id
+    FROM ({mall})
+  ) GROUP BY piece
+)"""
+    )
+    return parts
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY, BPE half: train the merge table on documents.text
+    (same params as text_bpe_vocab), then encode the whole corpus with it
+    — each word replayed through the merges as a chain of native
+    ``replace`` calls (zero Python, zero shuffles; operators/tokenizer.
+    bpe_encode), exploded to the per-document token stream.  Output:
+    (doc_id, pos, piece, token_id) — the full train→apply roundtrip under
+    a full value oracle that re-learns AND re-applies the merges in SQL.
+    """
+    from qdrant_datafusion_spark.operators.tokenizer import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=BPE_N_MERGES)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("pieces", "token_ids")).alias("_j", "_z"),
+    ).select(
+        "doc_id",
+        (F.col("_j") + 1).cast("int").alias("pos"),
+        F.col("_z.pieces").alias("piece"),
+        F.col("_z.token_ids").cast("int").alias("token_id"),
+    )
+
+
+TEXT_BPE_ENCODE_SQL = (
+    "WITH "
+    + ",\n".join(
+        _bpe_learn_parts(BPE_N_MERGES)
+        + _bpe_encode_parts(BPE_N_MERGES)
+        + [_DOC_WORDS_CTE]
+    )
+    + _TOKEN_STREAM_SQL
+)
+
+QUERIES["text_bpe_encode"] = text_bpe_encode
+ORACLES["text_bpe_encode"] = TEXT_BPE_ENCODE_SQL
+
+
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY, unigram half: train the piece vocabulary on
+    documents.text (same params as text_unigram_vocab but the FULL final
+    vocabulary — the mandatory single-char pieces keep every word
+    segmentable), then Viterbi-encode the corpus under the final integer
+    costs (one Arrow-batched map, per-batch word memoization;
+    operators/tokenizer.unigram_encode).  token_id = the piece's 1-based
+    vocabulary rank.  Asserts the same oracle preconditions as the vocab
+    gate (word length cap, ASCII)."""
+    from qdrant_datafusion_spark.operators.tokenizer import (
+        _words,
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = (
+        _words(docs, "text")
+        .agg(
+            F.coalesce(F.max(F.length("_w")), F.lit(0)).alias("maxlen"),
+            F.coalesce(
+                F.sum(F.col("_w").rlike("[^ -~]").cast("long")), F.lit(0)
+            ).alias("n_nonascii"),
+        )
+        .collect()[0]
+    )
+    if stats["maxlen"] > UNIGRAM_MAX_WORD or stats["n_nonascii"]:
+        raise AssertionError(
+            f"text_unigram_encode precondition violated: maxlen="
+            f"{stats['maxlen']} (cap {UNIGRAM_MAX_WORD}), non-ascii words="
+            f"{stats['n_nonascii']}"
+        )
+    vocab = train_unigram(
+        docs,
+        "text",
+        max_piece_len=UNIGRAM_PIECE_LEN,
+        seed_multi=UNIGRAM_SEED_MULTI,
+        keep_multi=UNIGRAM_KEEP_MULTI,
+        n_iters=UNIGRAM_ITERS,
+        top_k=10_000,  # full final vocabulary — encoding needs the chars
+    )
+    enc = unigram_encode(docs, vocab, max_piece_len=UNIGRAM_PIECE_LEN)
+    return enc.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("pieces", "token_ids")).alias("_j", "_z"),
+    ).select(
+        "doc_id",
+        (F.col("_j") + 1).cast("int").alias("pos"),
+        F.col("_z.pieces").alias("piece"),
+        F.col("_z.token_ids").cast("int").alias("token_id"),
+    )
+
+
+def _unigram_encode_oracle_sql(
+    max_word: int = UNIGRAM_MAX_WORD,
+    piece_len: int = UNIGRAM_PIECE_LEN,
+    seed_multi: int = UNIGRAM_SEED_MULTI,
+    keep_multi: int = UNIGRAM_KEEP_MULTI,
+    n_iters: int = UNIGRAM_ITERS,
+) -> str:
+    """Re-learns the full vocabulary (the _unigram_oracle_sql CTEs), then
+    one more Viterbi pass under the FINAL vocabulary's costs segments the
+    distinct words, reassembled into the per-document token stream; ids
+    are the (cnt DESC, piece ASC) vocabulary ranks."""
+    vocab_sql = _unigram_oracle_sql(
+        max_word, piece_len, seed_multi, keep_multi, n_iters, top_k=1
+    )
+    # keep only the CTE chain (drop the final top-k SELECT)
+    vocab_parts = vocab_sql[len("WITH ") : vocab_sql.rindex("\nSELECT")]
+    q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+    vN = f"v{n_iters}"
+    parts = [
+        vocab_parts,
+        f"""cE AS MATERIALIZED (
+  SELECT piece, (SELECT {q.format(x="sum(cnt)")} FROM {vN})
+                - {q.format(x="cnt")} AS cost
+  FROM {vN}
+)""",
+    ]
+    dp_parts, finals = _unigram_dp_parts("e", "cE", max_word, piece_len)
+    parts.extend(dp_parts)
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT word, string_split(substr(seg, 2), chr(31)) AS pieces
+  FROM ({finals})
+)"""
+    )
+    parts.append(
+        f"""vid AS MATERIALIZED (
+  SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece)::INT AS id
+  FROM {vN}
+)"""
+    )
+    parts.append(_DOC_WORDS_CTE)
+    return "WITH " + ",\n".join(parts) + _TOKEN_STREAM_SQL
+
+
+TEXT_UNIGRAM_ENCODE_SQL = _unigram_encode_oracle_sql()
+
+QUERIES["text_unigram_encode"] = text_unigram_encode
+ORACLES["text_unigram_encode"] = TEXT_UNIGRAM_ENCODE_SQL
+
+
+def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences over REAL tokenizer output: the greedy first-fit
+    packing of pipeline_pack_sequences, but sized by each document's
+    trained-BPE token count (train_bpe → bpe_encode → tokens_col) instead
+    of the whitespace heuristic — the train→apply→pack pipeline
+    end-to-end.  Same scale shape as both parents: the encode is a
+    zero-shuffle native projection feeding pack's one bucket-keyed
+    window."""
+    from qdrant_datafusion_spark.operators.pipeline import pack_sequences
+    from qdrant_datafusion_spark.operators.tokenizer import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=BPE_N_MERGES)
+    enc = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    return pack_sequences(
+        enc, "doc_id", "text", budget=256, num_buckets=4,
+        tokens_col="n_tokens",
+    )
+
+
+PIPELINE_PACK_BPE_SQL = (
+    "WITH RECURSIVE "
+    + ",\n".join(
+        _bpe_learn_parts(BPE_N_MERGES)
+        + _bpe_encode_parts(BPE_N_MERGES)
+        + [_DOC_WORDS_CTE]
+    )
+    + """,
+sz AS (
+  SELECT d.doc_id, (d.doc_id % 4)::INTEGER AS bucket,
+         coalesce(s.nt, 0)::BIGINT AS n_tokens
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(len(pieces))::BIGINT AS nt
+    FROM dw JOIN enc USING (word) GROUP BY doc_id
+  ) s ON d.doc_id = s.doc_id
+),
+ord AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM sz
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens, rn, 0 AS pack_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN p.pack_id + 1
+              ELSE p.pack_id END,
+         CASE WHEN p.fill + o.n_tokens > 256 THEN o.n_tokens
+              ELSE p.fill + o.n_tokens END
+  FROM ord o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, pack_id::INTEGER AS pack_id, n_tokens FROM packed
+"""
+)
+
+QUERIES["pipeline_pack_bpe"] = pipeline_pack_bpe
+ORACLES["pipeline_pack_bpe"] = PIPELINE_PACK_BPE_SQL
 
 
 def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:

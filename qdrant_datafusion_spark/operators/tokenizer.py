@@ -56,6 +56,11 @@ __all__ = [
     "bpe_reference",
     "train_unigram",
     "unigram_reference",
+    "bpe_vocab_ids",
+    "bpe_encode",
+    "bpe_encode_reference",
+    "unigram_encode",
+    "unigram_encode_reference",
 ]
 
 #: symbol separator (U+001F unit separator — never in natural text);
@@ -408,6 +413,256 @@ def train_unigram(
         vocab = _unigram_step(vocab, words, chars, max_piece_len, keep_multi)
     final = sorted(vocab, key=lambda pc: (-pc[1], pc[0]))[:top_k]
     return [(i + 1, p, c) for i, (p, c) in enumerate(final)]
+
+
+# ===========================================================================
+# Tokenizer APPLY — encode the corpus with a learned vocabulary, the other
+# half of train→apply that a real pipeline runs (train_bpe/train_unigram
+# produce the model; these produce the token ids that pack_sequences /
+# token_budget_select consume).  Beyond-reference surface like the trainers.
+# ===========================================================================
+
+
+def bpe_vocab_ids(
+    chars: list[str], merges: list[tuple[int, str, str, int]]
+) -> list[tuple[str, int]]:
+    """The deterministic piece→id table of a trained BPE model: id 0 is
+    reserved for <unk>, ids 1..C are the base symbols (single characters
+    incl. END_MARK) in codepoint order, id C+rank is merge ``rank``'s
+    piece ``left+right``.  Two merges CAN yield the same piece string
+    (("ab","c") and ("a","bc") both → "abc"); the table keeps the
+    smallest id per piece, exactly like a set-valued tokenizer vocab.
+    """
+    base = sorted(set(chars) | {END_MARK})
+    table: dict[str, int] = {}
+    for i, ch in enumerate(base, start=1):
+        table.setdefault(ch, i)
+    for rank, a, b, _cnt in merges:
+        table.setdefault(a + b, len(base) + rank)
+    return sorted(table.items(), key=lambda kv: kv[1])
+
+
+def _clean_words(text_col: str):
+    """lowercased, marker-stripped whitespace words of ``text_col`` — the
+    encode-side twin of :func:`_words` (same normalization, per row
+    instead of corpus-distinct)."""
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[\x1f\x1e]", "")
+    return F.filter(
+        F.split(clean, _WS_CLASS), lambda w: F.length(w) > 0
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[tuple[str, int]] | None = None,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode the corpus with a trained BPE model: every word becomes its
+    greedy merge-replay segmentation, concatenated in document order.
+
+    Returns ``(id_col, n_tokens, pieces array<string>,
+    token_ids array<int>)``.  ``vocab`` is the piece→id table
+    (:func:`bpe_vocab_ids`); pieces outside it map to ``unk_id`` (with
+    the table derived from the training corpus only characters unseen in
+    training can miss — the standard <unk> contract).
+
+    Execution shape — this is the 100 TB path, so it is deliberately
+    **pure native expressions, zero shuffles, zero Python**:
+
+    - one projection per document: split to words, each word replayed
+      through the ``n_merges`` learned rules as a chain of non-overlapping
+      ``replace`` calls on the boundary-joined symbol string — the exact
+      operation training applied, so encode reproduces the training
+      segmentation bit-for-bit (a later merge can never create a new
+      adjacency for an earlier pair: merges only concatenate, so any new
+      neighbour is the new symbol itself);
+    - the whole thing runs inside WholeStageCodegen over the scan — no
+      join, no aggregation, nothing to skew.  A merge table of N rules
+      costs N string passes per word; for very large N (>~1k) encode the
+      DISTINCT-word table once and broadcast-join back instead (same
+      replay, one extra shuffle) — at the gate sizes the direct map wins;
+    - the id lookup is a literal map over the bounded vocabulary (driver
+      state by the same contract as the merge list itself).
+    """
+    ordered = sorted(merges, key=lambda m: m[0])
+    if vocab is None:
+        chars = [
+            r["c"]
+            for r in _words(df, text_col)
+            .select(F.explode(F.split(F.col("_w"), "")).alias("c"))
+            .distinct()
+            .collect()  # bounded: the corpus alphabet
+        ]
+        vocab = bpe_vocab_ids(chars, ordered)
+
+    def word_pieces(w):
+        s = F.concat(
+            F.lit(_B),
+            F.array_join(F.split(F.concat(w, F.lit(END_MARK)), ""), _B),
+            F.lit(_B),
+        )
+        for _rank, a, b, _cnt in ordered:
+            s = F.replace(
+                s,
+                F.lit(SEP + a + _B + b + SEP),
+                F.lit(SEP + a + b + SEP),
+            )
+        return F.split(F.trim(s, F.lit(SEP)), _B)
+
+    id_map = F.create_map(
+        *[x for p, i in vocab for x in (F.lit(p), F.lit(i))]
+    )
+    pieces = F.flatten(F.transform(_clean_words(text_col), word_pieces))
+    return df.select(
+        F.col(id_col),
+        pieces.alias("pieces"),
+    ).select(
+        id_col,
+        F.size("pieces").alias("n_tokens"),
+        "pieces",
+        F.transform(
+            F.col("pieces"),
+            lambda p: F.coalesce(
+                F.element_at(id_map, p), F.lit(unk_id)
+            ).cast("int"),
+        ).alias("token_ids"),
+    )
+
+
+def bpe_encode_reference(
+    texts: list[str], merges: list[tuple[int, str, str, int]]
+) -> list[list[str]]:
+    """Pure-Python encode mirror (greedy merge replay per word) for
+    equality testing — one piece list per input text."""
+    import re
+
+    ws = re.compile(_WS_CLASS)
+    out: list[list[str]] = []
+    for t in texts:
+        pieces: list[str] = []
+        clean = t.lower().replace(SEP, "").replace(END_MARK, "")
+        for w in ws.split(clean):
+            if not w:
+                continue
+            syms = list(w) + [END_MARK]
+            for _rank, a, b, _cnt in sorted(merges, key=lambda m: m[0]):
+                j, nxt = 0, []
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == a
+                        and syms[j + 1] == b
+                    ):
+                        nxt.append(a + b)
+                        j += 2
+                    else:
+                        nxt.append(syms[j])
+                        j += 1
+                syms = nxt
+            pieces.extend(syms)
+        out.append(pieces)
+    return out
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: list[tuple[int, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Encode the corpus with a trained unigram-LM vocabulary: every word
+    becomes its Viterbi segmentation under the integer piece costs
+    ``cost(p) = Q(total) − Q(cnt_p)`` (the training E-step's objective,
+    evaluated on the FINAL vocabulary), token id = the piece's 1-based
+    ``rank``.
+
+    Returns ``(id_col, n_tokens, pieces array<string>,
+    token_ids array<int>)``.  Pass the **full** final vocabulary (train
+    with ``top_k`` ≥ alphabet + keep_multi): the mandatory single-char
+    pieces are what keep every word segmentable — a word containing a
+    character absent from ``vocab`` raises (no silent <unk> here: unigram
+    ids are ranks, and inventing one would corrupt the model's id space).
+
+    Execution shape: ONE Arrow-batched map over the rows — the costs
+    dict is a closure broadcast (bounded vocabulary), each batch memoizes
+    segmentations per distinct word, and ids resolve in the same pass.
+    No shuffle, no join; the heavy DP runs vectorized per batch exactly
+    like the training E-step (`_unigram_step`).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    total = sum(c for _, _, c in vocab)
+    qt = _qlog(total)
+    costs = {p: qt - _qlog(c) for _, p, c in vocab}
+    ranks = {p: int(r) for r, p, _ in vocab}
+    L = max_piece_len
+    ws_cls = _WS_CLASS
+
+    def _encode_series(texts):
+        import re
+
+        ws = re.compile(ws_cls)
+        memo: dict[str, list[str]] = {}
+
+        def one(t):
+            clean = (t or "").lower().replace(SEP, "").replace(END_MARK, "")
+            pieces: list[str] = []
+            for w in ws.split(clean):
+                if not w:
+                    continue
+                seg = memo.get(w)
+                if seg is None:
+                    seg = _viterbi(w, costs, L)[2].split(SEP)[1:]
+                    memo[w] = seg
+                pieces.extend(seg)
+            return pieces
+
+        return texts.map(one)
+
+    _enc = pandas_udf(_encode_series, "array<string>")
+    id_map = F.create_map(
+        *[x for pc, r in ranks.items() for x in (F.lit(pc), F.lit(r))]
+    )
+    return df.select(
+        F.col(id_col), _enc(F.col(text_col)).alias("pieces")
+    ).select(
+        id_col,
+        F.size("pieces").alias("n_tokens"),
+        "pieces",
+        F.transform(
+            F.col("pieces"),
+            lambda p: F.element_at(id_map, p).cast("int"),
+        ).alias("token_ids"),
+    )
+
+
+def unigram_encode_reference(
+    texts: list[str],
+    vocab: list[tuple[int, str, int]],
+    max_piece_len: int = 4,
+) -> list[list[str]]:
+    """Pure-Python encode mirror (Viterbi under final-vocab costs)."""
+    import re
+
+    total = sum(c for _, _, c in vocab)
+    qt = _qlog(total)
+    costs = {p: qt - _qlog(c) for _, p, c in vocab}
+    ws = re.compile(_WS_CLASS)
+    out: list[list[str]] = []
+    for t in texts:
+        clean = t.lower().replace(SEP, "").replace(END_MARK, "")
+        pieces: list[str] = []
+        for w in ws.split(clean):
+            if w:
+                pieces.extend(
+                    _viterbi(w, costs, max_piece_len)[2].split(SEP)[1:]
+                )
+        out.append(pieces)
+    return out
 
 
 def unigram_reference(

@@ -1271,6 +1271,156 @@ class TestTrainUnigram:
             _qlog(n)
 
 
+class TestBpeEncode:
+    """operators.tokenizer.bpe_encode — trained-merge corpus encoding."""
+
+    TEXTS = [
+        "the cat sat on the mat",
+        "The bat and the cat",
+        "low lower lowest lowest",
+        "aaaaaa aa",  # greedy-overlap replay at encode time
+        "",  # empty text -> zero tokens, row kept
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string",
+        )
+
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_encode_reference,
+            train_bpe,
+        )
+
+        df = self._df(spark)
+        merges = train_bpe(df, "text", n_merges=8)
+        ref = bpe_encode_reference(self.TEXTS, merges)
+        rows = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+        assert len(rows) == len(self.TEXTS)  # empty doc keeps its row
+        for i, pieces in enumerate(ref):
+            assert rows[i]["pieces"] == pieces
+            assert rows[i]["n_tokens"] == len(pieces)
+
+    def test_ids_deterministic_and_reversible(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_vocab_ids,
+            train_bpe,
+        )
+
+        df = self._df(spark)
+        merges = train_bpe(df, "text", n_merges=8)
+        out = bpe_encode(df, merges).collect()
+        # reconstruct the vocab independently and invert every id
+        chars = sorted({c for t in self.TEXTS for c in t.lower()} - {" "})
+        inv = {i: p for p, i in bpe_vocab_ids(chars, merges)}
+        for r in out:
+            assert [inv[i] for i in r["token_ids"]] == r["pieces"]
+            assert all(i > 0 for i in r["token_ids"])  # 0 = <unk> unused
+
+    def test_unk_id_for_unseen_chars(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        train = self._df(spark)
+        merges = train_bpe(train, "text", n_merges=4)
+        apply_df = spark.createDataFrame(
+            [(99, "the zzz")], "doc_id long, text string"
+        )
+        # vocab derived from the TRAINING corpus: 'z' is unseen -> unk 0
+        r = bpe_encode(
+            apply_df,
+            merges,
+            vocab=None if False else None,
+        )
+        # vocab=None derives chars from apply_df itself; force the
+        # training-corpus vocab to exercise the <unk> path
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_vocab_ids,
+        )
+
+        chars = sorted({c for t in self.TEXTS for c in t.lower()} - {" "})
+        vocab = bpe_vocab_ids(chars, merges)
+        r = bpe_encode(apply_df, merges, vocab=vocab).collect()[0]
+        zids = [
+            i
+            for p, i in zip(r["pieces"], r["token_ids"])
+            if "z" in p
+        ]
+        assert zids and all(i == 0 for i in zids)
+
+    def test_vocab_ids_collision_keeps_min(self):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_vocab_ids,
+        )
+
+        # merges 1 and 2 both yield piece "abc": table keeps id of rank 1
+        merges = [(1, "ab", "c", 9), (2, "a", "bc", 5)]
+        table = dict(bpe_vocab_ids(["a", "b", "c"], merges))
+        assert table["abc"] == 4 + 1  # END_MARK + 3 chars, then rank 1
+
+
+class TestUnigramEncode:
+    """operators.tokenizer.unigram_encode — Viterbi corpus encoding."""
+
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox",
+        "lazy lazy dog dog dog the the",
+        "",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string",
+        )
+
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            train_unigram,
+            unigram_encode,
+            unigram_encode_reference,
+        )
+
+        df = self._df(spark)
+        vocab = train_unigram(
+            df, "text", max_piece_len=4, seed_multi=20, keep_multi=12,
+            n_iters=2, top_k=10_000,
+        )
+        ref = unigram_encode_reference(self.TEXTS, vocab, max_piece_len=4)
+        rows = {
+            r["doc_id"]: r
+            for r in unigram_encode(df, vocab, max_piece_len=4).collect()
+        }
+        ranks = {p: r for r, p, _ in vocab}
+        for i, pieces in enumerate(ref):
+            assert rows[i]["pieces"] == pieces
+            assert rows[i]["n_tokens"] == len(pieces)
+            assert rows[i]["token_ids"] == [ranks[p] for p in pieces]
+
+    def test_round_trip_concatenation(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            train_unigram,
+            unigram_encode,
+        )
+
+        df = self._df(spark)
+        vocab = train_unigram(
+            df, "text", max_piece_len=4, seed_multi=20, keep_multi=12,
+            n_iters=2, top_k=10_000,
+        )
+        for r in unigram_encode(df, vocab, max_piece_len=4).collect():
+            joined = "".join(r["pieces"])
+            expected = "".join(self.TEXTS[r["doc_id"]].lower().split())
+            assert joined == expected  # segmentation loses nothing
+
+
 class TestPhashDups:
     """operators.phash — dHash codes + banded Hamming image dedup."""
 
