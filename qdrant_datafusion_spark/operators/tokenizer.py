@@ -437,7 +437,8 @@ def bpe_vocab_ids(
     table: dict[str, int] = {}
     for i, ch in enumerate(base, start=1):
         table.setdefault(ch, i)
-    for rank, a, b, _cnt in merges:
+    # rank order, not caller order: min id must win on piece collisions
+    for rank, a, b, _cnt in sorted(merges):
         table.setdefault(a + b, len(base) + rank)
     return sorted(table.items(), key=lambda kv: kv[1])
 
@@ -635,7 +636,12 @@ def unigram_encode(
         "pieces",
         F.transform(
             F.col("pieces"),
-            lambda p: F.element_at(id_map, p).cast("int"),
+            # unreachable while the vocab keeps all single chars
+            # (_viterbi raises on unsegmentable words), but 0-fill so the
+            # out-of-vocab contract matches the SQL oracle's coalesce(,0)
+            lambda p: F.coalesce(
+                F.element_at(id_map, p), F.lit(0)
+            ).cast("int"),
         ).alias("token_ids"),
     )
 

@@ -1332,14 +1332,8 @@ class TestBpeEncode:
         apply_df = spark.createDataFrame(
             [(99, "the zzz")], "doc_id long, text string"
         )
-        # vocab derived from the TRAINING corpus: 'z' is unseen -> unk 0
-        r = bpe_encode(
-            apply_df,
-            merges,
-            vocab=None if False else None,
-        )
-        # vocab=None derives chars from apply_df itself; force the
-        # training-corpus vocab to exercise the <unk> path
+        # vocab=None would derive chars from apply_df itself; force the
+        # TRAINING-corpus vocab ('z' unseen) to exercise the <unk> path
         from qdrant_datafusion_spark.operators.tokenizer import (
             bpe_vocab_ids,
         )
