@@ -148,6 +148,55 @@ class CollectionDescriptor:
         )
 
 
+def descriptor_from_collection_info(
+    name: str, info: dict
+) -> CollectionDescriptor:
+    """REST ``GET /collections/{name}`` response → descriptor.
+
+    The live analogue of :meth:`CollectionDescriptor.from_json`: the
+    reference derives its Arrow schema from ``get_collection_info``'s
+    config at TableProvider construction (src/table.rs:60-74 →
+    src/arrow/schema.rs:59-110); this does the same from the REST
+    ``result.config.params`` shape — a bare ``{"size", "distance"}``
+    params object is the single unnamed dense vector, a name→params map
+    is a named collection (``multivector_config`` presence marks a
+    multi-vector field), and ``sparse_vectors`` entries append sparse
+    fields (dim 0 — sparse fields carry no fixed dimension).
+
+    Accepts either the full response (``{"result": {...}}``) or the
+    unwrapped result object.
+    """
+    result = info.get("result", info)
+    params = (result.get("config") or {}).get("params") or {}
+    vectors = params.get("vectors") or {}
+    fields: list[VectorField] = []
+    unnamed = "size" in vectors
+    if unnamed:
+        fields.append(
+            VectorField(
+                name=UNNAMED_VECTOR_COLUMN,
+                dim=int(vectors["size"]),
+                metric=str(vectors.get("distance", "Cosine")).lower(),
+            )
+        )
+    else:
+        for vname in sorted(vectors):
+            cfg = vectors[vname]
+            fields.append(
+                VectorField(
+                    name=vname,
+                    dim=int(cfg.get("size", 0)),
+                    metric=str(cfg.get("distance", "Cosine")).lower(),
+                    kind="multi" if cfg.get("multivector_config") else "dense",
+                )
+            )
+    for sname in sorted(params.get("sparse_vectors") or {}):
+        fields.append(VectorField(name=sname, dim=0, kind="sparse"))
+    return CollectionDescriptor(
+        name=name, fields=tuple(fields), unnamed=unnamed
+    )
+
+
 DESCRIPTOR_FILE = "_collection.json"
 
 

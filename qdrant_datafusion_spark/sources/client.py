@@ -120,6 +120,8 @@ class QdrantRestClient:
             body["filter"] = request["filter"]
         if "query" in request:
             body["query"] = request["query"]
+        if "using" in request:  # named-collection search target field
+            body["using"] = request["using"]
         return body
 
     def query_points(self, request: dict) -> list[dict]:
