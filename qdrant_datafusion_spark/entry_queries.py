@@ -5382,34 +5382,35 @@ def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a unigram-LM piece vocabulary over documents.text — see
     operators/tokenizer.py for the scale argument (corpus collapses to
     the distinct-word table; each EM iteration = one Arrow-batched
-    Viterbi map + one groupBy re-count).  Asserts the two oracle
-    preconditions on the actual input: word length <= UNIGRAM_MAX_WORD
-    (the unrolled DP's position cap) and ASCII-only words (binary vs
-    codepoint string tie-breaks agree)."""
+    Viterbi map + one groupBy re-count).  Asserts the one structural
+    oracle precondition on the actual input: word length <=
+    UNIGRAM_MAX_WORD (the unrolled DP's position cap).  Multibyte words
+    are fine — every engine in the loop (Spark UTF8String binary order,
+    DuckDB binary UTF-8 collation, Python codepoint comparison) sorts
+    valid UTF-8 identically because UTF-8 byte order preserves codepoint
+    order, and len/substr are codepoint-based on all three; the
+    ``text_unigram_vocab_mb`` gate proves it on an injected-multibyte
+    corpus."""
     from qdrant_datafusion_spark.operators.tokenizer import (
         _words,
         train_unigram,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    stats = (
+    maxlen = (
         _words(docs, "text")
         .agg(
             # coalesce: F.max is NULL on an empty/whitespace-only corpus,
             # which must read as "no long words", not a TypeError below
-            F.coalesce(F.max(F.length("_w")), F.lit(0)).alias("maxlen"),
-            F.coalesce(
-                F.sum(F.col("_w").rlike("[^ -~]").cast("long")), F.lit(0)
-            ).alias("n_nonascii"),
+            F.coalesce(F.max(F.length("_w")), F.lit(0)).alias("maxlen")
         )
-        .collect()[0]
+        .collect()[0]["maxlen"]
     )
-    if stats["maxlen"] > UNIGRAM_MAX_WORD or stats["n_nonascii"]:
+    if maxlen > UNIGRAM_MAX_WORD:
         raise AssertionError(
-            f"text_unigram_vocab precondition violated: maxlen="
-            f"{stats['maxlen']} (cap {UNIGRAM_MAX_WORD}), non-ascii words="
-            f"{stats['n_nonascii']} — regenerate the oracle with a larger "
-            "position cap / restrict to ASCII"
+            f"text_unigram_vocab precondition violated: maxlen={maxlen} "
+            f"(cap {UNIGRAM_MAX_WORD}) — regenerate the oracle with a "
+            "larger position cap"
         )
     vocab = train_unigram(
         docs,
@@ -5471,14 +5472,17 @@ def _unigram_oracle_sql(
     keep_multi: int = UNIGRAM_KEEP_MULTI,
     n_iters: int = UNIGRAM_ITERS,
     top_k: int = UNIGRAM_TOP_K,
+    source: str = "documents",
+    extra_ctes: tuple[str, ...] = (),
 ) -> str:
     clean = _BPE_CLEAN
     q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
     parts = [
+        *extra_ctes,
         f"""w AS MATERIALIZED (
   SELECT tok AS word, count(*)::BIGINT AS n
   FROM (SELECT unnest(string_split_regex({clean},
-               '[ \\t\\n\\r\\f\\x0b]+')) AS tok FROM documents)
+               '[ \\t\\n\\r\\f\\x0b]+')) AS tok FROM {source})
   WHERE len(tok) > 0
   GROUP BY 1
 )""",
@@ -5549,6 +5553,66 @@ TEXT_UNIGRAM_VOCAB_SQL = _unigram_oracle_sql()
 
 QUERIES["text_unigram_vocab"] = text_unigram_vocab
 ORACLES["text_unigram_vocab"] = TEXT_UNIGRAM_VOCAB_SQL
+
+
+# --- multibyte variant: the same training run over a corpus with
+# injected non-ASCII words, proving the engine/oracle pair needs no
+# ASCII restriction (UTF-8 byte order == codepoint order on every
+# engine; len/substr are codepoint-based on all three) -------------------
+
+#: per-doc multibyte suffix, rotated by doc_id so different multibyte
+#: words land in different documents (all words <= 9 codepoints, already
+#: lowercase so the lower() normalization is a no-op on them)
+_UNIGRAM_MB_SUFFIXES = (
+    "naïve",
+    "fußgänger 文書処理",
+    "héllo über",
+    "señor niño",
+)
+
+
+def text_unigram_vocab_mb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_unigram_vocab over a multibyte-augmented corpus: each
+    document's text gains a rotating non-ASCII suffix (umlauts, CJK,
+    combining-free accents), then the identical hard-EM training runs.
+    Green here certifies the tokenizer family handles multibyte corpora
+    with no precondition beyond the DP position cap."""
+    from qdrant_datafusion_spark.operators.tokenizer import train_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _UNIGRAM_MB_SUFFIXES]),
+        (F.col("doc_id") % len(_UNIGRAM_MB_SUFFIXES) + 1).cast("int"),
+    )
+    aug = docs.withColumn("text", F.concat_ws(" ", F.col("text"), sfx))
+    vocab = train_unigram(
+        aug,
+        "text",
+        max_piece_len=UNIGRAM_PIECE_LEN,
+        seed_multi=UNIGRAM_SEED_MULTI,
+        keep_multi=UNIGRAM_KEEP_MULTI,
+        n_iters=UNIGRAM_ITERS,
+        top_k=UNIGRAM_TOP_K,
+    )
+    return spark.createDataFrame(vocab, "rank int, piece string, cnt long")
+
+
+def _unigram_mb_oracle_sql() -> str:
+    sfx_list = ", ".join(f"'{s}'" for s in _UNIGRAM_MB_SUFFIXES)
+    src = f"""mb_src AS MATERIALIZED (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           ([{sfx_list}])[(doc_id % {len(_UNIGRAM_MB_SUFFIXES)}) + 1]
+         ) AS text
+  FROM documents
+)"""
+    return _unigram_oracle_sql(source="mb_src", extra_ctes=(src,))
+
+
+TEXT_UNIGRAM_VOCAB_MB_SQL = _unigram_mb_oracle_sql()
+
+QUERIES["text_unigram_vocab_mb"] = text_unigram_vocab_mb
+ORACLES["text_unigram_vocab_mb"] = TEXT_UNIGRAM_VOCAB_MB_SQL
 
 
 # --- tokenizer APPLY: encode the corpus with the learned models (the
@@ -5687,8 +5751,9 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentable), then Viterbi-encode the corpus under the final integer
     costs (one Arrow-batched map, per-batch word memoization;
     operators/tokenizer.unigram_encode).  token_id = the piece's 1-based
-    vocabulary rank.  Asserts the same oracle preconditions as the vocab
-    gate (word length cap, ASCII)."""
+    vocabulary rank.  Asserts the same structural oracle precondition as
+    the vocab gate (word-length cap; multibyte is fine, see
+    text_unigram_vocab)."""
     from qdrant_datafusion_spark.operators.tokenizer import (
         _words,
         train_unigram,
@@ -5696,21 +5761,15 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    stats = (
+    maxlen = (
         _words(docs, "text")
-        .agg(
-            F.coalesce(F.max(F.length("_w")), F.lit(0)).alias("maxlen"),
-            F.coalesce(
-                F.sum(F.col("_w").rlike("[^ -~]").cast("long")), F.lit(0)
-            ).alias("n_nonascii"),
-        )
-        .collect()[0]
+        .agg(F.coalesce(F.max(F.length("_w")), F.lit(0)).alias("maxlen"))
+        .collect()[0]["maxlen"]
     )
-    if stats["maxlen"] > UNIGRAM_MAX_WORD or stats["n_nonascii"]:
+    if maxlen > UNIGRAM_MAX_WORD:
         raise AssertionError(
-            f"text_unigram_encode precondition violated: maxlen="
-            f"{stats['maxlen']} (cap {UNIGRAM_MAX_WORD}), non-ascii words="
-            f"{stats['n_nonascii']}"
+            f"text_unigram_encode precondition violated: maxlen={maxlen} "
+            f"(cap {UNIGRAM_MAX_WORD})"
         )
     vocab = train_unigram(
         docs,
