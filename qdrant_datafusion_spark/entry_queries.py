@@ -6372,6 +6372,107 @@ QUERIES["text_dsir_select"] = text_dsir_select
 ORACLES["text_dsir_select"] = TEXT_DSIR_SELECT_SQL
 
 
+# ===========================================================================
+# text_lang_id_ngram — char-n-gram Naive-Bayes language classification
+# (operators/langid.py), the round-7 verdict's "real classifier" upgrade
+# of the stopword-profile heuristic.  Trained on the labelled fixture
+# corpus, applied as a zero-shuffle literal-map fold; the gate output is
+# the full confusion matrix (true lang × predicted lang), value-exact
+# because every weight is a _qlog fixed-point integer on both engines.
+# ===========================================================================
+
+LANGID_N = 3
+LANGID_TOP_K = 200
+
+
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the char-trigram profile model on documents(lang, text),
+    classify every document, and emit the confusion matrix."""
+    from qdrant_datafusion_spark.operators.langid import (
+        lang_id_ngram,
+        train_lang_ngram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_lang_ngram(
+        docs, "text", "lang", n=LANGID_N, top_k=LANGID_TOP_K
+    )
+    pred = lang_id_ngram(docs, model, "text")
+    return (
+        pred.where(F.col("lang").isNotNull())
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_LANGID_Q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+
+TEXT_LANG_ID_NGRAM_SQL = f"""
+WITH nrm AS MATERIALIZED (
+  SELECT doc_id, lang,
+         regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g') AS t
+  FROM documents WHERE lang IS NOT NULL
+),
+ng AS MATERIALIZED (
+  SELECT doc_id, lang, substr(t, i, {LANGID_N}) AS g
+  FROM (SELECT doc_id, lang, t,
+               unnest(generate_series(1, len(t) - {LANGID_N - 1})) AS i
+        FROM nrm WHERE len(t) >= {LANGID_N})
+),
+feat AS MATERIALIZED (
+  SELECT g FROM (
+    SELECT g, count(*) AS c FROM ng GROUP BY 1
+    ORDER BY c DESC, g LIMIT {LANGID_TOP_K})
+),
+lg AS MATERIALIZED (
+  SELECT lang, g, count(*)::BIGINT AS cnt
+  FROM ng JOIN feat USING (g) GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM nrm),
+tot AS (
+  SELECT l.lang, coalesce(sum(lg.cnt), 0)::BIGINT AS tot
+  FROM langs l LEFT JOIN lg ON l.lang = lg.lang GROUP BY 1
+),
+model AS MATERIALIZED (
+  SELECT l.lang, f.g,
+         {_LANGID_Q.format(x="coalesce(lg.cnt, 0) + 1")}
+         - {_LANGID_Q.format(x=f"t.tot + {LANGID_TOP_K}")} AS w
+  FROM langs l
+  CROSS JOIN feat f
+  LEFT JOIN lg ON lg.lang = l.lang AND lg.g = f.g
+  JOIN tot t ON t.lang = l.lang
+),
+prior AS (
+  SELECT lang,
+         {_LANGID_Q.format(x="count(*)")}
+         - {_LANGID_Q.format(x="(SELECT count(*) FROM nrm)")} AS p
+  FROM nrm GROUP BY 1
+),
+hits AS MATERIALIZED (
+  SELECT n.doc_id, m.lang AS cand, sum(m.w)::BIGINT AS h
+  FROM ng n JOIN model m ON n.g = m.g GROUP BY 1, 2
+),
+sc AS (
+  SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+         p.p + coalesce(h.h, 0) AS s
+  FROM nrm d CROSS JOIN prior p
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand = p.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, cand) AS rn
+    FROM sc) WHERE rn = 1
+)
+SELECT true_lang AS lang, pred_lang, count(*)::BIGINT AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["text_lang_id_ngram"] = text_lang_id_ngram
+ORACLES["text_lang_id_ngram"] = TEXT_LANG_ID_NGRAM_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is

@@ -1782,3 +1782,84 @@ class TestFloorDivBucketing:
             ).orderBy("b").collect()
         ]
         assert got == sorted(t // self.HOUR for t in self.TS)
+
+
+class TestLangIdNgram:
+    ROWS = [
+        (0, "aaa bbb aaa", "x"),
+        (1, "aaa aaa aaa", "x"),
+        (2, "ccc ddd ccc", "y"),
+        (3, "ccc ccc ddd", "y"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, lang string"
+        )
+
+    def test_model_shape_and_classification(self, spark):
+        from qdrant_datafusion_spark.operators.langid import (
+            lang_id_ngram,
+            train_lang_ngram,
+        )
+
+        m = train_lang_ngram(self._df(spark), top_k=20)
+        assert m.langs == ("x", "y")
+        assert set(m.weights) == {"x", "y"}
+        assert all(len(w) <= 20 for w in m.weights.values())
+        got = {
+            r["doc_id"]: r["pred_lang"]
+            for r in lang_id_ngram(self._df(spark), m).collect()
+        }
+        # each doc is dominated by its own language's ngrams
+        assert got == {0: "x", 1: "x", 2: "y", 3: "y"}
+
+    def test_null_text_gets_prior_argmax(self, spark):
+        from qdrant_datafusion_spark.operators.langid import (
+            lang_id_ngram,
+            train_lang_ngram,
+        )
+
+        m = train_lang_ngram(self._df(spark))
+        df = spark.createDataFrame(
+            [(9, None, None)], "doc_id long, text string, lang string"
+        )
+        [r] = lang_id_ngram(df, m).collect()
+        # equal priors (2 docs each): tie broken by language ascending
+        assert r["pred_lang"] == "x"
+
+    def test_empty_corpus_trains_empty_model(self, spark):
+        from qdrant_datafusion_spark.operators.langid import (
+            lang_id_ngram,
+            train_lang_ngram,
+        )
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string"
+        )
+        m = train_lang_ngram(empty)
+        assert m.langs == ()
+        [r] = lang_id_ngram(
+            spark.createDataFrame(
+                [(1, "abc", "x")], "doc_id long, text string, lang string"
+            ),
+            m,
+        ).collect()
+        assert r["pred_lang"] is None
+
+    def test_multiplicity_counts(self, spark):
+        """Occurrences (not distinct ngrams) drive the score: a doc
+        repeating one language's dominant trigram many times must
+        classify to it even when a single foreign trigram appears."""
+        from qdrant_datafusion_spark.operators.langid import (
+            lang_id_ngram,
+            train_lang_ngram,
+        )
+
+        m = train_lang_ngram(self._df(spark), top_k=20)
+        df = spark.createDataFrame(
+            [(7, "aaa aaa aaa aaa ccc", None)],
+            "doc_id long, text string, lang string",
+        )
+        [r] = lang_id_ngram(df, m).collect()
+        assert r["pred_lang"] == "x"
