@@ -104,14 +104,29 @@ HEADLINE = [
     "multimodal_audio_dups",
     "multimodal_video_dups",
     "q_approx_percentile",
+    # round 7
+    "text_unigram_vocab",
+    "multimodal_cross_dups",
+    # round 8-9: tokenizer apply family + classifiers
+    "text_bpe_encode",
+    "text_unigram_encode",
+    "pipeline_pack_bpe",
+    "text_dsir_select",
+    "text_lang_id_ngram",
+    "text_unigram_vocab_mb",
+]
+
+#: streaming gates: timed and reported under their own total, NOT in
+#: headline_queries_total — each run's cost is dominated by fixture
+#: re-layout writes + micro-batch orchestration (76s of r8's 207s came
+#: from the two LSH ingest gates alone), which drowned the kernel
+#: signal the headline total exists to track (round-7 verdict task #4)
+STREAMING = [
     "streaming_hourly_counts",
     "streaming_dedup_survivors",
     "streaming_funnel_conversion",
     "streaming_topk_values",
     "streaming_sessions",
-    # round 7
-    "text_unigram_vocab",
-    "multimodal_cross_dups",
     "streaming_near_dup_ingest",
     "streaming_semantic_ingest",
 ]
@@ -189,6 +204,19 @@ TAGS = {
         "the demux+hash+join path under test"
     ),
 }
+
+#: the round-1 comparison subset: the 24 queries BASELINE.md's
+#: apples-to-apples total tracks; timed twice per run (A/B), min wins
+R1_SUBSET = [
+    "q1_pricing_summary", "q3_topk_revenue", "q5_nation_revenue",
+    "q_window_topk_per_group", "q_events_hourly", "q_events_sessions",
+    "v_search_topk", "v_recommend_topk", "v_colbert_topk",
+    "v_sparse_topk", "v_fusion_hybrid", "v_geo_decay_topk",
+    "v_lateral_batch_search", "match_text_topk", "match_text_tfidf",
+    "text_vocabulary", "q14_promo_revenue", "q_event_percentiles",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    "text_quality", "doc_fingerprints",
+]
 
 #: operators whose 100 TB story rests on a bucketed / single-shuffle /
 #: broadcast plan — these re-run at the 10x scale-up to measure growth
@@ -352,16 +380,45 @@ def main() -> None:
 
     control_first = _control(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name in HEADLINE:
+    def _run(name: str) -> tuple[float, int]:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count() if df.isStreaming is False else -1
-        timings[name] = round(time.time() - t0, 3)
-        rows[name] = n
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        return round(time.time() - t0, 3), n
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        timings[name], rows[name] = _run(name)
+        print(
+            f"# {name}: {timings[name]:.2f}s ({rows[name]} rows)",
+            file=sys.stderr,
+        )
+
+    # second timed pass over the round-1 comparison subset (A/B): the
+    # min of the two observations bounds scheduler noise from above —
+    # r8 saw 14/24 untouched queries drift 1.1-1.4x on a single
+    # observation (round-7 verdict task #5)
+    timings_b: dict[str, float] = {}
+    for name in R1_SUBSET:
+        timings_b[name], _ = _run(name)
+    print(
+        "# r1 subset A/B: "
+        + " ".join(
+            f"{q}={timings[q]:.2f}/{timings_b[q]:.2f}" for q in R1_SUBSET
+        ),
+        file=sys.stderr,
+    )
+
+    streaming_timings: dict[str, float] = {}
+    streaming_rows: dict[str, int] = {}
+    for name in STREAMING:
+        streaming_timings[name], streaming_rows[name] = _run(name)
+        print(
+            f"# [streaming] {name}: {streaming_timings[name]:.2f}s",
+            file=sys.stderr,
+        )
 
     control_last = _control(spark, sf_dir)
     print(
@@ -370,23 +427,13 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    # the headline set GREW across rounds (24 queries in round 1, 46 now) —
-    # emit the round-1 subset total too so total-vs-BASELINE comparisons
-    # stay apples-to-apples
-    r1_subset = [
-        "q1_pricing_summary", "q3_topk_revenue", "q5_nation_revenue",
-        "q_window_topk_per_group", "q_events_hourly", "q_events_sessions",
-        "v_search_topk", "v_recommend_topk", "v_colbert_topk",
-        "v_sparse_topk", "v_fusion_hybrid", "v_geo_decay_topk",
-        "v_lateral_batch_search", "match_text_topk", "match_text_tfidf",
-        "text_vocabulary", "q14_promo_revenue", "q_event_percentiles",
-        "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
-        "text_quality", "doc_fingerprints",
-    ]
-
-    r1_subset_sec = round(
-        sum(timings[q] for q in r1_subset if q in timings), 3
-    )
+    # per-query best-of-two for the comparison subset (A/B pass above)
+    r1_min = {
+        q: min(timings[q], timings_b[q])
+        for q in R1_SUBSET
+        if q in timings and q in timings_b
+    }
+    r1_subset_sec = round(sum(r1_min.values()), 3)
     # Drift normalization: every round has re-litigated machine drift
     # (r3 1.64x -> false alarm; r5 1.12x raw vs ~1.01x clean).  Scale the
     # subset total by (reference control / this run's control) so the
@@ -424,10 +471,18 @@ def main() -> None:
         "control_last_sec": control_last,
         "control_spread": control_spread,
         "r1_subset_sec": r1_subset_sec,
-        "r1_subset_n": len(r1_subset),
+        "r1_subset_n": len(r1_min),
         "r1_subset_raw_ratio": round(r1_subset_sec / r1_subset_baseline, 3),
         "r1_subset_normalized_sec": norm,
         "r1_ratio_normalized": ratio_norm,
+        "r1_subset_ab": {
+            q: [timings[q], timings_b[q]] for q in sorted(r1_min)
+        },
+        "streaming": {
+            "total_sec": round(sum(streaming_timings.values()), 3),
+            "queries": streaming_timings,
+            "rows": streaming_rows,
+        },
         "sf": sf,
     }
 
@@ -492,11 +547,12 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": {q: timings[q] for q in r1_subset if q in timings},
+        "queries": {q: r1_min[q] for q in sorted(r1_min)},
         "sf": sf,
         "n_queries": len(timings),
+        "streaming_total_sec": detail["streaming"]["total_sec"],
         "r1_subset_sec": detail["r1_subset_sec"],
-        "r1_subset_n": len(r1_subset),
+        "r1_subset_n": len(r1_min),
         "r1_subset_normalized_sec": detail["r1_subset_normalized_sec"],
         "r1_ratio_normalized": detail["r1_ratio_normalized"],
         "control_first_sec": control_first,
