@@ -137,6 +137,61 @@ _ARROW_LINK = re.compile(r"->>?\s*'(\w+)'")
 _CONTAINS = re.compile(r"@>\s*'(\[[^']*\])'")
 
 
+def _mask_plain_strings(text: str) -> tuple[str, list[str]]:
+    """Lex ``text``: strip ``--`` comments and replace every string
+    literal NOT serving as an operator operand (``->``/``->>``/``@>``
+    right-hand sides stay — their quotes are the dialect's own syntax)
+    with an opaque ``\\x00{n}\\x00`` placeholder.
+
+    The textual resolvers below are regex passes; without this guard a
+    *literal containing* dialect syntax (``'see p->''k'''``,
+    ``'x @> ''[a]'''``, ``'arr [1]'``, ``'-- not a comment'``) would be
+    rewritten as if it were code.  Doubled ``''`` escapes are part of
+    one literal; an unterminated quote passes through untouched (the
+    statement is invalid SQL either way and Spark's parser owns the
+    error).
+    """
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "-" and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # keep the newline itself
+            continue
+        if ch != "'":
+            out.append(ch)
+            i += 1
+            continue
+        j = i + 1
+        while j < n:
+            if text[j] == "'":
+                if text[j + 1 : j + 2] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        if j >= n:  # unterminated — leave as-is
+            out.append(text[i:])
+            break
+        lit = text[i : j + 1]
+        prev = "".join(out).rstrip()
+        if prev.endswith(("->", "->>", "@>")):
+            out.append(lit)  # operator operand: the resolvers need it
+        else:
+            lits.append(lit)
+            out.append(f"\x00{len(lits) - 1}\x00")
+        i = j + 1
+    return "".join(out), lits
+
+
+def _restore_strings(text: str, lits: list[str]) -> str:
+    for idx, lit in enumerate(lits):
+        text = text.replace(f"\x00{idx}\x00", lit)
+    return text
+
+
 def _resolve_arrows(text: str) -> str:
     def chain(m: re.Match) -> str:
         path = ".".join(_ARROW_LINK.findall(m.group(2)))
@@ -324,7 +379,10 @@ def corpus_sql(
     src/utils.rs field resolution).  Every statement in
     tests/bin/tests.sql resolves (proven verbatim in test_sql_corpus).
     """
-    text = re.sub(r"--[^\n]*", "", text)  # args are parsed textually
+    # one lexer pass strips comments and hides plain string literals so
+    # none of the textual passes below can fire inside one; operator
+    # operands (->'k', @> '[..]') stay visible — they ARE the syntax
+    text, _lits = _mask_plain_strings(text)
     text = text.strip().rstrip(";")
     # V_RANDOM() -> native rand(): rand() is legal in every clause
     # including Sort (ORDER BY V_RANDOM() is the corpus's sampling idiom,
@@ -341,6 +399,9 @@ def corpus_sql(
         if rewritten == text:
             break
         text = rewritten
+    # call-shape dispatch parses quoted field names / id lists itself,
+    # so the hidden literals come back before it runs
+    text = _restore_strings(text, _lits)
 
     fields = {f.name: f for f in descriptor.fields}
     default_field = descriptor.fields[0]

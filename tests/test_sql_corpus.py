@@ -434,3 +434,89 @@ ORDER BY score DESC
 LIMIT 10
 """)
         assert len(rows) == 10 and rows[0].score is not None
+
+
+class TestAdversarialLiterals:
+    """String literals CONTAINING dialect syntax must pass through the
+    textual resolvers untouched (round-7 verdict hardening): the
+    mask/restore lexer in corpus_sql hides every plain literal from the
+    regex passes, keeping only true operator operands visible."""
+
+    def _resolve(self, sql):
+        from qdrant_datafusion_spark.fixtures import CORPUS_COLL
+        from qdrant_datafusion_spark.sql_dialect import corpus_sql
+
+        return corpus_sql(sql, CORPUS_COLL)
+
+    def test_arrow_inside_literal_survives(self):
+        lit = "'p->''k'' chain'"
+        out = self._resolve(
+            f"SELECT id FROM collection_name WHERE payload->>'category' <> {lit}"
+        )
+        assert lit in out  # the literal is verbatim
+        assert "get_json_object(payload, '$.category')" in out  # real arrow resolved
+
+    def test_containment_inside_literal_survives(self):
+        lit = "'x @> ''[a]'' y'"
+        out = self._resolve(f"SELECT id FROM collection_name WHERE id <> {lit}")
+        assert lit in out
+        assert "array_except" not in out  # no containment rewrite fired
+
+    def test_brackets_inside_literal_not_arrayified(self):
+        out = self._resolve(
+            "SELECT 'arr [1, 2]' AS note, id FROM collection_name LIMIT 1"
+        )
+        assert "'arr [1, 2]'" in out
+        assert "array(" not in out
+
+    def test_double_dash_inside_literal_is_not_a_comment(self):
+        out = self._resolve(
+            "SELECT id FROM collection_name WHERE id <> 'a -- b' LIMIT 1"
+        )
+        assert "'a -- b'" in out and "LIMIT 1" in out
+
+    def test_v_random_text_inside_literal_survives(self):
+        out = self._resolve(
+            "SELECT 'call V_RANDOM() later' AS note, id "
+            "FROM collection_name LIMIT 1"
+        )
+        assert "'call V_RANDOM() later'" in out
+
+    def test_real_comment_still_stripped(self):
+        out = self._resolve(
+            "SELECT id FROM collection_name -- tail [1] ->'k' @> '[x]'\nLIMIT 1"
+        )
+        assert "tail" not in out and "LIMIT 1" in out
+
+    def test_adversarial_statement_executes(self, spark):
+        from qdrant_datafusion_spark.fixtures import CORPUS_COLL, corpus_df
+        from qdrant_datafusion_spark.sql_dialect import corpus_sql
+
+        register_all(spark)
+        corpus_df(spark).createOrReplaceTempView("collection_name")
+        rows = spark.sql(
+            corpus_sql(
+                "SELECT id, 'x @> ''[a]'' -- not a comment' AS trap\n"
+                "FROM collection_name -- real [1] comment ->'k'\n"
+                "WHERE payload->>'category' <> 'p->''k'''\n"
+                "ORDER BY id LIMIT 3",
+                CORPUS_COLL,
+            )
+        ).collect()
+        assert len(rows) == 3
+        assert all(r["trap"] == "x @> '[a]' -- not a comment" for r in rows)
+
+    def test_property_random_literal_payloads(self):
+        """Property sweep: any literal built from dialect-colliding
+        fragments survives resolution byte-for-byte."""
+        import itertools
+
+        frags = ["->", "->>", "@>", "[1, 2]", "''", " -- ", "V_RANDOM()",
+                 "->'k'", "@> '[a]'".replace("'", "''"), "(", ")", ","]
+        for combo in itertools.permutations(frags, 2):
+            body = " ".join(combo)
+            lit = "'" + body + "'"
+            out = self._resolve(
+                f"SELECT id FROM collection_name WHERE id <> {lit} LIMIT 1"
+            )
+            assert lit in out, f"literal corrupted for body {body!r}"

@@ -412,3 +412,32 @@ class TestStreamingFunnel:
         df = spark.readStream.schema(EVENT_SCHEMA).parquet(str(tmp_path))
         with _pytest.raises(ValueError):
             streaming_funnel(df, [])
+
+
+class TestStaggeredBatchFiles:
+    def test_mtimes_survive_1s_granularity(self, spark, tmp_path):
+        """The 4-micro-batch file stagger orders batches by mtime; a
+        filesystem with whole-second mtime granularity truncates the
+        stored times, so the spacing must stay strictly increasing
+        AFTER int-truncation (it is: 60s apart by construction)."""
+        import glob
+        import os
+
+        from qdrant_datafusion_spark.entry_queries import (
+            _staggered_batch_files,
+        )
+
+        df = spark.range(40).select(
+            F.col("id").alias("doc_id"), F.lit("t").alias("text")
+        )
+        src = _staggered_batch_files(df, "doc_id", str(tmp_path))
+        files = sorted(glob.glob(os.path.join(src, "b*.parquet")))
+        assert len(files) == 4
+        mtimes = [os.stat(f).st_mtime for f in files]
+        truncated = [int(m) for m in mtimes]
+        assert truncated == sorted(truncated)
+        assert all(b - a >= 59 for a, b in zip(truncated, truncated[1:]))
+        # and the lexicographic file order IS the intended batch order
+        assert [os.path.basename(f) for f in files] == [
+            f"b{i}.parquet" for i in range(4)
+        ]
