@@ -6476,65 +6476,48 @@ ORACLES["text_lang_id_ngram"] = TEXT_LANG_ID_NGRAM_SQL
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
-# therefore the gate-evidence budget.  Round-7 window (exactly 50),
-# executing the r6 verdict's rotation plan (task #2: "after r7, no
-# registry query's newest driver row predates r5"):
-#   1. the five gates with ZERO driver evidence (new this round):
-#      unigram-LM tokenizer training, the cross-modal dedup composition,
-#      the two streaming LSH ingest oracles, and DSIR data selection;
-#   2. the gates whose code/oracle changed this round: duplicate-safe
-#      q_approx_percentile rank bound, floor-division bucketing
-#      (q_events_hourly / q_events_cohorts / streaming_hourly_counts),
-#      streaming_sessions boundary assertion, tokenizer input
-#      normalization (text_bpe_vocab), audio driver-side guard
-#      (multimodal_audio_dups);
-#   3. the FULL 14-row r4-staleness queue from the r6 verdict;
-#   4. 24 of the 43 r5-vintage rows (oldest evidence otherwise).
-# The 19 r5 rows deferred to round 8 all keep in-window kin:
-#   text_quality / text_token_stats / text_lang_id / text_source_profile
-#   (regex/stopword-stat family — text_clean, text_chunking,
-#   text_repetition in), doc_fingerprints / text_vocabulary (shingle +
-#   vocab family — dedup_minhash, dedup_substring in), multimodal_bytes
-#   (byte-plumbing — the three fingerprint gates stay r6-green),
-#   dedup_embedding (kin dedup_embedding_recall in-window, its LSH
-#   sibling r6-green),
-#   v_lateral_batch_search (tagged parity twin of r6-green
-#   v_batch_search), q_pivot_events / q_json_length_keys (pivot/JSON —
-#   q_events_json + variant in), group_centroids (agg-over-search —
-#   v_search family in), text_decontaminate_semantic (kin
-#   text_decontaminate + dedup_semantic in), dedup_minhash_capped / _hot
-#   / dedup_simhash_capped / _hot (cap-audit family shares the r6-green
-#   uncapped kernels; dedup_minhash + dedup_keep_best in),
-#   pipeline_global_shuffle (two-phase prefix scan — kin
-#   pipeline_token_budget in), v_search_mmr (kernel shared with
-#   in-window v_search family + k-guard pytest).
-# The local mirror (scripts/check_correctness.py) still covers all 113
-# and now emits CORRECTNESS_LOCAL_r{N}_sf{SF}.json per full sweep.
+# therefore the gate-evidence budget.  Round-9 window (exactly 50):
+#   1. the five gates with ZERO driver evidence: the round-8 tokenizer
+#      APPLY family (text_bpe_encode / text_unigram_encode /
+#      pipeline_pack_bpe) and the round-9 classifiers
+#      (text_lang_id_ngram, text_unigram_vocab_mb);
+#   2. the two gates whose code/oracle changed this round:
+#      text_unigram_vocab (ASCII precondition lifted) and
+#      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
+#   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
+#      back this round per that window's comment);
+#   4. 24 of the 45 r6-vintage rows (oldest evidence otherwise,
+#      alphabetical within vintage).
+# The 21 r6 rows deferred to round 10 all keep in-window kin: the
+# streaming family shares the ingest/stateful kernels exercised by the
+# two r8-green LSH ingest gates; v_batch_search pairs with in-window
+# v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
+# have at least one family member in-window (full registry stays in the
+# local mirror sweeps: CORRECTNESS_LOCAL_r9 at two SFs).
 _RUN_FIRST = [
-    # -- 1: zero driver evidence (new this round)
-    "text_unigram_vocab", "multimodal_cross_dups",
-    "streaming_near_dup_ingest", "streaming_semantic_ingest",
-    "text_dsir_select",
+    # -- 1: zero driver evidence (rounds 8-9)
+    "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
+    "text_unigram_encode", "pipeline_pack_bpe",
     # -- 2: code/oracle touched this round
-    "q_approx_percentile", "q_events_hourly", "q_events_cohorts",
-    "streaming_hourly_counts", "streaming_sessions", "text_bpe_vocab",
-    "multimodal_audio_dups",
-    # -- 3: the r4-staleness queue, in full
-    "v_discover_topk", "dedup_embedding_recall", "ann_pq_topk",
-    "quant_error_stats", "v_search_scalar_quant", "pipeline_hash_split",
-    "text_decontaminate", "text_repetition", "pipeline_mix_datasets",
-    "pipeline_stratified_sample", "text_clean", "embed_jl_project",
-    "text_chunking", "pipeline_token_budget",
-    # -- 4: r5-evidence refresh (25 of 43)
-    "q1_pricing_summary", "q_group_having", "q_events_json",
-    "q_events_json_variant", "q_event_percentiles", "q_events_sessions",
-    "v_search_dot_topk", "v_recommend_topk", "v_colbert_topk",
-    "v_sparse_topk", "v_geo_decay_topk", "match_text_topk",
-    "dedup_ngram_jaccard", "dedup_minhash",
-    "dedup_clusters", "dedup_keep_best", "dedup_substring",
-    "dedup_semantic", "ann_knn_graph", "graph_pagerank",
-    "graph_trustrank", "q_asof_purchase_click",
-    "q_interval_signup_window", "text_perplexity",
+    "text_unigram_vocab", "text_bpe_vocab",
+    # -- 3: the full 19-row r5-deferral queue
+    "dedup_embedding", "dedup_minhash_capped", "dedup_minhash_hot",
+    "dedup_simhash_capped", "dedup_simhash_hot", "doc_fingerprints",
+    "group_centroids", "multimodal_bytes", "pipeline_global_shuffle",
+    "q_json_length_keys", "q_pivot_events", "text_decontaminate_semantic",
+    "text_lang_id", "text_quality", "text_source_profile",
+    "text_token_stats", "text_vocabulary", "v_lateral_batch_search",
+    "v_search_mmr",
+    # -- 4: oldest r6-vintage rows
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_graph_blocked",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
+    "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
+    "multimodal_phash_dups", "multimodal_video_dups", "payload_contains",
+    "pipeline_mix_temperature", "pipeline_pack_sequences",
+    "q14_promo_revenue", "q3_topk_revenue", "q5_nation_revenue",
+    "q_above_avg_orders", "q_anti_join", "q_approx_distinct",
+    "q_case_boost", "q_distinct_aggregates", "q_events_funnel",
+    "q_grouping_sets",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
