@@ -228,6 +228,7 @@ SCALE_PATH = [
     "v_sparse_batch_inverted",
     "text_decontaminate_bloom",
     "text_perplexity",
+    "text_lang_id_ngram",
 ]
 
 _SCALE_REPLICAS = 10

@@ -59,6 +59,7 @@ __all__ = [
     "bpe_vocab_ids",
     "bpe_encode",
     "bpe_encode_reference",
+    "bpe_encode_via_words",
     "unigram_encode",
     "unigram_encode_reference",
 ]
@@ -489,15 +490,36 @@ def bpe_encode(
       state by the same contract as the merge list itself).
     """
     ordered = sorted(merges, key=lambda m: m[0])
-    if vocab is None:
-        chars = [
-            r["c"]
-            for r in _words(df, text_col)
-            .select(F.explode(F.split(F.col("_w"), "")).alias("c"))
-            .distinct()
-            .collect()  # bounded: the corpus alphabet
-        ]
-        vocab = bpe_vocab_ids(chars, ordered)
+    vocab = _derived_vocab(df, text_col, ordered, vocab)
+    pieces = F.coalesce(
+        F.flatten(
+            F.transform(_clean_words(text_col), _word_pieces_fn(ordered))
+        ),
+        F.array().cast("array<string>"),  # NULL text = zero tokens
+    )
+    return _with_token_ids(
+        df.select(F.col(id_col), pieces.alias("pieces")),
+        id_col,
+        vocab,
+        unk_id,
+    )
+
+
+def _derived_vocab(df, text_col, ordered, vocab):
+    if vocab is not None:
+        return vocab
+    chars = [
+        r["c"]
+        for r in _words(df, text_col)
+        .select(F.explode(F.split(F.col("_w"), "")).alias("c"))
+        .distinct()
+        .collect()  # bounded: the corpus alphabet
+    ]
+    return bpe_vocab_ids(chars, ordered)
+
+
+def _word_pieces_fn(ordered):
+    """Column fn: one word → its greedy merge-replay piece array."""
 
     def word_pieces(w):
         s = F.concat(
@@ -513,14 +535,14 @@ def bpe_encode(
             )
         return F.split(F.trim(s, F.lit(SEP)), _B)
 
+    return word_pieces
+
+
+def _with_token_ids(pieces_df, id_col, vocab, unk_id):
     id_map = F.create_map(
         *[x for p, i in vocab for x in (F.lit(p), F.lit(i))]
     )
-    pieces = F.flatten(F.transform(_clean_words(text_col), word_pieces))
-    return df.select(
-        F.col(id_col),
-        pieces.alias("pieces"),
-    ).select(
+    return pieces_df.select(
         id_col,
         F.size("pieces").alias("n_tokens"),
         "pieces",
@@ -531,6 +553,74 @@ def bpe_encode(
             ).cast("int"),
         ).alias("token_ids"),
     )
+
+
+def bpe_encode_via_words(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[tuple[str, int]] | None = None,
+    unk_id: int = 0,
+) -> DataFrame:
+    """:func:`bpe_encode` through the distinct-word table — the variant
+    the direct map's docstring promises for very large merge tables.
+
+    The direct encode replays all N merge rules per word *occurrence*;
+    with N in the thousands that is N string passes over every token of
+    the corpus.  Here the replay runs once per DISTINCT word (the same
+    collapse the trainers use — Zipf makes |distinct| ≪ |occurrences|),
+    then an equi-join carries each word's piece array back to its
+    positions and one groupBy reassembles documents in word order:
+
+    - shuffle cost: (id, wpos, word) exploded rows + the groupBy — both
+      linear in corpus tokens, keyed by doc id (no skew: one document's
+      rows are one group);
+    - AQE picks a broadcast join automatically while the distinct-word
+      table is small; beyond that it degrades to a shuffle join, still
+      linear — the trade against the direct map is N× fewer replace
+      passes for one extra shuffle;
+    - output is BIT-IDENTICAL to :func:`bpe_encode` (same expression
+      replays the same rules; proven by the equivalence pytest).
+    """
+    ordered = sorted(merges, key=lambda m: m[0])
+    vocab = _derived_vocab(df, text_col, ordered, vocab)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(_clean_words(text_col)).alias("_wpos", "_w"),
+    )
+    enc = (
+        words.select("_w")
+        .distinct()
+        .select(
+            "_w", _word_pieces_fn(ordered)(F.col("_w")).alias("_pieces")
+        )
+    )
+    per_doc = (
+        words.join(enc, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_wpos"), F.col("_pieces")))
+            ).alias("_wp")
+        )
+        .select(
+            id_col,
+            F.flatten(
+                F.transform(F.col("_wp"), lambda s: s["_pieces"])
+            ).alias("pieces"),
+        )
+    )
+    # wordless documents (empty/NULL text) vanish in the explode; they
+    # must come back with empty piece arrays, like the direct encode
+    base = df.select(id_col)
+    restored = base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            F.col("pieces"), F.array().cast("array<string>")
+        ).alias("pieces"),
+    )
+    return _with_token_ids(restored, id_col, vocab, unk_id)
 
 
 def bpe_encode_reference(

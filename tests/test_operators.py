@@ -1863,3 +1863,61 @@ class TestLangIdNgram:
         )
         [r] = lang_id_ngram(df, m).collect()
         assert r["pred_lang"] == "x"
+
+
+class TestBpeEncodeViaWords:
+    TEXTS = [
+        "the cat sat on the mat",
+        "the hat and the cat",
+        "a cat a mat a hat",
+        "",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)]
+            + [(99, None)],
+            "doc_id long, text string",
+        )
+
+    def test_bit_identical_to_direct_encode(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_encode_via_words,
+            train_bpe,
+        )
+
+        df = self._df(spark)
+        merges = train_bpe(df, "text", n_merges=6)
+        direct = {
+            r["doc_id"]: (r["n_tokens"], r["pieces"], r["token_ids"])
+            for r in bpe_encode(df, merges).collect()
+        }
+        via = {
+            r["doc_id"]: (r["n_tokens"], r["pieces"], r["token_ids"])
+            for r in bpe_encode_via_words(df, merges).collect()
+        }
+        assert direct == via
+        # wordless docs kept with empty arrays on both paths
+        assert via[3] == (0, [], [])
+        assert via[99] == (0, [], [])
+
+    def test_unseen_chars_get_unk_on_both_paths(self, spark):
+        from qdrant_datafusion_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_encode_via_words,
+            bpe_vocab_ids,
+            train_bpe,
+        )
+
+        train = self._df(spark)
+        merges = train_bpe(train, "text", n_merges=4)
+        chars = sorted({c for t in self.TEXTS for c in t} - {" "})
+        vocab = bpe_vocab_ids(chars, merges)
+        apply_df = spark.createDataFrame(
+            [(0, "the zzz")], "doc_id long, text string"
+        )
+        d = bpe_encode(apply_df, merges, vocab=vocab).collect()[0]
+        v = bpe_encode_via_words(apply_df, merges, vocab=vocab).collect()[0]
+        assert d["token_ids"] == v["token_ids"]
+        assert 0 in v["token_ids"]  # the unseen 'z' pieces hit <unk>
