@@ -161,6 +161,34 @@ NOTES = {
         "per-batch plans are embedding_near_dups' bucket joins "
         "(audited under dedup_embedding_lsh)"
     ),
+    "text_bpe_encode": (
+        "the merge table is driver state learned during construction "
+        "(text_bpe_vocab's collected argmax rows); the audited plan is "
+        "the pure-projection encode (merge replay + id map) feeding the "
+        "posexplode presentation — zero joins by design"
+    ),
+    "text_unigram_encode": (
+        "vocabulary learned during construction (driver state); the "
+        "audited plan is ONE Arrow-batched Viterbi map (ArrowEvalPython) "
+        "+ the posexplode presentation"
+    ),
+    "pipeline_pack_bpe": (
+        "train (construction) -> encode projection -> pack_sequences' "
+        "single (id, n_tokens) shuffle + per-bucket applyInPandas — the "
+        "composed train->apply->pack plan"
+    ),
+    "text_lang_id_ngram": (
+        "model trained during construction (three bounded collects: "
+        "top-K features, K x L counts, L doc counts); the audited plan "
+        "is the apply: ngram explode -> broadcast join of the K-row "
+        "weight table -> L-lane partial-agg groupBy per doc -> static "
+        "argmax chain + confusion-matrix groupBy"
+    ),
+    "text_unigram_vocab_mb": (
+        "same all-zero driver-state shape as text_unigram_vocab (the "
+        "vocabulary is a bounded collect); the corpus here is the "
+        "multibyte-augmented projection"
+    ),
 }
 
 
