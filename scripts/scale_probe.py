@@ -50,6 +50,7 @@ DEFAULT_OPS = [
     "multimodal_video_probe",     # Y4M synth+demux+temporal hash + banded join
     "text_bpe_probe",             # distinct-word collapse + 12 merge iterations
     "text_unigram_probe",         # distinct-word collapse + 3 EM iterations
+    "text_langid_probe",          # ngram count shuffle + broadcast-join apply
 ]
 
 
@@ -262,6 +263,32 @@ def _text_bpe_probe(spark, sf_dir: str):
     )
 
 
+def _text_langid_probe(spark, sf_dir: str):
+    """Char-n-gram language-ID at scale: training is one (lang, ngram)
+    count shuffle (map-side combined, so the shuffle rows are bounded by
+    |langs| x |distinct trigrams| per partition); apply is the ngram
+    explode -> K-row broadcast join -> doc-keyed partial-agg groupBy.
+    Both legs are linear in corpus characters; output (the confusion
+    matrix) is constant-size."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.langid import (
+        lang_id_ngram,
+        train_lang_ngram,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = train_lang_ngram(docs, "text", "lang", n=3, top_k=200)
+    return (
+        lang_id_ngram(docs, model, "text")
+        .where(F.col("lang").isNotNull())
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _text_unigram_probe(spark, sf_dir: str):
     """Unigram-LM training at scale — same distinct-word collapse; each
     EM iteration is one Arrow-batched Viterbi map + one groupBy."""
@@ -322,6 +349,7 @@ def main() -> None:
         "multimodal_video_probe": _fingerprint_probe("video"),
         "text_bpe_probe": _text_bpe_probe,
         "text_unigram_probe": _text_unigram_probe,
+        "text_langid_probe": _text_langid_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
