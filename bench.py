@@ -114,6 +114,10 @@ HEADLINE = [
     "text_dsir_select",
     "text_lang_id_ngram",
     "text_unigram_vocab_mb",
+    # round 9: sketch family
+    "sketch_cms_heavy_hitters",
+    "sketch_cms_error",
+    "skew_hot_keys",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

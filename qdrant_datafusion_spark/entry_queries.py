@@ -6473,22 +6473,161 @@ QUERIES["text_lang_id_ngram"] = text_lang_id_ngram
 ORACLES["text_lang_id_ngram"] = TEXT_LANG_ID_NGRAM_SQL
 
 
+# ===========================================================================
+# sketch family (operators/sketch.py) — count-min frequency estimation and
+# exact hot-key skew diagnostics over events.user_id.  All-BIGINT md5
+# bucket arithmetic, so the sketch cells, estimates, heavy-hitter sets,
+# and fixed-point skew ratios are bit-identical across engines.
+# ===========================================================================
+
+CMS_DEPTH = 4
+CMS_HH_WIDTH = 4096   # sparse sketch: estimates ≈ exact, HH set ≈ truth
+CMS_ERR_WIDTH = 64    # dense sketch: forced collisions, error stats nonzero
+SKEW_NUM, SKEW_DEN = 12, 10  # threshold = 1.2× the mean per-key count
+
+
+def _cms_oracle_prelude(width: int) -> str:
+    """Shared CTE chain: keys → sketch → candidates → min-over-depth
+    estimates, mirroring cms_build/cms_estimate's md5 bucket math."""
+    h = "('0x' || substr(md5('cms' || {d} || ':' || {k}), 1, 8))::BIGINT % " + str(width)
+    return f"""
+ks AS MATERIALIZED (
+  SELECT user_id::VARCHAR AS k FROM events WHERE user_id IS NOT NULL
+),
+ds AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d),
+sk AS MATERIALIZED (
+  SELECT d, {h.format(d="d", k="k")} AS b, count(*)::BIGINT AS cnt
+  FROM ks CROSS JOIN ds GROUP BY 1, 2
+),
+cand AS MATERIALIZED (SELECT DISTINCT k FROM ks),
+est AS MATERIALIZED (
+  SELECT c.k, min(s.cnt)::BIGINT AS est
+  FROM cand c CROSS JOIN ds
+  JOIN sk s ON s.d = ds.d AND s.b = {h.format(d="ds.d", k="c.k")}
+  GROUP BY 1
+)"""
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-estimated heavy hitters: users whose estimated event count
+    exceeds 1.2× the mean.  Wide sketch (4096) so collisions are rare
+    and the set tracks the exact hot keys; CMS overestimate-only means
+    zero false negatives by construction."""
+    from qdrant_datafusion_spark.operators.sketch import cms_heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    return cms_heavy_hitters(
+        ev, "user_id", depth=CMS_DEPTH, width=CMS_HH_WIDTH,
+        num=SKEW_NUM, den=SKEW_DEN,
+    ).select(
+        "user_id", F.col("est").alias("est_count")
+    ).orderBy(F.desc("est_count"), "user_id")
+
+
+SKETCH_CMS_HEAVY_HITTERS_SQL = f"""
+WITH {_cms_oracle_prelude(CMS_HH_WIDTH)},
+st AS (
+  SELECT (SELECT sum(cnt) FROM sk WHERE d = 0)::BIGINT AS total,
+         (SELECT count(*) FROM cand)::BIGINT AS nk
+)
+SELECT est.k::BIGINT AS user_id, est.est AS est_count
+FROM est, st
+WHERE est.est * st.nk * {SKEW_DEN} > {SKEW_NUM} * st.total
+ORDER BY est_count DESC, user_id
+"""
+
+QUERIES["sketch_cms_heavy_hitters"] = sketch_cms_heavy_hitters
+ORACLES["sketch_cms_heavy_hitters"] = SKETCH_CMS_HEAVY_HITTERS_SQL
+
+
+def sketch_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimation-error audit against exact counts, on a
+    deliberately narrow sketch (64 buckets ≪ distinct keys) so
+    collisions are forced: one row of (n_keys, n_over, n_under,
+    max_err, sum_err).  n_under must be 0 — CMS never underestimates —
+    making this gate a cross-engine proof of the sketch invariant."""
+    from qdrant_datafusion_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    sketch = cms_build(ev, "user_id", depth=CMS_DEPTH, width=CMS_ERR_WIDTH)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    est = cms_estimate(
+        exact.select("user_id"), "user_id", sketch,
+        depth=CMS_DEPTH, width=CMS_ERR_WIDTH,
+    )
+    j = exact.join(est, "user_id")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("est") > F.col("cnt"), 1).otherwise(0))
+        .cast("bigint").alias("n_over"),
+        F.sum(F.when(F.col("est") < F.col("cnt"), 1).otherwise(0))
+        .cast("bigint").alias("n_under"),
+        F.max(F.col("est") - F.col("cnt")).cast("bigint").alias("max_err"),
+        F.sum(F.col("est") - F.col("cnt")).cast("bigint").alias("sum_err"),
+    )
+
+
+SKETCH_CMS_ERROR_SQL = f"""
+WITH {_cms_oracle_prelude(CMS_ERR_WIDTH)},
+exact AS (SELECT k, count(*)::BIGINT AS cnt FROM ks GROUP BY 1)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN e.est > x.cnt THEN 1 ELSE 0 END)::BIGINT AS n_over,
+       sum(CASE WHEN e.est < x.cnt THEN 1 ELSE 0 END)::BIGINT AS n_under,
+       max(e.est - x.cnt)::BIGINT AS max_err,
+       sum(e.est - x.cnt)::BIGINT AS sum_err
+FROM exact x JOIN est e USING (k)
+"""
+
+QUERIES["sketch_cms_error"] = sketch_cms_error
+ORACLES["sketch_cms_error"] = SKETCH_CMS_ERROR_SQL
+
+
+def skew_hot_keys_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shuffle-skew diagnostic: users above 1.2× the mean event
+    count with their skew ratio in truncated fixed-point micros — the
+    hot-key list operators.joins.salted_join consumes."""
+    from qdrant_datafusion_spark.operators.sketch import skew_hot_keys
+
+    ev = _events(spark, sf_dir)
+    return skew_hot_keys(ev, "user_id", num=SKEW_NUM, den=SKEW_DEN).orderBy(
+        F.desc("cnt"), "user_id"
+    )
+
+
+SKEW_HOT_KEYS_SQL = f"""
+WITH c AS MATERIALIZED (
+  SELECT user_id, count(*)::BIGINT AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+st AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nk FROM c)
+SELECT c.user_id, c.cnt,
+       (c.cnt * st.nk * 1000000) // st.total AS ratio_micro
+FROM c, st
+WHERE c.cnt * st.nk * {SKEW_DEN} > {SKEW_NUM} * st.total
+ORDER BY cnt DESC, user_id
+"""
+
+QUERIES["skew_hot_keys"] = skew_hot_keys_gate
+ORACLES["skew_hot_keys"] = SKEW_HOT_KEYS_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
 # therefore the gate-evidence budget.  Round-9 window (exactly 50):
-#   1. the five gates with ZERO driver evidence: the round-8 tokenizer
+#   1. the eight gates with ZERO driver evidence: the round-8 tokenizer
 #      APPLY family (text_bpe_encode / text_unigram_encode /
-#      pipeline_pack_bpe) and the round-9 classifiers
-#      (text_lang_id_ngram, text_unigram_vocab_mb);
+#      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
+#      text_unigram_vocab_mb), and the round-9 sketch family
+#      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys);
 #   2. the two gates whose code/oracle changed this round:
 #      text_unigram_vocab (ASCII precondition lifted) and
 #      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
 #   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
 #      back this round per that window's comment);
-#   4. 24 of the 45 r6-vintage rows (oldest evidence otherwise,
+#   4. 21 of the 45 r6-vintage rows (oldest evidence otherwise,
 #      alphabetical within vintage).
-# The 21 r6 rows deferred to round 10 all keep in-window kin: the
+# The 24 r6 rows deferred to round 10 all keep in-window kin: the
 # streaming family shares the ingest/stateful kernels exercised by the
 # two r8-green LSH ingest gates; v_batch_search pairs with in-window
 # v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
@@ -6498,6 +6637,7 @@ _RUN_FIRST = [
     # -- 1: zero driver evidence (rounds 8-9)
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
+    "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
     # -- 2: code/oracle touched this round
     "text_unigram_vocab", "text_bpe_vocab",
     # -- 3: the full 19-row r5-deferral queue
@@ -6516,8 +6656,7 @@ _RUN_FIRST = [
     "pipeline_mix_temperature", "pipeline_pack_sequences",
     "q14_promo_revenue", "q3_topk_revenue", "q5_nation_revenue",
     "q_above_avg_orders", "q_anti_join", "q_approx_distinct",
-    "q_case_boost", "q_distinct_aggregates", "q_events_funnel",
-    "q_grouping_sets",
+    "q_case_boost",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

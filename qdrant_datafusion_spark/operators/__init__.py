@@ -11,6 +11,8 @@
 - ``tokenizer``  — distributed BPE merge-rule training
 - ``pipeline``   — dataset assembly: splits, decontamination, repetition
                    quality, sequence packing
+- ``sketch``     — count-min sketch frequency estimation + hot-key skew
+                   diagnostics (feeds the salted join)
 - ``temporal``   — as-of join (union + keyed carry, no pair join) and
                    point-in-interval join
 """
@@ -83,4 +85,10 @@ from qdrant_datafusion_spark.operators.tokenizer import train_bpe  # noqa: F401
 from qdrant_datafusion_spark.operators.video import (  # noqa: F401
     video_hash_codes,
     video_temporal_dups,
+)
+from qdrant_datafusion_spark.operators.sketch import (  # noqa: F401
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    skew_hot_keys,
 )

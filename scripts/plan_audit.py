@@ -189,6 +189,21 @@ NOTES = {
         "vocabulary is a bounded collect); the corpus here is the "
         "multibyte-augmented projection"
     ),
+    "sketch_cms_heavy_hitters": (
+        "the BNLJs are the two single-row broadcast stat joins (stream "
+        "total read off the sketch's d=0 lane + distinct-key count); the "
+        "sketch side of the estimate join is broadcast because it is "
+        "<= depth x width rows by construction"
+    ),
+    "sketch_cms_error": (
+        "one BNLJ-free shape: exact-count groupBy + broadcast sketch "
+        "estimate join + single-row final agg; the sketch is bounded "
+        "driver-free distributed state (<= depth x width rows)"
+    ),
+    "skew_hot_keys": (
+        "the BNLJ is the single-row (total, n_keys) stats broadcast over "
+        "the per-key count table — the exact skew-diagnosis pass"
+    ),
 }
 
 

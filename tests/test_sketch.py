@@ -1,0 +1,117 @@
+"""Unit tests for operators/sketch.py — count-min sketch + skew diagnostics.
+
+The CMS invariants under test are the textbook ones: estimates never
+underestimate, a sketch wide relative to the key set is exact, heavy-
+hitter detection has no false negatives, and the sketch's size is
+bounded by depth×width regardless of input rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    skew_hot_keys,
+)
+
+
+def _stream():
+    """A skewed key stream: two heavy keys + a long uniform tail."""
+    keys = ["hot1"] * 60 + ["hot2"] * 40
+    for i in range(50):
+        keys += [f"tail{i}"] * 2
+    return keys, Counter(keys)
+
+
+@pytest.fixture(scope="module")
+def stream_df(spark):
+    keys, _ = _stream()
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+class TestCms:
+    def test_sketch_size_bounded(self, stream_df):
+        sk = cms_build(stream_df, "k", depth=3, width=8)
+        assert sk.count() <= 3 * 8
+        # every depth lane sums to the stream length
+        lanes = sk.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
+        assert len(lanes) == 3
+        assert all(r["s"] == stream_df.count() for r in lanes)
+
+    def test_never_underestimates(self, stream_df):
+        _, exact = _stream()
+        # width 8 ≪ 52 distinct keys: collisions guaranteed
+        sk = cms_build(stream_df, "k", depth=3, width=8)
+        est = cms_estimate(
+            stream_df.select("k").distinct(), "k", sk, depth=3, width=8
+        )
+        for r in est.collect():
+            assert r["est"] >= exact[r["k"]], r
+
+    def test_wide_sketch_is_exact(self, stream_df):
+        _, exact = _stream()
+        sk = cms_build(stream_df, "k", depth=4, width=65536)
+        est = cms_estimate(
+            stream_df.select("k").distinct(), "k", sk, depth=4, width=65536
+        )
+        got = {r["k"]: r["est"] for r in est.collect()}
+        assert got == dict(exact)
+
+    def test_unseen_key_estimates_zero_on_wide_sketch(self, spark, stream_df):
+        sk = cms_build(stream_df, "k", depth=4, width=65536)
+        probe = spark.createDataFrame([("never-seen-key",)], "k string")
+        est = cms_estimate(probe, "k", sk, depth=4, width=65536)
+        assert est.collect()[0]["est"] == 0
+
+    def test_heavy_hitters_no_false_negatives(self, stream_df):
+        _, exact = _stream()
+        n_keys = len(exact)
+        total = sum(exact.values())
+        true_hot = {
+            k for k, c in exact.items() if c * n_keys * 1 > 2 * total
+        }
+        assert true_hot == {"hot1", "hot2"}  # fixture sanity
+        # even with a collision-heavy sketch the true hot keys survive
+        hh = cms_heavy_hitters(stream_df, "k", depth=3, width=8, num=2, den=1)
+        got = {r["k"] for r in hh.collect()}
+        assert true_hot <= got
+
+    def test_heavy_hitters_exact_on_wide_sketch(self, stream_df):
+        hh = cms_heavy_hitters(
+            stream_df, "k", depth=4, width=65536, num=2, den=1
+        )
+        got = {(r["k"], r["est"]) for r in hh.collect()}
+        assert got == {("hot1", 60), ("hot2", 40)}
+
+    def test_null_keys_excluded(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+        sk = cms_build(df, "k", depth=2, width=16)
+        assert sk.agg(F.sum("cnt")).collect()[0][0] == 2 * 2  # 2 rows × 2 depths
+
+
+class TestSkewHotKeys:
+    def test_matches_python(self, stream_df):
+        _, exact = _stream()
+        n_keys, total = len(exact), sum(exact.values())
+        want = {
+            k: (c, c * n_keys * 1_000_000 // total)
+            for k, c in exact.items()
+            if c * n_keys * 10 > 12 * total
+        }
+        got = {
+            r["k"]: (r["cnt"], r["ratio_micro"])
+            for r in skew_hot_keys(stream_df, "k", num=12, den=10).collect()
+        }
+        assert got == want
+
+    def test_uniform_stream_has_no_hot_keys(self, spark):
+        df = spark.createDataFrame(
+            [(f"k{i % 10}",) for i in range(100)], "k string"
+        )
+        assert skew_hot_keys(df, "k", num=12, den=10).count() == 0
