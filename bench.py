@@ -114,10 +114,12 @@ HEADLINE = [
     "text_dsir_select",
     "text_lang_id_ngram",
     "text_unigram_vocab_mb",
-    # round 9: sketch family
+    # round 9: sketch + layout families
     "sketch_cms_heavy_hitters",
     "sketch_cms_error",
     "skew_hot_keys",
+    "layout_zvalue",
+    "layout_zorder_prune",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

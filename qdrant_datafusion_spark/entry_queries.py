@@ -6611,23 +6611,209 @@ QUERIES["skew_hot_keys"] = skew_hot_keys_gate
 ORACLES["skew_hot_keys"] = SKEW_HOT_KEYS_SQL
 
 
+# ===========================================================================
+# layout family (operators/layout.py) — Z-order (Morton) multi-dimensional
+# clustering and its measured file-skipping benefit.  The gates model the
+# full mechanism end-to-end: layout order → equal-count "files" (ntile,
+# the cross-engine-deterministic analogue of repartitionByRange) →
+# per-file min/max (the parquet footer) → box-overlap prune.  All-BIGINT.
+# ===========================================================================
+
+LAYOUT_BITS = 8  # per-dimension resolution AFTER min-max normalization
+LAYOUT_FILES = 64
+_DAY_NS = 86_400_000_000_000
+
+
+def _z_sql(x: str, y: str, bits: int) -> str:
+    """Shared-arithmetic Morton interleave of two NON-NEGATIVE in-range
+    ints (bit i of x → 2i, of y → 2i+1), spelled with // and % only —
+    truncating and flooring agree on the non-negative domain, so this
+    text is exact on DuckDB and mirrors z_value's shift/mask chain."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x}) // {1 << i}) % 2 * {1 << (2 * i)}")
+        terms.append(f"(({y}) // {1 << i}) % 2 * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _layout_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as (event_id, x=user_id, y=epoch day, z) where z is the
+    NORMALIZED Morton key (each dim min-max scaled to 8 bits before
+    interleaving — zorder_key's semantics; raw interleave degenerates
+    when the dims carry unequal entropy, see operators/layout.py)."""
+    from qdrant_datafusion_spark.operators.layout import zorder_key
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    base = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("x"),
+        _floor_div("ts", _DAY_NS).cast("bigint").alias("y"),
+    )
+    return zorder_key(base, ["x", "y"], bits=LAYOUT_BITS).select(
+        "event_id", "x", "y", "z"
+    )
+
+
+_LAYOUT_TOP = (1 << LAYOUT_BITS) - 1
+
+_LAYOUT_BASE_SQL = f"""
+base AS MATERIALIZED (
+  SELECT event_id, user_id::BIGINT AS x,
+         {_floor_div_sql("epoch_ns(ts)", _DAY_NS)}::BIGINT AS y
+  FROM events WHERE user_id IS NOT NULL
+),
+sc AS (SELECT min(x) AS xlo0, max(x) AS xhi0,
+              min(y) AS ylo0, max(y) AS yhi0 FROM base),
+nb AS (
+  SELECT event_id, x, y,
+         CASE WHEN xhi0 > xlo0
+              THEN (x - xlo0) * {_LAYOUT_TOP} // (xhi0 - xlo0) ELSE 0 END AS xs,
+         CASE WHEN yhi0 > ylo0
+              THEN (y - ylo0) * {_LAYOUT_TOP} // (yhi0 - ylo0) ELSE 0 END AS ys
+  FROM base, sc
+),
+bz AS MATERIALIZED (
+  SELECT event_id, x, y, {_z_sql("xs", "ys", LAYOUT_BITS)}::BIGINT AS z
+  FROM nb
+)"""
+
+
+def layout_zvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct value gate for the Morton interleave: (event_id, x, y, z)
+    for the first 200 events — any bit placed wrong changes z."""
+    return (
+        _layout_base(spark, sf_dir)
+        .where(F.col("event_id") < 200)
+        .orderBy("event_id")
+    )
+
+
+LAYOUT_ZVALUE_SQL = f"""
+WITH {_LAYOUT_BASE_SQL}
+SELECT event_id, x, y, z FROM bz WHERE event_id < 200 ORDER BY event_id
+"""
+
+QUERIES["layout_zvalue"] = layout_zvalue
+ORACLES["layout_zvalue"] = LAYOUT_ZVALUE_SQL
+
+
+def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning-benefit measurement: lay events out three ways —
+    ``natural`` (arrival order), ``bydim`` (sorted by x only),
+    ``zorder`` (Morton order) — cut each into 64 equal-count files,
+    and count how many files a 2-D box predicate (middle quarter of
+    the x range × first quarter of the day range, bounds derived from
+    the data so the gate is SF-independent) must read under footer
+    min/max pruning.  Z-order should touch the fewest: it is the only
+    layout whose files are compact in BOTH dimensions."""
+    from qdrant_datafusion_spark.operators.layout import (
+        file_minmax,
+        files_touched,
+        layout_files,
+    )
+
+    base = _layout_base(spark, sf_dir)
+    box = base.agg(
+        F.max("x").alias("_xmax"), F.min("y").alias("_ymin"),
+        F.max("y").alias("_ymax"),
+    ).select(
+        F.expr("_xmax div 4").alias("xlo"),
+        F.expr("_xmax div 2").alias("xhi"),
+        F.col("_ymin").alias("ylo"),
+        F.expr("_ymin + (_ymax - _ymin) div 4").alias("yhi"),
+    )
+    rows = (
+        base.crossJoin(F.broadcast(box))
+        .where(
+            F.col("x").between(F.col("xlo"), F.col("xhi"))
+            & F.col("y").between(F.col("ylo"), F.col("yhi"))
+        )
+        .agg(F.count("*").cast("bigint").alias("rows_matched"))
+    )
+    overlap = {
+        "x": (F.col("xlo"), F.col("xhi")),
+        "y": (F.col("ylo"), F.col("yhi")),
+    }
+    parts = []
+    for name, order in [
+        ("bydim", [F.col("x"), F.col("event_id")]),
+        ("natural", [F.col("event_id")]),
+        ("zorder", [F.col("z"), F.col("event_id")]),
+    ]:
+        mm = file_minmax(
+            layout_files(base, order, LAYOUT_FILES), "file_id", ["x", "y"]
+        )
+        parts.append(
+            mm.crossJoin(F.broadcast(box)).agg(
+                F.lit(name).alias("layout"),
+                F.lit(LAYOUT_FILES).cast("bigint").alias("files_total"),
+                F.sum(
+                    F.when(files_touched(mm, overlap), 1).otherwise(0)
+                ).cast("bigint").alias("files_touched"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(rows)).orderBy("layout")
+
+
+def _layout_prune_arm_sql(name: str, order: str) -> str:
+    return f"""
+SELECT '{name}' AS layout, {LAYOUT_FILES}::BIGINT AS files_total,
+       (SELECT count(*) FROM (
+          SELECT f, min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y
+          FROM (SELECT *, ntile({LAYOUT_FILES}) OVER (ORDER BY {order}) AS f
+                FROM bz) GROUP BY f) mm, box
+        WHERE mm.min_x <= box.xhi AND mm.max_x >= box.xlo
+          AND mm.min_y <= box.yhi AND mm.max_y >= box.ylo
+       )::BIGINT AS files_touched,
+       (SELECT count(*) FROM bz, box
+        WHERE x BETWEEN box.xlo AND box.xhi
+          AND y BETWEEN box.ylo AND box.yhi)::BIGINT AS rows_matched
+"""
+
+
+LAYOUT_ZORDER_PRUNE_SQL = f"""
+WITH {_LAYOUT_BASE_SQL},
+bx AS (SELECT max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM bz),
+box AS MATERIALIZED (
+  SELECT xmax // 4 AS xlo, xmax // 2 AS xhi,
+         ymin AS ylo, ymin + (ymax - ymin) // 4 AS yhi
+  FROM bx
+)
+{_layout_prune_arm_sql("bydim", "x, event_id")}
+UNION ALL
+{_layout_prune_arm_sql("natural", "event_id")}
+UNION ALL
+{_layout_prune_arm_sql("zorder", "z, event_id")}
+ORDER BY layout
+"""
+
+QUERIES["layout_zorder_prune"] = layout_zorder_prune
+ORACLES["layout_zorder_prune"] = LAYOUT_ZORDER_PRUNE_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
 # therefore the gate-evidence budget.  Round-9 window (exactly 50):
-#   1. the eight gates with ZERO driver evidence: the round-8 tokenizer
+#   1. the ten gates with ZERO driver evidence: the round-8 tokenizer
 #      APPLY family (text_bpe_encode / text_unigram_encode /
 #      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
-#      text_unigram_vocab_mb), and the round-9 sketch family
-#      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys);
+#      text_unigram_vocab_mb), the round-9 sketch family
+#      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys),
+#      and the round-9 layout family (layout_zvalue,
+#      layout_zorder_prune);
 #   2. the two gates whose code/oracle changed this round:
 #      text_unigram_vocab (ASCII precondition lifted) and
 #      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
 #   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
 #      back this round per that window's comment);
-#   4. 21 of the 45 r6-vintage rows (oldest evidence otherwise,
+#   4. 19 of the 45 r6-vintage rows (oldest evidence otherwise,
 #      alphabetical within vintage).
-# The 24 r6 rows deferred to round 10 all keep in-window kin: the
+# The 26 r6 rows deferred to round 10 all keep in-window kin: the
 # streaming family shares the ingest/stateful kernels exercised by the
 # two r8-green LSH ingest gates; v_batch_search pairs with in-window
 # v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
@@ -6638,6 +6824,7 @@ _RUN_FIRST = [
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
     "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
+    "layout_zvalue", "layout_zorder_prune",
     # -- 2: code/oracle touched this round
     "text_unigram_vocab", "text_bpe_vocab",
     # -- 3: the full 19-row r5-deferral queue
@@ -6655,8 +6842,7 @@ _RUN_FIRST = [
     "multimodal_phash_dups", "multimodal_video_dups", "payload_contains",
     "pipeline_mix_temperature", "pipeline_pack_sequences",
     "q14_promo_revenue", "q3_topk_revenue", "q5_nation_revenue",
-    "q_above_avg_orders", "q_anti_join", "q_approx_distinct",
-    "q_case_boost",
+    "q_above_avg_orders", "q_anti_join",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

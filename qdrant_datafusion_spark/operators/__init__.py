@@ -13,6 +13,8 @@
                    quality, sequence packing
 - ``sketch``     — count-min sketch frequency estimation + hot-key skew
                    diagnostics (feeds the salted join)
+- ``layout``     — Z-order (Morton) data layout for multi-dimensional
+                   file skipping, with the footer-stats prune model
 - ``temporal``   — as-of join (union + keyed carry, no pair join) and
                    point-in-interval join
 """
@@ -91,4 +93,12 @@ from qdrant_datafusion_spark.operators.sketch import (  # noqa: F401
     cms_estimate,
     cms_heavy_hitters,
     skew_hot_keys,
+)
+from qdrant_datafusion_spark.operators.layout import (  # noqa: F401
+    file_minmax,
+    files_touched,
+    layout_files,
+    z_value,
+    zorder_key,
+    zorder_layout,
 )

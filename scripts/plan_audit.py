@@ -204,6 +204,19 @@ NOTES = {
         "the BNLJ is the single-row (total, n_keys) stats broadcast over "
         "the per-key count table — the exact skew-diagnosis pass"
     ),
+    "layout_zvalue": (
+        "the BNLJ is the single-row dim-range broadcast feeding the "
+        "min-max normalization; the Morton interleave itself is a pure "
+        "codegen projection"
+    ),
+    "layout_zorder_prune": (
+        "measurement gate: the three ntile windows (one per layout arm) "
+        "are the cross-engine-deterministic stand-in for "
+        "repartitionByRange — single-partition sorts at gate scale by "
+        "design; the production write path (zorder_layout) is the range "
+        "shuffle, carried by the pytest partition-disjointness test, not "
+        "this plan.  BNLJs are single-row range/box broadcasts"
+    ),
 }
 
 
