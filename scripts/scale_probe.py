@@ -51,6 +51,9 @@ DEFAULT_OPS = [
     "text_bpe_probe",             # distinct-word collapse + 12 merge iterations
     "text_unigram_probe",         # distinct-word collapse + 3 EM iterations
     "text_langid_probe",          # ngram count shuffle + broadcast-join apply
+    "sketch_cms_autowidth",       # bounded sketch shuffle, width scaled to key count
+    "skew_hot_keys",              # keyed count + 1-row stats broadcast
+    "layout_zorder_probe",        # normalized Morton key + repartitionByRange write path
 ]
 
 
@@ -319,6 +322,54 @@ def _graph_pagerank_autoplanes(spark, sf_dir: str):
     return pagerank(edges, "src", "dst", iters=3)
 
 
+def _sketch_cms_autowidth(spark, sf_dir: str):
+    """Production form of the CMS heavy-hitter pass: width scales with
+    the distinct-key count (cms_auto_width) — the gate pins width=4096
+    so its DuckDB oracle is literal, but a fixed width saturates as the
+    key space grows (measured: at 100× data / 150k keys the 4096-bucket
+    sketch flagged every key heavy).  Width ∝ keys keeps per-key
+    collision mass constant; the sketch stays ≤ depth×width rows and
+    broadcastable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.sketch import (
+        cms_auto_width,
+        cms_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        F.col("user_id").isNotNull()
+    )
+    n_keys = ev.select("user_id").distinct().count()
+    width = cms_auto_width(n_keys)
+    return cms_heavy_hitters(ev, "user_id", depth=4, width=width, num=12, den=10)
+
+
+def _layout_zorder_probe(spark, sf_dir: str):
+    """Production z-order WRITE path at scale: normalized Morton key
+    (1-row range broadcast + codegen projection) + repartitionByRange —
+    the gate (layout_zorder_prune) measures pruning benefit through a
+    deterministic ntile harness whose global sort is measurement-only;
+    this probes the path a 100 TB write would actually take."""
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.entry_queries import _DAY_NS, _events, _floor_div
+    from qdrant_datafusion_spark.operators.layout import zorder_layout
+
+    base = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            F.col("user_id").cast("bigint").alias("x"),
+            _floor_div("ts", _DAY_NS).cast("bigint").alias("y"),
+        )
+    )
+    return zorder_layout(base, ["x", "y"], n_files=64)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -350,6 +401,8 @@ def main() -> None:
         "text_bpe_probe": _text_bpe_probe,
         "text_unigram_probe": _text_unigram_probe,
         "text_langid_probe": _text_langid_probe,
+        "layout_zorder_probe": _layout_zorder_probe,
+        "sketch_cms_autowidth": _sketch_cms_autowidth,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
