@@ -135,6 +135,7 @@ STREAMING = [
     "streaming_sessions",
     "streaming_near_dup_ingest",
     "streaming_semantic_ingest",
+    "streaming_heavy_hitters",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -196,6 +197,10 @@ TAGS = {
     "streaming_semantic_ingest": (
         "streaming ingest gate: 4-file staggered re-layout write + 4 "
         "foreachBatch micro-batches of hyperplane-LSH store filtering"
+    ),
+    "streaming_heavy_hitters": (
+        "streaming gate: 4-file re-layout + complete-mode cms_build "
+        "run (sketch mergeability proof) ahead of the batch estimate"
     ),
     "multimodal_phash_dups": (
         "includes fixture synthesis (PNG encode of 4096 images) ahead "

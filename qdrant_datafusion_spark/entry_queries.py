@@ -6611,6 +6611,59 @@ QUERIES["skew_hot_keys"] = skew_hot_keys_gate
 ORACLES["skew_hot_keys"] = SKEW_HOT_KEYS_SQL
 
 
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sketch_cms_heavy_hitters, graded by the SAME
+    oracle — the point is CMS mergeability: cell counts ADD, so the
+    UNCHANGED ``cms_build`` operator runs directly on a readStream
+    (events re-laid-out as 4 files, maxFilesPerTrigger=1) as a stateful
+    complete-mode aggregation whose state is the bounded depth×width
+    sketch, and the final sketch is bit-identical to the batch build
+    whatever the micro-batch split.  The post-stream estimate/threshold
+    math is the batch path on the drained sink table."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.operators.sketch import cms_build, cms_estimate
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_stream_cms_")
+    src = os.path.join(tmp, "src")
+    raw.repartition(4).write.parquet(src)
+    try:
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sketch = _run_stream_to_table(
+            cms_build(stream, "user_id", depth=CMS_DEPTH, width=CMS_HH_WIDTH),
+            spark,
+            "cms",
+            "complete",
+        ).localCheckpoint(eager=True)  # pin before the temp source vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cand = raw.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    est = cms_estimate(
+        cand, "user_id", sketch, depth=CMS_DEPTH, width=CMS_HH_WIDTH
+    )
+    total = sketch.where(F.col("d") == 0).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("_total")
+    )
+    nk = cand.agg(F.count("*").cast("bigint").alias("_nk"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(nk))
+        .where(F.col("est") * F.col("_nk") * SKEW_DEN > SKEW_NUM * F.col("_total"))
+        .select("user_id", F.col("est").cast("bigint").alias("est_count"))
+        .orderBy(F.desc("est_count"), "user_id")
+    )
+
+
+QUERIES["streaming_heavy_hitters"] = streaming_heavy_hitters
+ORACLES["streaming_heavy_hitters"] = SKETCH_CMS_HEAVY_HITTERS_SQL
+
+
 # ===========================================================================
 # layout family (operators/layout.py) — Z-order (Morton) multi-dimensional
 # clustering and its measured file-skipping benefit.  The gates model the
@@ -6799,21 +6852,21 @@ ORACLES["layout_zorder_prune"] = LAYOUT_ZORDER_PRUNE_SQL
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
 # therefore the gate-evidence budget.  Round-9 window (exactly 50):
-#   1. the ten gates with ZERO driver evidence: the round-8 tokenizer
-#      APPLY family (text_bpe_encode / text_unigram_encode /
+#   1. the eleven gates with ZERO driver evidence: the round-8
+#      tokenizer APPLY family (text_bpe_encode / text_unigram_encode /
 #      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
 #      text_unigram_vocab_mb), the round-9 sketch family
-#      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys),
-#      and the round-9 layout family (layout_zvalue,
-#      layout_zorder_prune);
+#      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys,
+#      streaming_heavy_hitters), and the round-9 layout family
+#      (layout_zvalue, layout_zorder_prune);
 #   2. the two gates whose code/oracle changed this round:
 #      text_unigram_vocab (ASCII precondition lifted) and
 #      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
 #   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
 #      back this round per that window's comment);
-#   4. 19 of the 45 r6-vintage rows (oldest evidence otherwise,
+#   4. 18 of the 45 r6-vintage rows (oldest evidence otherwise,
 #      alphabetical within vintage).
-# The 26 r6 rows deferred to round 10 all keep in-window kin: the
+# The 27 r6 rows deferred to round 10 all keep in-window kin: the
 # streaming family shares the ingest/stateful kernels exercised by the
 # two r8-green LSH ingest gates; v_batch_search pairs with in-window
 # v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
@@ -6824,7 +6877,7 @@ _RUN_FIRST = [
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
     "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
-    "layout_zvalue", "layout_zorder_prune",
+    "layout_zvalue", "layout_zorder_prune", "streaming_heavy_hitters",
     # -- 2: code/oracle touched this round
     "text_unigram_vocab", "text_bpe_vocab",
     # -- 3: the full 19-row r5-deferral queue
@@ -6842,7 +6895,7 @@ _RUN_FIRST = [
     "multimodal_phash_dups", "multimodal_video_dups", "payload_contains",
     "pipeline_mix_temperature", "pipeline_pack_sequences",
     "q14_promo_revenue", "q3_topk_revenue", "q5_nation_revenue",
-    "q_above_avg_orders", "q_anti_join",
+    "q_above_avg_orders",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -89,6 +89,7 @@ from qdrant_datafusion_spark.operators.video import (  # noqa: F401
     video_temporal_dups,
 )
 from qdrant_datafusion_spark.operators.sketch import (  # noqa: F401
+    cms_auto_width,
     cms_build,
     cms_estimate,
     cms_heavy_hitters,

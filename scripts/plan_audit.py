@@ -204,6 +204,13 @@ NOTES = {
         "the BNLJ is the single-row (total, n_keys) stats broadcast over "
         "the per-key count table — the exact skew-diagnosis pass"
     ),
+    "streaming_heavy_hitters": (
+        "the sketch is built DURING construction by a real complete-mode "
+        "streaming run of the unchanged cms_build (4-file re-layout, "
+        "maxFilesPerTrigger=1) and pinned via eager localCheckpoint, so "
+        "the audited plan is the batch estimate/threshold math over a "
+        "LogicalRDD sketch + broadcast stat joins"
+    ),
     "layout_zvalue": (
         "the BNLJ is the single-row dim-range broadcast feeding the "
         "min-max normalization; the Morton interleave itself is a pure "
