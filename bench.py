@@ -118,6 +118,7 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "sketch_cms_error",
     "skew_hot_keys",
+    "sketch_join_size",
     "layout_zvalue",
     "layout_zorder_prune",
 ]

@@ -6611,6 +6611,75 @@ QUERIES["skew_hot_keys"] = skew_hot_keys_gate
 ORACLES["skew_hot_keys"] = SKEW_HOT_KEYS_SQL
 
 
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone (the CMS inner
+    product): estimate |orders ⋈ customer on custkey| without scanning
+    either table again, alongside the exact count — one row of
+    (est_pairs, exact_pairs, err).  err ≥ 0 always (inner product min
+    over depth lanes is overestimate-only), so the estimate is a safe
+    upper bound for shuffle planning.  The gate pins width=4096 for the
+    literal oracle; the inner-product error grows ~|keys|²/width, so a
+    production caller sizes width with cms_auto_width (the measured err
+    column IS that lesson: 0 at sf0.001, +33% at sf0.01, +362% at
+    sf0.1 — all safe-side)."""
+    from qdrant_datafusion_spark.operators.sketch import cms_build, cms_join_size
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sa = cms_build(orders, "o_custkey", depth=CMS_DEPTH, width=CMS_HH_WIDTH)
+    sb = cms_build(cust, "c_custkey", depth=CMS_DEPTH, width=CMS_HH_WIDTH)
+    est = cms_join_size(sa, sb)
+    exact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count("*").cast("bigint").alias("exact_pairs"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_pairs",
+            "exact_pairs",
+            (F.col("est_pairs") - F.col("exact_pairs")).cast("bigint").alias("err"),
+        )
+    )
+
+
+def _cms_sketch_sql(keys_cte: str, width: int) -> str:
+    """Sketch CTE body over a 1-column (k VARCHAR) key source."""
+    h = (
+        "('0x' || substr(md5('cms' || d || ':' || k), 1, 8))::BIGINT % "
+        + str(width)
+    )
+    return f"SELECT d, {h} AS b, count(*)::BIGINT AS cnt FROM {keys_cte} CROSS JOIN ds GROUP BY 1, 2"
+
+
+SKETCH_JOIN_SIZE_SQL = f"""
+WITH ka AS MATERIALIZED (
+  SELECT o_custkey::VARCHAR AS k FROM orders WHERE o_custkey IS NOT NULL
+),
+kb AS MATERIALIZED (
+  SELECT c_custkey::VARCHAR AS k FROM customer WHERE c_custkey IS NOT NULL
+),
+ds AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d),
+sa AS MATERIALIZED ({_cms_sketch_sql("ka", CMS_HH_WIDTH)}),
+sb AS MATERIALIZED ({_cms_sketch_sql("kb", CMS_HH_WIDTH)}),
+lane AS (
+  SELECT sa.d, sum(sa.cnt * sb.cnt)::BIGINT AS dot
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY 1
+),
+est AS (SELECT coalesce(min(dot), 0)::BIGINT AS est_pairs FROM lane),
+ex AS (
+  SELECT count(*)::BIGINT AS exact_pairs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT est.est_pairs, ex.exact_pairs,
+       (est.est_pairs - ex.exact_pairs)::BIGINT AS err
+FROM est, ex
+"""
+
+QUERIES["sketch_join_size"] = sketch_join_size
+ORACLES["sketch_join_size"] = SKETCH_JOIN_SIZE_SQL
+
+
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sketch_cms_heavy_hitters, graded by the SAME
     oracle — the point is CMS mergeability: cell counts ADD, so the
@@ -6852,21 +6921,21 @@ ORACLES["layout_zorder_prune"] = LAYOUT_ZORDER_PRUNE_SQL
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
 # therefore the gate-evidence budget.  Round-9 window (exactly 50):
-#   1. the eleven gates with ZERO driver evidence: the round-8
+#   1. the twelve gates with ZERO driver evidence: the round-8
 #      tokenizer APPLY family (text_bpe_encode / text_unigram_encode /
 #      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
 #      text_unigram_vocab_mb), the round-9 sketch family
 #      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys,
-#      streaming_heavy_hitters), and the round-9 layout family
-#      (layout_zvalue, layout_zorder_prune);
+#      streaming_heavy_hitters, sketch_join_size), and the round-9
+#      layout family (layout_zvalue, layout_zorder_prune);
 #   2. the two gates whose code/oracle changed this round:
 #      text_unigram_vocab (ASCII precondition lifted) and
 #      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
 #   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
 #      back this round per that window's comment);
-#   4. 18 of the 45 r6-vintage rows (oldest evidence otherwise,
+#   4. 17 of the 45 r6-vintage rows (oldest evidence otherwise,
 #      alphabetical within vintage).
-# The 27 r6 rows deferred to round 10 all keep in-window kin: the
+# The 28 r6 rows deferred to round 10 all keep in-window kin: the
 # streaming family shares the ingest/stateful kernels exercised by the
 # two r8-green LSH ingest gates; v_batch_search pairs with in-window
 # v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
@@ -6878,6 +6947,7 @@ _RUN_FIRST = [
     "text_unigram_encode", "pipeline_pack_bpe",
     "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
     "layout_zvalue", "layout_zorder_prune", "streaming_heavy_hitters",
+    "sketch_join_size",
     # -- 2: code/oracle touched this round
     "text_unigram_vocab", "text_bpe_vocab",
     # -- 3: the full 19-row r5-deferral queue
@@ -6895,7 +6965,6 @@ _RUN_FIRST = [
     "multimodal_phash_dups", "multimodal_video_dups", "payload_contains",
     "pipeline_mix_temperature", "pipeline_pack_sequences",
     "q14_promo_revenue", "q3_topk_revenue", "q5_nation_revenue",
-    "q_above_avg_orders",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -93,6 +93,7 @@ from qdrant_datafusion_spark.operators.sketch import (  # noqa: F401
     cms_build,
     cms_estimate,
     cms_heavy_hitters,
+    cms_join_size,
     skew_hot_keys,
 )
 from qdrant_datafusion_spark.operators.layout import (  # noqa: F401

@@ -48,6 +48,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "cms_heavy_hitters",
+    "cms_join_size",
     "skew_hot_keys",
 ]
 
@@ -168,6 +169,31 @@ def cms_heavy_hitters(
         .crossJoin(F.broadcast(nk))
         .where(F.col("est") * F.col("_nk") * den > num * F.col("_total"))
         .select(key_col, F.col("est").cast("bigint").alias("est"))
+    )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, out_col: str = "est_pairs"
+) -> DataFrame:
+    """Estimate an equi-join's output cardinality from the two sides'
+    sketches alone — the classic CMS inner product: per depth lane,
+    Σ_buckets cntA·cntB, then min over lanes.  Overestimate-only, like
+    point queries, so the estimate is a safe upper bound for shuffle
+    planning (reducer sizing, broadcast-vs-SMJ choice, salt decisions)
+    WITHOUT scanning either table again: both operands are
+    ≤ depth×width-row summaries.  The whole computation is one
+    broadcast-to-broadcast join of two tiny tables — driver-free,
+    milliseconds at any data scale.  Sketches must share (depth, width,
+    and the hash family — automatic for cms_build outputs)."""
+    j = sketch_a.alias("a").join(
+        F.broadcast(sketch_b.alias("b")),
+        (F.col("a.d") == F.col("b.d")) & (F.col("a.b") == F.col("b.b")),
+    )
+    per_lane = j.groupBy(F.col("a.d").alias("d")).agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("_dot")
+    )
+    return per_lane.agg(
+        F.coalesce(F.min("_dot"), F.lit(0)).cast("bigint").alias(out_col)
     )
 
 

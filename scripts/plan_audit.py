@@ -204,6 +204,12 @@ NOTES = {
         "the BNLJ is the single-row (total, n_keys) stats broadcast over "
         "the per-key count table — the exact skew-diagnosis pass"
     ),
+    "sketch_join_size": (
+        "two bounded sketch builds (one shuffle each), a broadcast "
+        "sketch-to-sketch cell join, and the exact-count SMJ the gate "
+        "carries only to grade the estimate — a production caller runs "
+        "just the sketch half"
+    ),
     "streaming_heavy_hitters": (
         "the sketch is built DURING construction by a real complete-mode "
         "streaming run of the unchanged cms_build (4-file re-layout, "

@@ -14,9 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.operators.sketch import (
+    cms_auto_width,
     cms_build,
     cms_estimate,
     cms_heavy_hitters,
+    cms_join_size,
     skew_hot_keys,
 )
 
@@ -93,6 +95,52 @@ class TestCms:
         df = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
         sk = cms_build(df, "k", depth=2, width=16)
         assert sk.agg(F.sum("cnt")).collect()[0][0] == 2 * 2  # 2 rows × 2 depths
+
+
+class TestCmsJoinSize:
+    def test_never_underestimates_and_auto_width_is_tight(self, spark):
+        a = spark.createDataFrame(
+            [(f"k{i % 40}",) for i in range(400)], "k string"
+        )
+        b = spark.createDataFrame(
+            [(f"k{i}",) for i in range(0, 80, 2)], "k string"
+        )
+        # exact: keys k0..k38 even appear 10x in a, once in b -> 20*10
+        exact = 200
+        # collision-heavy sketches still bound from above
+        sa = cms_build(a, "k", depth=3, width=16)
+        sb = cms_build(b, "k", depth=3, width=16)
+        est = cms_join_size(sa, sb).collect()[0]["est_pairs"]
+        assert est >= exact
+        # auto-sized width: error bounded by the CMS guarantee
+        # (expected extra mass per lane = |a|·|b|/width)
+        w = cms_auto_width(40)
+        sa = cms_build(a, "k", depth=4, width=w)
+        sb = cms_build(b, "k", depth=4, width=w)
+        est = cms_join_size(sa, sb).collect()[0]["est_pairs"]
+        assert exact <= est <= exact + 3 * (400 * 40) // w
+        # a width far above the key mass drives the noise to ~zero
+        sa = cms_build(a, "k", depth=4, width=65536)
+        sb = cms_build(b, "k", depth=4, width=65536)
+        est = cms_join_size(sa, sb).collect()[0]["est_pairs"]
+        assert est == exact
+
+    def test_disjoint_keys_estimate_near_zero(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+        w = cms_auto_width(100)
+        sa = cms_build(a, "k", depth=4, width=w)
+        sb = cms_build(b, "k", depth=4, width=w)
+        est = cms_join_size(sa, sb).collect()[0]["est_pairs"]
+        assert est <= 5  # only hash-collision noise
+
+
+class TestCmsAutoWidth:
+    def test_power_of_two_and_load(self):
+        assert cms_auto_width(40) == 256      # 40/0.25=160 -> 256
+        assert cms_auto_width(1500) == 8192
+        assert cms_auto_width(1) == 64        # floor
+        assert cms_auto_width(150_000) == 1 << 20
 
 
 class TestSkewHotKeys:
