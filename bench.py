@@ -121,6 +121,7 @@ HEADLINE = [
     "sketch_join_size",
     "layout_zvalue",
     "layout_zorder_prune",
+    "pipeline_weighted_sample",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

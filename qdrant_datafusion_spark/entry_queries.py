@@ -6680,6 +6680,38 @@ QUERIES["sketch_join_size"] = sketch_join_size
 ORACLES["sketch_join_size"] = SKETCH_JOIN_SIZE_SQL
 
 
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) of 100 documents with
+    weight = text length + 1: inclusion ∝ weight, without replacement,
+    deterministic per (id, seed), re-rollable by seed — the
+    weight-aware counterpart of hash_split's uniform sampling.  The
+    plan is one narrow projection + TakeOrderedAndProject (no global
+    sort); all arithmetic is the BIGINT fixed-point (w·10^12) div u."""
+    from qdrant_datafusion_spark.operators.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", (F.coalesce(F.length("text"), F.lit(0)) + 1).cast("bigint")
+    )
+    return weighted_sample(docs, "doc_id", "w", k=100, seed=0).select(
+        "doc_id", "w", "priority"
+    )
+
+
+PIPELINE_WEIGHTED_SAMPLE_SQL = """
+WITH wt AS (
+  SELECT doc_id, (coalesce(len(text), 0) + 1)::BIGINT AS w,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':' || '0'), 1, 8))::BIGINT
+          + 1) AS u
+  FROM documents
+)
+SELECT doc_id, w, (w * 1000000000000) // u AS priority
+FROM wt ORDER BY priority DESC, doc_id LIMIT 100
+"""
+
+QUERIES["pipeline_weighted_sample"] = pipeline_weighted_sample
+ORACLES["pipeline_weighted_sample"] = PIPELINE_WEIGHTED_SAMPLE_SQL
+
+
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sketch_cms_heavy_hitters, graded by the SAME
     oracle — the point is CMS mergeability: cell counts ADD, so the
@@ -6921,21 +6953,22 @@ ORACLES["layout_zorder_prune"] = LAYOUT_ZORDER_PRUNE_SQL
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
 # therefore the gate-evidence budget.  Round-9 window (exactly 50):
-#   1. the twelve gates with ZERO driver evidence: the round-8
+#   1. the thirteen gates with ZERO driver evidence: the round-8
 #      tokenizer APPLY family (text_bpe_encode / text_unigram_encode /
 #      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
 #      text_unigram_vocab_mb), the round-9 sketch family
 #      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys,
-#      streaming_heavy_hitters, sketch_join_size), and the round-9
-#      layout family (layout_zvalue, layout_zorder_prune);
+#      streaming_heavy_hitters, sketch_join_size), the round-9 layout
+#      family (layout_zvalue, layout_zorder_prune), and
+#      pipeline_weighted_sample;
 #   2. the two gates whose code/oracle changed this round:
 #      text_unigram_vocab (ASCII precondition lifted) and
 #      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
 #   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
 #      back this round per that window's comment);
-#   4. 17 of the 45 r6-vintage rows (oldest evidence otherwise,
+#   4. 16 of the 45 r6-vintage rows (oldest evidence otherwise,
 #      alphabetical within vintage).
-# The 28 r6 rows deferred to round 10 all keep in-window kin: the
+# The 29 r6 rows deferred to round 10 all keep in-window kin: the
 # streaming family shares the ingest/stateful kernels exercised by the
 # two r8-green LSH ingest gates; v_batch_search pairs with in-window
 # v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
@@ -6947,7 +6980,7 @@ _RUN_FIRST = [
     "text_unigram_encode", "pipeline_pack_bpe",
     "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
     "layout_zvalue", "layout_zorder_prune", "streaming_heavy_hitters",
-    "sketch_join_size",
+    "sketch_join_size", "pipeline_weighted_sample",
     # -- 2: code/oracle touched this round
     "text_unigram_vocab", "text_bpe_vocab",
     # -- 3: the full 19-row r5-deferral queue
@@ -6964,7 +6997,7 @@ _RUN_FIRST = [
     "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
     "multimodal_phash_dups", "multimodal_video_dups", "payload_contains",
     "pipeline_mix_temperature", "pipeline_pack_sequences",
-    "q14_promo_revenue", "q3_topk_revenue", "q5_nation_revenue",
+    "q14_promo_revenue", "q3_topk_revenue",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

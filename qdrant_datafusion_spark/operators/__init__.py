@@ -68,6 +68,7 @@ from qdrant_datafusion_spark.operators.pipeline import (  # noqa: F401
     hash_split,
     pack_sequences,
     repetition_stats,
+    weighted_sample,
 )
 from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     as_of_join,

@@ -56,6 +56,7 @@ __all__ = [
     "temperature_rates",
     "global_shuffle",
     "dsir_select",
+    "weighted_sample",
 ]
 
 
@@ -1327,4 +1328,57 @@ def dsir_select(
             "score9",
             (F.col("_pos") + 1).cast("long").alias("sel_rank"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — priority sampling (Duffield–Lund–Thorup)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    out_col: str = "priority",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement of ``k`` rows:
+    priority sampling — each row gets ``q_i = w_i / u_i`` for a
+    uniform ``u_i``, and the top-k priorities are the sample (heavier
+    rows need less luck to place).  Inclusion probability is
+    ~proportional to weight, the estimator family built on it is
+    unbiased (Duffield, Lund, Thorup, JACM 2007), and re-rolling is one
+    seed change away while staying fully deterministic per (id, seed).
+
+    Engine-exact arithmetic: ``u_i`` is the md5-derived integer in
+    [1, 2^32] and the priority is the fixed-point ``(w·10^12) div u``
+    (BIGINT, truncating division — safe for weights up to ~9·10^6),
+    ties broken by id ascending — so Spark, DuckDB, and Python rank
+    identically with no float anywhere.
+
+    Scale shape: a narrow projection (md5 + one division) followed by
+    top-k — Catalyst plans ``orderBy(...).limit(k)`` as
+    TakeOrderedAndProject (per-partition heaps + a k-row merge), NO
+    global sort, no shuffle of the data itself.  The 100 TB cost is one
+    scan.  Weights must be positive integers (cast/scale upstream)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    pri = F.expr(f"({weight_col} * 1000000000000) div _u")
+    return (
+        df.withColumn("_u", u)
+        .withColumn(out_col, pri)
+        .drop("_u")
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(k)
     )

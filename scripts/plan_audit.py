@@ -204,6 +204,10 @@ NOTES = {
         "the BNLJ is the single-row (total, n_keys) stats broadcast over "
         "the per-key count table — the exact skew-diagnosis pass"
     ),
+    "pipeline_weighted_sample": (
+        "narrow md5+division projection into TakeOrderedAndProject — "
+        "per-partition top-k heaps, no global sort, zero data shuffle"
+    ),
     "sketch_join_size": (
         "two bounded sketch builds (one shuffle each), a broadcast "
         "sketch-to-sketch cell join, and the exact-count SMJ the gate "

@@ -163,3 +163,32 @@ class TestSkewHotKeys:
             [(f"k{i % 10}",) for i in range(100)], "k string"
         )
         assert skew_hot_keys(df, "k", num=12, den=10).count() == 0
+
+
+class TestWeightedSample:
+    """Priority sampling (pipeline.weighted_sample) — statistical and
+    plan-shape invariants (kept here with the other round-9 sampling /
+    diagnostics operators)."""
+
+    def test_deterministic_and_weight_biased(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import weighted_sample
+
+        rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        a = weighted_sample(df, "id", "w", k=60, seed=7).collect()
+        b = weighted_sample(df, "id", "w", k=60, seed=7).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        heavy_in = sum(1 for r in a if r["id"] < 50)
+        # 50 heavy rows carry ~95% of total weight; nearly all must place
+        assert heavy_in >= 45
+        # different seed -> different light-tail selection
+        c = weighted_sample(df, "id", "w", k=60, seed=8).collect()
+        assert {r["id"] for r in a} != {r["id"] for r in c}
+
+    def test_plan_is_take_ordered(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import weighted_sample
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(100)], "id long, w long")
+        plan = weighted_sample(df, "id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan or "rangepartitioning" not in plan.lower()
