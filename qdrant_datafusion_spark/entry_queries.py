@@ -6680,6 +6680,318 @@ QUERIES["sketch_join_size"] = sketch_join_size
 ORACLES["sketch_join_size"] = SKETCH_JOIN_SIZE_SQL
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct sketches (operators/sketch.py) — bounded-size distinct
+# counting and sketch-level set algebra (union / intersection / Jaccard),
+# the COUNT(DISTINCT) complement of the CMS frequency gates above.  All
+# md5/BIGINT arithmetic: sketch rows, estimates, and error stats are
+# bit-identical across engines, so every gate is a full value oracle that
+# grades the estimate against the exact answer computed in the same query.
+# ---------------------------------------------------------------------------
+
+KMV_K_DISTINCT = 256   # ~1/sqrt(k) ≈ 6% expected relative error
+KMV_K_JACCARD = 512    # set-op gate: tighter sketches for ρ stability
+KMV_K_GROUPS = 128     # per-group sketches: bounded k × n_groups rows
+KMV_ERR_BOUND_MICRO = 250_000   # 25% ≈ 4/sqrt(256): generous, stable
+KMV_J_BOUND_MICRO = 140_000     # |estJ − exactJ| ≤ 0.14 ≈ 3/sqrt(512)
+
+#: DuckDB twin of operators.sketch.kmv_hash over a VARCHAR expression
+_KMV_H = "('0x' || substr(md5('kmv:' || {k}), 1, 8))::BIGINT"
+#: DuckDB twin of the saturated-sketch estimator for sketch stats
+#: (n_sketch, kth_hash) at a given k — exact below saturation
+_KMV_EST = (
+    "CASE WHEN n_sketch < {k} THEN n_sketch"
+    " ELSE ({km1} * 4294967296) // greatest(kth_hash, 1) END::BIGINT"
+)
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimation over orders.o_custkey, graded
+    in-query against the exact COUNT(DISTINCT): one row of (k, n_sketch,
+    kth_hash, est_distinct, exact_distinct, err_micro, within_bound).
+    At sf0.001 the 150-key stream undersaturates the k=256 sketch so the
+    estimate IS exact (the n < k branch); at sf0.01/sf0.1 the estimator
+    runs and lands within 8% — the gate asserts the 4/√k bound.  The
+    exact count the gate carries is only the grader; a production caller
+    runs just the sketch half: one map-side-combined distinct over the
+    32-bit hash + a k-row TakeOrderedAndProject, never a full
+    COUNT(DISTINCT) shuffle of the raw keys."""
+    from qdrant_datafusion_spark.operators.sketch import kmv_build, kmv_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    k = KMV_K_DISTINCT
+    est = kmv_estimate(kmv_build(orders, "o_custkey", k), k)
+    exact = orders.where(F.col("o_custkey").isNotNull()).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_sketch",
+        "kth_hash",
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "abs(est_distinct - exact_distinct) * 1000000"
+            " div greatest(exact_distinct, 1)"
+        ).cast("bigint").alias("err_micro"),
+        F.expr(
+            f"abs(est_distinct - exact_distinct) * 1000000"
+            f" div greatest(exact_distinct, 1) <= {KMV_ERR_BOUND_MICRO}"
+        ).alias("within_bound"),
+    )
+
+
+SKETCH_KMV_DISTINCT_SQL = f"""
+WITH hs AS MATERIALIZED (
+  SELECT DISTINCT {_KMV_H.format(k="o_custkey::VARCHAR")} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+sk AS MATERIALIZED (SELECT h FROM hs ORDER BY h LIMIT {KMV_K_DISTINCT}),
+st AS (
+  SELECT count(*)::BIGINT AS n_sketch,
+         coalesce(max(h), 0)::BIGINT AS kth_hash
+  FROM sk
+),
+ex AS (
+  SELECT count(DISTINCT o_custkey)::BIGINT AS exact_distinct
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+e AS (
+  SELECT n_sketch, kth_hash,
+         {_KMV_EST.format(k=KMV_K_DISTINCT, km1=KMV_K_DISTINCT - 1)}
+           AS est_distinct
+  FROM st
+)
+SELECT {KMV_K_DISTINCT}::INT AS k, n_sketch, kth_hash, est_distinct,
+       exact_distinct,
+       (abs(est_distinct - exact_distinct) * 1000000
+        // greatest(exact_distinct, 1))::BIGINT AS err_micro,
+       (abs(est_distinct - exact_distinct) * 1000000
+        // greatest(exact_distinct, 1)) <= {KMV_ERR_BOUND_MICRO}
+         AS within_bound
+FROM e, ex
+"""
+
+QUERIES["sketch_kmv_distinct"] = sketch_kmv_distinct
+ORACLES["sketch_kmv_distinct"] = SKETCH_KMV_DISTINCT_SQL
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-level set algebra (Broder over the merged KMV sketch):
+    A = custkeys with a >400k order, B = custkeys with an URGENT order —
+    two genuinely overlapping sets (J ≈ 0.77 at every SF).  One row:
+    the merged sketch's union/intersection/Jaccard estimates next to
+    the exact values, with the |estJ − exactJ| ≤ 3/√k assertion.  This
+    is the operation COUNT(DISTINCT) cannot decompose into: both input
+    sketches are ≤ k rows, merge + ρ are broadcast semi-joins over
+    bounded tables, and neither original stream is rescanned — at
+    sf0.001 the union undersaturates the sketch and every estimate
+    collapses to exact, proving the n < k branch cross-engine."""
+    from qdrant_datafusion_spark.operators.sketch import (
+        kmv_build,
+        kmv_set_estimates,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    k = KMV_K_JACCARD
+    a = kmv_build(orders.where(F.col("o_totalprice") > 400000), "o_custkey", k)
+    b = kmv_build(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"), "o_custkey", k
+    )
+    est = kmv_set_estimates(a, b, k)
+    exact = orders.agg(
+        F.count_distinct(
+            F.when(
+                (F.col("o_totalprice") > 400000)
+                | (F.col("o_orderpriority") == "1-URGENT"),
+                F.col("o_custkey"),
+            )
+        ).cast("bigint").alias("exact_union"),
+        F.count_distinct(
+            F.when(F.col("o_totalprice") > 400000, F.col("o_custkey"))
+        ).cast("bigint").alias("_na"),
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).cast("bigint").alias("_nb"),
+    ).select(
+        "exact_union",
+        (F.col("_na") + F.col("_nb") - F.col("exact_union"))
+        .cast("bigint")
+        .alias("exact_intersect"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_merged",
+        "kth_hash",
+        "est_union",
+        "rho",
+        "jaccard_micro",
+        "est_intersect",
+        "exact_union",
+        "exact_intersect",
+        F.expr(
+            "exact_intersect * 1000000 div greatest(exact_union, 1)"
+        ).cast("bigint").alias("exact_jaccard_micro"),
+        F.expr(
+            "abs(jaccard_micro - exact_intersect * 1000000"
+            f" div greatest(exact_union, 1)) <= {KMV_J_BOUND_MICRO}"
+        ).alias("j_err_ok"),
+    )
+
+
+SKETCH_KMV_JACCARD_SQL = f"""
+WITH ha AS MATERIALIZED (
+  SELECT DISTINCT {_KMV_H.format(k="o_custkey::VARCHAR")} AS h
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice > 400000
+),
+hb AS MATERIALIZED (
+  SELECT DISTINCT {_KMV_H.format(k="o_custkey::VARCHAR")} AS h
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT'
+),
+sa AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT {KMV_K_JACCARD}),
+sb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT {KMV_K_JACCARD}),
+mg AS MATERIALIZED (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {KMV_K_JACCARD}
+),
+st AS (
+  SELECT count(*)::BIGINT AS n_merged,
+         coalesce(max(h), 0)::BIGINT AS kth_hash
+  FROM mg
+),
+rh AS (
+  SELECT count(*)::BIGINT AS rho FROM mg
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+),
+eu AS (
+  SELECT n_sketch, kth_hash,
+         {_KMV_EST.format(k=KMV_K_JACCARD, km1=KMV_K_JACCARD - 1)}
+           AS est_union
+  FROM (SELECT n_merged AS n_sketch, kth_hash FROM st)
+),
+ex AS (
+  SELECT count(DISTINCT CASE WHEN o_totalprice > 400000
+                               OR o_orderpriority = '1-URGENT'
+                             THEN o_custkey END)::BIGINT AS exact_union,
+         (count(DISTINCT CASE WHEN o_totalprice > 400000
+                              THEN o_custkey END)
+          + count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN o_custkey END)
+          - count(DISTINCT CASE WHEN o_totalprice > 400000
+                                  OR o_orderpriority = '1-URGENT'
+                                THEN o_custkey END))::BIGINT
+           AS exact_intersect
+  FROM orders
+)
+SELECT {KMV_K_JACCARD}::INT AS k, st.n_merged, st.kth_hash, eu.est_union,
+       rh.rho,
+       (rh.rho * 1000000 // greatest(st.n_merged, 1))::BIGINT
+         AS jaccard_micro,
+       (rh.rho * eu.est_union // greatest(st.n_merged, 1))::BIGINT
+         AS est_intersect,
+       ex.exact_union, ex.exact_intersect,
+       (ex.exact_intersect * 1000000 // greatest(ex.exact_union, 1))::BIGINT
+         AS exact_jaccard_micro,
+       abs(rh.rho * 1000000 // greatest(st.n_merged, 1)
+           - ex.exact_intersect * 1000000 // greatest(ex.exact_union, 1))
+         <= {KMV_J_BOUND_MICRO} AS j_err_ok
+FROM st, rh, eu, ex
+"""
+
+QUERIES["sketch_kmv_jaccard"] = sketch_kmv_jaccard
+ORACLES["sketch_kmv_jaccard"] = SKETCH_KMV_JACCARD_SQL
+
+
+def sketch_kmv_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV: distinct users per event_type from ≤ k-row
+    per-group sketches, graded against the exact per-group
+    COUNT(DISTINCT) — one row per type of (event_type, n_sketch,
+    kth_hash, est_distinct, exact_distinct, err_micro, within_bound).
+    The sketch build is one distinct over (group, hash) + one rank
+    window; at 100 TB the output stays k × n_groups rows, and the
+    sketches merge across ingest batches (kmv_merge) where exact
+    per-group distinct counts would each need a full re-shuffle."""
+    from qdrant_datafusion_spark.operators.sketch import (
+        kmv_build_grouped,
+        kmv_estimate_grouped,
+    )
+
+    ev = _events(spark, sf_dir)
+    k = KMV_K_GROUPS
+    est = kmv_estimate_grouped(
+        kmv_build_grouped(ev, "event_type", "user_id", k), "event_type", k
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+        )
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_sketch",
+            "kth_hash",
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000000"
+                " div greatest(exact_distinct, 1)"
+            ).cast("bigint").alias("err_micro"),
+            F.expr(
+                f"abs(est_distinct - exact_distinct) * 1000000"
+                f" div greatest(exact_distinct, 1) <= {KMV_ERR_BOUND_MICRO}"
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_KMV_GROUPS_SQL = f"""
+WITH hs AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         {_KMV_H.format(k="user_id::VARCHAR")} AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+sk AS MATERIALIZED (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hs) WHERE rn <= {KMV_K_GROUPS}
+),
+st AS (
+  SELECT event_type, count(*)::BIGINT AS n_sketch,
+         max(h)::BIGINT AS kth_hash
+  FROM sk GROUP BY 1
+),
+e AS (
+  SELECT event_type, n_sketch, kth_hash,
+         {_KMV_EST.format(k=KMV_K_GROUPS, km1=KMV_K_GROUPS - 1)}
+           AS est_distinct
+  FROM st
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type, e.n_sketch, e.kth_hash, e.est_distinct,
+       ex.exact_distinct,
+       (abs(e.est_distinct - ex.exact_distinct) * 1000000
+        // greatest(ex.exact_distinct, 1))::BIGINT AS err_micro,
+       (abs(e.est_distinct - ex.exact_distinct) * 1000000
+        // greatest(ex.exact_distinct, 1)) <= {KMV_ERR_BOUND_MICRO}
+         AS within_bound
+FROM e JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+QUERIES["sketch_kmv_groups"] = sketch_kmv_groups
+ORACLES["sketch_kmv_groups"] = SKETCH_KMV_GROUPS_SQL
+
+
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield–Lund–Thorup) of 100 documents with
     weight = text length + 1: inclusion ∝ weight, without replacement,

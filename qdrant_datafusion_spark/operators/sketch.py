@@ -1,4 +1,4 @@
-"""Count-min sketch frequency estimation + hot-key skew diagnostics.
+"""Bounded-size sketches: CMS frequency, KMV distinct, skew diagnostics.
 
 Beyond-reference pipeline surface (the reference engine has no sketch
 support): the two operators a shuffle-heavy 100 TB pipeline needs
@@ -40,7 +40,7 @@ Scale shape (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -49,8 +49,18 @@ __all__ = [
     "cms_estimate",
     "cms_heavy_hitters",
     "cms_join_size",
+    "kmv_build",
+    "kmv_build_grouped",
+    "kmv_estimate",
+    "kmv_estimate_grouped",
+    "kmv_merge",
+    "kmv_set_estimates",
     "skew_hot_keys",
 ]
+
+#: KMV hash space: 8 hex chars of md5 → [0, 2^32), non-negative BIGINT
+#: on every engine (same convention as the CMS/MinHash bucket hashes).
+KMV_SPACE = 1 << 32
 
 
 def cms_auto_width(n_keys: int, load: float = 0.25, floor: int = 64) -> int:
@@ -226,5 +236,194 @@ def skew_hot_keys(
             key_col,
             F.col("cnt").cast("bigint").alias("cnt"),
             F.expr("cnt * _nk * 1000000 div _total").alias("ratio_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the distinct-count complement of
+# the CMS frequency sketch above.  Bar-Yossef et al. 2002's estimator: keep
+# the k smallest distinct hash values of the key stream; if fewer than k
+# distinct hashes exist the count is exact, otherwise
+# est = (k-1) * SPACE div h_(k).  Because the sketch IS a set of hashes it
+# supports the set algebra COUNT(DISTINCT) cannot be decomposed into:
+# union (merge the sketches, keep the k smallest) and intersection/Jaccard
+# (rho = |merged ∩ A ∩ B| over the merged sketch, Broder 1997) — all from
+# bounded k-row summaries, no second pass over either stream.
+#
+# Cross-engine exactness: hashes are md5('kmv:'||key)[:8] BIGINTs, the
+# estimator is one truncating BIGINT division ((k-1)*2^32 ≤ 2^41·2^32 far
+# under 2^63 for any practical k), ratios are fixed-point micros — the
+# sketch rows, estimates, and error stats are bit-identical on Spark,
+# DuckDB, and Python.
+#
+# Scale shape (100 TB story):
+# - kmv_build: one map-side-combined distinct over the 32-bit hash (the
+#   shuffle carries at most one row per distinct hash per partition, NOT
+#   one per input row) followed by TakeOrderedAndProject — per-partition
+#   k-heaps merged on the driver, no global sort, no second shuffle.  The
+#   result is ≤ k rows regardless of input size.
+# - kmv_build_grouped: the same, keyed — distinct (group, hash) then one
+#   rank window partitioned by group; output ≤ k rows PER GROUP, so
+#   downstream joins/aggregations touch a bounded table.
+# - estimates / merges / set ops: arithmetic over ≤ k-row inputs —
+#   always broadcastable, effectively free at any data scale.
+# ---------------------------------------------------------------------------
+
+
+def kmv_hash(key: Column) -> Column:
+    """32-bit KMV hash of a key: md5('kmv:'||key)[:8] as non-negative
+    BIGINT — the same hex-prefix construction as :func:`_bucket`, under
+    a distinct salt so KMV and CMS coordinates are independent."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct key hashes of ``df[key_col]`` as a one-
+    column DataFrame ``h`` (≤ k rows).  NULL keys are excluded.
+
+    Plan: hash projection → partial+final HashAggregate (the map-side
+    combine means the exchange carries per-partition distinct hashes,
+    not rows) → ``orderBy(h).limit(k)`` which Spark executes as
+    TakeOrderedAndProject: a size-k heap per partition merged once —
+    no global sort at any scale."""
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_build_grouped(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV sketches: (group, h) with the k smallest distinct
+    key hashes of each group — ≤ k rows per group.  One distinct over
+    (group, hash) then one rank window partitioned by group; the window
+    never sees more than the group's distinct-hash count and the output
+    is bounded by k × n_groups."""
+    d = (
+        df.where(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(group_col, kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, out_col: str = "est_distinct"
+) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_build` sketch: one row
+    ``(n_sketch, kth_hash, out_col)``.  ``n_sketch < k`` ⇒ the estimate
+    IS the exact distinct count."""
+    agg = sketch.agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.coalesce(F.max("h"), F.lit(0)).cast("long").alias("kth_hash"),
+    )
+    return agg.select(
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(
+            F.expr(f"{(k - 1) * KMV_SPACE} div greatest(kth_hash, 1)")
+        )
+        .cast("long")
+        .alias(out_col),
+    )
+
+
+def kmv_estimate_grouped(
+    sketch: DataFrame, group_col: str, k: int, out_col: str = "est_distinct"
+) -> DataFrame:
+    """Per-group distinct estimates from a :func:`kmv_build_grouped`
+    sketch: (group, n_sketch, kth_hash, out_col) — one tiny groupBy over
+    the ≤ k×n_groups-row sketch."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    return agg.select(
+        group_col,
+        "n_sketch",
+        "kth_hash",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch"))
+        .otherwise(
+            F.expr(f"{(k - 1) * KMV_SPACE} div greatest(kth_hash, 1)")
+        )
+        .cast("long")
+        .alias(out_col),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union of two KMV sketches: the k smallest of the combined hash
+    sets — exactly the sketch :func:`kmv_build` would produce over the
+    concatenated streams (the mergeability that makes KMV a partial
+    aggregate).  Both inputs are ≤ k rows, so this is driver-trivial."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, k: int
+) -> DataFrame:
+    """Set-algebra estimates from two same-k KMV sketches (Broder's
+    MinHash argument over the merged sketch): one row with
+
+    - ``n_merged``, ``kth_hash`` — the merged sketch's stats,
+    - ``est_union`` — KMV estimate of |A ∪ B|,
+    - ``rho`` — merged-sketch hashes present in BOTH input sketches,
+    - ``jaccard_micro`` — fixed-point ρ/n_merged (an unbiased Jaccard
+      estimate: the merged sketch is a uniform sample of A ∪ B),
+    - ``est_intersect`` — ρ · est_union div n_merged.
+
+    All inputs are ≤ k rows: the semi-joins below are broadcast joins
+    over bounded tables, independent of the original stream sizes."""
+    merged = kmv_merge(a, b, k)
+    rho_rows = (
+        merged.join(F.broadcast(a), "h", "left_semi")
+        .join(F.broadcast(b), "h", "left_semi")
+    )
+    m_stats = merged.agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.coalesce(F.max("h"), F.lit(0)).cast("long").alias("kth_hash"),
+    )
+    r_stats = rho_rows.agg(F.count("*").cast("long").alias("rho"))
+    return (
+        m_stats.crossJoin(F.broadcast(r_stats))
+        .select(
+            "n_merged",
+            "kth_hash",
+            F.when(F.col("n_merged") < k, F.col("n_merged"))
+            .otherwise(
+                F.expr(f"{(k - 1) * KMV_SPACE} div greatest(kth_hash, 1)")
+            )
+            .cast("long")
+            .alias("est_union"),
+            "rho",
+        )
+        .select(
+            "n_merged",
+            "kth_hash",
+            "est_union",
+            "rho",
+            F.expr("rho * 1000000 div greatest(n_merged, 1)")
+            .cast("long")
+            .alias("jaccard_micro"),
+            F.expr("rho * est_union div greatest(n_merged, 1)")
+            .cast("long")
+            .alias("est_intersect"),
         )
     )

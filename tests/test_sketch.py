@@ -192,3 +192,112 @@ class TestWeightedSample:
         plan = weighted_sample(df, "id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan or "rangepartitioning" not in plan.lower()
+
+
+class TestKmv:
+    """KMV distinct sketch — estimator, saturation branch, mergeability,
+    per-group bounds, set algebra, and the TakeOrderedAndProject plan."""
+
+    def _ids(self, spark, n, prefix="u"):
+        return spark.createDataFrame(
+            [(f"{prefix}{i % n}",) for i in range(3 * n)], "k string"
+        )
+
+    def test_undersaturated_sketch_is_exact(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import (
+            kmv_build,
+            kmv_estimate,
+        )
+
+        df = self._ids(spark, 100)
+        r = kmv_estimate(kmv_build(df, "k", k=256), 256).collect()[0]
+        assert r["n_sketch"] == 100
+        assert r["est_distinct"] == 100  # n < k branch: exact
+
+    def test_saturated_estimate_within_bound(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import (
+            kmv_build,
+            kmv_estimate,
+        )
+
+        df = self._ids(spark, 2000)
+        r = kmv_estimate(kmv_build(df, "k", k=128), 128).collect()[0]
+        assert r["n_sketch"] == 128
+        # 4/sqrt(128) ~ 35% generous bound; duplicates must not inflate
+        assert abs(r["est_distinct"] - 2000) <= 700
+
+    def test_merge_equals_build_over_union(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import (
+            kmv_build,
+            kmv_merge,
+        )
+
+        a = self._ids(spark, 300, "a")
+        b = self._ids(spark, 300, "b")
+        merged = {
+            r["h"]
+            for r in kmv_merge(
+                kmv_build(a, "k", 64), kmv_build(b, "k", 64), 64
+            ).collect()
+        }
+        direct = {
+            r["h"] for r in kmv_build(a.union(b), "k", 64).collect()
+        }
+        assert merged == direct  # partial-aggregate mergeability
+
+    def test_grouped_bounded_and_exact_small_groups(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import (
+            kmv_build_grouped,
+            kmv_estimate_grouped,
+        )
+
+        rows = [("g1", f"x{i % 10}") for i in range(50)]
+        rows += [("g2", f"y{i % 500}") for i in range(900)]
+        df = spark.createDataFrame(rows, "g string, k string")
+        sk = kmv_build_grouped(df, "g", "k", k=64)
+        per = {
+            r["g"]: r
+            for r in sk.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        assert per["g1"]["n"] == 10 and per["g2"]["n"] == 64  # k-bounded
+        est = {
+            r["g"]: r["est_distinct"]
+            for r in kmv_estimate_grouped(sk, "g", 64).collect()
+        }
+        assert est["g1"] == 10  # undersaturated: exact
+        assert abs(est["g2"] - 500) <= 250
+
+    def test_set_estimates_identical_and_disjoint(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import (
+            kmv_build,
+            kmv_set_estimates,
+        )
+
+        a = self._ids(spark, 200, "s")
+        sa = kmv_build(a, "k", 64)
+        same = kmv_set_estimates(sa, sa, 64).collect()[0]
+        assert same["jaccard_micro"] == 1_000_000
+        assert same["rho"] == same["n_merged"] == 64
+        b = self._ids(spark, 200, "t")
+        disj = kmv_set_estimates(sa, kmv_build(b, "k", 64), 64).collect()[0]
+        assert disj["jaccard_micro"] == 0 and disj["rho"] == 0
+
+    def test_null_keys_excluded(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import kmv_build
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "k string"
+        )
+        assert kmv_build(df, "k", 16).count() == 2
+
+    def test_plan_is_take_ordered(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import kmv_build
+
+        df = self._ids(spark, 500)
+        plan = (
+            kmv_build(df, "k", 32)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
