@@ -7261,6 +7261,172 @@ QUERIES["layout_zorder_prune"] = layout_zorder_prune
 ORACLES["layout_zorder_prune"] = LAYOUT_ZORDER_PRUNE_SQL
 
 
+def _hilbert_sql_stages(src: str, bits: int) -> str:
+    """The DuckDB twin of operators.layout.hilbert_value: the per-bit
+    rotate/reflect walk unrolled into one CTE stage per bit (SQL has no
+    fold; the chain is linear in ``bits`` because each stage references
+    named columns, never re-inlined subtrees).  ``src`` must provide
+    in-range ``xs``/``ys``; the last stage ``h{bits}`` carries ``hd``."""
+    parts = [f"h0 AS (SELECT *, xs AS hx, ys AS hy, 0::BIGINT AS hd FROM {src})"]
+    n = 1 << bits  # canonical full-grid reflection keeps hx/hy in [0, n)
+    for j, i in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << i
+        parts.append(f"""h{j} AS (
+  SELECT * EXCLUDE (hx, hy, hd, rx, ry),
+         CASE WHEN ry = 0
+              THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0
+              THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)
+              ELSE hy END AS hy,
+         hd + {s * s} * (CASE WHEN rx = 1 AND ry = 1 THEN 2
+                              WHEN rx = 1 THEN 3
+                              WHEN ry = 1 THEN 1 ELSE 0 END) AS hd
+  FROM (SELECT *, (hx // {s}) % 2 AS rx, (hy // {s}) % 2 AS ry FROM h{j - 1})
+)""")
+    return ",\n".join(parts)
+
+
+#: base + scaling + BOTH curve keys: bz(event_id, x, y, z, h) — named
+#: ``bz`` so _layout_prune_arm_sql's arms work over it unchanged.
+_LAYOUT_HZ_SQL = f"""
+base AS MATERIALIZED (
+  SELECT event_id, user_id::BIGINT AS x,
+         {_floor_div_sql("epoch_ns(ts)", _DAY_NS)}::BIGINT AS y
+  FROM events WHERE user_id IS NOT NULL
+),
+sc AS (SELECT min(x) AS xlo0, max(x) AS xhi0,
+              min(y) AS ylo0, max(y) AS yhi0 FROM base),
+nb AS (
+  SELECT event_id, x, y,
+         CASE WHEN xhi0 > xlo0
+              THEN (x - xlo0) * {_LAYOUT_TOP} // (xhi0 - xlo0) ELSE 0 END AS xs,
+         CASE WHEN yhi0 > ylo0
+              THEN (y - ylo0) * {_LAYOUT_TOP} // (yhi0 - ylo0) ELSE 0 END AS ys
+  FROM base, sc
+),
+{_hilbert_sql_stages("nb", LAYOUT_BITS)},
+bz AS MATERIALIZED (
+  SELECT event_id, x, y, {_z_sql("xs", "ys", LAYOUT_BITS)}::BIGINT AS z,
+         hd AS h
+  FROM h{LAYOUT_BITS}
+)"""
+
+
+def _layout_base_hz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as (event_id, x, y, z, h): the zorder base plus the
+    normalized Hilbert key over the same scaled dimensions."""
+    from qdrant_datafusion_spark.operators.layout import hilbert_key
+
+    return hilbert_key(
+        _layout_base(spark, sf_dir), ["x", "y"], bits=LAYOUT_BITS
+    ).select("event_id", "x", "y", "z", "h")
+
+
+def layout_hilbert_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct value gate for the Hilbert walk: (event_id, x, y, h) for
+    the first 200 events against the unrolled per-bit CTE oracle — any
+    misplaced reflect/transpose changes h.  The Spark side is ONE
+    ``aggregate`` fold expression (operators/layout.py:hilbert_value):
+    no UDF, no per-bit expression unrolling."""
+    return (
+        _layout_base_hz(spark, sf_dir)
+        .select("event_id", "x", "y", "h")
+        .where(F.col("event_id") < 200)
+        .orderBy("event_id")
+    )
+
+
+LAYOUT_HILBERT_VALUE_SQL = f"""
+WITH {_LAYOUT_HZ_SQL}
+SELECT event_id, x, y, h FROM bz WHERE event_id < 200 ORDER BY event_id
+"""
+
+QUERIES["layout_hilbert_value"] = layout_hilbert_value
+ORACLES["layout_hilbert_value"] = LAYOUT_HILBERT_VALUE_SQL
+
+
+def layout_hilbert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Morton head-to-head on the pruning harness: the same
+    64 equal-count file cuts and the same 2-D box predicate as
+    layout_zorder_prune, with a ``hilbert`` arm alongside ``bydim`` and
+    ``zorder``.  Hilbert's no-diagonal-jumps walk gives each file a
+    tighter bounding box than Morton's quadrant jumps, so it should
+    touch at most as many files — the gate publishes the measured
+    counts cross-engine rather than asserting the inequality (it is a
+    property of the data's entropy split, not an invariant)."""
+    from qdrant_datafusion_spark.operators.layout import (
+        file_minmax,
+        files_touched,
+        layout_files,
+    )
+
+    base = _layout_base_hz(spark, sf_dir)
+    box = base.agg(
+        F.max("x").alias("_xmax"), F.min("y").alias("_ymin"),
+        F.max("y").alias("_ymax"),
+    ).select(
+        F.expr("_xmax div 4").alias("xlo"),
+        F.expr("_xmax div 2").alias("xhi"),
+        F.col("_ymin").alias("ylo"),
+        F.expr("_ymin + (_ymax - _ymin) div 4").alias("yhi"),
+    )
+    rows = (
+        base.crossJoin(F.broadcast(box))
+        .where(
+            F.col("x").between(F.col("xlo"), F.col("xhi"))
+            & F.col("y").between(F.col("ylo"), F.col("yhi"))
+        )
+        .agg(F.count("*").cast("bigint").alias("rows_matched"))
+    )
+    overlap = {
+        "x": (F.col("xlo"), F.col("xhi")),
+        "y": (F.col("ylo"), F.col("yhi")),
+    }
+    parts = []
+    for name, order in [
+        ("bydim", [F.col("x"), F.col("event_id")]),
+        ("hilbert", [F.col("h"), F.col("event_id")]),
+        ("zorder", [F.col("z"), F.col("event_id")]),
+    ]:
+        mm = file_minmax(
+            layout_files(base, order, LAYOUT_FILES), "file_id", ["x", "y"]
+        )
+        parts.append(
+            mm.crossJoin(F.broadcast(box)).agg(
+                F.lit(name).alias("layout"),
+                F.lit(LAYOUT_FILES).cast("bigint").alias("files_total"),
+                F.sum(
+                    F.when(files_touched(mm, overlap), 1).otherwise(0)
+                ).cast("bigint").alias("files_touched"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(rows)).orderBy("layout")
+
+
+LAYOUT_HILBERT_PRUNE_SQL = f"""
+WITH {_LAYOUT_HZ_SQL},
+bx AS (SELECT max(x) AS xmax, min(y) AS ymin, max(y) AS ymax FROM bz),
+box AS MATERIALIZED (
+  SELECT xmax // 4 AS xlo, xmax // 2 AS xhi,
+         ymin AS ylo, ymin + (ymax - ymin) // 4 AS yhi
+  FROM bx
+)
+{_layout_prune_arm_sql("bydim", "x, event_id")}
+UNION ALL
+{_layout_prune_arm_sql("hilbert", "h, event_id")}
+UNION ALL
+{_layout_prune_arm_sql("zorder", "z, event_id")}
+ORDER BY layout
+"""
+
+QUERIES["layout_hilbert_prune"] = layout_hilbert_prune
+ORACLES["layout_hilbert_prune"] = LAYOUT_HILBERT_PRUNE_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is

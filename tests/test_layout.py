@@ -112,3 +112,85 @@ class TestPruneModel:
         t_nat = touched([F.col("id")])
         assert t_z < t_nat
         assert t_z <= 8  # box is 1/16 of the area; curve overhead bounded
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Canonical per-bit Hilbert walk (full-grid reflection)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+class TestHilbert:
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.layout import hilbert_value
+
+        pts = [(x, y) for x in range(9) for y in range(9)]
+        pts += [(255, 255), (200, 13), (0, 255), (255, 0)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = df.withColumn(
+            "h", hilbert_value(F.col("x"), F.col("y"), 8)
+        ).collect()
+        for r in got:
+            assert r["h"] == _xy2d(256, r["x"], r["y"]), (r["x"], r["y"])
+
+    def test_bijection_and_unit_steps(self, spark):
+        from qdrant_datafusion_spark.operators.layout import hilbert_value
+
+        n = 16
+        df = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        inv = {
+            r["h"]: (r["x"], r["y"])
+            for r in df.withColumn(
+                "h", hilbert_value(F.col("x"), F.col("y"), 4)
+            ).collect()
+        }
+        assert sorted(inv) == list(range(n * n))
+        for i in range(n * n - 1):
+            (x0, y0), (x1, y1) = inv[i], inv[i + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1  # Hilbert: no jumps
+
+    def test_rejects_bit_overflow_and_wrong_arity(self, spark):
+        from qdrant_datafusion_spark.operators.layout import (
+            hilbert_key,
+            hilbert_value,
+        )
+
+        with pytest.raises(ValueError):
+            hilbert_value(F.lit(1), F.lit(1), 32)
+        df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+        with pytest.raises(ValueError):
+            hilbert_key(df, ["a", "b", "c"])
+
+    def test_prunes_at_least_as_well_as_zorder_on_uniform_grid(self, spark):
+        from qdrant_datafusion_spark.operators.layout import hilbert_key
+
+        pts = sorted(
+            ((x, y) for x in range(64) for y in range(64)),
+            key=lambda p: hash(p),
+        )
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+        )
+        both = hilbert_key(zorder_key(df, ["x", "y"], bits=8), ["x", "y"], bits=8)
+        box = {"x": (F.lit(16), F.lit(31)), "y": (F.lit(16), F.lit(31))}
+
+        def touched(order):
+            mm = file_minmax(layout_files(both, order, 64), "file_id", ["x", "y"])
+            return mm.where(files_touched(mm, box)).count()
+
+        t_h = touched([F.col("h"), F.col("id")])
+        t_z = touched([F.col("z"), F.col("id")])
+        assert t_h <= t_z
