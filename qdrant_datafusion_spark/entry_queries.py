@@ -3304,6 +3304,96 @@ QUERIES["q_interval_signup_window"] = q_interval_signup_window
 ORACLES["q_asof_purchase_click"] = Q_ASOF_SQL
 ORACLES["q_interval_signup_window"] = Q_INTERVAL_SQL
 
+RESAMPLE_STEP_S = 86_400  # daily grid
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-filled daily time series: events.value resampled
+    onto a midnight-aligned grid with linear interpolation between the
+    nearest observations (operators/temporal.py:resample_interpolate —
+    Pandas ``resample().interpolate()`` / TimescaleDB
+    ``time_bucket_gapfill`` semantics, which Spark lacks natively).
+    Values are fixed-point micros (HALF_UP), interpolation is one
+    truncating BIGINT division, duplicate-second observations resolve
+    latest-event-id-wins — every row bit-identical across engines.
+    One key shuffle total: grid generation, both neighbor carries, and
+    the dedup rank all share the user_id partitioning."""
+    from qdrant_datafusion_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    ev = _events(spark, sf_dir)
+    obs = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id",
+        _floor_div("ts", 1_000_000_000).alias("ts_s"),
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias(
+            "v_micro"
+        ),
+        "event_id",
+    )
+    return resample_interpolate(
+        obs,
+        ts_col="ts_s",
+        by="user_id",
+        value_col="v_micro",
+        step=RESAMPLE_STEP_S,
+        seq_col="event_id",
+    ).orderBy("user_id", "ts_s")
+
+
+Q_EVENTS_RESAMPLE_SQL = f"""
+WITH obs0 AS (
+  SELECT user_id, {_floor_div_sql("epoch_ns(ts)", 1_000_000_000)} AS ts_s,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+obs AS MATERIALIZED (
+  SELECT user_id, ts_s, v_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_s
+                                 ORDER BY event_id DESC) AS rn
+    FROM obs0) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id,
+         {_floor_div_sql(f"min(ts_s) + {RESAMPLE_STEP_S - 1}", RESAMPLE_STEP_S)}
+           * {RESAMPLE_STEP_S} AS lo,
+         {_floor_div_sql("max(ts_s)", RESAMPLE_STEP_S)}
+           * {RESAMPLE_STEP_S} AS hi
+  FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, {RESAMPLE_STEP_S})) AS ts_s
+  FROM bounds WHERE lo <= hi
+),
+u AS (
+  SELECT user_id, ts_s, v_micro AS v, 0 AS tag FROM obs
+  UNION ALL
+  SELECT user_id, ts_s, NULL::BIGINT AS v, 1 AS tag FROM grid
+),
+c AS (
+  SELECT user_id, ts_s, tag,
+         last_value(v IGNORE NULLS) OVER w_p AS pv,
+         last_value(CASE WHEN tag = 0 THEN ts_s END IGNORE NULLS)
+           OVER w_p AS pt,
+         first_value(v IGNORE NULLS) OVER w_f AS nv,
+         first_value(CASE WHEN tag = 0 THEN ts_s END IGNORE NULLS)
+           OVER w_f AS nt
+  FROM u
+  WINDOW w_p AS (PARTITION BY user_id ORDER BY ts_s, tag
+                 ROWS UNBOUNDED PRECEDING),
+         w_f AS (PARTITION BY user_id ORDER BY ts_s, tag
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts_s,
+       (CASE WHEN nt > pt THEN pv + ((nv - pv) * (ts_s - pt)) // (nt - pt)
+             ELSE pv END)::BIGINT AS v_micro
+FROM c WHERE tag = 1 ORDER BY user_id, ts_s
+"""
+
+QUERIES["q_events_resample"] = q_events_resample
+ORACLES["q_events_resample"] = Q_EVENTS_RESAMPLE_SQL
+
 # ===========================================================================
 # round 3: chunking, distributed token budget, BM25
 # ===========================================================================

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["as_of_join", "interval_join", "funnel_stages"]
+__all__ = ["as_of_join", "interval_join", "funnel_stages", "resample_interpolate"]
 
 
 def as_of_join(
@@ -212,3 +212,121 @@ def funnel_stages(
     for s in per_stage[1:]:
         out = out.unionByName(s)
     return out
+
+
+def resample_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    value_col: str = "v",
+    step: int = 86_400,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Gap-fill a per-key time series onto a regular grid with linear
+    interpolation — the resample step of time-series feature pipelines
+    (Pandas' ``resample().interpolate()``, TimescaleDB's
+    ``time_bucket_gapfill`` + ``interpolate``), which Spark has no
+    native operator for.
+
+    INTEGER contract: ``ts_col`` is an integer instant (any epoch unit),
+    ``value_col`` an integer measure (quantize floats to fixed-point
+    first), ``step > 0`` the grid pitch in the same unit.  The
+    interpolated value is ``v_prev + (v_next−v_prev)·(t−t_prev) div
+    (t_next−t_prev)`` — one truncating BIGINT division, bit-identical on
+    Spark / DuckDB / Python (both engines truncate toward zero for any
+    sign).  Grid points coinciding with an observation return it
+    exactly.  Duplicate (key, ts) observations resolve to the largest
+    ``seq_col`` (or largest value when ``seq_col`` is None) — a
+    deterministic latest-write-wins.
+
+    The grid spans ``[ceil(min_ts/step), floor(max_ts/step)]·step`` per
+    key, so every grid point has both neighbors: no nulls, no
+    extrapolation policy to pick.
+
+    Scale shape: the union trick of :func:`as_of_join` — observations
+    and generated grid rows union, then the two neighbor carries are
+    ``last(ignorenulls)`` windows over the SAME key partitioning in
+    opposite sort directions (one exchange, two in-partition sorts).
+    Duplicate resolution costs nothing: the tie column is folded into
+    the sort order so each carry lands on the latest-write row — no
+    separate dedup shuffle on (key, ts).  The per-key bounds aggregate
+    is the only other exchange, and it carries two BIGINTs per key.
+    No pair joins, no per-key collect; grid volume is span/step rows
+    per key — the caller's knob.
+    """
+    if step <= 0:
+        raise ValueError("step must be positive")
+    tie = F.col(seq_col) if seq_col else F.col(value_col)
+    obs = df.where(
+        F.col(by).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(by),
+        F.col(ts_col).cast("bigint").alias("_t"),
+        F.col(value_col).cast("bigint").alias("_v"),
+        tie.cast("bigint").alias("_tie"),
+    )
+    # ceil/floor grid bounds via sign-safe floor division
+    bounds = obs.groupBy(by).agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx")
+    )
+    start = F.expr(
+        f"((_mn + {step - 1}) - pmod(_mn + {step - 1}, {step})) div {step}"
+    ) * step
+    stop = F.expr(f"(_mx - pmod(_mx, {step})) div {step}") * step
+    grid = (
+        bounds.select(F.col(by), start.alias("_lo"), stop.alias("_hi"))
+        .where(F.col("_lo") <= F.col("_hi"))
+        .select(
+            by,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step).cast("bigint"))
+            ).alias("_t"),
+        )
+        .select(
+            by, "_t",
+            F.lit(None).cast("bigint").alias("_v"),
+            F.lit(None).cast("bigint").alias("_tie"),
+            F.lit(1).alias("_tag"),
+        )
+    )
+    u = obs.withColumn("_tag", F.lit(0)).unionByName(grid)
+    # ascending carry: at a grid row, the last non-null value seen is the
+    # nearest obs at t <= grid t; ties at one instant order tie-ASC so the
+    # carry lands on the LARGEST tie (latest write) without a dedup pass.
+    wp = (
+        Window.partitionBy(by)
+        .orderBy(F.asc("_t"), F.asc("_tag"), F.asc_nulls_first("_tie"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # descending carry: same trick from the other side — the last value
+    # in (t DESC, tag DESC, tie ASC) order is the nearest obs at
+    # t > grid t (same-instant obs sort AFTER the grid row here, so the
+    # forward neighbor is strictly later; exactness at observations is
+    # already guaranteed by the ascending carry's t_prev == t).
+    wn = (
+        Window.partitionBy(by)
+        .orderBy(F.desc("_t"), F.desc("_tag"), F.asc_nulls_first("_tie"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    obs_t = F.when(F.col("_tag") == 0, F.col("_t"))
+    carried = (
+        u.withColumn("_pv", F.last("_v", ignorenulls=True).over(wp))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.last("_v", ignorenulls=True).over(wn))
+        .withColumn("_nt", F.last(obs_t, ignorenulls=True).over(wn))
+    )
+    interp = F.when(
+        F.col("_nt") > F.col("_pt"),
+        F.col("_pv")
+        + F.expr("((_nv - _pv) * (_t - _pt)) div (_nt - _pt)"),
+    ).otherwise(F.col("_pv"))
+    return (
+        carried.where(F.col("_tag") == 1)
+        .select(
+            F.col(by),
+            F.col("_t").alias(ts_col),
+            interp.cast("bigint").alias(value_col),
+        )
+    )

@@ -234,3 +234,66 @@ class TestFunnelStages:
         assert got == {"a": 1, "zzz": 0}
         with _pytest.raises(ValueError):
             self._run(spark, [(1, 1, "a")], stages=())
+
+
+class TestResampleInterpolate:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "k string, t long, v long, e long")
+        from qdrant_datafusion_spark.operators.temporal import (
+            resample_interpolate,
+        )
+
+        out = resample_interpolate(
+            df, ts_col="t", by="k", value_col="v", seq_col="e", **kw
+        )
+        return sorted((r["k"], r["t"], r["v"]) for r in out.collect())
+
+    def test_linear_interp_exact_at_observations(self, spark):
+        rows = [("a", 10, 100, 1), ("a", 40, 400, 2)]
+        got = self._run(spark, rows, step=10)
+        # 20 -> 100 + 300*10 div 30 = 200 ; 30 -> 300
+        assert got == [
+            ("a", 10, 100), ("a", 20, 200), ("a", 30, 300), ("a", 40, 400),
+        ]
+
+    def test_truncating_division_and_descent(self, spark):
+        rows = [("a", 10, 100, 1), ("a", 25, 500, 2), ("a", 40, 100, 3)]
+        got = dict(
+            ((k, t), v) for k, t, v in self._run(spark, rows, step=10)
+        )
+        # ascending: 100 + 400*10 div 15 = 366 (truncated)
+        assert got[("a", 20)] == 366
+        # descending: 500 + (-400*5) div 15 = 500 - 133 = 367 (toward zero)
+        assert got[("a", 30)] == 367
+
+    def test_duplicate_ts_latest_seq_wins(self, spark):
+        rows = [("a", 10, 111, 5), ("a", 10, 999, 2), ("a", 20, 30, 7)]
+        got = self._run(spark, rows, step=10)
+        assert got[0] == ("a", 10, 111)  # seq 5 beats seq 2
+
+    def test_short_span_keys_emit_nothing(self, spark):
+        rows = [("b", 5, 50, 1), ("b", 6, 70, 2), ("c", 3, 10, 1)]
+        assert self._run(spark, rows, step=10) == []
+
+    def test_grid_is_step_aligned(self, spark):
+        rows = [("a", 17, 10, 1), ("a", 53, 46, 2)]
+        got = self._run(spark, rows, step=10)
+        assert [t for _, t, _ in got] == [20, 30, 40, 50]
+
+    def test_single_exchange_plan(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            resample_interpolate,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i * 7, i, i) for i in range(100)],
+            "k string, t long, v long, e long",
+        )
+        out = resample_interpolate(
+            df, ts_col="t", by="k", value_col="v", seq_col="e", step=10
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # obs arm + grid arm each hash-partition by k once; no global
+        # sort, no cartesian, nothing driver-side
+        assert plan.count("hashpartitioning") <= 3
+        assert "Cartesian" not in plan and "rangepartitioning" not in plan
