@@ -7082,6 +7082,127 @@ QUERIES["sketch_kmv_groups"] = sketch_kmv_groups
 ORACLES["sketch_kmv_groups"] = SKETCH_KMV_GROUPS_SQL
 
 
+HIST_BUCKETS = 256
+HIST_QS = (500_000, 900_000, 990_000)  # p50 / p90 / p99 in micros
+
+
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles off a bounded equi-width histogram sketch — the
+    quantile member of the sketch trio (CMS frequencies, KMV distincts).
+    p50/p90/p99 of o_totalprice (fixed-point cents) are estimated from
+    a 256-row count vector; the gate then proves the histogram guarantee
+    IN-QUERY: for each quantile's claimed bucket [b_lo, b_hi], the exact
+    counts show ``n_lt_blo < rank_r ≤ n_le_bhi`` — the true r-th
+    smallest value lies inside the bucket, so the estimate's error is
+    bounded by one bucket width with NO sort of the data anywhere: the
+    sketch build is one map-side-combined groupBy, the quantile walk
+    runs on ≤ 256 rows, and the verification is two conditional counts.
+    """
+    from qdrant_datafusion_spark.operators.sketch import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.where(F.col("o_totalprice").isNotNull()).select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c")
+    )
+    qs = hist_quantiles(
+        hist_build(cents, "c", HIST_BUCKETS), HIST_BUCKETS, list(HIST_QS)
+    )
+    ver = (
+        cents.crossJoin(
+            F.broadcast(qs.select("q_micro", "rank_r", "b_lo", "b_hi"))
+        )
+        .groupBy("q_micro", "rank_r", "b_lo", "b_hi")
+        .agg(
+            F.sum(F.when(F.col("c") < F.col("b_lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lt_blo"),
+            F.sum(F.when(F.col("c") <= F.col("b_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le_bhi"),
+        )
+    )
+    return (
+        qs.join(ver, ["q_micro", "rank_r", "b_lo", "b_hi"])
+        .select(
+            F.col("q_micro").cast("bigint").alias("q_micro"),
+            "n_total",
+            "rank_r",
+            "bucket",
+            "b_lo",
+            "b_hi",
+            "est",
+            "n_lt_blo",
+            "n_le_bhi",
+            (
+                (F.col("n_lt_blo") < F.col("rank_r"))
+                & (F.col("rank_r") <= F.col("n_le_bhi"))
+            ).alias("contains_rank"),
+        )
+        .orderBy("q_micro")
+    )
+
+
+SKETCH_HIST_QUANTILES_SQL = f"""
+WITH cv AS MATERIALIZED (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+mm AS (SELECT min(c) AS lo, max(c) AS hi FROM cv),
+hist AS MATERIALIZED (
+  SELECT ((c - lo) * {HIST_BUCKETS}) // (hi - lo + 1) AS b,
+         count(*)::BIGINT AS cnt, lo, hi
+  FROM cv, mm GROUP BY 1, 3, 4
+),
+cum AS (
+  SELECT *, sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM hist),
+qs AS (SELECT unnest([{", ".join(str(q) for q in HIST_QS)}])::BIGINT
+         AS q_micro),
+rk AS (
+  SELECT q_micro, n_total,
+         greatest(1, (q_micro * n_total + 999999) // 1000000)::BIGINT
+           AS rank_r
+  FROM qs, tot
+),
+pick AS (
+  SELECT rk.q_micro, rk.n_total, rk.rank_r, cu.b AS bucket,
+         (cu.lo + ((cu.b * (cu.hi - cu.lo + 1) + {HIST_BUCKETS - 1})
+                   // {HIST_BUCKETS}))::BIGINT AS b_lo,
+         (cu.lo + (((cu.b + 1) * (cu.hi - cu.lo + 1) + {HIST_BUCKETS - 1})
+                   // {HIST_BUCKETS}) - 1)::BIGINT AS b_hi,
+         cu.cnt, (cu.cum - cu.cnt) AS cum_before
+  FROM rk JOIN cum cu
+    ON cu.cum >= rk.rank_r AND cu.cum - cu.cnt < rk.rank_r
+),
+est AS (
+  SELECT *, least(b_hi, b_lo + ((b_hi - b_lo) * (rank_r - cum_before))
+                        // greatest(cnt, 1))::BIGINT AS est
+  FROM pick
+),
+ver AS (
+  SELECT e.q_micro, e.b_lo AS vlo, e.b_hi AS vhi,
+         sum(CASE WHEN cv.c < e.b_lo THEN 1 ELSE 0 END)::BIGINT
+           AS n_lt_blo,
+         sum(CASE WHEN cv.c <= e.b_hi THEN 1 ELSE 0 END)::BIGINT
+           AS n_le_bhi
+  FROM est e, cv GROUP BY 1, 2, 3
+)
+SELECT e.q_micro, e.n_total, e.rank_r, e.bucket, e.b_lo, e.b_hi, e.est,
+       v.n_lt_blo, v.n_le_bhi,
+       (v.n_lt_blo < e.rank_r AND e.rank_r <= v.n_le_bhi) AS contains_rank
+FROM est e JOIN ver v ON v.q_micro = e.q_micro
+ORDER BY e.q_micro
+"""
+
+QUERIES["sketch_hist_quantiles"] = sketch_hist_quantiles
+ORACLES["sketch_hist_quantiles"] = SKETCH_HIST_QUANTILES_SQL
+
+
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield–Lund–Thorup) of 100 documents with
     weight = text length + 1: inclusion ∝ weight, without replacement,

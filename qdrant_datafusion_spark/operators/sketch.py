@@ -49,6 +49,8 @@ __all__ = [
     "cms_estimate",
     "cms_heavy_hitters",
     "cms_join_size",
+    "hist_build",
+    "hist_quantiles",
     "kmv_build",
     "kmv_build_grouped",
     "kmv_estimate",
@@ -426,4 +428,106 @@ def kmv_set_estimates(
             .cast("long")
             .alias("est_intersect"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch — the quantile member of the sketch trio
+# (CMS = frequencies, KMV = distincts, histogram = quantiles).  A bounded
+# B-row count vector over equal integer value ranges: mergeable (counts
+# add), one map-side-combined shuffle to build, and any quantile estimate
+# comes off the sketch with error bounded by one bucket's value width.
+# All arithmetic is BIGINT (bucket mapping and its exact inverse edges are
+# truncating/ceiling divisions) — sketch rows, ranks, and estimates are
+# bit-identical on Spark, DuckDB, and Python.
+# ---------------------------------------------------------------------------
+
+
+def hist_build(df: DataFrame, value_col: str, buckets: int = 256) -> DataFrame:
+    """Equi-width histogram of an INTEGER measure: ≤ ``buckets`` rows of
+    (b, cnt, lo, hi) where ``b = (v − lo)·B div W`` with ``W = hi−lo+1``
+    over the observed [lo, hi] (one 1-row min/max aggregate broadcast —
+    the same pattern as zorder_key's normalization).  The count groupBy
+    is map-side combined, so the exchange carries at most B rows per
+    partition regardless of input size; lo/hi ride along as constant
+    columns so the sketch is self-describing for decoding and merging.
+    Degenerate all-equal input (W ≤ B) still works: buckets simply
+    cover single values."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    mm = df.agg(
+        F.min(F.col(value_col).cast("bigint")).alias("_lo"),
+        F.max(F.col(value_col).cast("bigint")).alias("_hi"),
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("bigint").alias("_v"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(f"((_v - _lo) * {buckets}) div (_hi - _lo + 1)")
+            .cast("bigint")
+            .alias("b"),
+            "_lo",
+            "_hi",
+        )
+        .groupBy("b", "_lo", "_hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select("b", "cnt", F.col("_lo").alias("lo"), F.col("_hi").alias("hi"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, buckets: int, q_micros: list[int]
+) -> DataFrame:
+    """Quantile estimates off a :func:`hist_build` sketch: for each
+    requested quantile q (fixed-point micros) compute the target rank
+    ``r = max(1, ceil(q·N / 1e6))``, walk the cumulative counts to the
+    bucket containing the r-th smallest value, and return that bucket's
+    EXACT integer value edges plus an in-bucket linear estimate — so
+    ``est ∈ [b_lo, b_hi]`` and the true r-th value is in the same
+    interval by construction (the histogram guarantee the gate asserts
+    against exact counts).
+
+    Everything here runs on the ≤ B-row sketch: a cumulative window over
+    B rows, a tiny cross join with the quantile list — independent of
+    the original data size.  Output: one row per quantile,
+    ``(q_micro, n_total, rank_r, bucket, b_lo, b_hi, est)``."""
+    qdf_rows = ", ".join(f"({int(q)})" for q in q_micros)
+    spark = hist.sparkSession
+    qdf = spark.sql(f"SELECT * FROM VALUES {qdf_rows} AS t(q_micro)")
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    j = (
+        qdf.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rank_r",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(q_micro * n_total + 999999) div 1000000"),
+            ),
+        )
+        .join(
+            F.broadcast(cum),
+            (F.col("cum") >= F.col("rank_r"))
+            & (F.col("cum_before") < F.col("rank_r")),
+        )
+    )
+    width = "(hi - lo + 1)"
+    b_lo = f"lo + ((b * {width} + {buckets - 1}) div {buckets})"
+    b_hi = f"lo + (((b + 1) * {width} + {buckets - 1}) div {buckets}) - 1"
+    return j.select(
+        "q_micro",
+        "n_total",
+        "rank_r",
+        F.col("b").alias("bucket"),
+        F.expr(b_lo).cast("bigint").alias("b_lo"),
+        F.expr(b_hi).cast("bigint").alias("b_hi"),
+        F.expr(
+            f"least({b_hi}, ({b_lo}) + "
+            f"((({b_hi}) - ({b_lo})) * (rank_r - cum_before)) div greatest(cnt, 1))"
+        ).cast("bigint").alias("est"),
     )

@@ -301,3 +301,88 @@ class TestKmv:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestHistQuantiles:
+    """Equi-width histogram sketch — bucket mapping/edge inverse
+    exactness, the containment guarantee, mergeability, degenerate
+    domains."""
+
+    def test_bucket_edges_are_exact_inverse(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import hist_build
+
+        df = spark.createDataFrame([(v,) for v in range(1000)], "c long")
+        h = hist_build(df, "c", 7).collect()
+        # every value maps into exactly one bucket; counts sum to n
+        assert sum(r["cnt"] for r in h) == 1000
+        B, lo, hi = 7, 0, 999
+        W = hi - lo + 1
+        for r in h:
+            b_lo = lo + (r["b"] * W + B - 1) // B
+            b_hi = lo + ((r["b"] + 1) * W + B - 1) // B - 1
+            # count of range members == bucket count (edges are exact)
+            assert r["cnt"] == b_hi - b_lo + 1
+
+    def test_quantile_bucket_contains_true_rank(self, spark):
+        import random
+
+        from qdrant_datafusion_spark.operators.sketch import (
+            hist_build,
+            hist_quantiles,
+        )
+
+        random.seed(7)
+        vals = [random.randrange(0, 10_000) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        out = hist_quantiles(
+            hist_build(df, "c", 64), 64, [250_000, 500_000, 750_000]
+        ).collect()
+        svals = sorted(vals)
+        for r in out:
+            true_v = svals[r["rank_r"] - 1]
+            assert r["b_lo"] <= true_v <= r["b_hi"], r
+            assert r["b_lo"] <= r["est"] <= r["b_hi"], r
+
+    def test_counts_merge_with_shared_bounds(self, spark):
+        from pyspark.sql import functions as F2
+
+        from qdrant_datafusion_spark.operators.sketch import hist_build
+
+        u = spark.createDataFrame([(v,) for v in range(1000)], "c long")
+        direct = {
+            r["b"]: r["cnt"] for r in hist_build(u, "c", 16).collect()
+        }
+        # a production merger sketches each shard against SHARED bounds,
+        # then sums counts per bucket — emulate two shards with the same
+        # explicit bucket mapping and verify the sum equals the one-shot
+        lo, hi, B = 0, 999, 16
+        shard = (
+            u.withColumn("shard", (F2.col("c") % 2).cast("int"))
+            .select(
+                "shard",
+                F2.expr(f"((c - {lo}) * {B}) div ({hi} - {lo} + 1)").alias("b"),
+            )
+            .groupBy("shard", "b")
+            .agg(F2.count("*").alias("cnt"))
+        )
+        merged = {
+            r["b"]: r["s"]
+            for r in shard.groupBy("b")
+            .agg(F2.sum("cnt").alias("s"))
+            .collect()
+        }
+        assert merged == direct
+
+    def test_degenerate_single_value(self, spark):
+        from qdrant_datafusion_spark.operators.sketch import (
+            hist_build,
+            hist_quantiles,
+        )
+
+        df = spark.createDataFrame([(42,)] * 10, "c long")
+        h = hist_build(df, "c", 8)
+        rows = h.collect()
+        assert len(rows) == 1 and rows[0]["cnt"] == 10
+        q = hist_quantiles(h, 8, [500_000]).collect()[0]
+        assert q["b_lo"] <= 42 <= q["b_hi"]
+        assert q["est"] == 42
