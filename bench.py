@@ -122,6 +122,14 @@ HEADLINE = [
     "layout_zvalue",
     "layout_zorder_prune",
     "pipeline_weighted_sample",
+    # round 9 session 3: KMV + histogram sketches, Hilbert, resample
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "sketch_kmv_groups",
+    "sketch_hist_quantiles",
+    "layout_hilbert_value",
+    "layout_hilbert_prune",
+    "q_events_resample",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

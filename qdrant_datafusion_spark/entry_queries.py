@@ -7107,9 +7107,11 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = orders.where(F.col("o_totalprice").isNotNull()).select(
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c")
     )
+    # qs feeds the grading cross-join AND the final select; it is 3
+    # rows — pin it once so orders is not re-scanned per consumer
     qs = hist_quantiles(
         hist_build(cents, "c", HIST_BUCKETS), HIST_BUCKETS, list(HIST_QS)
-    )
+    ).localCheckpoint(eager=False)
     ver = (
         cents.crossJoin(
             F.broadcast(qs.select("q_micro", "rank_r", "b_lo", "b_hi"))
@@ -7572,7 +7574,9 @@ def layout_hilbert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         layout_files,
     )
 
-    base = _layout_base_hz(spark, sf_dir)
+    # base feeds the box derivation, the row count, and three layout
+    # arms — pin it once (same width as events, computed once)
+    base = _layout_base_hz(spark, sf_dir).localCheckpoint(eager=False)
     box = base.agg(
         F.max("x").alias("_xmax"), F.min("y").alias("_ymin"),
         F.max("y").alias("_ymax"),
@@ -7641,7 +7645,9 @@ ORACLES["layout_hilbert_prune"] = LAYOUT_HILBERT_PRUNE_SQL
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
-# therefore the gate-evidence budget.  Round-9 window (exactly 50):
+# therefore the gate-evidence budget.  Round-9 window (exactly 50),
+# updated in session 3 to lead with that session's seven brand-new gates
+# (KMV sketches, histogram quantiles, Hilbert layout, resample):
 #   1. the thirteen gates with ZERO driver evidence: the round-8
 #      tokenizer APPLY family (text_bpe_encode / text_unigram_encode /
 #      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
@@ -7664,6 +7670,10 @@ ORACLES["layout_hilbert_prune"] = LAYOUT_HILBERT_PRUNE_SQL
 # have at least one family member in-window (full registry stays in the
 # local mirror sweeps: CORRECTNESS_LOCAL_r9 at two SFs).
 _RUN_FIRST = [
+    # -- 0: round-9 session-3 gates, zero evidence anywhere yet
+    "sketch_kmv_distinct", "sketch_kmv_jaccard", "sketch_kmv_groups",
+    "sketch_hist_quantiles", "layout_hilbert_value",
+    "layout_hilbert_prune", "q_events_resample",
     # -- 1: zero driver evidence (rounds 8-9)
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
@@ -7680,13 +7690,15 @@ _RUN_FIRST = [
     "text_lang_id", "text_quality", "text_source_profile",
     "text_token_stats", "text_vocabulary", "v_lateral_batch_search",
     "v_search_mmr",
-    # -- 4: oldest r6-vintage rows
+    # -- 4: oldest r6-vintage rows (7 more deferred to r10 to make room
+    # for the session-3 gates: multimodal_phash/video, payload_contains,
+    # pipeline_mix_temperature/pack_sequences, q14, q3 — every deferred
+    # row keeps in-window kin: the multimodal codecs ride multimodal_bytes,
+    # the relational kernels ride the r5-queue joins/aggregations, and the
+    # full registry stays in the local-mirror sweeps at two SFs)
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_graph_blocked",
     "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
     "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
-    "multimodal_phash_dups", "multimodal_video_dups", "payload_contains",
-    "pipeline_mix_temperature", "pipeline_pack_sequences",
-    "q14_promo_revenue", "q3_topk_revenue",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -11,12 +11,15 @@
 - ``tokenizer``  — distributed BPE merge-rule training
 - ``pipeline``   — dataset assembly: splits, decontamination, repetition
                    quality, sequence packing
-- ``sketch``     — count-min sketch frequency estimation + hot-key skew
-                   diagnostics (feeds the salted join)
-- ``layout``     — Z-order (Morton) data layout for multi-dimensional
-                   file skipping, with the footer-stats prune model
-- ``temporal``   — as-of join (union + keyed carry, no pair join) and
-                   point-in-interval join
+- ``sketch``     — bounded-size sketches: count-min frequencies, KMV
+                   distincts + set algebra, equi-width histogram
+                   quantiles, exact hot-key skew diagnostics
+- ``layout``     — space-filling-curve data layout (Morton AND Hilbert)
+                   for multi-dimensional file skipping, with the
+                   footer-stats prune model
+- ``temporal``   — as-of join (union + keyed carry, no pair join),
+                   point-in-interval join, grid resample with linear
+                   interpolation
 """
 
 from qdrant_datafusion_spark.operators.topk import (  # noqa: F401
@@ -73,6 +76,7 @@ from qdrant_datafusion_spark.operators.pipeline import (  # noqa: F401
 from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     as_of_join,
     interval_join,
+    resample_interpolate,
 )
 from qdrant_datafusion_spark.operators.joins import salted_join  # noqa: F401
 from qdrant_datafusion_spark.operators.audio import (  # noqa: F401
@@ -95,11 +99,21 @@ from qdrant_datafusion_spark.operators.sketch import (  # noqa: F401
     cms_estimate,
     cms_heavy_hitters,
     cms_join_size,
+    hist_build,
+    hist_quantiles,
+    kmv_build,
+    kmv_build_grouped,
+    kmv_estimate,
+    kmv_estimate_grouped,
+    kmv_merge,
+    kmv_set_estimates,
     skew_hot_keys,
 )
 from qdrant_datafusion_spark.operators.layout import (  # noqa: F401
     file_minmax,
     files_touched,
+    hilbert_key,
+    hilbert_value,
     layout_files,
     z_value,
     zorder_key,

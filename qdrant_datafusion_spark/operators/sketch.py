@@ -379,7 +379,7 @@ def kmv_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
 
 
 def kmv_set_estimates(
-    a: DataFrame, b: DataFrame, k: int
+    a: DataFrame, b: DataFrame, k: int, materialize: bool = True
 ) -> DataFrame:
     """Set-algebra estimates from two same-k KMV sketches (Broder's
     MinHash argument over the merged sketch): one row with
@@ -392,8 +392,18 @@ def kmv_set_estimates(
     - ``est_intersect`` — ρ · est_union div n_merged.
 
     All inputs are ≤ k rows: the semi-joins below are broadcast joins
-    over bounded tables, independent of the original stream sizes."""
+    over bounded tables, independent of the original stream sizes.
+    ``materialize`` (default) lazily ``localCheckpoint``-s the two input
+    sketches and the merge — each feeds two consumers, and Catalyst
+    shares no common subplans, so without it each underlying stream
+    would be re-scanned per consumer.  All three are ≤ k rows: bounded
+    state by construction."""
+    if materialize:
+        a = a.localCheckpoint(eager=False)
+        b = b.localCheckpoint(eager=False)
     merged = kmv_merge(a, b, k)
+    if materialize:
+        merged = merged.localCheckpoint(eager=False)
     rho_rows = (
         merged.join(F.broadcast(a), "h", "left_semi")
         .join(F.broadcast(b), "h", "left_semi")

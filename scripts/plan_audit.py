@@ -234,6 +234,42 @@ NOTES = {
         "shuffle, carried by the pytest partition-disjointness test, not "
         "this plan.  BNLJs are single-row range/box broadcasts"
     ),
+    "layout_hilbert_value": (
+        "same shape as layout_zvalue: one single-row dim-range broadcast "
+        "BNLJ for the normalization; the Hilbert walk is ONE aggregate "
+        "fold expression in the projection — no per-bit plan growth"
+    ),
+    "layout_hilbert_prune": (
+        "same measurement-gate shape as layout_zorder_prune (ntile "
+        "stand-ins, single-row box broadcasts), with a hilbert arm "
+        "alongside bydim/zorder"
+    ),
+    "sketch_kmv_distinct": (
+        "the sketch build is distinct-then-TakeOrderedAndProject (k-row "
+        "heap merge, no global sort); the single-row exact-count arm "
+        "exists only to grade the estimate"
+    ),
+    "sketch_kmv_jaccard": (
+        "all joins are broadcasts over <= k-row sketches (merge + two "
+        "semi-joins for rho); the exact union/intersection arm is one "
+        "conditional-count aggregate carried for grading"
+    ),
+    "sketch_kmv_groups": (
+        "per-group sketches bound the rank window's input to distinct "
+        "(group, hash) pairs and its output to k rows per group"
+    ),
+    "sketch_hist_quantiles": (
+        "the no-partition window the audit sees runs over the <= 256-row "
+        "sketch (cumulative counts) — bounded by construction, never "
+        "data-sized; the data-side passes are the map-side-combined "
+        "histogram groupBy and the two conditional grading counts"
+    ),
+    "q_events_resample": (
+        "one key exchange feeds both opposite-direction carry windows "
+        "(same partitioning, two in-partition sorts); the grid arm's "
+        "groupBy carries two BIGINTs per key; the tiebreak rides the "
+        "sort order so duplicate resolution adds no shuffle"
+    ),
 }
 
 

@@ -54,6 +54,10 @@ DEFAULT_OPS = [
     "sketch_cms_autowidth",       # bounded sketch shuffle, width scaled to key count
     "skew_hot_keys",              # keyed count + 1-row stats broadcast
     "layout_zorder_probe",        # normalized Morton key + repartitionByRange write path
+    "sketch_kmv_probe",           # distinct-hash collapse + k-row TakeOrdered heap merge
+    "sketch_hist_probe",          # bounded histogram groupBy + sketch-side quantile walk
+    "layout_hilbert_probe",       # Hilbert fold key + repartitionByRange write path
+    "q_events_resample",          # union + 1 key shuffle + bidirectional carries
 ]
 
 
@@ -370,6 +374,59 @@ def _layout_zorder_probe(spark, sf_dir: str):
     return zorder_layout(base, ["x", "y"], n_files=64)
 
 
+def _sketch_kmv_probe(spark, sf_dir: str):
+    """KMV distinct sketch at scale: the replica fixture re-keys user_id
+    (150k distinct at 100×), so this measures the map-side-combined
+    distinct + per-partition k-heap TakeOrdered path while the output
+    stays k rows + a 1-row estimate by construction."""
+    import os
+
+    from qdrant_datafusion_spark.operators.sketch import kmv_build, kmv_estimate
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return kmv_estimate(kmv_build(ev, "user_id", 256), 256)
+
+
+def _sketch_hist_probe(spark, sf_dir: str):
+    """Histogram quantile sketch at scale: value distribution replicates
+    verbatim, so the 256-row count vector grows only in counts; measures
+    the bounded groupBy + the sketch-side p50/p90/p99 walk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.sketch import hist_build, hist_quantiles
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("c")
+    )
+    return hist_quantiles(hist_build(ev, "c", 256), 256, [500_000, 900_000, 990_000])
+
+
+def _layout_hilbert_probe(spark, sf_dir: str):
+    """Production Hilbert WRITE path at scale: normalized fold key +
+    repartitionByRange — the Hilbert twin of _layout_zorder_probe."""
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.entry_queries import _DAY_NS, _events, _floor_div
+    from qdrant_datafusion_spark.operators.layout import hilbert_key
+
+    base = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            F.col("user_id").cast("bigint").alias("x"),
+            _floor_div("ts", _DAY_NS).cast("bigint").alias("y"),
+        )
+    )
+    return (
+        hilbert_key(base, ["x", "y"])
+        .repartitionByRange(64, "h")
+        .sortWithinPartitions("h")
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -403,6 +460,9 @@ def main() -> None:
         "text_langid_probe": _text_langid_probe,
         "layout_zorder_probe": _layout_zorder_probe,
         "sketch_cms_autowidth": _sketch_cms_autowidth,
+        "sketch_kmv_probe": _sketch_kmv_probe,
+        "sketch_hist_probe": _sketch_hist_probe,
+        "layout_hilbert_probe": _layout_hilbert_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
