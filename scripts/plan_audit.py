@@ -242,7 +242,9 @@ NOTES = {
     "layout_hilbert_prune": (
         "same measurement-gate shape as layout_zorder_prune (ntile "
         "stand-ins, single-row box broadcasts), with a hilbert arm "
-        "alongside bydim/zorder"
+        "alongside bydim/zorder; 0 scans because the shared "
+        "(x, y, z, h) base is lazily localCheckpoint-ed once for its "
+        "five consumers"
     ),
     "sketch_kmv_distinct": (
         "the sketch build is distinct-then-TakeOrderedAndProject (k-row "
@@ -251,18 +253,22 @@ NOTES = {
     ),
     "sketch_kmv_jaccard": (
         "all joins are broadcasts over <= k-row sketches (merge + two "
-        "semi-joins for rho); the exact union/intersection arm is one "
-        "conditional-count aggregate carried for grading"
+        "semi-joins for rho), each sketch lazily localCheckpoint-ed so "
+        "its two consumers share one build; the exact "
+        "union/intersection arm is one conditional-count aggregate "
+        "carried for grading"
     ),
     "sketch_kmv_groups": (
         "per-group sketches bound the rank window's input to distinct "
         "(group, hash) pairs and its output to k rows per group"
     ),
     "sketch_hist_quantiles": (
-        "the no-partition window the audit sees runs over the <= 256-row "
-        "sketch (cumulative counts) — bounded by construction, never "
-        "data-sized; the data-side passes are the map-side-combined "
-        "histogram groupBy and the two conditional grading counts"
+        "the no-partition window runs over the <= 256-row sketch "
+        "(cumulative counts) — bounded by construction, never "
+        "data-sized; the 3-row quantile result is localCheckpoint-ed "
+        "so the grading cross-join and the final select share one "
+        "sketch build, leaving one histogram pass and one grading "
+        "pass over the data"
     ),
     "q_events_resample": (
         "one key exchange feeds both opposite-direction carry windows "
