@@ -3394,6 +3394,66 @@ FROM c WHERE tag = 1 ORDER BY user_id, ts_s
 QUERIES["q_events_resample"] = q_events_resample
 ORACLES["q_events_resample"] = Q_EVENTS_RESAMPLE_SQL
 
+ROLLING_WINDOW_S = 7 * 86_400  # trailing 7 days
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling metrics per user at every purchase event —
+    the RANGE-frame time window (``RANGE BETWEEN <interval> PRECEDING
+    AND CURRENT ROW``) that powers rolling LTV / frequency features.
+    A range frame is tie-safe by definition (all equal-instant rows are
+    in the frame regardless of sort order), and the sums are fixed-point
+    BIGINT micros, so every row is bit-identical cross-engine.  One key
+    shuffle + one in-partition sort; the frame is evaluated by a sliding
+    aggregate, never a per-row rescan."""
+    ev = _events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        _floor_div("ts", 1_000_000_000).alias("ts_s"),
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias(
+            "v_micro"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-ROLLING_WINDOW_S, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "v_micro",
+        F.count("*").over(w).cast("bigint").alias("roll_cnt"),
+        F.sum("v_micro").over(w).cast("bigint").alias("roll_sum"),
+    ).orderBy("user_id", "ts_s", "event_id")
+
+
+Q_EVENTS_ROLLING_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id,
+         {_floor_div_sql("epoch_ns(ts)", 1_000_000_000)} AS ts_s,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+)
+SELECT user_id, event_id, ts_s, v_micro,
+       count(*) OVER w::BIGINT AS roll_cnt,
+       sum(v_micro) OVER w::BIGINT AS roll_sum
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN {ROLLING_WINDOW_S} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_s, event_id
+"""
+
+QUERIES["q_events_rolling"] = q_events_rolling
+ORACLES["q_events_rolling"] = Q_EVENTS_ROLLING_SQL
+
+
+
 # ===========================================================================
 # round 3: chunking, distributed token budget, BM25
 # ===========================================================================
@@ -7203,6 +7263,170 @@ ORDER BY e.q_micro
 
 QUERIES["sketch_hist_quantiles"] = sketch_hist_quantiles
 ORACLES["sketch_hist_quantiles"] = SKETCH_HIST_QUANTILES_SQL
+
+
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+PROFILE_K = 256
+
+
+def pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sweep column profile of orders (pipeline.profile_columns):
+    per column, row/null counts, lexicographic min/max of the string
+    rendering, and a KMV distinct estimate — graded against the exact
+    per-column COUNT(DISTINCT) in-query.  The profile costs two
+    column-pruned passes over the table regardless of how many columns
+    are profiled (one stats groupBy + one per-column KMV sketch), where
+    the naive approach is one COUNT(DISTINCT) shuffle PER column."""
+    from qdrant_datafusion_spark.operators.pipeline import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_columns(orders, list(PROFILE_COLS), k=PROFILE_K)
+    exact_aggs = [
+        F.count_distinct(F.col(c).cast("string")).cast("long").alias(c)
+        for c in PROFILE_COLS
+    ]
+    wide = orders.agg(*exact_aggs)
+    exact = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).alias("exact_distinct"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.column", "_e.exact_distinct")
+    return (
+        prof.join(F.broadcast(exact), "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            "min_v",
+            "max_v",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000000"
+                " div greatest(exact_distinct, 1)"
+            ).cast("bigint").alias("err_micro"),
+        )
+        .orderBy("column")
+    )
+
+
+def _profile_arm_sql(c: str, cast: bool) -> str:
+    v = f"{c}::VARCHAR" if cast else c
+    return f"SELECT '{c}' AS col, {v} AS v FROM orders"
+
+
+PIPELINE_PROFILE_SQL = f"""
+WITH ex AS MATERIALIZED (
+  {_profile_arm_sql("o_orderkey", True)}
+  UNION ALL {_profile_arm_sql("o_custkey", True)}
+  UNION ALL {_profile_arm_sql("o_orderstatus", False)}
+  UNION ALL {_profile_arm_sql("o_orderpriority", False)}
+),
+stats AS (
+  SELECT col, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         min(v) AS min_v, max(v) AS max_v
+  FROM ex GROUP BY col
+),
+hs AS MATERIALIZED (
+  SELECT DISTINCT col, {_KMV_H.format(k="v")} AS h
+  FROM ex WHERE v IS NOT NULL
+),
+sk AS (
+  SELECT col, h FROM (
+    SELECT col, h,
+           row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+    FROM hs) WHERE rn <= {PROFILE_K}
+),
+st AS (
+  SELECT col, count(*)::BIGINT AS n_sketch, max(h)::BIGINT AS kth_hash
+  FROM sk GROUP BY col
+),
+e AS (
+  SELECT col, n_sketch,
+         {_KMV_EST.format(k=PROFILE_K, km1=PROFILE_K - 1)} AS est_distinct
+  FROM st
+),
+xd AS (
+  SELECT col, count(DISTINCT v)::BIGINT AS exact_distinct
+  FROM ex WHERE v IS NOT NULL GROUP BY col
+)
+SELECT s.col AS column, s.n_rows, s.n_nulls, s.min_v, s.max_v,
+       coalesce(e.n_sketch, 0)::BIGINT AS n_sketch,
+       coalesce(e.est_distinct, 0)::BIGINT AS est_distinct,
+       xd.exact_distinct,
+       (abs(coalesce(e.est_distinct, 0) - xd.exact_distinct) * 1000000
+        // greatest(xd.exact_distinct, 1))::BIGINT AS err_micro
+FROM stats s
+LEFT JOIN e ON e.col = s.col
+JOIN xd ON xd.col = s.col
+ORDER BY s.col
+"""
+
+QUERIES["pipeline_profile"] = pipeline_profile
+ORACLES["pipeline_profile"] = PIPELINE_PROFILE_SQL
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+def text_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over documents (functions.text.pmi_phrases):
+    the top-50 adjacent word pairs by quantized-log PMI with a
+    min-count-5 support floor — the word2phrase step that promotes
+    high-PMI pairs to single vocabulary pieces before tokenizer
+    training.  Integer fixed-point scores, (w1, w2) tie-break."""
+    from qdrant_datafusion_spark.functions.text import pmi_phrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_phrases(
+        docs, "text", min_count=PMI_MIN_COUNT, top=PMI_TOP
+    )
+
+
+_PMI_Q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+
+TEXT_PMI_PHRASES_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(trim(text)),
+                     '[ \\t\\n\\r\\f\\x0b]+'), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+big AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM t WHERE len(toks) >= 2)
+  ) GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+       ({_PMI_Q.format(x="b.c12")} + {_PMI_Q.format(x="tot.n")}
+        - {_PMI_Q.format(x="u1.c")} - {_PMI_Q.format(x="u2.c")})::BIGINT
+         AS pmi_q
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2, tot
+ORDER BY pmi_q DESC, b.w1, b.w2 LIMIT {PMI_TOP}
+"""
+
+QUERIES["text_pmi_phrases"] = text_pmi_phrases
+ORACLES["text_pmi_phrases"] = TEXT_PMI_PHRASES_SQL
 
 
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

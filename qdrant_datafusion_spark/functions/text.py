@@ -361,3 +361,70 @@ def clean_text(text: ColumnOrName, token: str = "[PII]") -> Column:
     """The full scrub: strip markup, then redact PII — one narrow
     projection of chained regexp_replace calls."""
     return redact_pii(strip_markup(text), token)
+
+
+def pmi_phrases(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+):
+    """Collocation mining (word2phrase shape): the ``top`` adjacent word
+    pairs by pointwise mutual information, ``PMI ∝ ln c12 + ln N − ln c1
+    − ln c2``, restricted to pairs seen at least ``min_count`` times —
+    the phrase-vocabulary step that runs before tokenizer training so
+    "new york" becomes one piece.
+
+    Scores are the repo's quantized-log fixed point (``floor(ln·10⁶ +
+    0.5)`` per factor, integer adds after) so ranking and values are
+    bit-identical cross-engine; ties break (w1, w2) ascending.
+
+    Scale: one explode each for bigrams and unigrams (both map-side
+    combined to per-partition distinct counts before their exchanges),
+    two word-keyed joins to attach c1/c2 (AQE picks broadcast while the
+    vocabulary fits, shuffle-hash beyond), a 1-row token-total
+    broadcast, and a TakeOrderedAndProject for the top slice — no
+    global sort, nothing driver-side.
+    """
+    toks = df.select(tokens(text_col).alias("_t")).where(F.size("_t") >= 1)
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("_n"))
+    big = (
+        toks.where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_t) - 2),"
+                    " i -> struct(_t[i] AS w1, _t[i + 1] AS w2))"
+                )
+            ).alias("_b")
+        )
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    q = "CAST(floor(ln({x}) * 1000000 + 0.5) AS BIGINT)"
+    j = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = (
+        F.expr(q.format(x="c12"))
+        + F.expr(q.format(x="_n"))
+        - F.expr(q.format(x="c1"))
+        - F.expr(q.format(x="c2"))
+    )
+    return (
+        j.select(
+            "w1", "w2", "c12", "c1", "c2",
+            pmi.cast("bigint").alias("pmi_q"),
+        )
+        .orderBy(F.desc("pmi_q"), "w1", "w2")
+        .limit(top)
+    )

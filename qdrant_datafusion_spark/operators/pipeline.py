@@ -50,6 +50,7 @@ __all__ = [
     "stratified_sample",
     "quality_percentile_filter",
     "chunk_documents",
+    "profile_columns",
     "token_budget_select",
     "decontaminate_bloom",
     "lm_perplexity",
@@ -1381,4 +1382,68 @@ def weighted_sample(
         .drop("_u")
         .orderBy(F.desc(out_col), F.asc(id_col))
         .limit(k)
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """One-sweep data-quality profile: per column, ``(column, n_rows,
+    n_nulls, min_v, max_v, n_sketch, est_distinct)`` — the stats a
+    pipeline checks before trusting a new 100 TB drop (null explosions,
+    cardinality drift, range drift).  Values are profiled through their
+    string rendering (min/max are lexicographic; exact for string and
+    non-negative fixed-width integer columns).
+
+    Shape: the table is re-shaped once into a (column, value) stream via
+    an array-of-structs explode — a narrow projection, no UDF — and that
+    stream feeds two consumers:
+
+    - the stats groupBy: map-side combine collapses each partition to
+      one partial row per column before the exchange;
+    - a per-column KMV sketch (``kmv_build_grouped``/
+      ``kmv_estimate_grouped``): distinct estimates without a
+      COUNT(DISTINCT) shuffle per column — est is exact below k.
+
+    Catalyst shares no common subplans, so the stream is scanned twice
+    (both passes column-pruned to exactly ``columns``); the outputs are
+    n_cols and ≤ k·n_cols rows — driver-free, broadcastable.
+    """
+    from qdrant_datafusion_spark.operators.sketch import (
+        kmv_build_grouped,
+        kmv_estimate_grouped,
+    )
+
+    cols = columns or df.columns
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    ex = df.select(F.explode(pairs).alias("_p")).select(
+        "_p.column", "_p.v"
+    )
+    stats = ex.groupBy("column").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    est = kmv_estimate_grouped(
+        kmv_build_grouped(ex, "column", "v", k), "column", k
+    ).select("column", "n_sketch", "est_distinct")
+    return (
+        stats.join(est, "column", "left")
+        .withColumn("n_sketch", F.coalesce("n_sketch", F.lit(0)))
+        .withColumn(
+            "est_distinct", F.coalesce("est_distinct", F.lit(0))
+        )
     )

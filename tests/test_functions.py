@@ -617,3 +617,38 @@ class TestTextCleaning:
                 f"SELECT {cleaned} FROM (SELECT ? AS t)", [text]
             ).fetchone()[0]
             assert got[i] == expect, (i, got[i], expect)
+
+
+class TestPmiPhrases:
+    def test_collocation_ranks_above_frequent_pair(self, spark):
+        import math
+
+        from qdrant_datafusion_spark.functions.text import pmi_phrases
+
+        # "san francisco" always adjacent (perfect collocation);
+        # "the cat" co-occurs but both words are frequent elsewhere
+        docs = ["san francisco is foggy the cat sat"] * 6
+        docs += ["the dog sat", "a cat ran the end"] * 6
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   "doc_id long, text string")
+        out = pmi_phrases(df, "text", min_count=5, top=10).collect()
+        got = {(r["w1"], r["w2"]): r for r in out}
+        assert ("san", "francisco") in got
+        sf = got[("san", "francisco")]
+        assert sf["c12"] == sf["c1"] == sf["c2"] == 6  # perfect pair
+        if ("the", "cat") in got:
+            assert sf["pmi_q"] > got[("the", "cat")]["pmi_q"]
+        # quantized-log fixed point matches python
+        n = sum(len(t.split()) for t in docs)
+        q = lambda x: math.floor(math.log(x) * 1_000_000 + 0.5)
+        assert sf["pmi_q"] == q(6) + q(n) - q(6) - q(6)
+
+    def test_min_count_floor_and_top_slice(self, spark):
+        from qdrant_datafusion_spark.functions.text import pmi_phrases
+
+        docs = ["alpha beta"] * 4 + ["gamma delta"] * 7
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   "doc_id long, text string")
+        out = pmi_phrases(df, "text", min_count=5, top=1).collect()
+        # alpha-beta (4 < 5) filtered by the support floor; top=1 slices
+        assert [(r["w1"], r["w2"]) for r in out] == [("gamma", "delta")]

