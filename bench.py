@@ -130,6 +130,10 @@ HEADLINE = [
     "layout_hilbert_value",
     "layout_hilbert_prune",
     "q_events_resample",
+    "q_events_rolling",
+    "pipeline_profile",
+    "text_pmi_phrases",
+    "q10_returned_items",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

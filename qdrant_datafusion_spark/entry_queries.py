@@ -7429,6 +7429,64 @@ QUERIES["text_pmi_phrases"] = text_pmi_phrases
 ORACLES["text_pmi_phrases"] = TEXT_PMI_PHRASES_SQL
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — a 4-table
+    join (fact lineitem ⋈ orders shuffled on their keys; customer and
+    nation broadcast as dims), a customer-keyed aggregation, and a
+    top-20 TakeOrderedAndProject.  Revenue follows the repo's decimal
+    convention (cast each term to DECIMAL(18,6) BEFORE summing so the
+    total is order-independent, round once at the end)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2)
+         AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES["q10_returned_items"] = q10_returned_items
+ORACLES["q10_returned_items"] = Q10_SQL
+
+
 def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield–Lund–Thorup) of 100 documents with
     weight = text length + 1: inclusion ∝ weight, without replacement,
@@ -7897,7 +7955,8 @@ _RUN_FIRST = [
     # -- 0: round-9 session-3 gates, zero evidence anywhere yet
     "sketch_kmv_distinct", "sketch_kmv_jaccard", "sketch_kmv_groups",
     "sketch_hist_quantiles", "layout_hilbert_value",
-    "layout_hilbert_prune", "q_events_resample",
+    "layout_hilbert_prune", "q_events_resample", "q_events_rolling",
+    "pipeline_profile", "text_pmi_phrases", "q10_returned_items",
     # -- 1: zero driver evidence (rounds 8-9)
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
@@ -7916,13 +7975,13 @@ _RUN_FIRST = [
     "v_search_mmr",
     # -- 4: oldest r6-vintage rows (7 more deferred to r10 to make room
     # for the session-3 gates: multimodal_phash/video, payload_contains,
-    # pipeline_mix_temperature/pack_sequences, q14, q3 — every deferred
+    # pipeline_mix_temperature/pack_sequences, q14, q3, dedup_simhash,
+    # lsh_bucket_topk, match_text_bm25/tfidf — every deferred
     # row keeps in-window kin: the multimodal codecs ride multimodal_bytes,
     # the relational kernels ride the r5-queue joins/aggregations, and the
     # full registry stays in the local-mirror sweeps at two SFs)
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_graph_blocked",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_simhash",
-    "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
+    "dedup_embedding_lsh", "dedup_exact",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -276,6 +276,17 @@ NOTES = {
         "groupBy carries two BIGINTs per key; the tiebreak rides the "
         "sort order so duplicate resolution adds no shuffle"
     ),
+    "pipeline_profile": (
+        "the (column, value) explode stream feeds two consumers (stats "
+        "groupBy + per-column KMV) — two column-pruned scans by design, "
+        "vs one COUNT(DISTINCT) shuffle per profiled column naively; "
+        "the exact-distinct arm exists only to grade the estimates"
+    ),
+    "text_pmi_phrases": (
+        "two map-side-combined explode counts, two word-keyed joins "
+        "(AQE broadcasts while the vocabulary fits), a 1-row total "
+        "broadcast, TakeOrderedAndProject for the top slice"
+    ),
 }
 
 
