@@ -529,3 +529,133 @@ class TestBpeBoundaryEncoding:
         assert self._replace_merges(texts, n_merges) == bpe_reference(
             texts, n_merges
         )
+
+
+class TestHilbertProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_matches_reference_walk(self, spark, pts):
+        from qdrant_datafusion_spark.operators.layout import hilbert_value
+
+        def xy2d(n, x, y):
+            d, s = 0, n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = n - 1 - x, n - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "i int, x long, y long",
+        )
+        rows = df.select(
+            "i", hilbert_value(F.col("x"), F.col("y"), 8).alias("h")
+        ).collect()
+        for r in rows:
+            x, y = pts[r.i]
+            assert r.h == xy2d(256, x, y), (x, y)
+
+
+class TestKmvProperties:
+    @SETTINGS
+    @given(
+        st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                 min_size=1, max_size=200),
+        st.integers(1, 5),
+    )
+    def test_estimate_invariant_under_duplication(self, spark, keys, copies):
+        from qdrant_datafusion_spark.operators.sketch import (
+            kmv_build,
+            kmv_estimate,
+        )
+
+        once = spark.createDataFrame([(k,) for k in keys], "k string")
+        dup = spark.createDataFrame(
+            [(k,) for k in keys for _ in range(copies)], "k string"
+        )
+        a = kmv_estimate(kmv_build(once, "k", 32), 32).collect()[0]
+        b = kmv_estimate(kmv_build(dup, "k", 32), 32).collect()[0]
+        # the sketch sees DISTINCT hashes only: duplication is invisible
+        assert (a["n_sketch"], a["kth_hash"], a["est_distinct"]) == (
+            b["n_sketch"], b["kth_hash"], b["est_distinct"],
+        )
+        exact = len(set(keys))
+        if exact < 32:
+            assert a["est_distinct"] == exact
+
+
+class TestHistProperties:
+    @SETTINGS
+    @given(
+        st.lists(st.integers(-1000, 1000), min_size=2, max_size=300),
+        st.integers(2, 32),
+        st.integers(1, 999_999),
+    )
+    def test_quantile_bucket_contains_rank(self, spark, vals, buckets, q):
+        from qdrant_datafusion_spark.operators.sketch import (
+            hist_build,
+            hist_quantiles,
+        )
+
+        df = spark.createDataFrame([(v,) for v in vals], "c long")
+        r = hist_quantiles(
+            hist_build(df, "c", buckets), buckets, [q]
+        ).collect()[0]
+        true_v = sorted(vals)[r["rank_r"] - 1]
+        assert r["b_lo"] <= true_v <= r["b_hi"]
+        assert r["b_lo"] <= r["est"] <= r["b_hi"]
+
+
+class TestResampleProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 400), st.integers(-1000, 1000)),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda tv: tv[0],
+        ),
+        st.integers(5, 50),
+    )
+    def test_matches_python_interpolation(self, spark, obs, step):
+        from qdrant_datafusion_spark.operators.temporal import (
+            resample_interpolate,
+        )
+
+        df = spark.createDataFrame(
+            [("k", t, v, i) for i, (t, v) in enumerate(obs)],
+            "k string, t long, v long, e long",
+        )
+        got = {
+            r["t"]: r["v"]
+            for r in resample_interpolate(
+                df, ts_col="t", by="k", value_col="v", step=step, seq_col="e"
+            ).collect()
+        }
+        pts = sorted(obs)
+        lo = -(-pts[0][0] // step) * step
+        hi = (pts[-1][0] // step) * step
+        want = {}
+        for g in range(lo, hi + 1, step):
+            prev = max((t, v) for t, v in pts if t <= g)
+            nxt = min((t, v) for t, v in pts if t >= g)
+            if nxt[0] > prev[0]:
+                num = (nxt[1] - prev[1]) * (g - prev[0])
+                den = nxt[0] - prev[0]
+                w = prev[1] + int(num / den)  # trunc toward zero
+            else:
+                w = prev[1]
+            want[g] = w
+        assert got == want
