@@ -150,6 +150,7 @@ STREAMING = [
     "streaming_near_dup_ingest",
     "streaming_semantic_ingest",
     "streaming_heavy_hitters",
+    "streaming_hist_quantiles",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -191,6 +192,10 @@ TAGS = {
         "streaming gate: 4-file re-layout + 4 stateful micro-batches"
     ),
     "streaming_sessions": "streaming gate: session_window complete-mode run",
+    "streaming_hist_quantiles": (
+        "streaming gate: 4-file re-layout + complete-mode histogram "
+        "aggregation run, then the batch quantile walk on the drained sketch"
+    ),
     "text_bpe_vocab": (
         "driver-loop op: 12 sequential merge jobs over the word table "
         "(inherent to BPE; each job is one groupBy + argmax + map)"

@@ -7572,6 +7572,102 @@ QUERIES["streaming_heavy_hitters"] = streaming_heavy_hitters
 ORACLES["streaming_heavy_hitters"] = SKETCH_CMS_HEAVY_HITTERS_SQL
 
 
+def streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sketch_hist_quantiles, graded by the SAME
+    oracle — the point is histogram mergeability: bucket counts ADD, so
+    the UNCHANGED ``hist_build`` runs directly on a readStream (orders
+    re-laid-out as 4 files, maxFilesPerTrigger=1) as a complete-mode
+    aggregation whose state is the bounded ≤ B-row count vector.  The
+    one streaming-specific requirement is EXPLICIT bounds (a streaming
+    query allows one aggregation, and a production stream fixes bucket
+    edges ahead of time anyway); the gate derives them batch-side from
+    the same data, so the drained sketch — and every downstream
+    quantile/grading number — is bit-identical to the batch build."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.operators.sketch import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    raw = _t(spark, sf_dir, "orders")
+    cents_expr = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    bounds = (
+        raw.where(F.col("o_totalprice").isNotNull())
+        .agg(
+            F.min(F.expr(cents_expr)).alias("lo"),
+            F.max(F.expr(cents_expr)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_stream_hist_")
+    src = os.path.join(tmp, "src")
+    raw.repartition(4).write.parquet(src)
+    try:
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .where(F.col("o_totalprice").isNotNull())
+            .select(F.expr(cents_expr).alias("c"))
+        )
+        sketch = _run_stream_to_table(
+            hist_build(
+                stream, "c", HIST_BUCKETS,
+                lo=int(bounds["lo"]), hi=int(bounds["hi"]),
+            ),
+            spark,
+            "hist",
+            "complete",
+        ).localCheckpoint(eager=True)  # pin before the temp source vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cents = raw.where(F.col("o_totalprice").isNotNull()).select(
+        F.expr(cents_expr).alias("c")
+    )
+    qs = hist_quantiles(sketch, HIST_BUCKETS, list(HIST_QS)).localCheckpoint(
+        eager=False
+    )
+    ver = (
+        cents.crossJoin(
+            F.broadcast(qs.select("q_micro", "rank_r", "b_lo", "b_hi"))
+        )
+        .groupBy("q_micro", "rank_r", "b_lo", "b_hi")
+        .agg(
+            F.sum(F.when(F.col("c") < F.col("b_lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lt_blo"),
+            F.sum(F.when(F.col("c") <= F.col("b_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le_bhi"),
+        )
+    )
+    return (
+        qs.join(ver, ["q_micro", "rank_r", "b_lo", "b_hi"])
+        .select(
+            F.col("q_micro").cast("bigint").alias("q_micro"),
+            "n_total",
+            "rank_r",
+            "bucket",
+            "b_lo",
+            "b_hi",
+            "est",
+            "n_lt_blo",
+            "n_le_bhi",
+            (
+                (F.col("n_lt_blo") < F.col("rank_r"))
+                & (F.col("rank_r") <= F.col("n_le_bhi"))
+            ).alias("contains_rank"),
+        )
+        .orderBy("q_micro")
+    )
+
+
+QUERIES["streaming_hist_quantiles"] = streaming_hist_quantiles
+ORACLES["streaming_hist_quantiles"] = SKETCH_HIST_QUANTILES_SQL
+
+
 # ===========================================================================
 # layout family (operators/layout.py) — Z-order (Morton) multi-dimensional
 # clustering and its measured file-skipping benefit.  The gates model the
@@ -7957,6 +8053,7 @@ _RUN_FIRST = [
     "sketch_hist_quantiles", "layout_hilbert_value",
     "layout_hilbert_prune", "q_events_resample", "q_events_rolling",
     "pipeline_profile", "text_pmi_phrases", "q10_returned_items",
+    "streaming_hist_quantiles",
     # -- 1: zero driver evidence (rounds 8-9)
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
@@ -7981,7 +8078,7 @@ _RUN_FIRST = [
     # the relational kernels ride the r5-queue joins/aggregations, and the
     # full registry stays in the local-mirror sweeps at two SFs)
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_graph_blocked",
-    "dedup_embedding_lsh", "dedup_exact",
+    "dedup_embedding_lsh",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -453,34 +453,61 @@ def kmv_set_estimates(
 # ---------------------------------------------------------------------------
 
 
-def hist_build(df: DataFrame, value_col: str, buckets: int = 256) -> DataFrame:
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 256,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
     """Equi-width histogram of an INTEGER measure: ≤ ``buckets`` rows of
     (b, cnt, lo, hi) where ``b = (v − lo)·B div W`` with ``W = hi−lo+1``
-    over the observed [lo, hi] (one 1-row min/max aggregate broadcast —
-    the same pattern as zorder_key's normalization).  The count groupBy
-    is map-side combined, so the exchange carries at most B rows per
-    partition regardless of input size; lo/hi ride along as constant
-    columns so the sketch is self-describing for decoding and merging.
-    Degenerate all-equal input (W ≤ B) still works: buckets simply
-    cover single values."""
+    over [lo, hi] — observed from the data by default (one 1-row min/max
+    aggregate broadcast, the same pattern as zorder_key's
+    normalization), or passed explicitly.  Explicit bounds make the
+    mapping a pure projection with NO second aggregation — the form a
+    STREAMING build needs (one aggregation per streaming query) and the
+    form shards must share to merge; values are clamped into [lo, hi].
+    The count groupBy is map-side combined, so the exchange carries at
+    most B rows per partition regardless of input size; lo/hi ride along
+    as constant columns so the sketch is self-describing for decoding
+    and merging.  Degenerate all-equal input (W ≤ B) still works:
+    buckets simply cover single values."""
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
-    mm = df.agg(
-        F.min(F.col(value_col).cast("bigint")).alias("_lo"),
-        F.max(F.col(value_col).cast("bigint")).alias("_hi"),
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    src = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("bigint").alias("_v")
     )
-    return (
-        df.where(F.col(value_col).isNotNull())
-        .select(F.col(value_col).cast("bigint").alias("_v"))
-        .crossJoin(F.broadcast(mm))
-        .select(
-            F.expr(f"((_v - _lo) * {buckets}) div (_hi - _lo + 1)")
+    if lo is not None:
+        if hi < lo:
+            raise ValueError("hi must be >= lo")
+        clamp = f"least(greatest(_v, {lo}), {hi})"
+        keyed = src.select(
+            F.expr(f"(({clamp} - {lo}) * {buckets}) div {hi - lo + 1}")
             .cast("bigint")
             .alias("b"),
-            "_lo",
-            "_hi",
+            F.lit(lo).cast("bigint").alias("_lo"),
+            F.lit(hi).cast("bigint").alias("_hi"),
         )
-        .groupBy("b", "_lo", "_hi")
+    else:
+        mm = df.agg(
+            F.min(F.col(value_col).cast("bigint")).alias("_lo"),
+            F.max(F.col(value_col).cast("bigint")).alias("_hi"),
+        )
+        keyed = (
+            src.crossJoin(F.broadcast(mm))
+            .select(
+                F.expr(f"((_v - _lo) * {buckets}) div (_hi - _lo + 1)")
+                .cast("bigint")
+                .alias("b"),
+                "_lo",
+                "_hi",
+            )
+        )
+    return (
+        keyed.groupBy("b", "_lo", "_hi")
         .agg(F.count("*").cast("long").alias("cnt"))
         .select("b", "cnt", F.col("_lo").alias("lo"), F.col("_hi").alias("hi"))
     )

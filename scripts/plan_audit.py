@@ -282,6 +282,13 @@ NOTES = {
         "vs one COUNT(DISTINCT) shuffle per profiled column naively; "
         "the exact-distinct arm exists only to grade the estimates"
     ),
+    "streaming_hist_quantiles": (
+        "near-zero row: the sketch is built DURING construction by a "
+        "real complete-mode streaming run of the unchanged hist_build "
+        "(4-file re-layout, maxFilesPerTrigger=1, explicit bounds) and "
+        "pinned via eager localCheckpoint; the audited plan is the "
+        "batch quantile walk + grading counts over a LogicalRDD sketch"
+    ),
     "text_pmi_phrases": (
         "two map-side-combined explode counts, two word-keyed joins "
         "(AQE broadcasts while the vocabulary fits), a 1-row total "
