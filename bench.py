@@ -134,6 +134,7 @@ HEADLINE = [
     "pipeline_profile",
     "text_pmi_phrases",
     "q10_returned_items",
+    "sketch_drift_report",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

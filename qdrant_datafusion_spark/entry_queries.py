@@ -7668,6 +7668,167 @@ QUERIES["streaming_hist_quantiles"] = streaming_hist_quantiles
 ORACLES["streaming_hist_quantiles"] = SKETCH_HIST_QUANTILES_SQL
 
 
+DRIFT_BUCKETS = 64
+DRIFT_K = 256
+#: shared histogram bounds for the drift compare: o_totalprice cents
+#: span fixed from the whole table so both slices bucket identically
+#: (the explicit-bounds mode exists exactly for cross-slice comparability)
+
+
+def sketch_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift report between two slices of orders (URGENT vs LOW
+    priority), composed entirely from bounded sketches — the check a
+    pipeline runs on every new drop without scanning history twice:
+
+    - **value drift**: equi-width histograms of o_totalprice cents
+      built against SHARED explicit bounds (so buckets align), compared
+      by fixed-point L1 distance of the count *proportions* —
+      ``Σ_b |cnt_a·10⁶ div n_a − cnt_b·10⁶ div n_b|`` over ≤ B rows;
+    - **key drift**: KMV Jaccard of the two slices' custkey sets
+      (Broder ρ over the merged k-row sketches).
+
+    One row: (n_a, n_b, l1_micro, n_merged, rho, jaccard_micro) — all
+    BIGINT, bit-identical cross-engine.  Both measures are mergeable
+    summaries: yesterday's sketches are reusable, so the daily cost is
+    one pass over the NEW slice only."""
+    from qdrant_datafusion_spark.operators.sketch import (
+        hist_build,
+        kmv_build,
+        kmv_set_estimates,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents_expr = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    bounds = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .agg(
+            F.min(F.expr(cents_expr)).alias("lo"),
+            F.max(F.expr(cents_expr)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.where(F.col("o_orderpriority") == "5-LOW")
+
+    def _hist(side: DataFrame) -> DataFrame:
+        return hist_build(
+            side.where(F.col("o_totalprice").isNotNull()).select(
+                F.expr(cents_expr).alias("c")
+            ),
+            "c",
+            DRIFT_BUCKETS,
+            lo=lo,
+            hi=hi,
+        )
+
+    ha = _hist(a).select("b", F.col("cnt").alias("ca"))
+    hb = _hist(b).select("b", F.col("cnt").alias("cb"))
+    na = a.where(F.col("o_totalprice").isNotNull()).agg(
+        F.count("*").cast("long").alias("n_a")
+    )
+    nb = b.where(F.col("o_totalprice").isNotNull()).agg(
+        F.count("*").cast("long").alias("n_b")
+    )
+    l1 = (
+        ha.join(hb, "b", "full")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(ca * 1000000 div greatest(n_a, 1)"
+                    " - cb * 1000000 div greatest(n_b, 1))"
+                )
+            )
+            .cast("bigint")
+            .alias("l1_micro")
+        )
+    )
+    kj = kmv_set_estimates(
+        kmv_build(a, "o_custkey", DRIFT_K),
+        kmv_build(b, "o_custkey", DRIFT_K),
+        DRIFT_K,
+    ).select("n_merged", "rho", "jaccard_micro")
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(l1))
+        .crossJoin(F.broadcast(kj))
+        .select("n_a", "n_b", "l1_micro", "n_merged", "rho", "jaccard_micro")
+    )
+
+
+SKETCH_DRIFT_REPORT_SQL = f"""
+WITH mm AS (
+  SELECT min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS lo,
+         max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS hi
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+av AS MATERIALIZED (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_custkey
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bv AS MATERIALIZED (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_custkey
+  FROM orders WHERE o_orderpriority = '5-LOW'
+),
+ha AS (
+  SELECT ((least(greatest(c, lo), hi) - lo) * {DRIFT_BUCKETS})
+           // (hi - lo + 1) AS b,
+         count(*)::BIGINT AS ca
+  FROM av, mm WHERE c IS NOT NULL GROUP BY 1
+),
+hb AS (
+  SELECT ((least(greatest(c, lo), hi) - lo) * {DRIFT_BUCKETS})
+           // (hi - lo + 1) AS b,
+         count(*)::BIGINT AS cb
+  FROM bv, mm WHERE c IS NOT NULL GROUP BY 1
+),
+ns AS (
+  SELECT (SELECT count(*) FROM av WHERE c IS NOT NULL)::BIGINT AS n_a,
+         (SELECT count(*) FROM bv WHERE c IS NOT NULL)::BIGINT AS n_b
+),
+l1 AS (
+  SELECT sum(abs(coalesce(ca, 0) * 1000000 // greatest(n_a, 1)
+              - coalesce(cb, 0) * 1000000 // greatest(n_b, 1)))::BIGINT
+           AS l1_micro
+  FROM ha FULL JOIN hb USING (b), ns
+),
+sa AS MATERIALIZED (
+  SELECT h FROM (
+    SELECT DISTINCT {_KMV_H.format(k="o_custkey::VARCHAR")} AS h
+    FROM av WHERE o_custkey IS NOT NULL)
+  ORDER BY h LIMIT {DRIFT_K}
+),
+sb AS MATERIALIZED (
+  SELECT h FROM (
+    SELECT DISTINCT {_KMV_H.format(k="o_custkey::VARCHAR")} AS h
+    FROM bv WHERE o_custkey IS NOT NULL)
+  ORDER BY h LIMIT {DRIFT_K}
+),
+mg AS MATERIALIZED (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {DRIFT_K}
+),
+st AS (SELECT count(*)::BIGINT AS n_merged FROM mg),
+rh AS (
+  SELECT count(*)::BIGINT AS rho FROM mg
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+)
+SELECT ns.n_a, ns.n_b, l1.l1_micro, st.n_merged, rh.rho,
+       (rh.rho * 1000000 // greatest(st.n_merged, 1))::BIGINT
+         AS jaccard_micro
+FROM ns, l1, st, rh
+"""
+
+QUERIES["sketch_drift_report"] = sketch_drift_report
+ORACLES["sketch_drift_report"] = SKETCH_DRIFT_REPORT_SQL
+
+
 # ===========================================================================
 # layout family (operators/layout.py) — Z-order (Morton) multi-dimensional
 # clustering and its measured file-skipping benefit.  The gates model the
@@ -8053,7 +8214,7 @@ _RUN_FIRST = [
     "sketch_hist_quantiles", "layout_hilbert_value",
     "layout_hilbert_prune", "q_events_resample", "q_events_rolling",
     "pipeline_profile", "text_pmi_phrases", "q10_returned_items",
-    "streaming_hist_quantiles",
+    "streaming_hist_quantiles", "sketch_drift_report",
     # -- 1: zero driver evidence (rounds 8-9)
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
@@ -8078,7 +8239,6 @@ _RUN_FIRST = [
     # the relational kernels ride the r5-queue joins/aggregations, and the
     # full registry stays in the local-mirror sweeps at two SFs)
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_graph_blocked",
-    "dedup_embedding_lsh",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

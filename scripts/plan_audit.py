@@ -289,6 +289,13 @@ NOTES = {
         "pinned via eager localCheckpoint; the audited plan is the "
         "batch quantile walk + grading counts over a LogicalRDD sketch"
     ),
+    "sketch_drift_report": (
+        "composition gate over bounded sketches: two explicit-bounds "
+        "histograms (shared edges) full-joined over <= B rows for the "
+        "L1 proportion distance, two <= k-row KMV sketches for the key "
+        "Jaccard; every join input is bounded, the data is scanned once "
+        "per slice per sketch"
+    ),
     "text_pmi_phrases": (
         "two map-side-combined explode counts, two word-keyed joins "
         "(AQE broadcasts while the vocabulary fits), a 1-row total "
