@@ -265,7 +265,7 @@ def resample_interpolate(
         F.col(by),
         F.col(ts_col).cast("bigint").alias("_t"),
         F.col(value_col).cast("bigint").alias("_v"),
-        tie.cast("bigint").alias("_tie"),
+        tie.alias("_tie"),  # any orderable type: only sorted, never cast
     )
     # ceil/floor grid bounds via sign-safe floor division
     bounds = obs.groupBy(by).agg(
@@ -287,11 +287,12 @@ def resample_interpolate(
         .select(
             by, "_t",
             F.lit(None).cast("bigint").alias("_v"),
-            F.lit(None).cast("bigint").alias("_tie"),
             F.lit(1).alias("_tag"),
         )
     )
-    u = obs.withColumn("_tag", F.lit(0)).unionByName(grid)
+    u = obs.withColumn("_tag", F.lit(0)).unionByName(
+        grid, allowMissingColumns=True  # grid rows: _tie null, typed by obs
+    )
     # ascending carry: at a grid row, the last non-null value seen is the
     # nearest obs at t <= grid t; ties at one instant order tie-ASC so the
     # carry lands on the LARGEST tie (latest write) without a dedup pass.

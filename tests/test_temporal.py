@@ -297,3 +297,20 @@ class TestResampleInterpolate:
         # sort, no cartesian, nothing driver-side
         assert plan.count("hashpartitioning") <= 3
         assert "Cartesian" not in plan and "rangepartitioning" not in plan
+
+    def test_string_seq_tiebreak(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            resample_interpolate,
+        )
+
+        rows = [("a", 10, 111, "e5"), ("a", 10, 999, "e2"),
+                ("a", 20, 30, "e7")]
+        df = spark.createDataFrame(rows, "k string, t long, v long, e string")
+        got = sorted(
+            (r["k"], r["t"], r["v"])
+            for r in resample_interpolate(
+                df, ts_col="t", by="k", value_col="v", step=10, seq_col="e"
+            ).collect()
+        )
+        # the tie column is ordered as-is (no cast): "e5" > "e2" wins
+        assert got[0] == ("a", 10, 111)
