@@ -8181,6 +8181,176 @@ QUERIES["layout_hilbert_prune"] = layout_hilbert_prune
 ORACLES["layout_hilbert_prune"] = LAYOUT_HILBERT_PRUNE_SQL
 
 
+# ===========================================================================
+# Round 9 session 4 — CDC / data-platform state management: changelog →
+# snapshot (MERGE-INTO "latest wins"), changelog → SCD Type-2 history,
+# snapshot ↔ snapshot audit diff.  The maintain-don't-rebuild half of a
+# 100 TB corpus; see operators/cdc.py for the one-shuffle designs.
+# ===========================================================================
+
+_EV_CDC_COLS = """user_id, epoch_ns(ts) AS ts, event_id, event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro"""
+
+
+def _events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a per-user changelog: ns timestamps (via `_events`),
+    fixed-point value micros, `event_type` as the operation column with
+    'error' playing the tombstone role (a user whose LATEST event is an
+    error drops out of the current state — the crawler-refetch-failed
+    shape)."""
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias(
+            "v_micro"
+        ),
+    )
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state of the per-user changelog: latest (ts, event_id) row
+    per user, users whose latest operation is an 'error' tombstoned.
+    ONE key exchange + in-partition sort (row_number take-1) — the
+    MERGE-INTO latest-wins kernel; see cdc.cdc_latest_snapshot."""
+    from qdrant_datafusion_spark.operators.cdc import cdc_latest_snapshot
+
+    ev = _events_cdc(spark, sf_dir)
+    return cdc_latest_snapshot(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+
+
+CDC_LATEST_STATE_SQL = f"""
+WITH e AS (
+  SELECT {_EV_CDC_COLS}
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, ts, event_id, event_type, v_micro
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history of the same changelog: one version
+    row per non-error event with [valid_from, valid_to) validity —
+    the NEXT event of any type (including an error tombstone) closes
+    the interval; NULL valid_to + is_current marks open versions.
+    Shares the snapshot's single key exchange; `lead` evaluates in the
+    same sorted run.  See cdc.scd2_history."""
+    from qdrant_datafusion_spark.operators.cdc import scd2_history
+
+    ev = _events_cdc(spark, sf_dir)
+    return scd2_history(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "v_micro",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH e AS (
+  SELECT {_EV_CDC_COLS}
+  FROM events
+),
+h AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS valid_to
+  FROM e
+)
+SELECT user_id, event_id, event_type, v_micro,
+       ts AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM h WHERE event_type <> 'error'
+"""
+
+
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff of two synthetic snapshots of `orders`: the "old" run
+    is missing keys ≡3 (mod 11), the "new" run is missing keys ≡5
+    (mod 13) and rewrote `o_orderpriority` for keys ≡0 (mod 17) —
+    added / removed / changed verdicts with the exact changed-column
+    list, unchanged rows dropped.  ONE full-outer key join, verdicts a
+    pure projection; see cdc.table_diff."""
+    from qdrant_datafusion_spark.operators.cdc import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("AUDIT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+CDC_TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 3
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'AUDIT'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 5
+),
+j AS (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         list_filter([
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'o_orderpriority' END
+         ], x -> x IS NOT NULL) AS diff_cols
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, status,
+       CASE WHEN status = 'changed' THEN diff_cols
+            ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+FROM j WHERE status <> 'unchanged'
+"""
+
+QUERIES["cdc_latest_state"] = cdc_latest_state
+ORACLES["cdc_latest_state"] = CDC_LATEST_STATE_SQL
+QUERIES["cdc_scd2_history"] = cdc_scd2_history
+ORACLES["cdc_scd2_history"] = CDC_SCD2_SQL
+QUERIES["cdc_table_diff"] = cdc_table_diff
+ORACLES["cdc_table_diff"] = CDC_TABLE_DIFF_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is

@@ -1,0 +1,186 @@
+"""Change-data-capture operators: changelog → queryable state.
+
+A 100 TB corpus is never rebuilt from scratch — it is *maintained*: a
+stream of keyed upserts/deletes (CDC from an OLTP source, crawler
+re-fetches, label corrections) has to be folded into (a) the current
+snapshot and (b) a full validity-interval history (SCD Type 2), and two
+snapshots have to be diffable to audit what a pipeline run changed.
+These are the MERGE-INTO / dimension-history primitives of
+Delta/Iceberg/Hudi, expressed engine-agnostically over plain DataFrames.
+
+Scale shape shared by all three operators: exactly ONE shuffle, keyed on
+the entity key — the same key every downstream per-entity consumer
+(dedup survivor selection, as-of joins, per-user features) shuffles on,
+so the exchange is reusable.  No driver-side state, no Python UDFs; the
+window/join kernels are whole-stage-codegen native expressions.
+
+No reference analogue (qdrant-datafusion's sink side is `todo!()` —
+`src/collection.rs:113`); this is beyond-reference surface in the same
+family as the repo's ingest sinks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cdc_latest_snapshot", "scd2_history", "table_diff"]
+
+
+def _desc_order(order_cols: Sequence[str]) -> list[Column]:
+    return [F.col(c).desc() for c in order_cols]
+
+
+def cdc_latest_snapshot(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """Fold a keyed changelog into its CURRENT state: the latest row per
+    key, with keys whose latest operation is a delete tombstoned away.
+
+    ``order_cols`` must totally order each key's changes (e.g.
+    ``["ts", "event_id"]`` — commit time plus a unique sequence number
+    for same-instant writes); correctness is deterministic only under
+    that contract, the same one every log-structured store imposes.
+    ``op_col``/``delete_ops`` mark tombstones; ``op_col=None`` means an
+    upsert-only log (nothing is ever deleted).
+
+    Execution: ONE hash exchange on ``key_cols`` + in-partition sort,
+    then `row_number`-take-1 — Spark evaluates it as a running window
+    (no per-key materialization), and AQE coalesces the post-shuffle
+    partitions.  This is the standard MERGE-INTO "latest wins" kernel:
+    at 100 TB the cost is the one key shuffle, which is the floor for
+    any per-key fold.  Skewed keys (one entity with millions of
+    updates) cost one partition's sort — not quadratic work — because
+    nothing self-joins.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*_desc_order(order_cols))
+    latest = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if op_col is not None:
+        latest = latest.filter(~F.col(op_col).isin(list(delete_ops)))
+    return latest
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: every non-delete change becomes
+    a VERSION ROW carrying its validity interval.
+
+    ``valid_from`` = the change's own instant (first of ``order_cols``),
+    ``valid_to`` = the NEXT change's instant for that key — any
+    operation, including a delete, closes the open interval — and NULL
+    marks the currently-open version (``is_current`` rides along, typed
+    by the null test, so consumers keep a sargable predicate).  Delete
+    rows emit no version of their own: a deleted key simply has no
+    open interval, exactly the Kimball Type-2 contract.
+
+    Execution: the `lead` window shares the SAME one key exchange and
+    in-partition sort as :func:`cdc_latest_snapshot` — Spark computes
+    `lead` in a single pass over the sorted run, so history costs no
+    more than the snapshot.  The output is append-shaped (version rows
+    never mutate), which is what makes this the right layout for a
+    100 TB dimension: daily increments append new versions and update
+    only the handful of previously-open rows.
+    """
+    first_order = order_cols[0]
+    wa = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    out = changelog.withColumn(
+        "valid_to", F.lead(F.col(first_order)).over(wa)
+    ).withColumn(
+        "valid_from", F.col(first_order)
+    )
+    if op_col is not None:
+        out = out.filter(~F.col(op_col).isin(list(delete_ops)))
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Audit diff of two snapshots of the same keyed table: one row per
+    key that was ``added`` / ``removed`` / ``changed`` (optionally
+    ``unchanged``), with ``changed_cols`` naming exactly which compared
+    columns differ (null-safe: NULL↔value counts as a change,
+    NULL↔NULL does not).
+
+    Returns ``(key_cols..., status, changed_cols array<string>)`` —
+    deliberately key-plus-verdict shaped, not row-payload shaped, so the
+    diff of two 100 TB snapshots is itself small and the caller joins
+    back for payloads only where needed.
+
+    Execution: ONE full-outer sort-merge join on ``key_cols`` (both
+    sides shuffle once on the same key; with bucketed snapshot layouts
+    the exchange disappears entirely), comparison is a pure projection.
+    This is what a MERGE-INTO dry-run / `table_changes()` audit costs at
+    minimum, and nothing here adds to that floor: no window, no second
+    shuffle, no driver state.
+    """
+    keys = list(key_cols)
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in keys:
+        eq = F.col(f"_ok_{c}") == F.col(f"_nk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    diff_flags = [
+        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in compare_cols
+    ]
+    any_diff = None
+    for fl in diff_flags:
+        any_diff = fl if any_diff is None else (any_diff | fl)
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(fl, F.lit(c))
+                for c, fl in zip(compare_cols, diff_flags)
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_nk_{c}"), F.col(f"_ok_{c}")).alias(c)
+            for c in keys
+        ],
+        status.alias("status"),
+        F.when(status == "changed", changed_cols)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

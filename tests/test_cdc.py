@@ -1,0 +1,171 @@
+"""operators.cdc — changelog folding, SCD2 history, snapshot diff."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.operators.cdc import (
+    cdc_latest_snapshot,
+    scd2_history,
+    table_diff,
+)
+
+
+CHANGELOG_SCHEMA = "k long, seq long, op string, val string"
+# key 1: insert, update, update      -> live, val=c
+# key 2: insert, delete              -> tombstoned
+# key 3: insert, delete, insert      -> live again, val=f
+# key 4: single insert               -> live, val=g
+CHANGELOG = [
+    (1, 10, "upsert", "a"),
+    (1, 20, "upsert", "b"),
+    (1, 30, "upsert", "c"),
+    (2, 11, "upsert", "d"),
+    (2, 21, "delete", None),
+    (3, 12, "upsert", "e"),
+    (3, 22, "delete", None),
+    (3, 32, "upsert", "f"),
+    (4, 13, "upsert", "g"),
+]
+
+
+@pytest.fixture()
+def log(spark):
+    return spark.createDataFrame(CHANGELOG, CHANGELOG_SCHEMA)
+
+
+class TestLatestSnapshot:
+    def test_latest_wins_and_tombstones(self, log):
+        rows = {
+            r["k"]: r["val"]
+            for r in cdc_latest_snapshot(
+                log, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        assert rows == {1: "c", 3: "f", 4: "g"}  # key 2 deleted
+
+    def test_upsert_only_log_keeps_all_keys(self, log):
+        rows = {
+            r["k"]: r["op"]
+            for r in cdc_latest_snapshot(log, ["k"], ["seq"]).collect()
+        }
+        # no op_col: the delete row itself is just the latest record
+        assert rows == {1: "upsert", 2: "delete", 3: "upsert", 4: "upsert"}
+
+    def test_tiebreak_column(self, spark):
+        # same seq, differing tiebreak: highest (seq, sub) wins
+        df = spark.createDataFrame(
+            [(1, 10, 1, "x"), (1, 10, 2, "y")],
+            "k long, seq long, sub long, val string",
+        )
+        r = cdc_latest_snapshot(df, ["k"], ["seq", "sub"]).collect()
+        assert [x["val"] for x in r] == ["y"]
+
+
+class TestScd2History:
+    def test_intervals_and_current_flag(self, log):
+        h = {
+            (r["k"], r["valid_from"]): (r["valid_to"], r["is_current"])
+            for r in scd2_history(log, ["k"], ["seq"], op_col="op").collect()
+        }
+        # key 1: three versions chained, last open
+        assert h[(1, 10)] == (20, False)
+        assert h[(1, 20)] == (30, False)
+        assert h[(1, 30)] == (None, True)
+        # key 2: its only version is CLOSED by the delete; no open row
+        assert h[(2, 11)] == (21, False)
+        # key 3: first version closed by delete, re-insert open
+        assert h[(3, 12)] == (22, False)
+        assert h[(3, 32)] == (None, True)
+        assert h[(4, 13)] == (None, True)
+
+    def test_no_delete_rows_emitted(self, log):
+        ops = {
+            r["op"]
+            for r in scd2_history(log, ["k"], ["seq"], op_col="op").collect()
+        }
+        assert ops == {"upsert"}
+
+    def test_history_covers_snapshot(self, log):
+        """The open intervals ARE the snapshot — the two operators agree."""
+        snap = {
+            (r["k"], r["val"])
+            for r in cdc_latest_snapshot(
+                log, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        open_rows = {
+            (r["k"], r["val"])
+            for r in scd2_history(log, ["k"], ["seq"], op_col="op")
+            .filter("is_current")
+            .collect()
+        }
+        assert snap == open_rows
+
+
+class TestTableDiff:
+    def _pair(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, None, 50)],
+            "k long, s string, v long",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, None, 51)],
+            "k long, s string, v long",
+        )
+        return old, new
+
+    def test_statuses(self, spark):
+        old, new = self._pair(spark)
+        d = {
+            r["k"]: (r["status"], sorted(r["changed_cols"]))
+            for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+        }
+        assert d == {
+            2: ("changed", ["s"]),
+            3: ("removed", []),
+            4: ("added", []),
+            5: ("changed", ["v"]),
+        }
+
+    def test_null_safe_compare(self, spark):
+        old = spark.createDataFrame([(1, None)], "k long, s string")
+        new = spark.createDataFrame([(1, None)], "k long, s string")
+        assert table_diff(old, new, ["k"], ["s"]).count() == 0
+        new2 = spark.createDataFrame([(1, "x")], "k long, s string")
+        r = table_diff(old, new2, ["k"], ["s"]).collect()
+        assert r[0]["status"] == "changed" and r[0]["changed_cols"] == ["s"]
+
+    def test_include_unchanged(self, spark):
+        old, new = self._pair(spark)
+        d = table_diff(old, new, ["k"], ["s", "v"], include_unchanged=True)
+        assert {r["k"]: r["status"] for r in d.collect()}[1] == "unchanged"
+
+    def test_multi_key(self, spark):
+        old = spark.createDataFrame(
+            [(1, "x", 7), (1, "y", 8)], "a long, b string, v long"
+        )
+        new = spark.createDataFrame(
+            [(1, "x", 7), (1, "z", 9)], "a long, b string, v long"
+        )
+        d = {
+            (r["a"], r["b"]): r["status"]
+            for r in table_diff(old, new, ["a", "b"], ["v"]).collect()
+        }
+        assert d == {(1, "y"): "removed", (1, "z"): "added"}
+
+    def test_single_shuffle_plan(self, spark):
+        """The diff is one join — no second exchange beyond the two
+        side-shuffles feeding the SMJ (or zero with broadcast)."""
+        old, new = self._pair(spark)
+        plan = (
+            table_diff(old, new, ["k"], ["s", "v"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("SortMergeJoin") + plan.count(
+            "BroadcastHashJoin"
+        ) == 1
