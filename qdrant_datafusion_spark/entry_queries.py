@@ -8343,6 +8343,110 @@ SELECT o_orderkey, status,
 FROM j WHERE status <> 'unchanged'
 """
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi join: lineitem pruned to urgent finished
+    orders through a 128 KB Bloom bitmap + exact verify (the explicit
+    form of Spark's runtime bloomFilter rewrite — the fact side never
+    shuffles before the prefilter), then the Q1-shaped aggregate over
+    the survivors.  joins.bloom_semi_join carries the scale argument:
+    the bitmap is fixed-size however many dim keys there are."""
+    from qdrant_datafusion_spark.operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, dim, "l_orderkey")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("sum_revenue"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+Q_BLOOM_SEMI_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE, 2)
+         AS sum_revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti twin: lineitem rows whose order is NOT urgent-finished —
+    rows failing any Bloom bit test short-circuit out map-side as
+    definite non-matches; only the candidate residue pays the exact
+    anti join.  Same aggregate shape as the semi gate."""
+    from qdrant_datafusion_spark.operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, dim, "l_orderkey", how="anti")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_qty"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+Q_BLOOM_ANTI_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity::DECIMAL(18,6))::DOUBLE, 2) AS sum_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["q_bloom_semi_join"] = q_bloom_semi_join
+ORACLES["q_bloom_semi_join"] = Q_BLOOM_SEMI_SQL
+QUERIES["q_bloom_anti_join"] = q_bloom_anti_join
+ORACLES["q_bloom_anti_join"] = Q_BLOOM_ANTI_SQL
+
 QUERIES["cdc_latest_state"] = cdc_latest_state
 ORACLES["cdc_latest_state"] = CDC_LATEST_STATE_SQL
 QUERIES["cdc_scd2_history"] = cdc_scd2_history

@@ -31,9 +31,121 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "bloom_semi_join"]
 
 _SALT = "_salt"
+
+# driver-side bitmap cutoff shared with pipeline.decontaminate_bloom —
+# ≤ 2 MB round-trips once; above it the bitmap stays distributed
+_DRIVER_BITMAP_MAX_BITS = 1 << 24
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "semi",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Semi/anti join of a huge ``fact`` against ``dim``'s keys with a
+    Bloom-filter RUNTIME PREFILTER — the exact result of
+    ``fact.join(dim_keys, on, "left_semi"/"left_anti")``, reached
+    without ever shuffling the unmatched bulk of the fact side.
+
+    Why this exists at 100 TB: the classic selective fact⨝dim query
+    prunes 99% of the fact AT THE JOIN — after the full fact table has
+    already been shuffled.  Broadcasting the dim keys fixes that only
+    while they fit (100M keys × 8 B = 800 MB broadcast: dead).  The
+    Bloom bitmap is a FIXED ``m_bits/8`` bytes (128 KB at the default)
+    regardless of dim cardinality, and a Bloom filter has NO false
+    negatives, so prefilter + exact-verify of the tiny surviving stream
+    reproduces the exact join — Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` applies the same idea
+    when statistics surface it; this is the explicit, deterministic
+    form with the verify step built in.
+
+    Pipeline:
+
+    1. distinct dim keys hash to 64 bits; each sets ``num_hashes`` bit
+       positions; the bitmap is a ``bit_or`` aggregate over 64-bit words
+       (≤ ``m_bits/64`` rows).  ≤ 2 MB bitmaps round-trip the driver
+       once; larger ones stay distributed via ``localCheckpoint``.
+    2. every fact row probes the bitmap through ``num_hashes``
+       broadcast joins on the word index — map-side, ZERO shuffle of
+       the fact; a row survives only if ALL its bits are set.
+    3. ``semi``: survivors (true matches + Bloom false-positive
+       residue) are exact-verified with a plain semi join — the
+       candidate stream is post-Bloom small, so AQE picks a cheap
+       strategy and only matches pay a shuffle.  ``anti``: rows failing
+       any bit test are DEFINITE non-matches and short-circuit out
+       map-side; only the survivors pay the exact anti join.
+
+    Key columns must agree in name and type on both sides (the 64-bit
+    probe hash must match bit-for-bit).  FP sizing as in
+    ``decontaminate_bloom``: FP ≈ (1−e^(−kn/m))^k — at n=100k keys,
+    m=2^20, k=3 → ~0.2%; scale ``m_bits`` ≈ 10–16 bits per dim key.
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    key_hash = F.xxhash64(*[F.col(k) for k in keys])
+    dim_keys = dim.select(*keys).distinct()
+
+    def pos(c, i: int):
+        return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+
+    bitmap_df = (
+        dim_keys.select(key_hash.alias("_kh"))
+        .select(
+            F.explode(
+                F.array(*[pos(F.col("_kh"), i) for i in range(num_hashes)])
+            ).alias("_pos")
+        )
+        .select(
+            F.floor(F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+    if m_bits <= _DRIVER_BITMAP_MAX_BITS:
+        rows = bitmap_df.collect()
+        bitmap = fact.sparkSession.createDataFrame(
+            [(int(r["word_idx"]), int(r["word"])) for r in rows]
+            or [(0, 0)],
+            "word_idx long, word long",
+        )
+    else:
+        bitmap = bitmap_df.localCheckpoint(eager=True)
+
+    cand = fact.withColumn("_kh", key_hash)
+    for i in range(num_hashes):
+        cand = cand.withColumn(f"_k{i}", pos(F.col("_kh"), i))
+    survive = None
+    for i in range(num_hashes):
+        w = bitmap.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        cand = cand.join(
+            F.broadcast(w),
+            F.floor(F.col(f"_k{i}") / 64).cast("long") == F.col(f"_wi{i}"),
+            "left",
+        )
+        mask = F.expr(f"shiftleft(1L, cast(pmod(_k{i}, 64) as int))")
+        hit = F.col(f"_w{i}").isNotNull() & (
+            F.col(f"_w{i}").bitwiseAND(mask) != 0
+        )
+        survive = hit if survive is None else survive & hit
+
+    fact_cols = fact.columns
+    survivors = cand.filter(survive).select(*fact_cols)
+    if how == "semi":
+        return survivors.join(dim_keys, keys, "left_semi")
+    definite_miss = cand.filter(~survive).select(*fact_cols)
+    return definite_miss.unionByName(
+        survivors.join(dim_keys, keys, "left_anti")
+    )
 
 
 def salted_join(
