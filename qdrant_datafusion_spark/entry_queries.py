@@ -8442,6 +8442,71 @@ WHERE l_orderkey NOT IN (
 GROUP BY l_returnflag, l_linestatus
 """
 
+def pipeline_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-shaped one-pass constraint audit of `orders`: completeness,
+    inclusive range, accepted vocabulary, regex pattern, key uniqueness
+    — all compiled into ONE aggregation over one scan — plus a
+    foreign-key-closure check against `customer` (one anti-join count).
+    Deliberately mixed outcomes on the synthetic data (the range /
+    vocabulary / pattern checks fail with real violation counts) so the
+    gate grades the counting, not just zeros.  operators/validate.py."""
+    from qdrant_datafusion_spark.operators.validate import (
+        validate_constraints,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return validate_constraints(
+        orders,
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0.0, 300000.0)},
+        accepted={"o_orderstatus": ["F", "O"]},
+        patterns={"o_orderpriority": "^[1-3]-"},
+        unique=["o_orderkey"],
+        referential=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+PIPELINE_VALIDATE_SQL = """
+WITH s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn,
+         sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND NOT (o_totalprice >= 0.0 AND o_totalprice <= 300000.0)
+                  THEN 1 ELSE 0 END)::BIGINT AS v_rng,
+         sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O')
+                  THEN 1 ELSE 0 END)::BIGINT AS v_acc,
+         sum(CASE WHEN o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                  THEN 1 ELSE 0 END)::BIGINT AS v_pat,
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS v_uni
+  FROM orders
+),
+r AS (
+  SELECT count(*)::BIGINT AS v_ref
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'not_null' AS "check", 'o_custkey' AS "column",
+       v_nn AS n_violations, n AS n_rows, v_nn = 0 AS passed FROM s
+UNION ALL
+SELECT 'range', 'o_totalprice', v_rng, n, v_rng = 0 FROM s
+UNION ALL
+SELECT 'accepted_values', 'o_orderstatus', v_acc, n, v_acc = 0 FROM s
+UNION ALL
+SELECT 'pattern', 'o_orderpriority', v_pat, n, v_pat = 0 FROM s
+UNION ALL
+SELECT 'unique', 'o_orderkey', v_uni, n, v_uni = 0 FROM s
+UNION ALL
+SELECT 'referential', 'o_custkey', v_ref, n, v_ref = 0 FROM s, r
+"""
+
+QUERIES["pipeline_validate"] = pipeline_validate
+ORACLES["pipeline_validate"] = PIPELINE_VALIDATE_SQL
+
 QUERIES["q_bloom_semi_join"] = q_bloom_semi_join
 ORACLES["q_bloom_semi_join"] = Q_BLOOM_SEMI_SQL
 QUERIES["q_bloom_anti_join"] = q_bloom_anti_join
