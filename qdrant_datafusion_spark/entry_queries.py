@@ -8504,6 +8504,46 @@ UNION ALL
 SELECT 'referential', 'o_custkey', v_ref, n, v_ref = 0 FROM s, r
 """
 
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: documents with doc_id ≡ 0 (mod 10) play
+    the NEW BATCH, the rest the standing corpus — every near-dup pair
+    involving a batch doc (batch×corpus and batch×batch), found without
+    re-pairing the corpus against itself.  The oracle is the exact
+    Jaccard pair set restricted to batch-involving pairs, so the gate
+    asserts full recall of the incremental path at the same banding the
+    full gate uses.  See dedup.minhash_incremental_dups for the
+    persisted-signature-table scale story."""
+    from qdrant_datafusion_spark.operators.dedup import (
+        minhash_incremental_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = minhash_incremental_dups(
+        corpus, batch, "text", "doc_id",
+        k=3, num_hashes=32, bands=16, threshold=0.2,
+        max_bucket_size=None,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard"),
+    )
+
+
+DEDUP_MINHASH_INCR_SQL = _SHINGLES_SQL + f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_ratio6_sql(_J_INTER, _J_UNION)} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {_J_INTER} > 0
+  AND {_J_INTER}::DOUBLE / {_J_UNION} >= 0.2
+  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+"""
+
+QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
+ORACLES["dedup_minhash_incremental"] = DEDUP_MINHASH_INCR_SQL
+
 QUERIES["pipeline_validate"] = pipeline_validate
 ORACLES["pipeline_validate"] = PIPELINE_VALIDATE_SQL
 

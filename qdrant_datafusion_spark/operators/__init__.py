@@ -31,6 +31,7 @@ from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
     dup_clusters,
     embedding_near_dups,
     exact_dedup,
+    minhash_incremental_dups,
     minhash_lsh_dups,
     ngram_jaccard_dups,
     select_canonical,
@@ -78,7 +79,18 @@ from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     interval_join,
     resample_interpolate,
 )
-from qdrant_datafusion_spark.operators.joins import salted_join  # noqa: F401
+from qdrant_datafusion_spark.operators.joins import (  # noqa: F401
+    bloom_semi_join,
+    salted_join,
+)
+from qdrant_datafusion_spark.operators.cdc import (  # noqa: F401
+    cdc_latest_snapshot,
+    scd2_history,
+    table_diff,
+)
+from qdrant_datafusion_spark.operators.validate import (  # noqa: F401
+    validate_constraints,
+)
 from qdrant_datafusion_spark.operators.audio import (  # noqa: F401
     audio_energy_dups,
     audio_hash_codes,

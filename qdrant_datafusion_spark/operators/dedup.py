@@ -1156,3 +1156,75 @@ def semantic_dedup(
             F.coalesce("max_cos_lower", F.lit(-1.0)).alias("max_cos_lower"),
         )
     )
+
+
+def minhash_incremental_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: every near-dup pair INVOLVING the
+    new ``batch`` — batch-vs-corpus and batch-vs-batch — without ever
+    re-pairing the corpus against itself.
+
+    This is the shape that keeps a 100 TB corpus deduplicated: daily
+    ingest must not re-run the all-corpus self-join (whose candidate
+    mass is corpus-sized) when only the batch changed.  The candidate
+    join's predicate ``(new_a OR new_b)`` drops every corpus×corpus
+    bucket pair BEFORE verification, so candidate work is proportional
+    to batch bucket occupancy, not corpus pair mass.  In production the
+    corpus side of the join is the PERSISTED signature/bucket table
+    (written once, `bucketBy("bucket")` so the corpus never re-shuffles
+    or re-shingles — only the batch pays signature computation); here it
+    is recomputed from the corpus DataFrame because the gate owns no
+    storage, which only *overstates* the incremental cost.
+
+    ``corpus`` and ``batch`` must have disjoint ids (the ingest
+    contract).  Same output columns and verify semantics as
+    :func:`minhash_lsh_dups` — the exact-Jaccard check makes emitted
+    VALUES independent of bucketing; restricted to pairs with a batch
+    member.  The hot-bucket cap applies to the COMBINED occupancy
+    (a batch landing in an already-hot corpus bucket is exactly when
+    the guard matters); pass ``None`` for the complete-pairs contract.
+    """
+    corpus_b = _minhash_buckets(
+        corpus, content_col, id_col, k, num_hashes, bands
+    ).withColumn("_new", F.lit(False))
+    batch_b = _minhash_buckets(
+        batch, content_col, id_col, k, num_hashes, bands
+    ).withColumn("_new", F.lit(True))
+    buckets = _cap_hot_buckets(
+        corpus_b.unionByName(batch_b), ["bucket"], max_bucket_size
+    )
+
+    a = buckets.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
+        F.col("_new").alias("new_a"), "bucket",
+    )
+    b_ = buckets.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
+        F.col("_new").alias("new_b"), "bucket",
+    )
+    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+    union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b_, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("new_a") | F.col("new_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
