@@ -8541,6 +8541,70 @@ WHERE {_J_INTER} > 0
   AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
 """
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join: purchases ⋈ same-user
+    clicks within the preceding 6 hours, as a REAL two-branch streaming
+    self-join over a 4-file re-layout with maxFilesPerTrigger=1 — pairs
+    whose sides arrive in different micro-batches must meet through the
+    join STATE.  Watermark (40 days) exceeds the fixture span (30 days),
+    so nothing evicts and the appended set equals the batch join
+    whatever the file split; see streaming/ingest.stream_interval_join
+    for the bounded-state production contract."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import (
+        stream_interval_join,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_stream_ij_")
+    src = os.path.join(tmp, "src")
+    ev.repartition(4).write.parquet(src)
+    try:
+        def branch(etype: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .filter(F.col("event_type") == etype)
+                .select(
+                    "user_id",
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id",
+                )
+            )
+
+        joined = stream_interval_join(
+            branch("purchase"), branch("click"), window="6 hours"
+        )
+        out = joined.select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.expr("(unix_micros(p.ts) - unix_micros(c.ts)) div 1000000")
+            .cast("long")
+            .alias("lag_s"),
+        )
+        sink = _run_stream_to_table(out, spark, "ij", "append")
+        sink.collect()  # drain before the finally deletes the source
+        return sink
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       ((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)::BIGINT AS lag_s
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+"""
+
+QUERIES["streaming_interval_join"] = streaming_interval_join
+ORACLES["streaming_interval_join"] = STREAMING_INTERVAL_JOIN_SQL
+
 QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
 ORACLES["dedup_minhash_incremental"] = DEDUP_MINHASH_INCR_SQL
 

@@ -71,6 +71,48 @@ def sessionized_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str = "40 days",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: each ``left`` row pairs
+    with the ``right`` rows of the same key whose timestamp falls in
+    ``[left.ts − window, left.ts]`` — the attribution shape (purchase ⋈
+    preceding clicks) as a real Structured Streaming join.
+
+    Both sides carry a watermark plus the time-range predicate, which is
+    exactly what lets Spark BOUND THE JOIN STATE: a right row's state
+    can be dropped once the left watermark passes its ts + window (and
+    symmetrically), so state is O(key-rate × (window + lateness)), not
+    O(stream length) — the property that makes a stream-stream join
+    runnable forever at 100 TB/day.  ``watermark`` is the lateness SLA:
+    rows later than it may silently miss pairs.  Correctness gates run
+    with a watermark longer than the fixture's whole time span so NO
+    state is evicted and the appended result set equals the batch join
+    bit-for-bit regardless of how files land in micro-batches;
+    production tightens it to the real lateness bound — the mechanics
+    are identical, only the eviction horizon moves.
+
+    Returns the raw joined frame aliased ``p`` (left) / ``c`` (right);
+    callers project with ``F.col("p.…")`` / ``F.col("c.…")``.
+    """
+    p = left.withWatermark(ts_col, watermark).alias("p")
+    c = right.withWatermark(ts_col, watermark).alias("c")
+    cond = (
+        (F.col(f"p.{key_col}") == F.col(f"c.{key_col}"))
+        & (
+            F.col(f"c.{ts_col}")
+            >= F.col(f"p.{ts_col}") - F.expr(f"INTERVAL {window}")
+        )
+        & (F.col(f"c.{ts_col}") <= F.col(f"p.{ts_col}"))
+    )
+    return p.join(c, cond, "inner")
+
+
 def stream_dedup_exact(
     points: DataFrame,
     content_col: str,
