@@ -135,6 +135,12 @@ HEADLINE = [
     "text_pmi_phrases",
     "q10_returned_items",
     "sketch_drift_report",
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "cdc_table_diff",
+    "q_bloom_semi_join",
+    "pipeline_validate",
+    "dedup_minhash_incremental",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in
@@ -152,6 +158,7 @@ STREAMING = [
     "streaming_semantic_ingest",
     "streaming_heavy_hitters",
     "streaming_hist_quantiles",
+    "streaming_interval_join",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

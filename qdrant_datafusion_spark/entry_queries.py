@@ -8602,6 +8602,60 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
 """
 
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity blocking: documents ranked by their
+    normalized 24-char prefix, every pair within 8 ranks verified by
+    exact 3-shingle Jaccard ≥ 0.2 — the ER blocking method that catches
+    prefix-sorting near-dups with candidate mass ≤ 7·N by construction
+    (two-phase global rank, equi-join on rank div window; see
+    dedup.sorted_neighborhood_pairs)."""
+    from qdrant_datafusion_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        docs,
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 24),
+        "doc_id",
+        window=8,
+        content_col="text",
+        k=3,
+    )
+    return pairs.filter(
+        (F.col("n_union") > 0)
+        & (F.col("inter").cast("double") / F.col("n_union") >= 0.2)
+    ).select(
+        "id_a",
+        "id_b",
+        "rank_dist",
+        _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard"),
+    )
+
+
+DEDUP_SORTED_NEIGHBORHOOD_SQL = _SHINGLES_SQL + f""",
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substr(lower(trim(text)), 1, 24),
+                            doc_id) AS rk
+  FROM documents
+),
+cand AS (
+  SELECT x.doc_id AS ida, y.doc_id AS idb, (y.rk - x.rk)::BIGINT AS rank_dist
+  FROM r x JOIN r y ON y.rk BETWEEN x.rk + 1 AND x.rk + 7
+)
+SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, rank_dist,
+       {_ratio6_sql(_J_INTER, _J_UNION)} AS jaccard
+FROM cand
+JOIN sh a ON a.doc_id = cand.ida
+JOIN sh b ON b.doc_id = cand.idb
+WHERE {_J_UNION} > 0
+  AND {_J_INTER}::DOUBLE / {_J_UNION} >= 0.2
+"""
+
+QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+ORACLES["dedup_sorted_neighborhood"] = DEDUP_SORTED_NEIGHBORHOOD_SQL
+
 QUERIES["streaming_interval_join"] = streaming_interval_join
 ORACLES["streaming_interval_join"] = STREAMING_INTERVAL_JOIN_SQL
 
@@ -8652,36 +8706,40 @@ ORACLES["cdc_table_diff"] = CDC_TABLE_DIFF_SQL
 # have at least one family member in-window (full registry stays in the
 # local mirror sweeps: CORRECTNESS_LOCAL_r9 at two SFs).
 _RUN_FIRST = [
-    # -- 0: round-9 session-3 gates, zero evidence anywhere yet
+    # -- 0: round-9 session-4 gates, zero evidence anywhere yet (CDC
+    # state management, Bloom runtime-filter joins, constraint audit,
+    # incremental dedup, stream-stream interval join)
+    "cdc_latest_state", "cdc_scd2_history", "cdc_table_diff",
+    "q_bloom_semi_join", "q_bloom_anti_join", "pipeline_validate",
+    "dedup_minhash_incremental", "streaming_interval_join",
+    # -- 1: round-9 session-3 gates, zero driver evidence yet
     "sketch_kmv_distinct", "sketch_kmv_jaccard", "sketch_kmv_groups",
     "sketch_hist_quantiles", "layout_hilbert_value",
     "layout_hilbert_prune", "q_events_resample", "q_events_rolling",
     "pipeline_profile", "text_pmi_phrases", "q10_returned_items",
     "streaming_hist_quantiles", "sketch_drift_report",
-    # -- 1: zero driver evidence (rounds 8-9)
+    # -- 2: zero driver evidence (rounds 8-9)
     "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
     "text_unigram_encode", "pipeline_pack_bpe",
     "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
     "layout_zvalue", "layout_zorder_prune", "streaming_heavy_hitters",
     "sketch_join_size", "pipeline_weighted_sample",
-    # -- 2: code/oracle touched this round
+    # -- 3: code/oracle touched in round 9
     "text_unigram_vocab", "text_bpe_vocab",
-    # -- 3: the full 19-row r5-deferral queue
-    "dedup_embedding", "dedup_minhash_capped", "dedup_minhash_hot",
-    "dedup_simhash_capped", "dedup_simhash_hot", "doc_fingerprints",
-    "group_centroids", "multimodal_bytes", "pipeline_global_shuffle",
+    # -- 4: the r5-deferral queue, minus 8 rows deferred to r10 to fund
+    # the session-4 slots (dropped: ann_ivf/ann_ivfpq/ann_knn_graph —
+    # r6 driver evidence, kernels re-proven every sweep; the four
+    # capped/hot dedup audit variants — their uncapped kernels ride
+    # dedup_minhash_incremental in slot 0 and the caps are unit-tested;
+    # pipeline_global_shuffle — r5 driver evidence, two-phase-rank
+    # kernel shared by lm_perplexity's bucketing.  Full registry stays
+    # in the committed local-mirror sweeps at two SFs.)
+    "dedup_embedding", "doc_fingerprints",
+    "group_centroids", "multimodal_bytes",
     "q_json_length_keys", "q_pivot_events", "text_decontaminate_semantic",
     "text_lang_id", "text_quality", "text_source_profile",
     "text_token_stats", "text_vocabulary", "v_lateral_batch_search",
     "v_search_mmr",
-    # -- 4: oldest r6-vintage rows (7 more deferred to r10 to make room
-    # for the session-3 gates: multimodal_phash/video, payload_contains,
-    # pipeline_mix_temperature/pack_sequences, q14, q3, dedup_simhash,
-    # lsh_bucket_topk, match_text_bm25/tfidf — every deferred
-    # row keeps in-window kin: the multimodal codecs ride multimodal_bytes,
-    # the relational kernels ride the r5-queue joins/aggregations, and the
-    # full registry stays in the local-mirror sweeps at two SFs)
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_graph_blocked",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

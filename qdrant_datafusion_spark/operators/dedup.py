@@ -1228,3 +1228,112 @@ def minhash_incremental_dups(
         .filter(F.col("jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: Column | str,
+    id_col: str,
+    window: int = 8,
+    content_col: str | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood entity blocking (Hernández–Stolfo): order the
+    corpus by a blocking key and emit every pair within ``window`` ranks
+    — the classic ER complement to content-hash LSH (it catches
+    near-dups that *sort together* — shared prefixes, zero-padded ids,
+    boilerplate headers — without any shingling), multi-pass by calling
+    once per key and unioning.
+
+    Returns ``(id_a, id_b, rank_dist)`` (ids in ascending order, 1 ≤
+    rank_dist < window); with ``content_col`` given, exact distinct
+    ``k``-shingle overlap rides along as ``(inter, n_union, jaccard)``
+    for threshold filtering by the caller — the verify arrays travel
+    WITH the rows, so verification adds no extra join.
+
+    Scale shape — candidate mass is EXACTLY ≤ (window−1)·N, by
+    construction, and no step is quadratic:
+
+    1. global rank without a single-task sort: ``repartitionByRange``
+       on ``(key, id)`` + per-partition offsets (the two-phase scan of
+       `pipeline.global_shuffle`); the offsets table is one row per
+       partition, broadcast.
+    2. pairing is an EQUI-join on ``bucket = rank div window``: the
+       right side re-keys each record to its own and its previous
+       bucket (2 rows), so every ≤window-apart pair meets exactly once
+       and no task ever sees more than ~2·window·(bucket count in its
+       partitions) candidates.  A hot blocking key cannot explode the
+       join — identical keys still occupy distinct ranks.
+    """
+    sel = [F.col(id_col).alias("_id"), F.col(key_col).alias("_key")] if isinstance(
+        key_col, str
+    ) else [F.col(id_col).alias("_id"), key_col.alias("_key")]
+    if content_col is not None:
+        sel.append(
+            F.array_distinct(word_shingles(content_col, k)).alias("_sh")
+        )
+    base = df.select(*sel)
+
+    ranked = base.repartitionByRange(
+        F.col("_key").asc(), F.col("_id").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy(
+        F.col("_key").asc(), F.col("_id").asc()
+    )
+    pos = (F.col("_offset") + F.row_number().over(w_in) - 1).cast("long")
+    positioned = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn("_pos", pos)
+        .drop("_pid", "_offset", "_key")
+    )
+
+    bucket = (F.col("_pos") - F.col("_pos") % window) / window
+    x = positioned.select(
+        F.col("_id").alias("_idx"),
+        F.col("_pos").alias("_px"),
+        bucket.cast("long").alias("_b"),
+        *([F.col("_sh").alias("_shx")] if content_col is not None else []),
+    )
+    y = positioned.select(
+        F.col("_id").alias("_idy"),
+        F.col("_pos").alias("_py"),
+        F.explode(
+            F.array(
+                bucket.cast("long"), bucket.cast("long") - 1
+            )
+        ).alias("_b"),
+        *([F.col("_sh").alias("_shy")] if content_col is not None else []),
+    )
+    pairs = (
+        x.join(y, "_b")
+        .filter(
+            (F.col("_py") - F.col("_px") >= 1)
+            & (F.col("_py") - F.col("_px") <= window - 1)
+        )
+        .withColumn("rank_dist", (F.col("_py") - F.col("_px")).cast("long"))
+    )
+    out_cols = [
+        F.least("_idx", "_idy").alias("id_a"),
+        F.greatest("_idx", "_idy").alias("id_b"),
+        "rank_dist",
+    ]
+    if content_col is None:
+        return pairs.select(*out_cols)
+    inter = F.size(F.array_intersect(F.col("_shx"), F.col("_shy")))
+    union = F.size("_shx") + F.size("_shy") - inter
+    return pairs.select(
+        *out_cols,
+        inter.cast("long").alias("inter"),
+        union.cast("long").alias("n_union"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )

@@ -58,6 +58,10 @@ DEFAULT_OPS = [
     "sketch_hist_probe",          # bounded histogram groupBy + sketch-side quantile walk
     "layout_hilbert_probe",       # Hilbert fold key + repartitionByRange write path
     "q_events_resample",          # union + 1 key shuffle + bidirectional carries
+    "cdc_scd2_history",           # one key exchange + sorted-run lead window
+    "cdc_diff_probe",             # one full-outer SMJ + projection verdicts
+    "bloom_join_probe",           # fixed-size bitmap broadcast probe + residue verify
+    "validate_probe",             # all scalar checks in ONE aggregation pass
 ]
 
 
@@ -374,6 +378,72 @@ def _layout_zorder_probe(spark, sf_dir: str):
     return zorder_layout(base, ["x", "y"], n_files=64)
 
 
+def _cdc_diff_probe(spark, sf_dir: str):
+    """Snapshot diff at scale: two event-derived key tables (event_id
+    re-keys under the replica fixture, so both sides scale linearly)
+    diffed by the one full-outer key join; verdict projection only —
+    growth measures the SMJ, output stays proportional to the
+    perturbed-key fraction by construction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.cdc import table_diff
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    old = ev.filter(F.col("event_id") % 11 != 3)
+    new = ev.filter(F.col("event_id") % 13 != 5).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit("AUDIT")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return table_diff(old, new, ["event_id"], ["user_id", "event_type"])
+
+
+def _bloom_join_probe(spark, sf_dir: str):
+    """Bloom runtime-filter semi join at scale: the dim side is the
+    users who ever errored in the first fixture week (scales with the
+    replica re-keying), the fact side is all events; the bitmap stays
+    a fixed 128 KB however many dim keys there are, so growth measures
+    the map-side probe + residue verify, never a fact shuffle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.joins import bloom_semi_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dim = ev.filter(F.col("event_type") == "error").select("user_id")
+    return (
+        bloom_semi_join(ev, dim, "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _validate_probe(spark, sf_dir: str):
+    """Constraint audit at scale: five scalar checks compile into one
+    aggregation over one scan of events — output is 5 rows at any
+    scale, so growth is the scan+agg and nothing else."""
+    import os
+
+    from qdrant_datafusion_spark.operators.validate import (
+        validate_constraints,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return validate_constraints(
+        ev,
+        not_null=["user_id", "ts"],
+        ranges={"value": (0.0, 1e9)},
+        accepted={"event_type": ["click", "view", "purchase", "signup", "error"]},
+        unique=["event_id"],
+    )
+
+
 def _sketch_kmv_probe(spark, sf_dir: str):
     """KMV distinct sketch at scale: the replica fixture re-keys user_id
     (150k distinct at 100×), so this measures the map-side-combined
@@ -463,6 +533,9 @@ def main() -> None:
         "sketch_kmv_probe": _sketch_kmv_probe,
         "sketch_hist_probe": _sketch_hist_probe,
         "layout_hilbert_probe": _layout_hilbert_probe,
+        "cdc_diff_probe": _cdc_diff_probe,
+        "bloom_join_probe": _bloom_join_probe,
+        "validate_probe": _validate_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
