@@ -141,6 +141,7 @@ HEADLINE = [
     "q_bloom_semi_join",
     "pipeline_validate",
     "dedup_minhash_incremental",
+    "dedup_sorted_neighborhood",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

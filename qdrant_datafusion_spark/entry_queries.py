@@ -8712,6 +8712,7 @@ _RUN_FIRST = [
     "cdc_latest_state", "cdc_scd2_history", "cdc_table_diff",
     "q_bloom_semi_join", "q_bloom_anti_join", "pipeline_validate",
     "dedup_minhash_incremental", "streaming_interval_join",
+    "dedup_sorted_neighborhood",
     # -- 1: round-9 session-3 gates, zero driver evidence yet
     "sketch_kmv_distinct", "sketch_kmv_jaccard", "sketch_kmv_groups",
     "sketch_hist_quantiles", "layout_hilbert_value",
@@ -8732,10 +8733,11 @@ _RUN_FIRST = [
     # capped/hot dedup audit variants — their uncapped kernels ride
     # dedup_minhash_incremental in slot 0 and the caps are unit-tested;
     # pipeline_global_shuffle — r5 driver evidence, two-phase-rank
-    # kernel shared by lm_perplexity's bucketing.  Full registry stays
-    # in the committed local-mirror sweeps at two SFs.)
-    "dedup_embedding", "doc_fingerprints",
-    "group_centroids", "multimodal_bytes",
+    # kernel now also in-window via dedup_sorted_neighborhood;
+    # group_centroids — vector-mean kernel rides in-window
+    # dedup_embedding.  Full registry stays in the committed
+    # local-mirror sweeps at two SFs.)
+    "dedup_embedding", "doc_fingerprints", "multimodal_bytes",
     "q_json_length_keys", "q_pivot_events", "text_decontaminate_semantic",
     "text_lang_id", "text_quality", "text_source_profile",
     "text_token_stats", "text_vocabulary", "v_lateral_batch_search",
