@@ -142,6 +142,7 @@ HEADLINE = [
     "pipeline_validate",
     "dedup_minhash_incremental",
     "dedup_sorted_neighborhood",
+    "q_events_anomalies",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

@@ -8653,6 +8653,65 @@ WHERE {_J_UNION} > 0
   AND {_J_INTER}::DOUBLE / {_J_UNION} >= 0.2
 """
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier detection: |x − median| > 1.5·MAD over
+    fixed-point value micros — lower medians (selected elements, never
+    interpolated) and a cross-multiplied threshold keep every number an
+    exact integer on both engines.  One key exchange, three in-place
+    window re-sorts; see temporal.robust_anomalies."""
+    from qdrant_datafusion_spark.operators.temporal import (
+        robust_anomalies,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias(
+            "v_micro"
+        ),
+    )
+    return (
+        robust_anomalies(ev, "user_id", "v_micro", "event_id")
+        .filter(F.col("is_anomaly"))
+        .select("user_id", "event_id", "v_micro", "med", "dev", "mad")
+    )
+
+
+Q_EVENTS_ANOMALIES_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+s AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY v, event_id) AS rn
+  FROM e
+),
+m AS (
+  SELECT *, max(CASE WHEN rn * 2 = (n + 1) - (n + 1) % 2 THEN v END)
+              OVER (PARTITION BY user_id) AS med
+  FROM s
+),
+d AS (
+  SELECT *, abs(v - med) AS dev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(v - med), event_id) AS rn2
+  FROM m
+),
+t AS (
+  SELECT *, max(CASE WHEN rn2 * 2 = (n + 1) - (n + 1) % 2 THEN dev END)
+              OVER (PARTITION BY user_id) AS mad
+  FROM d
+)
+SELECT user_id, event_id, v AS v_micro, med, dev, mad
+FROM t WHERE dev * 2 > mad * 3
+"""
+
+QUERIES["q_events_anomalies"] = q_events_anomalies
+ORACLES["q_events_anomalies"] = Q_EVENTS_ANOMALIES_SQL
+
 QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
 ORACLES["dedup_sorted_neighborhood"] = DEDUP_SORTED_NEIGHBORHOOD_SQL
 
@@ -8712,7 +8771,7 @@ _RUN_FIRST = [
     "cdc_latest_state", "cdc_scd2_history", "cdc_table_diff",
     "q_bloom_semi_join", "q_bloom_anti_join", "pipeline_validate",
     "dedup_minhash_incremental", "streaming_interval_join",
-    "dedup_sorted_neighborhood",
+    "dedup_sorted_neighborhood", "q_events_anomalies",
     # -- 1: round-9 session-3 gates, zero driver evidence yet
     "sketch_kmv_distinct", "sketch_kmv_jaccard", "sketch_kmv_groups",
     "sketch_hist_quantiles", "layout_hilbert_value",
@@ -8735,9 +8794,11 @@ _RUN_FIRST = [
     # pipeline_global_shuffle — r5 driver evidence, two-phase-rank
     # kernel now also in-window via dedup_sorted_neighborhood;
     # group_centroids — vector-mean kernel rides in-window
-    # dedup_embedding.  Full registry stays in the committed
-    # local-mirror sweeps at two SFs.)
-    "dedup_embedding", "doc_fingerprints", "multimodal_bytes",
+    # dedup_embedding; multimodal_bytes — the codec suite has dense
+    # pytest coverage and the multimodal_* dedup gates stay in the
+    # sweeps.  Full registry stays in the committed local-mirror
+    # sweeps at two SFs.)
+    "dedup_embedding", "doc_fingerprints",
     "q_json_length_keys", "q_pivot_events", "text_decontaminate_semantic",
     "text_lang_id", "text_quality", "text_source_profile",
     "text_token_stats", "text_vocabulary", "v_lateral_batch_search",

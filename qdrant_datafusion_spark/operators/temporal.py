@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["as_of_join", "interval_join", "funnel_stages", "resample_interpolate"]
+__all__ = ["as_of_join", "interval_join", "funnel_stages", "resample_interpolate", "robust_anomalies"]
 
 
 def as_of_join(
@@ -331,3 +331,70 @@ def resample_interpolate(
             interp.cast("bigint").alias(value_col),
         )
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k_num: int = 3,
+    k_den: int = 2,
+) -> DataFrame:
+    """Per-key robust outlier flagging by median/MAD — the monitoring
+    primitive that survives the outliers it hunts (mean/stddev do not):
+    a row is anomalous when ``|x − median| > (k_num/k_den) · MAD``.
+
+    Deterministic and engine-portable by construction: medians are
+    LOWER medians (the value at rank ceil(n/2) of the per-key sort —
+    a selected element, never an interpolated average, so integer
+    inputs stay integers and Spark/DuckDB agree bit-for-bit), and the
+    threshold compare is cross-multiplied (``k_den·dev > k_num·MAD``)
+    so no division happens anywhere.  ``MAD = 0`` (over half the key's
+    values identical) degrades to "flag any deviation", the standard
+    convention.  ``tiebreak_col`` makes the rank orders total; equal
+    values at the median rank make the selected value — and therefore
+    the output — independent of the tiebreak.
+
+    Returns the input rows plus ``(n, med, dev, mad, is_anomaly)``.
+
+    Scale shape: ONE hash exchange on ``key_col`` feeding three window
+    passes (rank-by-value, rank-by-deviation, the conditional-max
+    median/MAD selections) that re-sort IN PLACE within the same
+    partitions — Exchange reuse means a 100 TB run pays one shuffle
+    and per-partition sorts, never a global sort and never a
+    per-key collect.  A skewed key costs one partition's sort.
+    """
+    w = Window.partitionBy(key_col)
+    w_v = w.orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc())
+    n = F.count("*").over(w)
+    med_rank = (n + 1) - (n + 1) % 2  # 2*ceil(n/2): avoids int division
+    rn = F.row_number().over(w_v)
+    with_med = (
+        df.withColumn("n", n.cast("long"))
+        .withColumn("_rn", rn)
+        .withColumn(
+            "med",
+            F.max(
+                F.when(F.col("_rn") * 2 == med_rank, F.col(value_col))
+            ).over(w),
+        )
+    )
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    w_d = w.orderBy(dev.asc(), F.col(tiebreak_col).asc())
+    rn2 = F.row_number().over(w_d)
+    out = (
+        with_med.withColumn("dev", dev)
+        .withColumn("_rn2", rn2)
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(F.col("_rn2") * 2 == med_rank, F.col("dev"))
+            ).over(w),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.col("dev") * F.lit(k_den) > F.col("mad") * F.lit(k_num),
+        )
+    )
+    return out.drop("_rn", "_rn2")

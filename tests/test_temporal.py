@@ -314,3 +314,90 @@ class TestResampleInterpolate:
         )
         # the tie column is ordered as-is (no cast): "e5" > "e2" wins
         assert got[0] == ("a", 10, 111)
+
+
+class TestRobustAnomalies:
+    """operators.temporal.robust_anomalies — per-key median/MAD flags."""
+
+    def _py(self, vals, k_num=3, k_den=2):
+        sv = sorted(vals)
+        med = sv[(len(sv) + 1) // 2 - 1]  # lower median
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        return med, mad, {
+            i for i, v in enumerate(vals) if abs(v - med) * k_den > mad * k_num
+        }
+
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            robust_anomalies,
+        )
+
+        vals = [10, 12, 11, 13, 12, 100, 11, 12, -50, 12, 13]
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)],
+            "k long, rid long, v long",
+        )
+        rows = robust_anomalies(df, "k", "v", "rid").collect()
+        med, mad, flagged = self._py(vals)
+        assert all(r["med"] == med and r["mad"] == mad for r in rows)
+        assert {r["rid"] for r in rows if r["is_anomaly"]} == flagged
+
+    def test_even_count_lower_median(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            robust_anomalies,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate([1, 2, 3, 4])],
+            "k long, rid long, v long",
+        )
+        r = robust_anomalies(df, "k", "v", "rid").collect()[0]
+        assert r["med"] == 2  # lower median, not 2.5
+
+    def test_mad_zero_flags_any_deviation(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            robust_anomalies,
+        )
+
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate([5, 5, 5, 5, 9])],
+            "k long, rid long, v long",
+        )
+        rows = {r["rid"]: r["is_anomaly"] for r in robust_anomalies(
+            df, "k", "v", "rid"
+        ).collect()}
+        assert rows == {0: False, 1: False, 2: False, 3: False, 4: True}
+
+    def test_keys_independent(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            robust_anomalies,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 10), (1, 1, 10), (1, 2, 10),
+             (2, 3, 1000), (2, 4, 1000), (2, 5, 1000)],
+            "k long, rid long, v long",
+        )
+        rows = robust_anomalies(df, "k", "v", "rid").collect()
+        meds = {r["k"]: r["med"] for r in rows}
+        assert meds == {1: 10, 2: 1000}
+        assert not any(r["is_anomaly"] for r in rows)
+
+    def test_single_exchange_plan(self, spark):
+        from qdrant_datafusion_spark.operators.temporal import (
+            robust_anomalies,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 10), (1, 1, 12)], "k long, rid long, v long"
+        )
+        plan = (
+            robust_anomalies(df, "k", "v", "rid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
