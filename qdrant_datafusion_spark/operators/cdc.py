@@ -134,13 +134,18 @@ def table_diff(
     shuffle, no driver state.
     """
     keys = list(key_cols)
+    # explicit presence markers (not key-nullability tests): a NULL in a
+    # key column never matches under SQL join semantics, and without the
+    # markers such a row would be mislabeled on the wrong side
     o = old.select(
         *[F.col(c).alias(f"_ok_{c}") for c in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_o_present"),
     )
     n = new.select(
         *[F.col(c).alias(f"_nk_{c}") for c in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_n_present"),
     )
     cond = None
     for c in keys:
@@ -148,8 +153,8 @@ def table_diff(
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     diff_flags = [
         ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in compare_cols
     ]

@@ -90,7 +90,12 @@ def bloom_semi_join(
         raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     key_hash = F.xxhash64(*[F.col(k) for k in keys])
-    dim_keys = dim.select(*keys).distinct()
+    # the distinct key set feeds BOTH the bitmap build and the exact
+    # verify join; a lazy localCheckpoint materializes it executor-side
+    # exactly once (first use) and truncates lineage, so the dim table
+    # is scanned once per call, not twice — released with this frame,
+    # no session-lifetime cache (the decontaminate_bloom argument)
+    dim_keys = dim.select(*keys).distinct().localCheckpoint(eager=False)
 
     def pos(c, i: int):
         return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))

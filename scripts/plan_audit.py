@@ -116,6 +116,12 @@ NOTES = {
         "runs during construction; the audit sees the per-user groupBy "
         "over the memory sink"
     ),
+    "streaming_interval_join": (
+        "same streaming-gate shape: the two-branch watermarked "
+        "stream-stream join runs during construction (cross-batch "
+        "pairs meet through join state); the audit sees the SELECT "
+        "over the appended memory sink"
+    ),
     "streaming_collection_source": (
         "same streaming-gate shape: the custom qdrant_collection "
         "Python DataSource streams the 4-fragment dir during "

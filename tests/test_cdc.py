@@ -143,6 +143,17 @@ class TestTableDiff:
         d = table_diff(old, new, ["k"], ["s", "v"], include_unchanged=True)
         assert {r["k"]: r["status"] for r in d.collect()}[1] == "unchanged"
 
+    def test_null_keyed_rows_never_match(self, spark):
+        """A NULL key never joins (SQL semantics): the old row surfaces
+        as removed, the new row as added — not as a bogus change."""
+        old = spark.createDataFrame([(None, "a"), (1, "b")], "k long, s string")
+        new = spark.createDataFrame([(None, "a"), (1, "b")], "k long, s string")
+        d = {
+            (r["k"], r["status"])
+            for r in table_diff(old, new, ["k"], ["s"]).collect()
+        }
+        assert d == {(None, "removed"), (None, "added")}
+
     def test_multi_key(self, spark):
         old = spark.createDataFrame(
             [(1, "x", 7), (1, "y", 8)], "a long, b string, v long"
