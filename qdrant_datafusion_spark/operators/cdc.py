@@ -45,8 +45,13 @@ def cdc_latest_snapshot(
 
     ``order_cols`` must totally order each key's changes (e.g.
     ``["ts", "event_id"]`` — commit time plus a unique sequence number
-    for same-instant writes); correctness is deterministic only under
-    that contract, the same one every log-structured store imposes.
+    for same-instant writes) and must be NON-NULL (Spark and SQL
+    engines disagree on default NULL sort placement, so a NULL order
+    key would make "latest" engine-dependent; a changelog with NULL
+    commit instants is malformed anyway — gate it with
+    `validate.validate_constraints` first); correctness is
+    deterministic only under that contract, the same one every
+    log-structured store imposes.
     ``op_col``/``delete_ops`` mark tombstones; ``op_col=None`` means an
     upsert-only log (nothing is ever deleted).
 
