@@ -1274,9 +1274,17 @@ def sorted_neighborhood_pairs(
         )
     base = df.select(*sel)
 
-    ranked = base.repartitionByRange(
-        F.col("_key").asc(), F.col("_id").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    # ranked feeds BOTH the partition-size aggregate and the offset
+    # join; positioned feeds BOTH join sides.  Catalyst shares no common
+    # subplans, so without materialization the corpus is scanned 4× and
+    # the rank window computed twice — the lazy localCheckpoints pin
+    # each stage exactly once (executor-side, lineage truncated,
+    # released with these frames; the kmv/hilbert-gate argument).
+    ranked = (
+        base.repartitionByRange(F.col("_key").asc(), F.col("_id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = (
         Window.partitionBy(F.lit(0))
@@ -1295,6 +1303,7 @@ def sorted_neighborhood_pairs(
         ranked.join(F.broadcast(offsets), "_pid")
         .withColumn("_pos", pos)
         .drop("_pid", "_offset", "_key")
+        .localCheckpoint(eager=False)
     )
 
     bucket = (F.col("_pos") - F.col("_pos") % window) / window

@@ -116,6 +116,14 @@ NOTES = {
         "runs during construction; the audit sees the per-user groupBy "
         "over the memory sink"
     ),
+    "dedup_sorted_neighborhood": (
+        "the rank pipeline pins via two lazy localCheckpoints (ranked: "
+        "read by the size aggregate AND the offset join; positioned: "
+        "read by both bucket-join sides) so the corpus is scanned once "
+        "instead of 4x; the audit sees the bucket equi-join over the "
+        "LogicalRDD — scan count 0 by design, the full shape is one "
+        "range exchange + one pid window + the bucket join"
+    ),
     "streaming_interval_join": (
         "same streaming-gate shape: the two-branch watermarked "
         "stream-stream join runs during construction (cross-batch "

@@ -62,6 +62,7 @@ DEFAULT_OPS = [
     "cdc_diff_probe",             # one full-outer SMJ + projection verdicts
     "bloom_join_probe",           # fixed-size bitmap broadcast probe + residue verify
     "validate_probe",             # all scalar checks in ONE aggregation pass
+    "sorted_neighborhood_probe",  # two-phase global rank + bucket equi-join
 ]
 
 
@@ -424,6 +425,29 @@ def _bloom_join_probe(spark, sf_dir: str):
     )
 
 
+def _sorted_neighborhood_probe(spark, sf_dir: str):
+    """Sorted-neighborhood blocking at scale: candidate mass is EXACTLY
+    (w−1)·N by construction, so output grows linearly with the corpus
+    and growth measures the range exchange + pid window + bucket join
+    (no verify arrays: the blocking stage alone, which is the scale
+    claim)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sorted_neighborhood_pairs(
+        docs,
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 24),
+        "doc_id",
+        window=8,
+    )
+
+
 def _validate_probe(spark, sf_dir: str):
     """Constraint audit at scale: five scalar checks compile into one
     aggregation over one scan of events — output is 5 rows at any
@@ -536,6 +560,7 @@ def main() -> None:
         "cdc_diff_probe": _cdc_diff_probe,
         "bloom_join_probe": _bloom_join_probe,
         "validate_probe": _validate_probe,
+        "sorted_neighborhood_probe": _sorted_neighborhood_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]
