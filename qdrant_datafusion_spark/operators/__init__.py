@@ -33,6 +33,7 @@ from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     minhash_incremental_dups,
     minhash_lsh_dups,
+    sorted_neighborhood_pairs,
     ngram_jaccard_dups,
     select_canonical,
     simhash_dups,
@@ -78,6 +79,7 @@ from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401
     as_of_join,
     interval_join,
     resample_interpolate,
+    robust_anomalies,
 )
 from qdrant_datafusion_spark.operators.joins import (  # noqa: F401
     bloom_semi_join,

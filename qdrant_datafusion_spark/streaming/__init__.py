@@ -13,6 +13,7 @@ from qdrant_datafusion_spark.streaming.ingest import (  # noqa: F401
     sessionized_counts,
     stream_collection_writer,
     stream_dedup_exact,
+    stream_interval_join,
     streaming_funnel,
     streaming_topk,
     windowed_event_counts,
