@@ -8737,6 +8737,185 @@ QUERIES["cdc_table_diff"] = cdc_table_diff
 ORACLES["cdc_table_diff"] = CDC_TABLE_DIFF_SQL
 
 
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join: all document pairs whose
+    ASCII-normalized 40-char prefix keys are within levenshtein
+    distance 2 — typo/OCR-tolerant fuzzy record linkage.  PassJoin
+    pigeonhole (d+1 segments vs ±d-shifted probe substrings) turns the
+    quadratic all-pairs into ONE equi-join with constant fan-out; exact
+    levenshtein verifies the residue, so the result equals brute force
+    (proven vs a crossJoin in TestEditDistancePairs).  Keys are
+    ASCII-stripped because DuckDB's levenshtein counts BYTE edits and
+    Spark's counts CHARACTER edits — they agree only on ASCII; see
+    operators/fuzzy.py."""
+    from qdrant_datafusion_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.expr(
+        "substring(trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^ -~]', ''), ' +', ' ')), 1, 40)"
+    )
+    base = docs.select("doc_id", key.alias("fkey")).filter(
+        F.length("fkey") >= 12
+    )
+    return edit_distance_pairs(base, "fkey", "doc_id", max_dist=2)
+
+
+# The oracle mirrors the pigeonhole CANDIDATE generation (provably a
+# superset of true pairs: <=d edits leave >=1 of d+1 segments intact,
+# shifted <=d) and applies the same exact-levenshtein verify, so both
+# engines compute brute force semantics without the O(n^2) join;
+# independence from the operator is covered by the brute-force
+# crossJoin unit test (the CTE was itself validated against an
+# all-pairs DuckDB join at both SFs before being trusted).
+DEDUP_FUZZY_PAIRS_SQL = """
+WITH kk AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS s
+  FROM documents
+),
+f AS (SELECT doc_id, s, length(s)::BIGINT AS l FROM kk WHERE length(s) >= 12),
+seg AS (
+  SELECT doc_id AS ida, s AS sa, l AS la, i.i AS i,
+         substr(s, (i.i*(l//3) + greatest(0, i.i-(3-(l%3))))::INTEGER + 1,
+                   ((l//3) + CASE WHEN i.i >= 3-(l%3) THEN 1 ELSE 0 END)::INTEGER) AS piece
+  FROM f, unnest(generate_series(0,2)) AS i(i)
+),
+pr AS (
+  SELECT f.doc_id AS idb, f.s AS sb, f.l AS m, ll.l AS pl, i.i AS i,
+         substr(f.s, p.p::INTEGER + 1,
+                ((ll.l//3) + CASE WHEN i.i >= 3-(ll.l%3) THEN 1 ELSE 0 END)::INTEGER) AS piece
+  FROM f,
+       unnest(generate_series(greatest(3, f.l-2), f.l)) AS ll(l),
+       unnest(generate_series(0,2)) AS i(i),
+       unnest(generate_series(
+         greatest(0, (i.i*(ll.l//3) + greatest(0, i.i-(3-(ll.l%3)))) - 2),
+         least(f.l - ((ll.l//3) + CASE WHEN i.i >= 3-(ll.l%3) THEN 1 ELSE 0 END),
+               (i.i*(ll.l//3) + greatest(0, i.i-(3-(ll.l%3)))) + 2))) AS p(p)
+),
+cand AS (
+  SELECT DISTINCT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b, sa, sb
+  FROM seg JOIN pr ON seg.piece = pr.piece AND seg.i = pr.i AND seg.la = pr.pl
+  WHERE la < m OR (la = m AND ida < idb)
+)
+SELECT id_a, id_b, levenshtein(sa, sb)::BIGINT AS dist
+FROM cand
+WHERE levenshtein(sa, sb) <= 2
+"""
+
+
+def pipeline_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders: which candidate
+    column contracts (A determines B) actually hold?  Candidates
+    sharing a determinant share one groupBy — one shuffle per distinct
+    determinant, folded to one summary row per candidate; see
+    validate.discover_fds."""
+    from qdrant_datafusion_spark.operators.validate import discover_fds
+
+    orders = _t(spark, sf_dir, "orders")
+    return discover_fds(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_orderkey", "o_totalprice"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+
+
+PIPELINE_FD_AUDIT_SQL = """
+WITH g1 AS (SELECT o_orderkey AS det,
+                   count(DISTINCT o_custkey) AS d1,
+                   count(DISTINCT o_totalprice) AS d2 FROM orders GROUP BY 1),
+     g2 AS (SELECT o_custkey AS det,
+                   count(DISTINCT o_orderstatus) AS d1 FROM orders GROUP BY 1),
+     g3 AS (SELECT o_orderstatus AS det,
+                   count(DISTINCT o_orderpriority) AS d1 FROM orders GROUP BY 1)
+SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END) = 0 AS holds FROM g1
+UNION ALL
+SELECT 'o_orderkey', 'o_totalprice', count(*)::BIGINT,
+       sum(CASE WHEN d2 > 1 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN d2 > 1 THEN 1 ELSE 0 END) = 0 FROM g1
+UNION ALL
+SELECT 'o_custkey', 'o_orderstatus', count(*)::BIGINT,
+       sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END) = 0 FROM g2
+UNION ALL
+SELECT 'o_orderstatus', 'o_orderpriority', count(*)::BIGINT,
+       sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN d1 > 1 THEN 1 ELSE 0 END) = 0 FROM g3
+"""
+
+
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit on customer: quasi
+    identifiers (nation, market segment), sensitive attribute "account
+    in debt" (acctbal < 0).  One groupBy; output is group-cardinality
+    sized.  See validate.k_anonymity_audit."""
+    from qdrant_datafusion_spark.operators.validate import (
+        k_anonymity_audit,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "in_debt", F.col("c_acctbal") < 0
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "in_debt", k=8, l=2
+    )
+
+
+PIPELINE_K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT c_acctbal < 0)::BIGINT AS n_sensitive,
+       count(*) >= 8 AS k_anonymous,
+       count(DISTINCT c_acctbal < 0) >= 2 AS l_diverse
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan over documents-by-source: reduce the
+    data to a (source, rows, bytes) manifest with one aggregation, then
+    assign sources to ~16 KiB output bins by exclusive-prefix-sum
+    first-fit — the planning half of OPTIMIZE/coalesce, no data
+    movement.  See layout.compaction_plan."""
+    from qdrant_datafusion_spark.operators.layout import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return compaction_plan(docs, "source", F.octet_length("text"), 16384)
+
+
+LAYOUT_COMPACTION_SQL = """
+WITH m AS (
+  SELECT source, count(*)::BIGINT AS n_rows,
+         sum(strlen(text))::BIGINT AS bytes
+  FROM documents GROUP BY source
+),
+c AS (
+  SELECT *, coalesce(sum(bytes) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM m
+)
+SELECT source, n_rows, bytes, (cum // 16384)::BIGINT AS bin FROM c
+"""
+
+
+QUERIES["dedup_fuzzy_pairs"] = dedup_fuzzy_pairs
+ORACLES["dedup_fuzzy_pairs"] = DEDUP_FUZZY_PAIRS_SQL
+QUERIES["pipeline_fd_audit"] = pipeline_fd_audit
+ORACLES["pipeline_fd_audit"] = PIPELINE_FD_AUDIT_SQL
+QUERIES["pipeline_k_anonymity"] = pipeline_k_anonymity
+ORACLES["pipeline_k_anonymity"] = PIPELINE_K_ANONYMITY_SQL
+QUERIES["layout_compaction_plan"] = layout_compaction_plan
+ORACLES["layout_compaction_plan"] = LAYOUT_COMPACTION_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -8765,6 +8944,11 @@ ORACLES["cdc_table_diff"] = CDC_TABLE_DIFF_SQL
 # have at least one family member in-window (full registry stays in the
 # local mirror sweeps: CORRECTNESS_LOCAL_r9 at two SFs).
 _RUN_FIRST = [
+    # -- -1: round-9 session-5 gates, zero evidence anywhere yet
+    # (PassJoin fuzzy edit-distance join, FD audit, k-anonymity,
+    # compaction planner)
+    "dedup_fuzzy_pairs", "pipeline_fd_audit", "pipeline_k_anonymity",
+    "layout_compaction_plan",
     # -- 0: round-9 session-4 gates, zero evidence anywhere yet (CDC
     # state management, Bloom runtime-filter joins, constraint audit,
     # incremental dedup, stream-stream interval join)
@@ -8801,8 +8985,10 @@ _RUN_FIRST = [
     "dedup_embedding", "doc_fingerprints",
     "q_json_length_keys", "q_pivot_events", "text_decontaminate_semantic",
     "text_lang_id", "text_quality", "text_source_profile",
-    "text_token_stats", "text_vocabulary", "v_lateral_batch_search",
-    "v_search_mmr",
+    # (4 more rows deferred to r10 to fund the session-5 slots —
+    # text_token_stats / text_vocabulary ride every local sweep and the
+    # text family keeps text_quality in-window; v_lateral_batch_search /
+    # v_search_mmr keep kin via v_search/v_fusion kernels in-window)
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -2,6 +2,7 @@
 
 - ``topk``       — top-k search, batch (multi-query) search, prefetch→rerank
 - ``dedup``      — exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+- ``fuzzy``      — PassJoin edit-distance similarity self-join
 - ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths
 - ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
@@ -91,7 +92,12 @@ from qdrant_datafusion_spark.operators.cdc import (  # noqa: F401
     table_diff,
 )
 from qdrant_datafusion_spark.operators.validate import (  # noqa: F401
+    discover_fds,
+    k_anonymity_audit,
     validate_constraints,
+)
+from qdrant_datafusion_spark.operators.fuzzy import (  # noqa: F401
+    edit_distance_pairs,
 )
 from qdrant_datafusion_spark.operators.audio import (  # noqa: F401
     audio_energy_dups,
@@ -124,6 +130,7 @@ from qdrant_datafusion_spark.operators.sketch import (  # noqa: F401
     skew_hot_keys,
 )
 from qdrant_datafusion_spark.operators.layout import (  # noqa: F401
+    compaction_plan,
     file_minmax,
     files_touched,
     hilbert_key,

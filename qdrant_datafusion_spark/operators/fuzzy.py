@@ -1,0 +1,153 @@
+"""Edit-distance similarity self-join (PassJoin partition scheme).
+
+The reference engine exposes no fuzzy string matching; this is part of
+the training-data-pipeline surface (entity resolution on near-identical
+keys, fuzzy record linkage, OCR/typo-tolerant dedup keys).  Scheme:
+Li, Deng, Wang, Feng — "PassJoin: A Partition-based Method for
+Similarity Joins" (PVLDB 5(3), 2011), re-expressed as three DataFrame
+projections and one equi-join.
+
+Why not brute force: an all-pairs ``levenshtein`` self-join is O(n²)
+rows — dead at any scale.  PassJoin's pigeonhole makes the join EQUI:
+
+* split every string into ``d+1`` contiguous segments (``d`` =
+  ``max_dist``).  If ``ed(a, b) <= d`` with ``len(a) <= len(b)``, then
+  at most ``d`` edits touch ``a``'s ``d+1`` segments, so at least one
+  segment survives verbatim inside ``b`` — at a position shifted by at
+  most ``d`` (each edit shifts the alignment by <= 1).
+* so: index side emits its ``d+1`` segments; probe side emits every
+  substring of itself that could BE such a segment (for each candidate
+  shorter length ``l`` in ``[m-d, m]``, each segment index, each start
+  within ``±d`` of the segment's home position) — at most
+  ``(d+1)²·(2d+1)`` short substrings per row (45 at ``d=2``),
+  constants, not data-dependent.
+* candidates = one hash equi-join on ``(piece, segment_idx, l)``;
+  exact ``levenshtein`` (JVM codegen, no UDF) verifies the residue, so
+  the result is EXACT despite the filter being a superset.
+
+Scale shape: two narrow projections with constant fan-out, one
+shuffle-by-short-string equi-join, one distinct on surviving pairs.
+Candidate mass is data-distribution-dependent (a segment value shared
+by k rows meets all its probes), but segments are ``~key_len/(d+1)``
+chars — at the 13+ chars of the default gate they are near-unique;
+hot-segment skew is handled the same way the MinHash band joins do it
+(cap or salt the bucket key) if a corpus ever needs it.
+
+Cross-engine caveat (why gates ASCII-normalize the key): DuckDB's
+``levenshtein`` counts BYTE edits, Spark's counts CHARACTER edits; they
+agree only on ASCII, so oracle-graded keys strip ``[^ -~]`` first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["edit_distance_pairs"]
+
+
+def _seg_start(i: str, l: str, d: int) -> str:
+    """0-based SQL start of segment ``i`` of a length-``l`` string split
+    into ``d+1`` even parts (the last ``l % (d+1)`` parts one longer)."""
+    k = d + 1
+    return f"({i} * ({l} div {k}) + greatest(0, {i} - ({k} - {l} % {k})))"
+
+
+def _seg_len(i: str, l: str, d: int) -> str:
+    k = d + 1
+    return f"(({l} div {k}) + (CASE WHEN {i} >= {k} - {l} % {k} THEN 1 ELSE 0 END))"
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    key_col: Column | str,
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All unordered pairs with ``levenshtein(key_a, key_b) <= max_dist``.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.  Rows whose key
+    is shorter than ``max_dist + 1`` characters are dropped (segments
+    must be non-empty for the pigeonhole; such keys are degenerate for
+    edit-distance blocking anyway — document the minimum in the caller).
+    """
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError("max_dist must be >= 1")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    base = (
+        df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+        .withColumn("_l", F.length("_k"))
+        .filter(F.col("_l") >= d + 1)
+    )
+
+    # index side: the d+1 segments of each string (it plays the SHORTER
+    # role of a candidate pair)
+    st_a, ln_a = _seg_start("i", "_l", d), _seg_len("i", "_l", d)
+    segs = base.select(
+        F.col("_id").alias("_ida"),
+        F.col("_k").alias("_ka"),
+        F.col("_l").alias("_la"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {d}), i -> "
+                f"struct(i AS i, substring(_k, {st_a} + 1, {ln_a}) AS piece))"
+            )
+        ).alias("_sg"),
+    ).select(
+        "_ida", "_ka", "_la", F.col("_sg.i").alias("_i"), F.col("_sg.piece").alias("_piece")
+    )
+
+    # probe side: every substring that could be segment i of a shorter
+    # partner of length l in [m-d, m], within ±d of its home position.
+    # Bounds are always non-empty: max(0, st-d) <= st <= l-len <= m-len.
+    st_b, ln_b = _seg_start("i", "l", d), _seg_len("i", "l", d)
+    probes = base.select(
+        F.col("_id").alias("_idb"),
+        F.col("_k").alias("_kb"),
+        F.col("_l").alias("_m"),
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(greatest({d + 1}, _l - {d}), _l), l ->
+                    flatten(transform(sequence(0, {d}), i ->
+                      transform(
+                        sequence(greatest(0, {st_b} - {d}),
+                                 least(_l - {ln_b}, {st_b} + {d})),
+                        p -> struct(l AS l, i AS i,
+                                    substring(_k, p + 1, {ln_b}) AS piece))))))"""
+            )
+        ).alias("_pr"),
+    ).select(
+        "_idb",
+        "_kb",
+        "_m",
+        F.col("_pr.l").alias("_pl"),
+        F.col("_pr.i").alias("_pi"),
+        F.col("_pr.piece").alias("_ppiece"),
+    )
+
+    cand = segs.join(
+        probes,
+        on=[
+            segs["_piece"] == probes["_ppiece"],
+            segs["_i"] == probes["_pi"],
+            segs["_la"] == probes["_pl"],
+        ],
+        how="inner",
+    ).filter(
+        (F.col("_la") < F.col("_m"))
+        | ((F.col("_la") == F.col("_m")) & (F.col("_ida") < F.col("_idb")))
+    )
+
+    # exact verify on the residue, THEN distinct — only true pairs pay
+    # the pair-dedup shuffle (a near-dup pair can meet via several
+    # (segment, position) keys)
+    return (
+        cand.withColumn("_dist", F.levenshtein("_ka", "_kb"))
+        .filter(F.col("_dist") <= d)
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.col("_dist").cast("long").alias("dist"),
+        )
+        .distinct()
+    )

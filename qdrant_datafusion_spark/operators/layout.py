@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "compaction_plan",
     "file_minmax",
     "files_touched",
     "hilbert_key",
@@ -256,3 +257,60 @@ def files_touched(
         for c, (lo, hi) in box.items()
     ]
     return reduce(lambda a, b: a & b, conds)
+
+
+def compaction_plan(
+    df: DataFrame,
+    key_col: str,
+    bytes_col: Column | str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction planner: assign size-skewed write units to
+    output bins of ``~target_bytes`` (the planning half of a Delta/
+    Iceberg ``OPTIMIZE`` / AQE partition-coalescing pass — decide which
+    small units rewrite together BEFORE moving any data).
+
+    Packing rule: order units deterministically by ``key_col``, then
+    ``bin = floor(exclusive_prefix_sum(bytes) / target_bytes)`` — the
+    streaming first-fit that Spark's own ShufflePartitionsUtil uses for
+    coalescing: every bin except possibly the last holds >= target
+    bytes only if a single unit overflows it; no bin mixes non-adjacent
+    keys, so the plan is reproducible and mergeable across runs.
+
+    Returns one row per unit: ``(key, n_rows, bytes, bin)``.
+
+    Scale: ONE aggregation reduces the data to a manifest (one row per
+    unit — metadata-sized, orders of magnitude under the data), and the
+    prefix sum runs on the manifest alone; the single-partition window
+    is over #units rows, never data rows (same argument as the
+    broadcast offsets of `pipeline.global_shuffle`).  The data itself
+    is never shuffled — executing the plan is a later
+    ``repartition(bin)`` write.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    manifest = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(b).cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return manifest.select(
+        key_col,
+        "n_rows",
+        "bytes",
+        # integer `div`, not `/` + floor: byte prefix sums overflow the
+        # 2^53 double mantissa long before they overflow a long
+        F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        .cast("long")
+        .alias("_cum"),
+    ).select(
+        key_col,
+        "n_rows",
+        "bytes",
+        F.expr(f"_cum div {int(target_bytes)}").cast("long").alias("bin"),
+    )

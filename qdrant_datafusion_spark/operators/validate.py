@@ -29,7 +29,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate_constraints"]
+__all__ = ["validate_constraints", "discover_fds", "k_anonymity_audit"]
 
 def validate_constraints(
     df: DataFrame,
@@ -174,4 +174,104 @@ def _referential_row(df: DataFrame, spec: tuple) -> DataFrame:
         F.col("_m").alias("n_violations"),
         F.col("_n").alias("n_rows"),
         (F.col("_m") == 0).alias("passed"),
+    )
+
+
+def discover_fds(
+    df: DataFrame,
+    candidates: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``A -> B``, does
+    every ``A``-group hold exactly one ``B`` value?  The profiling step
+    that finds join keys, denormalized copies, and contract candidates
+    in an unfamiliar 100 TB table (the check half of FD discovery —
+    callers enumerate candidates, typically all pairs of low-distinct
+    columns from :func:`~..pipeline.profile_columns`).
+
+    Returns one row per candidate: ``(determinant, dependent, n_groups,
+    n_violating, holds)`` where ``n_violating`` counts determinant
+    groups with >1 distinct non-NULL dependent value (NULL dependents
+    don't violate — mirror of the validator's NULL convention).
+
+    Scale: candidates sharing a determinant share ONE groupBy — the
+    audit costs one shuffle per DISTINCT determinant, each reduced
+    map-side to one row per group, then folded to a single summary row;
+    adding a dependent to an existing determinant adds an expression,
+    not a pass.
+    """
+    cand = [(str(a), str(b)) for a, b in candidates]
+    if not cand:
+        raise ValueError("no FD candidates given")
+    by_det: dict[str, list[str]] = {}
+    for a, b in cand:
+        by_det.setdefault(a, []).append(b)
+
+    out = None
+    for det, deps in by_det.items():
+        grouped = df.groupBy(det).agg(
+            *[
+                F.countDistinct(dep).alias(f"_d{i}")
+                for i, dep in enumerate(deps)
+            ]
+        )
+        summary = grouped.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            *[
+                F.sum((F.col(f"_d{i}") > 1).cast("long")).alias(f"_v{i}")
+                for i in range(len(deps))
+            ],
+        )
+        rows = summary.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(det).alias("determinant"),
+                            F.lit(dep).alias("dependent"),
+                            F.col("_n").alias("n_groups"),
+                            F.col(f"_v{i}").alias("n_violating"),
+                            (F.col(f"_v{i}") == 0).alias("holds"),
+                        )
+                        for i, dep in enumerate(deps)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier groups.
+
+    Every row whose quasi-identifier combination is shared by fewer
+    than ``k`` rows is re-identifiable (fails k-anonymity); a group
+    whose sensitive attribute takes fewer than ``l`` distinct values
+    leaks it even when large (fails l-diversity).  This is the release
+    gate a training-data pipeline runs before publishing per-group
+    slices of user-derived data.
+
+    Returns one row per quasi-identifier group: ``(quasi..., n_rows,
+    n_sensitive, k_anonymous, l_diverse)``.  Scale: ONE groupBy on the
+    quasi columns (map-side combined count + distinct-count); output is
+    group-cardinality-sized, not data-sized.
+    """
+    qcols = [str(c) for c in quasi_cols]
+    if not qcols:
+        raise ValueError("need at least one quasi-identifier column")
+    return df.groupBy(*qcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+    ).select(
+        *qcols,
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_rows") >= k).alias("k_anonymous"),
+        (F.col("n_sensitive") >= l).alias("l_diverse"),
     )

@@ -1,0 +1,119 @@
+"""edit_distance_pairs (PassJoin) — independence proof vs brute force.
+
+The gate oracle mirrors the pigeonhole candidate CTE, so THIS file is
+what makes the gate trustworthy: the operator must equal an all-pairs
+``levenshtein`` crossJoin on data the oracle never sees.
+"""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.operators.fuzzy import edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            prev = cur
+    return dp[-1]
+
+
+def _brute(rows, d):
+    want = set()
+    for (i1, s1), (i2, s2) in itertools.combinations(rows, 2):
+        if len(s1) >= d + 1 and len(s2) >= d + 1:
+            dd = _lev(s1, s2)
+            if dd <= d:
+                want.add((min(i1, i2), max(i1, i2), dd))
+    return want
+
+
+def _rand_corpus(seed, n=90):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        s = "".join(rng.choice("abcd ") for _ in range(rng.randint(3, 18)))
+        rows.append((i, s))
+        if rng.random() < 0.4:  # seed near-dups at controlled distance
+            t = list(s)
+            for _ in range(rng.randint(1, 3)):
+                op = rng.choice("ids")
+                pos = rng.randrange(max(1, len(t)))
+                if op == "i":
+                    t.insert(pos, rng.choice("abcd"))
+                elif op == "d" and len(t) > 1:
+                    del t[pos]
+                else:
+                    t[pos] = rng.choice("abcd")
+            rows.append((1000 + i, "".join(t)))
+    return rows
+
+
+class TestEditDistancePairs:
+    @pytest.mark.parametrize("d", [1, 2, 3])
+    def test_equals_brute_force(self, spark, d):
+        rows = _rand_corpus(seed=7 + d)
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "s", "id", max_dist=d).collect()
+        }
+        assert got == _brute(rows, d)
+
+    def test_exact_duplicates_are_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello world"), (3, "goodbye")],
+            "id long, s string",
+        )
+        got = edit_distance_pairs(df, "s", "id", max_dist=2).collect()
+        assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 0)]
+
+    def test_short_keys_dropped(self, spark):
+        # keys shorter than d+1 chars can't be segmented; contract: drop
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "ab"), (3, "abcdef"), (4, "abcdxf")],
+            "id long, s string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in edit_distance_pairs(df, "s", "id", max_dist=2).collect()
+        }
+        assert got == {(3, 4)}
+
+    def test_key_expression_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The  Rain"), (2, "the rain"), (3, "the brain")],
+            "id long, t string",
+        )
+        key = F.regexp_replace(F.lower("t"), " +", " ")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, key, "id", max_dist=1).collect()
+        }
+        assert got == {(1, 2, 0), (1, 3, 1), (2, 3, 1)}
+
+    def test_rejects_zero_distance_budget(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, s string")
+        with pytest.raises(ValueError):
+            edit_distance_pairs(df, "s", "id", max_dist=0)
+
+    def test_no_cartesian_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"string number {i:04d}") for i in range(40)],
+            "id long, s string",
+        )
+        plan = (
+            edit_distance_pairs(df, "s", "id", max_dist=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -194,3 +194,45 @@ class TestHilbert:
         t_h = touched([F.col("h"), F.col("id")])
         t_z = touched([F.col("z"), F.col("id")])
         assert t_h <= t_z
+
+
+class TestCompactionPlan:
+    def _plan(self, spark, rows, target):
+        from qdrant_datafusion_spark.operators.layout import compaction_plan
+
+        df = spark.createDataFrame(rows, "k string, payload string")
+        return {
+            r.k: (r.n_rows, r.bytes, r.bin)
+            for r in compaction_plan(
+                df, "k", F.octet_length("payload"), target
+            ).collect()
+        }
+
+    def test_first_fit_bins(self, spark):
+        # sizes in key order: a=4, b=4, c=4, d=4; target 8 -> bins 0,0,1,1
+        rows = [(k, "xxxx") for k in "abcd"]
+        got = self._plan(spark, rows, 8)
+        assert got == {
+            "a": (1, 4, 0), "b": (1, 4, 0), "c": (1, 4, 1), "d": (1, 4, 1),
+        }
+
+    def test_oversized_unit_gets_own_bins(self, spark):
+        # a single unit larger than target still lands in one bin (units
+        # are atomic); the NEXT unit starts past it
+        rows = [("a", "x" * 20), ("b", "yy"), ("c", "zz")]
+        got = self._plan(spark, rows, 8)
+        assert got["a"] == (1, 20, 0)
+        assert got["b"] == (1, 2, 2)   # cum 20 -> bin 2
+        assert got["c"] == (1, 2, 2)   # cum 22 -> bin 2
+
+    def test_multirow_units_aggregate(self, spark):
+        rows = [("a", "xx"), ("a", "yyy"), ("b", "z")]
+        got = self._plan(spark, rows, 100)
+        assert got == {"a": (2, 5, 0), "b": (1, 1, 0)}
+
+    def test_rejects_bad_target(self, spark):
+        from qdrant_datafusion_spark.operators.layout import compaction_plan
+
+        df = spark.createDataFrame([("a", "x")], "k string, payload string")
+        with pytest.raises(ValueError):
+            compaction_plan(df, "k", F.octet_length("payload"), 0)

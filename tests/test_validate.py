@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.operators.validate import validate_constraints
 
@@ -83,3 +84,96 @@ class TestValidateConstraints:
         # no join, no window, exactly one source relation in the plan
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "Join" not in plan
+
+
+class TestDiscoverFds:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", 10, None),
+                (2, "a", 10, "x"),
+                (3, "a", 11, "x"),
+                (4, "b", 12, "y"),
+                (5, "b", 12, None),
+            ],
+            "pk long, grp string, val long, tag string",
+        )
+
+    def test_holds_and_violations(self, spark):
+        from qdrant_datafusion_spark.operators.validate import discover_fds
+
+        out = {
+            (r.determinant, r.dependent): r
+            for r in discover_fds(
+                self._df(spark),
+                [("pk", "grp"), ("grp", "val"), ("val", "grp")],
+            ).collect()
+        }
+        assert out[("pk", "grp")].holds and out[("pk", "grp")].n_violating == 0
+        # grp 'a' has vals {10, 11} -> one violating group of two
+        g = out[("grp", "val")]
+        assert (g.n_groups, g.n_violating, g.holds) == (2, 1, False)
+        assert out[("val", "grp")].holds  # 10->a, 11->a, 12->b
+
+    def test_null_dependents_do_not_violate(self, spark):
+        from qdrant_datafusion_spark.operators.validate import discover_fds
+
+        # tag is NULL or a single non-NULL value per grp -> holds
+        r = discover_fds(self._df(spark), [("grp", "tag")]).collect()[0]
+        assert r.holds and r.n_violating == 0
+
+    def test_shared_determinant_single_aggregation(self, spark):
+        from qdrant_datafusion_spark.operators.validate import discover_fds
+
+        df = self._df(spark)
+        plan = (
+            discover_fds(df, [("grp", "val"), ("grp", "tag")])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # both candidates fold into ONE scan of the input (expand for
+        # the two distinct-counts is fine; a second Relation is not)
+        assert plan.count("LogicalRDD") + plan.count("Relation") <= 1
+
+    def test_empty_candidates_rejected(self, spark):
+        from qdrant_datafusion_spark.operators.validate import discover_fds
+
+        with pytest.raises(ValueError):
+            discover_fds(self._df(spark), [])
+
+
+class TestKAnonymity:
+    def test_flags(self, spark):
+        from qdrant_datafusion_spark.operators.validate import (
+            k_anonymity_audit,
+        )
+
+        rows = [("us", "a", 1.0)] * 5 + [("us", "b", -1.0)] * 2 + [
+            ("de", "a", 1.0),
+            ("de", "a", -2.0),
+            ("de", "a", 3.0),
+        ]
+        df = spark.createDataFrame(rows, "geo string, seg string, bal double")
+        out = {
+            (r.geo, r.seg): r
+            for r in k_anonymity_audit(
+                df.withColumn("neg", F.col("bal") < 0),
+                ["geo", "seg"],
+                "neg",
+                k=3,
+                l=2,
+            ).collect()
+        }
+        assert out[("us", "a")].k_anonymous and not out[("us", "a")].l_diverse
+        assert not out[("us", "b")].k_anonymous
+        assert out[("de", "a")].k_anonymous and out[("de", "a")].l_diverse
+
+    def test_requires_quasi_columns(self, spark):
+        from qdrant_datafusion_spark.operators.validate import (
+            k_anonymity_audit,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, [], "b")
