@@ -8916,6 +8916,158 @@ QUERIES["layout_compaction_plan"] = layout_compaction_plan
 ORACLES["layout_compaction_plan"] = LAYOUT_COMPACTION_SQL
 
 
+def dedup_fuzzy_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: edit-distance pairs of a NEW ingest
+    batch (doc_id % 10 == 0) against corpus+batch — corpus-internal
+    candidates are dropped before any levenshtein, so the increment
+    pays batch-proportional work (the dedup_minhash_incremental
+    contract, fuzzy edition).  Same PassJoin kernel as
+    dedup_fuzzy_pairs."""
+    from qdrant_datafusion_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.expr(
+        "substring(trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^ -~]', ''), ' +', ' ')), 1, 40)"
+    )
+    base = docs.select(
+        "doc_id",
+        key.alias("fkey"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+    ).filter(F.length("fkey") >= 12)
+    return edit_distance_pairs(
+        base, "fkey", "doc_id", max_dist=2, new_col="is_new"
+    )
+
+
+DEDUP_FUZZY_INCR_SQL = DEDUP_FUZZY_PAIRS_SQL.replace(
+    "WHERE la < m OR (la = m AND ida < idb)",
+    "WHERE (la < m OR (la = m AND ida < idb))"
+    " AND (ida % 10 = 0 OR idb % 10 = 0)",
+)
+
+
+def v_search_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: cosine top-10 using only the FIRST
+    16 of 64 dims vs the full-dim top-10, overlap reported as
+    recall@10 — the measurement a pipeline runs before committing to
+    truncated-embedding prefiltering (truncate is a free projection;
+    the question is always what it costs in recall).  Both tiers are
+    the same deterministic rounded-score/id ranking as v_search_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def topk(vec_col, qv):
+        return (
+            emb.select(
+                "vec_id",
+                F.round(v_search(vec_col, qv, "cosine"), 6).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full = topk(F.col("embedding"), QUERY_VEC)
+    trunc = topk(F.slice("embedding", 1, 16), QUERY_VEC[:16])
+    return full.join(trunc, "vec_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    ).select(
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 4).alias("recall16"),
+    )
+
+
+V_SEARCH_MATRYOSHKA_SQL = f"""
+WITH q AS (SELECT {_sql_array(QUERY_VEC)}::DOUBLE[] AS qv,
+                  {_sql_array(QUERY_VEC[:16])}::DOUBLE[] AS qv16),
+fl AS (
+  SELECT vec_id
+  FROM embeddings, q
+  ORDER BY round(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) DESC, vec_id ASC
+  LIMIT 10
+),
+tr AS (
+  SELECT vec_id
+  FROM embeddings, q
+  ORDER BY round(list_dot_product(embedding[1:16]::DOUBLE[], qv16)
+                 / (sqrt(list_dot_product(embedding[1:16]::DOUBLE[], embedding[1:16]::DOUBLE[]))
+                    * sqrt(list_dot_product(qv16, qv16))), 6) DESC, vec_id ASC
+  LIMIT 10
+)
+SELECT count(*)::BIGINT AS n_overlap,
+       round(count(*) / 10.0, 4) AS recall16
+FROM fl JOIN tr USING (vec_id)
+"""
+
+
+def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event types: each
+    type's distribution is replaced by the pooled one (rank -> pooled
+    value at ceil(r*N/n_g), selection-only so bit-identical across
+    engines).  Two-phase global rank — no single-task sort; see
+    pipeline.quantile_normalize."""
+    from qdrant_datafusion_spark.operators.pipeline import (
+        quantile_normalize,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return quantile_normalize(ev, "value", "event_type", "event_id")
+
+
+PIPELINE_QNORM_SQL = """
+WITH p AS (
+  SELECT value AS pooled_val,
+         row_number() OVER (ORDER BY value ASC, event_id ASC) AS pos
+  FROM events
+),
+n AS (SELECT count(*) AS N FROM events),
+g AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS r,
+         count(*) OVER (PARTITION BY event_type) AS ng
+  FROM events
+)
+SELECT g.event_id, g.event_type, g.value, p.pooled_val AS norm_value
+FROM g CROSS JOIN n JOIN p ON p.pos = (g.r * n.N + g.ng - 1) // g.ng
+"""
+
+
+def pipeline_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: at most 30 docs per source, selected by
+    the md5 coin — the anti-spam mixture stage.  One keyed window; see
+    pipeline.source_cap."""
+    from qdrant_datafusion_spark.operators.pipeline import source_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_cap(docs, "source", "doc_id", cap=30, seed="cap")
+
+
+PIPELINE_SOURCE_CAP_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR || ':' || 'cap') ASC, doc_id ASC
+         ) AS keep_rank
+  FROM documents
+)
+SELECT doc_id, source, keep_rank FROM r WHERE keep_rank <= 30
+"""
+
+
+QUERIES["dedup_fuzzy_incremental"] = dedup_fuzzy_incremental
+ORACLES["dedup_fuzzy_incremental"] = DEDUP_FUZZY_INCR_SQL
+QUERIES["v_search_matryoshka"] = v_search_matryoshka
+ORACLES["v_search_matryoshka"] = V_SEARCH_MATRYOSHKA_SQL
+QUERIES["pipeline_quantile_normalize"] = pipeline_quantile_normalize
+ORACLES["pipeline_quantile_normalize"] = PIPELINE_QNORM_SQL
+QUERIES["pipeline_source_cap"] = pipeline_source_cap
+ORACLES["pipeline_source_cap"] = PIPELINE_SOURCE_CAP_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -8948,7 +9100,9 @@ _RUN_FIRST = [
     # (PassJoin fuzzy edit-distance join, FD audit, k-anonymity,
     # compaction planner)
     "dedup_fuzzy_pairs", "pipeline_fd_audit", "pipeline_k_anonymity",
-    "layout_compaction_plan",
+    "layout_compaction_plan", "dedup_fuzzy_incremental",
+    "v_search_matryoshka", "pipeline_quantile_normalize",
+    "pipeline_source_cap",
     # -- 0: round-9 session-4 gates, zero evidence anywhere yet (CDC
     # state management, Bloom runtime-filter joins, constraint audit,
     # incremental dedup, stream-stream interval join)
@@ -8983,12 +9137,15 @@ _RUN_FIRST = [
     # sweeps.  Full registry stays in the committed local-mirror
     # sweeps at two SFs.)
     "dedup_embedding", "doc_fingerprints",
-    "q_json_length_keys", "q_pivot_events", "text_decontaminate_semantic",
-    "text_lang_id", "text_quality", "text_source_profile",
-    # (4 more rows deferred to r10 to fund the session-5 slots —
-    # text_token_stats / text_vocabulary ride every local sweep and the
-    # text family keeps text_quality in-window; v_lateral_batch_search /
-    # v_search_mmr keep kin via v_search/v_fusion kernels in-window)
+    "text_decontaminate_semantic", "text_lang_id",
+    # (8 rows deferred to r10 to fund the session-5 slots — all with
+    # earlier driver evidence and every one riding each local sweep:
+    # text_token_stats / text_vocabulary / text_quality /
+    # text_source_profile keep kin via text_lang_id in-window;
+    # q_json_length_keys / q_pivot_events share the JSON-getter kernels
+    # with in-window q_events_json gates of prior rounds;
+    # v_lateral_batch_search / v_search_mmr keep kin via the v_search /
+    # v_fusion kernels exercised by in-window v_search_matryoshka)
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -73,7 +73,9 @@ from qdrant_datafusion_spark.operators.pipeline import (  # noqa: F401
     decontaminate,
     hash_split,
     pack_sequences,
+    quantile_normalize,
     repetition_stats,
+    source_cap,
     weighted_sample,
 )
 from qdrant_datafusion_spark.operators.temporal import (  # noqa: F401

@@ -62,6 +62,7 @@ def edit_distance_pairs(
     key_col: Column | str,
     id_col: str,
     max_dist: int = 2,
+    new_col: str | None = None,
 ) -> DataFrame:
     """All unordered pairs with ``levenshtein(key_a, key_b) <= max_dist``.
 
@@ -69,13 +70,22 @@ def edit_distance_pairs(
     is shorter than ``max_dist + 1`` characters are dropped (segments
     must be non-empty for the pigeonhole; such keys are degenerate for
     edit-distance blocking anyway — document the minimum in the caller).
+
+    ``new_col`` names an optional boolean column marking a NEW ingest
+    batch: only pairs with at least one new side are emitted, and —
+    the point — corpus-internal candidates are dropped BEFORE the
+    verify, so a daily increment pays for batch×corpus work, not
+    corpus² (the `dedup_minhash_incremental` contract, fuzzy edition).
     """
     d = int(max_dist)
     if d < 1:
         raise ValueError("max_dist must be >= 1")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
+    cols = [F.col(id_col).alias("_id"), key.alias("_k")]
+    if new_col is not None:
+        cols.append(F.col(new_col).cast("boolean").alias("_new"))
     base = (
-        df.select(F.col(id_col).alias("_id"), key.alias("_k"))
+        df.select(*cols)
         .withColumn("_l", F.length("_k"))
         .filter(F.col("_l") >= d + 1)
     )
@@ -87,6 +97,7 @@ def edit_distance_pairs(
         F.col("_id").alias("_ida"),
         F.col("_k").alias("_ka"),
         F.col("_l").alias("_la"),
+        *([F.col("_new")] if new_col is not None else []),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {d}), i -> "
@@ -94,7 +105,12 @@ def edit_distance_pairs(
             )
         ).alias("_sg"),
     ).select(
-        "_ida", "_ka", "_la", F.col("_sg.i").alias("_i"), F.col("_sg.piece").alias("_piece")
+        "_ida",
+        "_ka",
+        "_la",
+        F.col("_sg.i").alias("_i"),
+        F.col("_sg.piece").alias("_piece"),
+        *([F.col("_new").alias("_newa")] if new_col is not None else []),
     )
 
     # probe side: every substring that could be segment i of a shorter
@@ -105,6 +121,7 @@ def edit_distance_pairs(
         F.col("_id").alias("_idb"),
         F.col("_k").alias("_kb"),
         F.col("_l").alias("_m"),
+        *([F.col("_new")] if new_col is not None else []),
         F.explode(
             F.expr(
                 f"""flatten(transform(sequence(greatest({d + 1}, _l - {d}), _l), l ->
@@ -123,6 +140,7 @@ def edit_distance_pairs(
         F.col("_pr.l").alias("_pl"),
         F.col("_pr.i").alias("_pi"),
         F.col("_pr.piece").alias("_ppiece"),
+        *([F.col("_new").alias("_newb")] if new_col is not None else []),
     )
 
     cand = segs.join(
@@ -137,6 +155,9 @@ def edit_distance_pairs(
         (F.col("_la") < F.col("_m"))
         | ((F.col("_la") == F.col("_m")) & (F.col("_ida") < F.col("_idb")))
     )
+    if new_col is not None:
+        # corpus-internal candidates die here, before any levenshtein
+        cand = cand.filter(F.col("_newa") | F.col("_newb"))
 
     # exact verify on the residue, THEN distinct — only true pairs pay
     # the pair-dedup shuffle (a near-dup pair can meet via several

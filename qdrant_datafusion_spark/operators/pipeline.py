@@ -42,6 +42,8 @@ from pyspark.sql.window import Window as SqlWindow
 from qdrant_datafusion_spark.functions.text import token_count, tokens, word_shingles
 
 __all__ = [
+    "quantile_normalize",
+    "source_cap",
     "hash_split",
     "decontaminate",
     "repetition_stats",
@@ -1446,4 +1448,133 @@ def profile_columns(
         .withColumn(
             "est_distinct", F.coalesce("est_distinct", F.lit(0))
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize — rank-based cross-source score alignment
+# ---------------------------------------------------------------------------
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    out_col: str = "norm_value",
+) -> DataFrame:
+    """Quantile normalization: replace each group's value distribution
+    with the POOLED distribution (limma's microarray recipe, and the
+    standard fix when per-source quality scores aren't comparable —
+    source A's 0.8 means something different from source B's 0.8, but
+    both sources' 90th percentiles are the same rank).
+
+    Row at within-group rank ``r`` of ``n_g`` gets the pooled value at
+    1-based position ``ceil(r · N / n_g)`` — pure SELECTION (a value
+    that exists in the data; never interpolated arithmetic), so results
+    are bit-identical across engines; all position math is integer.
+    Ties order by ``(value, id)`` — deterministic everywhere.
+
+    Scale: the pooled global rank uses the two-phase scan of
+    :func:`global_shuffle` (range repartition on ``(value, id)`` +
+    broadcast per-partition offsets) — no single-task sort of the data;
+    within-group ranks are one keyed window; the final position lookup
+    is an integer equi-join.  Four linear exchanges total, nothing
+    quadratic, no driver state.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(value_col).alias("_val"),
+    )
+
+    # pooled positions without a global window: range-partition by the
+    # sort key, broadcast the per-partition row counts as offsets
+    ranked = (
+        base.repartitionByRange(F.col("_val").asc(), F.col("_id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # feeds sizes AND the join side
+    )
+    sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = (
+        SqlWindow.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(SqlWindow.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = SqlWindow.partitionBy("_pid").orderBy(
+        F.col("_val").asc(), F.col("_id").asc()
+    )
+    pooled = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_off") + F.row_number().over(w_in)).alias("_pos"),
+            F.col("_val").alias("_pooled_val"),
+        )
+    )
+
+    n_total = base.agg(F.count("*").alias("_N"))
+    w_grp = SqlWindow.partitionBy("_grp").orderBy(
+        F.col("_val").asc(), F.col("_id").asc()
+    )
+    w_grp_n = SqlWindow.partitionBy("_grp")
+    grouped = base.crossJoin(F.broadcast(n_total)).select(
+        "_id",
+        "_grp",
+        "_val",
+        # ceil(r*N/n_g) on positive ints: (r*N + n_g - 1) div n_g
+        F.expr(
+            "(row_number() OVER (PARTITION BY _grp ORDER BY _val ASC, _id ASC)"
+            " * _N + count(*) OVER (PARTITION BY _grp) - 1)"
+            " div count(*) OVER (PARTITION BY _grp)"
+        ).alias("_pos"),
+    )
+    return grouped.join(pooled, "_pos").select(
+        F.col("_id").alias(id_col),
+        F.col("_grp").alias(group_col),
+        F.col("_val").alias(value_col),
+        F.col("_pooled_val").alias(out_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_cap — deterministic per-source document cap
+# ---------------------------------------------------------------------------
+
+def source_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    seed: str = "cap",
+    rank_col: str = "keep_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by the md5 coin — the
+    anti-spam stage of corpus assembly (one hot crawl domain must not
+    dominate the mixture no matter how many documents it contributes).
+
+    Selection is ``row_number`` over ``md5(id:seed)`` within the group:
+    deterministic, position-independent, engine-portable, and a fair
+    uniform subsample of each group (same coin family as
+    :func:`hash_split` / :func:`mix_datasets`).  Returns surviving rows
+    plus ``rank_col`` (1-based).
+
+    Scale: ONE keyed exchange + window; a hot group costs one task
+    sorting that group's rows, which the md5 order keeps unskewed in
+    VALUE space (and a pathological single-key group can pre-aggregate
+    with the same coin as a salted two-phase top-k if ever needed).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    coin = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    w = SqlWindow.partitionBy(group_col).orderBy(
+        coin.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= cap)
     )

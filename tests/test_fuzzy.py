@@ -117,3 +117,45 @@ class TestEditDistancePairs:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEditDistanceIncremental:
+    def test_only_batch_involving_pairs(self, spark):
+        rows = [
+            (1, "aaaa bbbb", False),
+            (2, "aaaa bbbc", False),   # corpus-internal pair with 1
+            (3, "aaaa bbbd", True),    # new: pairs with 1 and 2
+            (4, "zzzz yyyy", True),    # new: no partner
+        ]
+        df = spark.createDataFrame(rows, "id long, s string, is_new boolean")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(
+                df, "s", "id", max_dist=2, new_col="is_new"
+            ).collect()
+        }
+        # (1,2) is corpus-internal -> excluded; batch-batch pairs allowed
+        assert got == {(1, 3, 1), (2, 3, 1)}
+
+    def test_matches_restricted_brute_force(self, spark):
+        rows = _rand_corpus(seed=99, n=70)
+        flagged = [(i, s, i % 3 == 0) for i, s in rows]
+        df = spark.createDataFrame(
+            flagged, "id long, s string, is_new boolean"
+        )
+        from qdrant_datafusion_spark.operators.fuzzy import (
+            edit_distance_pairs,
+        )
+
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(
+                df, "s", "id", max_dist=2, new_col="is_new"
+            ).collect()
+        }
+        want = {
+            (a, b, d)
+            for a, b, d in _brute(rows, 2)
+            if a % 3 == 0 or b % 3 == 0
+        }
+        assert got == want

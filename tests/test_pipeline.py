@@ -950,3 +950,83 @@ class TestProfileColumns:
         assert {r["column"] for r in out.collect()} == {"a", "b"}
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "c#" not in plan.split("Scan")[0] or True  # column c unused
+
+
+class TestQuantileNormalize:
+    def test_matches_rank_lookup(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import (
+            quantile_normalize,
+        )
+
+        rows = [
+            (1, "a", 10.0), (2, "a", 50.0), (3, "a", 30.0),
+            (4, "b", 1.0), (5, "b", 2.0), (6, "b", 3.0),
+            (7, "b", 4.0), (8, "b", 5.0), (9, "b", 6.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            r.id: r.norm_value
+            for r in quantile_normalize(df, "v", "g", "id").collect()
+        }
+        # pooled sorted: [1,2,3,4,5,6,10,30,50]; N=9
+        # group a (n=3): ranks 1,2,3 -> pos ceil(3),ceil(6),ceil(9)=3,6,9
+        assert (got[1], got[3], got[2]) == (3.0, 6.0, 50.0)
+        # group b (n=6): rank r -> pos ceil(1.5r): 2,3,5,6,8,9
+        assert [got[i] for i in (4, 5, 6, 7, 8, 9)] == [
+            2.0, 3.0, 5.0, 6.0, 30.0, 50.0,
+        ]
+
+    def test_single_group_is_identity(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g", float(v)) for i, v in enumerate([7, 3, 9, 1])],
+            "id long, g string, v double",
+        )
+        out = quantile_normalize(df, "v", "g", "id").collect()
+        assert all(r.v == r.norm_value for r in out)
+
+    def test_duplicate_values_tiebreak_by_id(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", 5.0), (3, "b", 1.0), (4, "b", 9.0)],
+            "id long, g string, v double",
+        )
+        out = quantile_normalize(df, "v", "g", "id").collect()
+        assert len(out) == 4  # exactly one pooled row per position
+
+
+class TestSourceCap:
+    def test_cap_enforced_deterministically(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import source_cap
+
+        rows = [(i, "hot" if i < 20 else f"s{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = source_cap(df, "source", "doc_id", cap=5).collect()
+        b = source_cap(df, "source", "doc_id", cap=5).collect()
+        hot_a = sorted(r.doc_id for r in a if r.source == "hot")
+        assert len(hot_a) == 5
+        assert hot_a == sorted(r.doc_id for r in b if r.source == "hot")
+        # small sources pass through whole
+        assert sum(1 for r in a if r.source != "hot") == 10
+
+    def test_seed_rerolls_selection(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import source_cap
+
+        rows = [(i, "g") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        s1 = {r.doc_id for r in source_cap(df, "source", "doc_id", 10, seed="x").collect()}
+        s2 = {r.doc_id for r in source_cap(df, "source", "doc_id", 10, seed="y").collect()}
+        assert len(s1) == len(s2) == 10 and s1 != s2
+
+    def test_rejects_bad_cap(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import source_cap
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError):
+            source_cap(df, "source", "doc_id", cap=0)
