@@ -143,6 +143,15 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "dedup_sorted_neighborhood",
     "q_events_anomalies",
+    "dedup_fuzzy_pairs",
+    "dedup_fuzzy_incremental",
+    "dedup_jaccard_prefix",
+    "pipeline_fd_audit",
+    "pipeline_k_anonymity",
+    "layout_compaction_plan",
+    "v_search_matryoshka",
+    "pipeline_quantile_normalize",
+    "pipeline_source_cap",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

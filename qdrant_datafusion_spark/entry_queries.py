@@ -41,6 +41,7 @@ from qdrant_datafusion_spark.functions.text import (
     token_count,
     tokens,
     vocab_stats,
+    word_shingles,
 )
 from qdrant_datafusion_spark.operators.dedup import (
     dup_clusters,
@@ -9068,6 +9069,80 @@ QUERIES["pipeline_source_cap"] = pipeline_source_cap
 ORACLES["pipeline_source_cap"] = PIPELINE_SOURCE_CAP_SQL
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle Jaccard pairs at threshold 1/5 via prefix
+    filtering (All-Pairs/PPJoin) — same semantics as dedup_ngram_jaccard
+    but the join touches only PREFIX tokens (rarest-first global order),
+    so hot shingles stay out of the candidate join; threshold applied as
+    integer cross-multiplication, no float compare.  See
+    fuzzy.set_similarity_pairs; independence from the brute-force oracle
+    below is additionally proven by TestSetSimilarityPairs' random-set
+    brute-force parity at four thresholds."""
+    from qdrant_datafusion_spark.operators.fuzzy import (
+        set_similarity_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = set_similarity_pairs(
+        docs.select("doc_id", word_shingles("text", 3).alias("sh3")),
+        "sh3",
+        "doc_id",
+        t_num=1,
+        t_den=5,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "n_union",
+        _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard"),
+    )
+
+
+DEDUP_JACCARD_PREFIX_SQL = _SHINGLES_SQL + f"""
+, f AS (
+  SELECT doc_id, shingles, len(shingles)::BIGINT AS n
+  FROM sh WHERE len(shingles) >= 1
+),
+ex AS (SELECT doc_id, n, unnest(shingles) AS tok FROM f),
+cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+pfx AS (
+  SELECT doc_id, n, tok FROM (
+    SELECT ex.doc_id, ex.n, ex.tok,
+           row_number() OVER (PARTITION BY ex.doc_id
+                              ORDER BY cnt.c ASC, ex.tok ASC) AS rn
+    FROM ex JOIN cnt USING (tok)
+  ) WHERE rn <= n - (n + 4) // 5 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) * 5 >= greatest(a.n, b.n)
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(fa.shingles, fb.shingles))::BIGINT AS inter,
+         (fa.n + fb.n)::BIGINT AS sz
+  FROM cand JOIN f fa ON fa.doc_id = cand.id_a
+            JOIN f fb ON fb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, inter, (sz - inter) AS n_union,
+       {_ratio6_sql("inter", "sz - inter")} AS jaccard
+FROM v WHERE inter * 5 >= sz - inter
+"""
+
+# The oracle mirrors the prefix-filter CANDIDATE generation (provably
+# complete: the globally-first common token of any pair with J >= t
+# lands inside both prefixes) and verifies with the same exact integer
+# cross-multiplication, so both engines compute brute-force semantics
+# without the all-pairs list_intersect (which needs >10 min of DuckDB
+# time at sf0.1); independence from the operator is the brute-force
+# crossJoin parity suite in TestSetSimilarityPairs.
+
+QUERIES["dedup_jaccard_prefix"] = dedup_jaccard_prefix
+ORACLES["dedup_jaccard_prefix"] = DEDUP_JACCARD_PREFIX_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -9101,6 +9176,7 @@ _RUN_FIRST = [
     # compaction planner)
     "dedup_fuzzy_pairs", "pipeline_fd_audit", "pipeline_k_anonymity",
     "layout_compaction_plan", "dedup_fuzzy_incremental",
+    "dedup_jaccard_prefix",
     "v_search_matryoshka", "pipeline_quantile_normalize",
     "pipeline_source_cap",
     # -- 0: round-9 session-4 gates, zero evidence anywhere yet (CDC
@@ -9136,8 +9212,11 @@ _RUN_FIRST = [
     # pytest coverage and the multimodal_* dedup gates stay in the
     # sweeps.  Full registry stays in the committed local-mirror
     # sweeps at two SFs.)
-    "dedup_embedding", "doc_fingerprints",
+    "dedup_embedding",
     "text_decontaminate_semantic", "text_lang_id",
+    # (doc_fingerprints also deferred: the rolling-hash fingerprint
+    # kernel rides every local sweep and the dedup family is richly
+    # in-window via the fuzzy/prefix gates)
     # (8 rows deferred to r10 to fund the session-5 slots — all with
     # earlier driver evidence and every one riding each local sweep:
     # text_token_stats / text_vocabulary / text_quality /

@@ -2,7 +2,8 @@
 
 - ``topk``       — top-k search, batch (multi-query) search, prefetch→rerank
 - ``dedup``      — exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
-- ``fuzzy``      — PassJoin edit-distance similarity self-join
+- ``fuzzy``      — similarity self-joins: PassJoin edit distance +
+                   prefix-filtered exact Jaccard (All-Pairs/PPJoin)
 - ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths
 - ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
@@ -100,6 +101,7 @@ from qdrant_datafusion_spark.operators.validate import (  # noqa: F401
 )
 from qdrant_datafusion_spark.operators.fuzzy import (  # noqa: F401
     edit_distance_pairs,
+    set_similarity_pairs,
 )
 from qdrant_datafusion_spark.operators.audio import (  # noqa: F401
     audio_energy_dups,

@@ -1,4 +1,4 @@
-"""Edit-distance similarity self-join (PassJoin partition scheme).
+"""Similarity self-joins: edit distance (PassJoin) + exact Jaccard (prefix filter).
 
 The reference engine exposes no fuzzy string matching; this is part of
 the training-data-pipeline surface (entity resolution on near-identical
@@ -40,9 +40,9 @@ agree only on ASCII, so oracle-graded keys strip ``[^ -~]`` first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["edit_distance_pairs"]
+__all__ = ["edit_distance_pairs", "set_similarity_pairs"]
 
 
 def _seg_start(i: str, l: str, d: int) -> str:
@@ -171,4 +171,116 @@ def edit_distance_pairs(
             F.col("_dist").cast("long").alias("dist"),
         )
         .distinct()
+    )
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    tokens_col: Column | str,
+    id_col: str,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join at threshold ``t_num/t_den``
+    via prefix filtering (All-Pairs / PPJoin family: Chaudhuri et al.
+    ICDE'06, Bayardo et al. WWW'07) — the scale tier of
+    `dedup.ngram_jaccard_dups`, which joins on EVERY shared token and
+    melts on hot tokens; this joins only on PREFIX tokens and returns
+    the identical exact pair set.
+
+    Pigeonhole: order all tokens by global (frequency, token) — rarest
+    first.  If ``J(x,y) >= t`` then ``|x∩y| >= ceil(t·|x|)``, and the
+    FIRST common token in that order sits within the first
+    ``|x| − ceil(t·|x|) + 1`` tokens of x (all other common tokens come
+    after it), and likewise within y's prefix — so every qualifying
+    pair meets on a prefix-token equi-join.  Exact
+    ``array_intersect`` verifies the residue with the threshold as an
+    integer CROSS-MULTIPLICATION (``inter·t_den >= t_num·(n_a+n_b−inter)``)
+    — no float compare anywhere, bit-identical on every engine.
+
+    Returns ``(id_a, id_b, inter, n_union, jaccard)`` with
+    ``id_a < id_b`` (same shape as ``ngram_jaccard_dups``; ``jaccard``
+    is the double ratio of the exact integers).
+
+    Scale shape: one token-count shuffle (map-side combined), one
+    count join-back, one per-doc window to take the prefix, one
+    prefix-token equi-join whose candidate mass concentrates on RARE
+    tokens by construction (frequency order puts every document's
+    rarest tokens in its prefix), a distinct over candidate pairs, and
+    one verify join.  The length filter
+    ``min(n)·t_den >= t_num·max(n)`` prunes size-incompatible pairs
+    before the distinct.  Nothing is quadratic in a hot token: a token
+    shared by k documents contributes candidates only if it lands in
+    prefixes, and high-frequency tokens sort LAST, out of every prefix.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(toks).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= 1)
+    )
+    # the base frame feeds the explode AND both sides of the verify
+    # join — pin it once (executor-side, lineage truncated)
+    base = base.localCheckpoint(eager=False)
+
+    ex = base.select("_id", "_n", F.explode("_toks").alias("_tok"))
+    counts = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix length p = n - ceil(t*n) + 1, all-integer:
+    # ceil(t*n) = (t_num*n + t_den - 1) div t_den
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cnt").asc(), F.col("_tok").asc()
+    )
+    prefix = (
+        ex.join(counts, "_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.col("_n")
+            - F.expr(f"(_n * {int(t_num)} + {int(t_den)} - 1) div {int(t_den)}")
+            + 1
+        )
+        .select("_tok", "_id", "_n")
+    )
+
+    a = prefix.select(
+        F.col("_tok"), F.col("_id").alias("_ida"), F.col("_n").alias("_na")
+    )
+    b = prefix.select(
+        F.col("_tok"), F.col("_id").alias("_idb"), F.col("_n").alias("_nb")
+    )
+    cand = (
+        a.join(b, "_tok")
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (
+                F.least("_na", "_nb") * t_den
+                >= F.greatest("_na", "_nb") * t_num
+            )
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+
+    ta = base.select(F.col("_id").alias("_ida"), F.col("_toks").alias("_ta"))
+    tb = base.select(F.col("_id").alias("_idb"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cand.join(ta, "_ida")
+        .join(tb, "_idb")
+        .withColumn("_inter", inter)
+        .withColumn("_union", union)
+        .filter(F.col("_inter") * t_den >= t_num * F.col("_union"))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.col("_inter").cast("long").alias("inter"),
+            F.col("_union").cast("long").alias("n_union"),
+            (F.col("_inter") / F.col("_union")).alias("jaccard"),
+        )
     )

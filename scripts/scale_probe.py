@@ -63,6 +63,9 @@ DEFAULT_OPS = [
     "bloom_join_probe",           # fixed-size bitmap broadcast probe + residue verify
     "validate_probe",             # all scalar checks in ONE aggregation pass
     "sorted_neighborhood_probe",  # two-phase global rank + bucket equi-join
+    "dedup_fuzzy_probe",          # PassJoin segment/probe equi-join + verify
+    "pipeline_qnorm_probe",       # two-phase pooled rank + group window + pos join
+    "layout_compaction_probe",    # one agg to manifest + manifest-only prefix sum
 ]
 
 
@@ -521,6 +524,64 @@ def _layout_hilbert_probe(spark, sf_dir: str):
     )
 
 
+def _dedup_fuzzy_probe(spark, sf_dir: str):
+    """PassJoin candidate/verify path at scale with the OUTPUT pinned:
+    the replica fixture duplicates every text, which would make true
+    fuzzy pairs grow quadratically in replicas (fixture, not plan) — so
+    the probe key appends the doc_id with every digit TRIPLED: distinct
+    ids differ in >=1 digit => >=3 edits => no cross-replica pair can
+    pass the d=2 verify.  What's measured is exactly the scale story:
+    segment/probe projections, the equi-join's candidate mass, and the
+    levenshtein verify over 100x data, with result rows ~0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    key = F.concat(
+        F.expr(
+            "substring(trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^ -~]', ''), ' +', ' ')), 1, 28)"
+        ),
+        F.regexp_replace(F.col("doc_id").cast("string"), "(.)", "$1$1$1"),
+    )
+    base = docs.select("doc_id", key.alias("fkey")).filter(
+        F.length("fkey") >= 12
+    )
+    return edit_distance_pairs(base, "fkey", "doc_id", max_dist=2)
+
+
+def _pipeline_qnorm_probe(spark, sf_dir: str):
+    """Quantile normalization at scale: two-phase pooled rank (range
+    repartition + broadcast offsets), one keyed group window, one
+    integer position join — output is row-per-row by construction, so
+    growth measures the three linear exchanges."""
+    import os
+
+    from qdrant_datafusion_spark.operators.pipeline import quantile_normalize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "value"
+    )
+    return quantile_normalize(ev, "value", "event_type", "event_id")
+
+
+def _layout_compaction_probe(spark, sf_dir: str):
+    """Compaction planning at scale: ONE aggregation reduces the data to
+    a per-source manifest; the prefix-sum bin assignment runs on the
+    manifest rows alone — output is #sources rows at any scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.layout import compaction_plan
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return compaction_plan(docs, "source", F.octet_length("text"), 1 << 20)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -561,6 +622,9 @@ def main() -> None:
         "bloom_join_probe": _bloom_join_probe,
         "validate_probe": _validate_probe,
         "sorted_neighborhood_probe": _sorted_neighborhood_probe,
+        "dedup_fuzzy_probe": _dedup_fuzzy_probe,
+        "pipeline_qnorm_probe": _pipeline_qnorm_probe,
+        "layout_compaction_probe": _layout_compaction_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]

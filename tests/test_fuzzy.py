@@ -159,3 +159,108 @@ class TestEditDistanceIncremental:
             if a % 3 == 0 or b % 3 == 0
         }
         assert got == want
+
+
+class TestSetSimilarityPairs:
+    def _corpus(self, seed, n=110):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(40)]
+        rows = []
+        for i in range(n):
+            s = rng.sample(vocab, rng.randint(1, 12))
+            rows.append((i, s))
+            if rng.random() < 0.35:  # near-identical partner
+                t = list(s)
+                for _ in range(rng.randint(0, 2)):
+                    if rng.random() < 0.5 and len(t) > 1:
+                        t.pop()
+                    else:
+                        c = rng.choice(vocab)
+                        if c not in t:
+                            t.append(c)
+                rows.append((1000 + i, t))
+        return rows
+
+    def _brute(self, rows, t_num, t_den):
+        want = set()
+        for (i1, s1), (i2, s2) in itertools.combinations(rows, 2):
+            a, b = set(s1), set(s2)
+            inter, union = len(a & b), len(a | b)
+            if inter * t_den >= t_num * union:
+                want.add((min(i1, i2), max(i1, i2), inter, union))
+        return want
+
+    @pytest.mark.parametrize("t_num,t_den", [(1, 2), (7, 10), (1, 3), (1, 1)])
+    def test_equals_brute_force(self, spark, t_num, t_den):
+        from qdrant_datafusion_spark.operators.fuzzy import (
+            set_similarity_pairs,
+        )
+
+        rows = self._corpus(seed=17 + t_num)
+        df = spark.createDataFrame(rows, "id long, toks array<string>")
+        got = {
+            (r.id_a, r.id_b, r.inter, r.n_union)
+            for r in set_similarity_pairs(
+                df, "toks", "id", t_num, t_den
+            ).collect()
+        }
+        assert got == self._brute(rows, t_num, t_den)
+
+    def test_empty_sets_dropped(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import (
+            set_similarity_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, []), (2, []), (3, ["a", "b"]), (4, ["a", "b"])],
+            "id long, toks array<string>",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in set_similarity_pairs(df, "toks", "id", 1, 2).collect()
+        }
+        assert got == {(3, 4)}  # empty-empty is NOT a pair
+
+    def test_threshold_one_is_set_equality(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import (
+            set_similarity_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["b", "a", "a"]), (3, ["a", "b", "c"])],
+            "id long, toks array<string>",
+        )
+        got = [
+            (r.id_a, r.id_b, r.inter, r.n_union)
+            for r in set_similarity_pairs(df, "toks", "id", 1, 1).collect()
+        ]
+        assert got == [(1, 2, 2, 2)]  # duplicates collapse; superset != equal
+
+    def test_rejects_bad_threshold(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import (
+            set_similarity_pairs,
+        )
+
+        df = spark.createDataFrame([(1, ["a"])], "id long, toks array<string>")
+        with pytest.raises(ValueError):
+            set_similarity_pairs(df, "toks", "id", 0, 2)
+        with pytest.raises(ValueError):
+            set_similarity_pairs(df, "toks", "id", 3, 2)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import (
+            set_similarity_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [f"w{i}", f"w{i+1}", "common"]) for i in range(30)],
+            "id long, toks array<string>",
+        )
+        plan = (
+            set_similarity_pairs(df, "toks", "id", 1, 2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
