@@ -143,7 +143,13 @@ def edit_distance_pairs(
         *([F.col("_new").alias("_newb")] if new_col is not None else []),
     )
 
-    cand = segs.join(
+    # pin the candidate join to sort-merge: BOTH sides are data-sized
+    # exploded projections whose size Catalyst estimates from the
+    # pre-explode child, so it happily picks a broadcast that
+    # materializes at gigabytes on the driver at 100× (observed in the
+    # scale probe).  SMJ shuffles on the short piece key — safe at any
+    # scale; AQE still handles skewed piece keys.
+    cand = segs.hint("merge").join(
         probes,
         on=[
             segs["_piece"] == probes["_ppiece"],
@@ -254,7 +260,9 @@ def set_similarity_pairs(
         F.col("_tok"), F.col("_id").alias("_idb"), F.col("_n").alias("_nb")
     )
     cand = (
-        a.join(b, "_tok")
+        # same sort-merge pin as edit_distance_pairs: both prefix sides
+        # are data-sized, don't let a misestimated broadcast through
+        a.hint("merge").join(b, "_tok")
         .filter(
             (F.col("_ida") < F.col("_idb"))
             & (

@@ -525,14 +525,17 @@ def _layout_hilbert_probe(spark, sf_dir: str):
 
 
 def _dedup_fuzzy_probe(spark, sf_dir: str):
-    """PassJoin candidate/verify path at scale with the OUTPUT pinned:
-    the replica fixture duplicates every text, which would make true
-    fuzzy pairs grow quadratically in replicas (fixture, not plan) — so
-    the probe key appends the doc_id with every digit TRIPLED: distinct
-    ids differ in >=1 digit => >=3 edits => no cross-replica pair can
-    pass the d=2 verify.  What's measured is exactly the scale story:
-    segment/probe projections, the equi-join's candidate mass, and the
-    levenshtein verify over 100x data, with result rows ~0."""
+    """PassJoin plan-shape probe: the replica fixture duplicates every
+    TEXT 100x, so any key containing text makes candidate mass (and on
+    a text-only key, the output too) quadratic in replicas — replicas
+    share whole segments.  That is a fixture property (the production
+    answer is exact-dedup first, which the pipeline does), not a plan
+    property, so the probe keys on md5(doc_id) — 32 uniform hex chars,
+    every PassJoin segment near-unique (a zero-padded numeric key was
+    measured quadratic here: all ids share their leading digits and
+    with them whole segments).  Measured growth = segment/probe
+    projections + the sort-merge candidate join + verify over 100x
+    rows, with result rows ~0."""
     import os
 
     from pyspark.sql import functions as F
@@ -540,16 +543,8 @@ def _dedup_fuzzy_probe(spark, sf_dir: str):
     from qdrant_datafusion_spark.operators.fuzzy import edit_distance_pairs
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    key = F.concat(
-        F.expr(
-            "substring(trim(regexp_replace(regexp_replace(lower(text),"
-            " '[^ -~]', ''), ' +', ' ')), 1, 28)"
-        ),
-        F.regexp_replace(F.col("doc_id").cast("string"), "(.)", "$1$1$1"),
-    )
-    base = docs.select("doc_id", key.alias("fkey")).filter(
-        F.length("fkey") >= 12
-    )
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("fz")))
+    base = docs.select("doc_id", key.alias("fkey"))
     return edit_distance_pairs(base, "fkey", "doc_id", max_dist=2)
 
 
