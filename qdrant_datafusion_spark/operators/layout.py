@@ -279,6 +279,12 @@ def compaction_plan(
 
     Returns one row per unit: ``(key, n_rows, bytes, bin)``.
 
+    Contract: ``key_col`` must be non-NULL — engines disagree on NULL
+    sort placement (Spark asc puts NULLs first, DuckDB last), which
+    would shift every prefix sum after the NULL unit.  Filter or
+    coalesce keys first (same contract as the CDC order column; see
+    validate_constraints ``not_null`` to audit it).
+
     Scale: ONE aggregation reduces the data to a manifest (one row per
     unit — metadata-sized, orders of magnitude under the data), and the
     prefix sum runs on the manifest alone; the single-partition window

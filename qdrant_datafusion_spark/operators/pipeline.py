@@ -1473,6 +1473,9 @@ def quantile_normalize(
     that exists in the data; never interpolated arithmetic), so results
     are bit-identical across engines; all position math is integer.
     Ties order by ``(value, id)`` — deterministic everywhere.
+    Contract: ``value_col`` and ``id_col`` must be non-NULL (engines
+    disagree on NULL sort placement, which would shift every pooled
+    position after the first NULL; the CDC order-column contract).
 
     Scale: the pooled global rank uses the two-phase scan of
     :func:`global_shuffle` (range repartition on ``(value, id)`` +
