@@ -250,14 +250,32 @@ def set_similarity_pairs(
             - F.expr(f"(_n * {int(t_num)} + {int(t_den)} - 1) div {int(t_den)}")
             + 1
         )
-        .select("_tok", "_id", "_n")
+        .select("_tok", "_id", "_n", "_rn")
     )
 
     a = prefix.select(
-        F.col("_tok"), F.col("_id").alias("_ida"), F.col("_n").alias("_na")
+        F.col("_tok"),
+        F.col("_id").alias("_ida"),
+        F.col("_n").alias("_na"),
+        F.col("_rn").alias("_rna"),
     )
     b = prefix.select(
-        F.col("_tok"), F.col("_id").alias("_idb"), F.col("_n").alias("_nb")
+        F.col("_tok"),
+        F.col("_id").alias("_idb"),
+        F.col("_n").alias("_nb"),
+        F.col("_rn").alias("_rnb"),
+    )
+    # positional filter (the "PP" of PPJoin): a token matched at sorted
+    # positions (rna, rnb) caps the overlap at
+    # min(na-rna, nb-rnb) + 1 (that token plus everything AFTER it on
+    # both sides — anything before it on either side is provably not
+    # shared through THIS meeting; a pair whose real overlap includes
+    # earlier tokens still meets on its globally-first common token,
+    # where the cap is tight).  Required overlap for J >= t is
+    # alpha = ceil(t/(1+t) * (na+nb)) — integer form below.
+    alpha = F.expr(
+        f"(({int(t_num)} * (_na + _nb)) + {int(t_num + t_den)} - 1)"
+        f" div {int(t_num + t_den)}"
     )
     cand = (
         # same sort-merge pin as edit_distance_pairs: both prefix sides
@@ -268,6 +286,13 @@ def set_similarity_pairs(
             & (
                 F.least("_na", "_nb") * t_den
                 >= F.greatest("_na", "_nb") * t_num
+            )
+            & (
+                F.least(
+                    F.col("_na") - F.col("_rna"), F.col("_nb") - F.col("_rnb")
+                )
+                + 1
+                >= alpha
             )
         )
         .select("_ida", "_idb")
