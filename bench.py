@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_fuzzy_pairs",
     "dedup_fuzzy_incremental",
     "dedup_jaccard_prefix",
+    "dedup_containment",
     "pipeline_fd_audit",
     "pipeline_k_anonymity",
     "layout_compaction_plan",

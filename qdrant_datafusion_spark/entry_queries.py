@@ -9143,6 +9143,76 @@ QUERIES["dedup_jaccard_prefix"] = dedup_jaccard_prefix
 ORACLES["dedup_jaccard_prefix"] = DEDUP_JACCARD_PREFIX_SQL
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment pairs at t=4/5: ordered (contained, container)
+    document pairs where >=80% of the left doc's 3-shingles appear in
+    the right doc — the asymmetric near-dup relation (truncated copies,
+    quoted excerpts, embedded boilerplate) that Jaccard under-scores
+    when the container is much larger.  One-sided prefix filtering: the
+    contained side ships rarest-first prefixes, the container side is
+    the plain inverted index; positional cap + integer cross-multiplied
+    verify.  See fuzzy.containment_pairs; operator independence is
+    TestContainmentPairs' brute-force permutation parity."""
+    from qdrant_datafusion_spark.operators.fuzzy import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        docs.select("doc_id", word_shingles("text", 3).alias("sh3")),
+        "sh3",
+        "doc_id",
+        t_num=4,
+        t_den=5,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "n_a",
+        _ratio_round6(F.col("inter"), F.col("n_a")).alias("containment"),
+    )
+
+
+# mirror of the one-sided prefix candidate generation (provably complete
+# — same first-common-token pigeonhole as the Jaccard prefix oracle) +
+# the exact integer verify; the all-pairs form needs >10 min of DuckDB
+# at sf0.1.  Independence: TestContainmentPairs brute-force parity.
+DEDUP_CONTAINMENT_SQL = _SHINGLES_SQL + f"""
+, f AS (
+  SELECT doc_id, shingles, len(shingles)::BIGINT AS n
+  FROM sh WHERE len(shingles) >= 1
+),
+ex AS (SELECT doc_id, n, unnest(shingles) AS tok FROM f),
+cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+rk AS (
+  SELECT ex.doc_id, ex.n, ex.tok,
+         row_number() OVER (PARTITION BY ex.doc_id
+                            ORDER BY cnt.c ASC, ex.tok ASC) AS rn
+  FROM ex JOIN cnt USING (tok)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rk a JOIN rk b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  WHERE a.rn <= a.n - (a.n * 4 + 4) // 5 + 1
+    AND b.n * 5 >= a.n * 4
+    AND least(a.n - a.rn, b.n - b.rn) + 1 >= (a.n * 4 + 4) // 5
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(fa.shingles, fb.shingles))::BIGINT AS inter,
+         fa.n AS n_a
+  FROM cand JOIN f fa ON fa.doc_id = cand.id_a
+            JOIN f fb ON fb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, inter, n_a,
+       {_ratio6_sql("inter", "n_a")} AS containment
+FROM v WHERE inter * 5 >= n_a * 4
+"""
+
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only judge-side (local mirror) evidence for that round.  Order is
@@ -9176,7 +9246,7 @@ _RUN_FIRST = [
     # compaction planner)
     "dedup_fuzzy_pairs", "pipeline_fd_audit", "pipeline_k_anonymity",
     "layout_compaction_plan", "dedup_fuzzy_incremental",
-    "dedup_jaccard_prefix",
+    "dedup_jaccard_prefix", "dedup_containment",
     "v_search_matryoshka", "pipeline_quantile_normalize",
     "pipeline_source_cap",
     # -- 0: round-9 session-4 gates, zero evidence anywhere yet (CDC
@@ -9213,7 +9283,9 @@ _RUN_FIRST = [
     # sweeps.  Full registry stays in the committed local-mirror
     # sweeps at two SFs.)
     "dedup_embedding",
-    "text_decontaminate_semantic", "text_lang_id",
+    "text_decontaminate_semantic",
+    # (text_lang_id also deferred: heuristic kernel rides every sweep,
+    # classifier kin text_lang_id_ngram has r9 evidence)
     # (doc_fingerprints also deferred: the rolling-hash fingerprint
     # kernel rides every local sweep and the dedup family is richly
     # in-window via the fuzzy/prefix gates)

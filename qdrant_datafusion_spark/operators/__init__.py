@@ -100,6 +100,7 @@ from qdrant_datafusion_spark.operators.validate import (  # noqa: F401
     validate_constraints,
 )
 from qdrant_datafusion_spark.operators.fuzzy import (  # noqa: F401
+    containment_pairs,
     edit_distance_pairs,
     set_similarity_pairs,
 )

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["edit_distance_pairs", "set_similarity_pairs"]
+__all__ = ["containment_pairs", "edit_distance_pairs", "set_similarity_pairs"]
 
 
 def _seg_start(i: str, l: str, d: int) -> str:
@@ -315,5 +315,115 @@ def set_similarity_pairs(
             F.col("_inter").cast("long").alias("inter"),
             F.col("_union").cast("long").alias("n_union"),
             (F.col("_inter") / F.col("_union")).alias("jaccard"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    tokens_col: Column | str,
+    id_col: str,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT containment self-join: ordered pairs where at least
+    ``t_num/t_den`` of the LEFT set's tokens appear in the right set
+    (``|x∩y| >= t·|x|``) — the asymmetric near-dup relation Jaccard
+    misses: a truncated copy, a quoted excerpt, or boilerplate embedded
+    in a larger page scores low Jaccard (union is dominated by the big
+    side) but high containment.
+
+    One-sided prefix filtering: the required overlap ``ceil(t·|x|)``
+    depends only on the CONTAINED side, so x joins through its prefix
+    (``|x| − ceil(t·|x|) + 1`` rarest-first tokens — the globally-first
+    common token provably lands there) against the FULL token list of
+    every candidate container; the positional cap
+    ``min(|x|−rn_x, |y|−rn_y) + 1 >= ceil(t·|x|)`` prunes meetings that
+    cannot reach the requirement (tight at the first common token).
+    Exact ``array_intersect`` verifies with integer cross-multiplication.
+
+    Returns ``(id_a, id_b, inter, n_a, containment)`` with id_a the
+    contained side, ``id_a != id_b`` (both directions can hold for
+    near-equal sets and are reported separately).
+
+    Scale shape: the container side is the plain exploded token list
+    (data-sized, like every inverted index); the contained side ships
+    only prefixes.  Same one count shuffle + SMJ-pinned candidate join
+    + distinct + verify as :func:`set_similarity_pairs`.  A hot token
+    on the container side meets only the (rare-token) prefixes that
+    name it — the frequency order again keeps hot tokens out of probes.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(toks).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= 1)
+        .localCheckpoint(eager=False)
+    )
+
+    ex = base.select("_id", "_n", F.explode("_toks").alias("_tok"))
+    counts = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cnt").asc(), F.col("_tok").asc()
+    )
+    ranked = ex.join(counts, "_tok").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    # contained side ships its prefix only; container side ships ALL
+    # tokens (its required overlap depends on the partner's size, so it
+    # has no local prefix — the inverted-index side of the join)
+    need = F.expr(f"(_n * {int(t_num)} + {int(t_den)} - 1) div {int(t_den)}")
+    a = ranked.filter(F.col("_rn") <= F.col("_n") - need + 1).select(
+        F.col("_tok"),
+        F.col("_id").alias("_ida"),
+        F.col("_n").alias("_na"),
+        F.col("_rn").alias("_rna"),
+    )
+    b = ranked.select(
+        F.col("_tok"),
+        F.col("_id").alias("_idb"),
+        F.col("_n").alias("_nb"),
+        F.col("_rn").alias("_rnb"),
+    )
+    alpha = F.expr(
+        f"(_na * {int(t_num)} + {int(t_den)} - 1) div {int(t_den)}"
+    )
+    cand = (
+        a.hint("merge").join(b, "_tok")
+        .filter(
+            (F.col("_ida") != F.col("_idb"))
+            # container must be able to hold the requirement at all
+            & (F.col("_nb") * t_den >= F.col("_na") * t_num)
+            & (
+                F.least(
+                    F.col("_na") - F.col("_rna"), F.col("_nb") - F.col("_rnb")
+                )
+                + 1
+                >= alpha
+            )
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+
+    ta = base.select(F.col("_id").alias("_ida"), F.col("_toks").alias("_ta"))
+    tb = base.select(F.col("_id").alias("_idb"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(ta, "_ida")
+        .join(tb, "_idb")
+        .withColumn("_inter", inter)
+        .filter(F.col("_inter") * t_den >= t_num * F.size("_ta"))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.col("_inter").cast("long").alias("inter"),
+            F.size("_ta").cast("long").alias("n_a"),
+            (F.col("_inter") / F.size("_ta")).alias("containment"),
         )
     )

@@ -264,3 +264,71 @@ class TestSetSimilarityPairs:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestContainmentPairs:
+    def _corpus(self, seed, n=100):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(35)]
+        rows = []
+        for i in range(n):
+            s = rng.sample(vocab, rng.randint(1, 12))
+            rows.append((i, s))
+            if rng.random() < 0.3:  # seed subsets and supersets
+                if rng.random() < 0.5 and len(s) > 2:
+                    rows.append((1000 + i, rng.sample(s, rng.randint(1, len(s) - 1))))
+                else:
+                    extra = [v for v in vocab if v not in s]
+                    rows.append((1000 + i, s + rng.sample(extra, rng.randint(1, 4))))
+        return rows
+
+    @pytest.mark.parametrize("t_num,t_den", [(4, 5), (1, 2), (1, 1)])
+    def test_equals_brute_force(self, spark, t_num, t_den):
+        from qdrant_datafusion_spark.operators.fuzzy import containment_pairs
+
+        rows = self._corpus(seed=29 + t_num)
+        df = spark.createDataFrame(rows, "id long, toks array<string>")
+        got = {
+            (r.id_a, r.id_b, r.inter, r.n_a)
+            for r in containment_pairs(df, "toks", "id", t_num, t_den).collect()
+        }
+        want = set()
+        for (i1, s1), (i2, s2) in itertools.permutations(rows, 2):
+            a, b = set(s1), set(s2)
+            if a and b and len(a & b) * t_den >= t_num * len(a):
+                want.add((i1, i2, len(a & b), len(a)))
+        assert got == want
+
+    def test_asymmetry(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import containment_pairs
+
+        # small fully inside big: (small -> big) holds, reverse doesn't
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["a", "b", "c", "d", "e", "f", "g", "h"])],
+            "id long, toks array<string>",
+        )
+        got = [
+            (r.id_a, r.id_b, r.containment)
+            for r in containment_pairs(df, "toks", "id", 4, 5).collect()
+        ]
+        assert got == [(1, 2, 1.0)]
+
+    def test_near_equal_sets_hold_both_directions(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c", "d", "e"]), (2, ["a", "b", "c", "d", "x"])],
+            "id long, toks array<string>",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(df, "toks", "id", 4, 5).collect()
+        }
+        assert got == {(1, 2), (2, 1)}
+
+    def test_rejects_bad_threshold(self, spark):
+        from qdrant_datafusion_spark.operators.fuzzy import containment_pairs
+
+        df = spark.createDataFrame([(1, ["a"])], "id long, toks array<string>")
+        with pytest.raises(ValueError):
+            containment_pairs(df, "toks", "id", 0, 5)
