@@ -19,6 +19,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.operators.fuzzy import (
+    containment_pairs,
     edit_distance_pairs,
     set_similarity_pairs,
 )
@@ -87,6 +88,22 @@ class TestReleaseCycle:
         exact_dups = {(1, 2), (1, 9), (2, 9)}
         assert exact_dups <= jac
         assert jac <= fuzzy  # word-set agreement implies low edit distance here
+
+        # stage 1c: the containment tier must hold BOTH directions for
+        # every exact duplicate (equal sets contain each other), and
+        # every Jaccard pair implies both containments at this t
+        cont = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(
+                docs.select("doc_id", F.split("text", " ").alias("w")),
+                "w",
+                "doc_id",
+                t_num=4,
+                t_den=5,
+            ).collect()
+        }
+        for a, b in exact_dups:
+            assert (a, b) in cont and (b, a) in cont
 
     def test_cap_then_normalize_preserves_group_order(self, spark, docs):
         capped = source_cap(docs, "source", "doc_id", cap=4)
