@@ -8292,7 +8292,10 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod 13) and rewrote `o_orderpriority` for keys ≡0 (mod 17) —
     added / removed / changed verdicts with the exact changed-column
     list, unchanged rows dropped.  ONE full-outer key join, verdicts a
-    pure projection; see cdc.table_diff."""
+    pure projection; see cdc.table_diff.  The library operator returns
+    `changed_cols` as a typed array<string>; the gate flattens it to a
+    sorted comma-joined string because the driver's pandas canonicalizer
+    cannot hash list cells (round-9 red row)."""
     from qdrant_datafusion_spark.operators.cdc import table_diff
 
     orders = _t(spark, sf_dir, "orders")
@@ -8308,6 +8311,8 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return table_diff(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_orderpriority"]
+    ).withColumn(
+        "changed_cols", F.array_join(F.array_sort("changed_cols"), ",")
     )
 
 
@@ -8339,8 +8344,10 @@ j AS (
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 )
 SELECT o_orderkey, status,
-       CASE WHEN status = 'changed' THEN diff_cols
-            ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+       coalesce(array_to_string(
+         list_sort(CASE WHEN status = 'changed' THEN diff_cols
+                        ELSE CAST([] AS VARCHAR[]) END),
+         ','), '') AS changed_cols
 FROM j WHERE status <> 'unchanged'
 """
 

@@ -163,9 +163,11 @@ def table_diff(
     diff_flags = [
         ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in compare_cols
     ]
-    any_diff = None
+    # key-presence-only diff (compare_cols=[]) is a valid call shape:
+    # every surviving row is purely added/removed, nothing can "change"
+    any_diff = F.lit(False)
     for fl in diff_flags:
-        any_diff = fl if any_diff is None else (any_diff | fl)
+        any_diff = any_diff | fl
     changed_cols = F.filter(
         F.array(
             *[

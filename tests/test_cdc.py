@@ -167,6 +167,16 @@ class TestTableDiff:
         }
         assert d == {(1, "y"): "removed", (1, "z"): "added"}
 
+    def test_empty_compare_cols(self, spark):
+        """Key-presence-only diff (compare_cols=[]) is a valid call
+        shape: surviving rows are purely added/removed, never changed."""
+        old, new = self._pair(spark)
+        d = {
+            r["k"]: (r["status"], list(r["changed_cols"]))
+            for r in table_diff(old, new, ["k"], []).collect()
+        }
+        assert d == {3: ("removed", []), 4: ("added", [])}
+
     def test_single_shuffle_plan(self, spark):
         """The diff is one join — no second exchange beyond the two
         side-shuffles feeding the SMJ (or zero with broadcast)."""
