@@ -97,7 +97,15 @@ def train_lang_ngram(
         .where(F.col("_l").isNotNull())
         .select("_l", F.explode(_ngrams(F.col("_t"), n)).alias("_g"))
     )
-    counts = ng.groupBy("_l", "_g").agg(F.count("*").alias("_c"))
+    # ONE corpus pass: the explode+groupBy result is bounded by
+    # |langs| x |distinct n-grams|, so pin it once and derive both the
+    # feature top-k and the per-(lang, feature) weights from the pinned
+    # table instead of re-scanning the corpus for each collect
+    counts = (
+        ng.groupBy("_l", "_g")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     feat = [
         r["_g"]
         for r in counts.groupBy("_g")
@@ -159,9 +167,16 @@ def lang_id_ngram(
         [(g, [model.weights[lang][g] for lang in langs]) for g in feats],
         "_g string, _w array<long>",
     )
+    # materialize the normalized text behind a projection boundary BEFORE
+    # the n-gram transform: inlined, the non-cheap regexp_replace+lower is
+    # re-evaluated per array ELEMENT inside the lambda (O(len^2) regex work
+    # per doc — measured 7x slower at sf0.1).  CollapseProject keeps the
+    # boundary because the alias is multiply-referenced and non-cheap.
     ex = df.select(
+        F.col(id_col), _norm(text_col).alias("_t")
+    ).select(
         F.col(id_col),
-        F.explode_outer(_ngrams(_norm(text_col), model.n)).alias("_g"),
+        F.explode_outer(_ngrams(F.col("_t"), model.n)).alias("_g"),
     )
     sums = (
         ex.join(F.broadcast(wdf), "_g", "left")
