@@ -222,10 +222,19 @@ def set_similarity_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # hash every token to int64 up front (same 64-bit trick as
+    # pipeline.decontaminate): the count shuffle, the prefix equi-join,
+    # and the verify intersect all carry fixed 8-byte keys instead of
+    # raw shingle strings (~4x narrower for 3-word shingles).  Set
+    # cardinalities and intersections are preserved up to xxhash64
+    # collisions (P ~ n_tokens^2 / 2^65 per doc — negligible; the
+    # brute-force pytest oracle would surface one).
     base = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(toks).alias("_toks"),
+            F.array_distinct(
+                F.transform(toks, lambda x: F.xxhash64(x))
+            ).alias("_toks"),
         )
         .withColumn("_n", F.size("_toks"))
         .filter(F.col("_n") >= 1)
@@ -356,10 +365,15 @@ def containment_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # int64-hashed tokens, same rationale as set_similarity_pairs: the
+    # inverted-index side (every token of every container) is the widest
+    # shuffle in this operator — 8-byte keys instead of shingle strings
     base = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(toks).alias("_toks"),
+            F.array_distinct(
+                F.transform(toks, lambda x: F.xxhash64(x))
+            ).alias("_toks"),
         )
         .withColumn("_n", F.size("_toks"))
         .filter(F.col("_n") >= 1)
