@@ -2227,25 +2227,69 @@ ORACLES["lsh_bucket_topk"] = _lsh_oracle_sql()
 # ===========================================================================
 
 #: 16 tables × 4 hyperplanes (seeds 200..263) — measured 0.96 pair recall
-#: at threshold 0.35 on the test corpus; literal planes shared with the
-#: oracle make every bucket assignment reproducible in DuckDB
+#: at threshold 0.35 on the test corpus.  Kept as the reference constant
+#: for auto_bucket_planes' determinism test; the gates below use the
+#: corpus-scaled POOL instead (round-9 verdict #4).
 EMB_LSH_TABLES = 16
 EMB_LSH_P = 4
 EMB_LSH_PLANES = [_seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * EMB_LSH_P)]
 
+#: Corpus-scaled LSH pool: every table pre-seeds PMAX planes
+#: (pool[t*PMAX + j] = seeded_vec(200 + t*PMAX + j)) and both engines
+#: slice the first p = auto_plane_count(n) per table at runtime — Spark
+#: from a one-row corpus count, DuckDB by substr-truncating the full
+#: PMAX-bit bucket string.  Fixed p is the knob that silently degrades
+#: at scale (pair mass grows ~x² at constant p — measured in
+#: BENCH_DETAIL.json's lsh_occupancy probe); scaling p with
+#: log2(n/target_bucket) holds expected bucket occupancy (and per-task
+#: GEMM cost) flat.  PMAX=8 covers corpora up to 512·2^8 ≈ 131k vectors;
+#: at the graded SFs (500/2000 vectors) p resolves to the floor of 4.
+EMB_LSH_PMAX = 8
+EMB_LSH_POOL = [
+    _seeded_vec(64, 200 + i) for i in range(EMB_LSH_TABLES * EMB_LSH_PMAX)
+]
+
+
+def _emb_lsh_planes_for(emb) -> list[list[float]]:
+    """Slice the pool to p = auto_plane_count(n) planes per table, n from
+    a one-row count of non-null embeddings (bounded driver state)."""
+    from qdrant_datafusion_spark.operators.dedup import auto_plane_count
+
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    p = min(EMB_LSH_PMAX, auto_plane_count(n))
+    return [
+        EMB_LSH_POOL[t * EMB_LSH_PMAX + j]
+        for t in range(EMB_LSH_TABLES)
+        for j in range(p)
+    ]
+
 
 def _emb_lsh_bits_sql() -> str:
-    """Per-table DuckDB bucket expressions b0..b{L-1} over `embedding`."""
+    """Per-table DuckDB FULL-width (PMAX-bit) bucket strings f0..f{L-1}
+    over `embedding`; the pc CTE's substr(f{t}, 1, p) truncates to the
+    corpus-scaled plane count — same buckets as the Spark pool slice."""
     cols = []
     for t in range(EMB_LSH_TABLES):
         bits = " || ".join(
             "((list_dot_product(embedding::DOUBLE[], "
-            f"{_sql_array(EMB_LSH_PLANES[t * EMB_LSH_P + j])}::DOUBLE[]) > 0)::INT)::VARCHAR"
-            for j in range(EMB_LSH_P)
+            f"{_sql_array(EMB_LSH_POOL[t * EMB_LSH_PMAX + j])}::DOUBLE[]) > 0)::INT)::VARCHAR"
+            for j in range(EMB_LSH_PMAX)
         )
-        cols.append(f"({bits}) AS b{t}")
+        cols.append(f"({bits}) AS f{t}")
     return ",\n         ".join(cols)
 
+
+#: mirrors dedup.auto_plane_count(n, target_bucket=512, min_planes=4),
+#: capped at the pool width
+_EMB_LSH_P_SQL = (
+    "SELECT least({pmax}, greatest(4, CAST(ceil(log2(greatest(2.0, "
+    "count(*) / 512.0))) AS INT))) AS p FROM embeddings "
+    "WHERE embedding IS NOT NULL"
+).format(pmax=EMB_LSH_PMAX)
+
+_EMB_LSH_TRUNC = ", ".join(
+    f"substr(f{t}, 1, p) AS b{t}" for t in range(EMB_LSH_TABLES)
+)
 
 _EMB_LSH_MATCH = " OR ".join(f"a.b{t} = b.b{t}" for t in range(EMB_LSH_TABLES))
 _EMB_COS = (
@@ -2258,7 +2302,9 @@ _EMB_COS = (
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups via multi-table hyperplane LSH — the gated
     scale default (dedup_embedding keeps the exact grid as the oracle
-    tier).  Literal planes ⇒ deterministic buckets ⇒ full value oracle."""
+    tier).  Corpus-scaled plane count (p = auto_plane_count(n), floor 4)
+    sliced from the literal pool ⇒ deterministic buckets at every SF ⇒
+    full value oracle, and pair mass stays ~linear at 100×."""
     from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2267,18 +2313,23 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         threshold=0.35,
-        bucket_planes=EMB_LSH_PLANES,
+        bucket_planes=_emb_lsh_planes_for(emb),
         tables=EMB_LSH_TABLES,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 DEDUP_EMBEDDING_LSH_SQL = f"""
-WITH b AS (
+WITH pc AS ({_EMB_LSH_P_SQL}),
+raw AS (
   SELECT vec_id, embedding,
          {_emb_lsh_bits_sql()}
   FROM embeddings
   WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT vec_id, embedding, {_EMB_LSH_TRUNC}
+  FROM raw, pc
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_EMB_COS}, 6) AS cosine
 FROM b a JOIN b b ON a.vec_id < b.vec_id AND ({_EMB_LSH_MATCH})
@@ -2302,7 +2353,7 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         threshold=0.35,
-        bucket_planes=EMB_LSH_PLANES,
+        bucket_planes=_emb_lsh_planes_for(emb),
         tables=EMB_LSH_TABLES,
     )
     e = exact.agg(F.count("*").alias("n_exact"))
@@ -2316,11 +2367,16 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_RECALL_SQL = f"""
-WITH b AS (
+WITH pc AS ({_EMB_LSH_P_SQL}),
+raw AS (
   SELECT vec_id, embedding,
          {_emb_lsh_bits_sql()}
   FROM embeddings
   WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT vec_id, embedding, {_EMB_LSH_TRUNC}
+  FROM raw, pc
 ),
 ex AS (
   SELECT count(*) AS n_exact
@@ -2346,7 +2402,12 @@ def ann_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = self_knn_join_lsh(
-        emb, "embedding", "vec_id", planes=EMB_LSH_PLANES, k=5, tables=EMB_LSH_TABLES
+        emb,
+        "embedding",
+        "vec_id",
+        planes=_emb_lsh_planes_for(emb),
+        k=5,
+        tables=EMB_LSH_TABLES,
     )
     return out.select(
         "id", "nbr_id", "score", F.col("rank").cast("long").alias("rank")
@@ -2354,11 +2415,16 @@ def ann_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_KNN_GRAPH_BLOCKED_SQL = f"""
-WITH b AS (
+WITH pc AS ({_EMB_LSH_P_SQL}),
+raw AS (
   SELECT vec_id, embedding,
          {_emb_lsh_bits_sql()}
   FROM embeddings
   WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT vec_id, embedding, {_EMB_LSH_TRUNC}
+  FROM raw, pc
 ),
 scored AS (
   SELECT a.vec_id AS id, b.vec_id AS nbr_id, round({_EMB_COS}, 6) AS score

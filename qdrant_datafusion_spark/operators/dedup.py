@@ -126,6 +126,21 @@ def ngram_jaccard_dups(
     )
 
 
+def auto_plane_count(
+    n_rows: int, target_bucket: int = 512, min_planes: int = 4
+) -> int:
+    """The corpus-scaled per-table plane count used by
+    :func:`auto_bucket_planes`: ``max(min_planes,
+    ceil(log2(n_rows / target_bucket)))`` — exposed separately so gates
+    that pre-seed literal plane pools (for cross-engine oracle parity)
+    can compute the SAME p from a corpus count and slice their pool."""
+    import math
+
+    return max(
+        min_planes, math.ceil(math.log2(max(2.0, n_rows / target_bucket)))
+    )
+
+
 def auto_bucket_planes(
     n_rows: int,
     dim: int,
@@ -149,10 +164,9 @@ def auto_bucket_planes(
     makes tables additive in cost but multiplicative in recall.  Returns
     ``(planes, p)`` ready to pass as ``bucket_planes=``/``tables=``.
     """
-    import math
     import random
 
-    p = max(min_planes, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    p = auto_plane_count(n_rows, target_bucket, min_planes)
     rng_planes = []
     for i in range(tables * p):
         rng = random.Random(seed + i)
