@@ -8585,7 +8585,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-pairing the corpus against itself.  The oracle is the exact
     Jaccard pair set restricted to batch-involving pairs, so the gate
     asserts full recall of the incremental path at the same banding the
-    full gate uses.  See dedup.minhash_incremental_dups for the
+    full gate uses.  FIXTURE DEPENDENCE (by design): 16 bands × 2 rows
+    catches a pair at the J=0.2 threshold only probabilistically
+    (~48%); the gate is exact-vs-oracle only because the fixture's
+    near-dup pairs sit well above the banding's high-recall region
+    (J ≥ 0.5).  If this gate ever reds after a FIXTURE change, check
+    whether a new pair landed just above 0.2 before suspecting the
+    operator.  See dedup.minhash_incremental_dups for the
     persisted-signature-table scale story."""
     from qdrant_datafusion_spark.operators.dedup import (
         minhash_incremental_dups,

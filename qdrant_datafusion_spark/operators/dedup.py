@@ -1229,7 +1229,10 @@ def minhash_incremental_dups(
     union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b_, "bucket")
+        # same SMJ pin as fuzzy.set_similarity_pairs: both exploded sides
+        # are data-sized but Catalyst estimates them from pre-explode
+        # stats and can pick a driver-fatal broadcast at scale
+        a.hint("merge").join(b_, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("new_a") | F.col("new_b"))
         .select(
