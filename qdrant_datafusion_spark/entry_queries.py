@@ -9294,88 +9294,63 @@ ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL
 
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
-# only judge-side (local mirror) evidence for that round.  Order is
-# therefore the gate-evidence budget.  Round-9 window (exactly 50),
-# updated in session 3 to lead with that session's seven brand-new gates
-# (KMV sketches, histogram quantiles, Hilbert layout, resample):
-#   1. the thirteen gates with ZERO driver evidence: the round-8
-#      tokenizer APPLY family (text_bpe_encode / text_unigram_encode /
-#      pipeline_pack_bpe), the round-9 classifiers (text_lang_id_ngram,
-#      text_unigram_vocab_mb), the round-9 sketch family
-#      (sketch_cms_heavy_hitters, sketch_cms_error, skew_hot_keys,
-#      streaming_heavy_hitters, sketch_join_size), the round-9 layout
-#      family (layout_zvalue, layout_zorder_prune), and
-#      pipeline_weighted_sample;
-#   2. the two gates whose code/oracle changed this round:
-#      text_unigram_vocab (ASCII precondition lifted) and
-#      text_bpe_vocab (bpe_vocab_ids rank-sort — shared table builder);
-#   3. all 19 remaining r5-vintage rows (the round-7 deferral list, due
-#      back this round per that window's comment);
-#   4. 16 of the 45 r6-vintage rows (oldest evidence otherwise,
-#      alphabetical within vintage).
-# The 29 r6 rows deferred to round 10 all keep in-window kin: the
-# streaming family shares the ingest/stateful kernels exercised by the
-# two r8-green LSH ingest gates; v_batch_search pairs with in-window
-# v_lateral_batch_search; v_search/v_fusion/v_within/dedup kernels all
-# have at least one family member in-window (full registry stays in the
-# local mirror sweeps: CORRECTNESS_LOCAL_r9 at two SFs).
+# only local-mirror evidence for that round, so order is the
+# gate-evidence budget.  Round-10 window (exactly 50), built from the
+# per-query "newest driver round" table (union of committed
+# CORRECTNESS_r*.json):
+#   1. the eight gates whose code, oracle, or physical plan changed
+#      THIS round — cdc_table_diff in slot 1 (the round-9 red row: the
+#      array<string> changed_cols column crashed the driver's pandas
+#      canonicalizer; now a sorted comma-joined string), the two
+#      int64-shingle-hashed prefix joins, the three corpus-scaled-LSH
+#      embedding gates, the checkpoint-fixed langid classifier, and the
+#      SMJ-pinned incremental minhash;
+#   2. all 17 rows whose newest driver evidence is r5 (the oldest
+#      vintage in the table);
+#   3. 25 of the 43 r6-vintage rows — every ANN / dedup / multimodal /
+#      match-text / pipeline / V_* row kept (reference Tier-C surface:
+#      driver freshness matters most for judge parity), deferring 18
+#      rows that are either plain relational kernels re-proven through
+#      in-window kin (q3/q5/q14 share the broadcast-join shape with
+#      r9-green q10_returned_items; the q_* agg/setop/subquery rows
+#      share Catalyst built-ins with r8/r9-green q1/q_group_having/
+#      q_events_json) or streaming gates whose ingest/stateful kernels
+#      have r9 evidence via streaming_interval_join /
+#      streaming_heavy_hitters / streaming_hist_quantiles.  Deferred:
+#      q3_topk_revenue, q5_nation_revenue, q14_promo_revenue,
+#      streaming_collection_source, streaming_dedup_survivors,
+#      streaming_funnel_conversion, streaming_topk_values,
+#      q_above_avg_orders, q_anti_join, q_approx_distinct, q_case_boost,
+#      q_distinct_aggregates, q_events_funnel, q_grouping_sets,
+#      q_rollup, q_salted_join, q_semi_join, q_setops — all due back in
+#      round 11.  Full registry rides every committed local-mirror
+#      sweep at two SFs regardless.
 _RUN_FIRST = [
-    # -- -1: round-9 session-5 gates, zero evidence anywhere yet
-    # (PassJoin fuzzy edit-distance join, FD audit, k-anonymity,
-    # compaction planner)
-    "dedup_fuzzy_pairs", "pipeline_fd_audit", "pipeline_k_anonymity",
-    "layout_compaction_plan", "dedup_fuzzy_incremental",
+    # -- 1: changed this round (code / oracle / physical plan)
+    "cdc_table_diff",
     "dedup_jaccard_prefix", "dedup_containment",
-    "v_search_matryoshka", "pipeline_quantile_normalize",
-    "pipeline_source_cap",
-    # -- 0: round-9 session-4 gates, zero evidence anywhere yet (CDC
-    # state management, Bloom runtime-filter joins, constraint audit,
-    # incremental dedup, stream-stream interval join)
-    "cdc_latest_state", "cdc_scd2_history", "cdc_table_diff",
-    "q_bloom_semi_join", "q_bloom_anti_join", "pipeline_validate",
-    "dedup_minhash_incremental", "streaming_interval_join",
-    "dedup_sorted_neighborhood", "q_events_anomalies",
-    # -- 1: round-9 session-3 gates, zero driver evidence yet
-    "sketch_kmv_distinct", "sketch_kmv_jaccard", "sketch_kmv_groups",
-    "sketch_hist_quantiles", "layout_hilbert_value",
-    "layout_hilbert_prune", "q_events_resample", "q_events_rolling",
-    "pipeline_profile", "text_pmi_phrases", "q10_returned_items",
-    "streaming_hist_quantiles", "sketch_drift_report",
-    # -- 2: zero driver evidence (rounds 8-9)
-    "text_lang_id_ngram", "text_unigram_vocab_mb", "text_bpe_encode",
-    "text_unigram_encode", "pipeline_pack_bpe",
-    "sketch_cms_heavy_hitters", "sketch_cms_error", "skew_hot_keys",
-    "layout_zvalue", "layout_zorder_prune", "streaming_heavy_hitters",
-    "sketch_join_size", "pipeline_weighted_sample",
-    # -- 3: code/oracle touched in round 9
-    "text_unigram_vocab", "text_bpe_vocab",
-    # -- 4: the r5-deferral queue, minus 8 rows deferred to r10 to fund
-    # the session-4 slots (dropped: ann_ivf/ann_ivfpq/ann_knn_graph —
-    # r6 driver evidence, kernels re-proven every sweep; the four
-    # capped/hot dedup audit variants — their uncapped kernels ride
-    # dedup_minhash_incremental in slot 0 and the caps are unit-tested;
-    # pipeline_global_shuffle — r5 driver evidence, two-phase-rank
-    # kernel now also in-window via dedup_sorted_neighborhood;
-    # group_centroids — vector-mean kernel rides in-window
-    # dedup_embedding; multimodal_bytes — the codec suite has dense
-    # pytest coverage and the multimodal_* dedup gates stay in the
-    # sweeps.  Full registry stays in the committed local-mirror
-    # sweeps at two SFs.)
-    "dedup_embedding",
-    "text_decontaminate_semantic",
-    # (text_lang_id also deferred: heuristic kernel rides every sweep,
-    # classifier kin text_lang_id_ngram has r9 evidence)
-    # (doc_fingerprints also deferred: the rolling-hash fingerprint
-    # kernel rides every local sweep and the dedup family is richly
-    # in-window via the fuzzy/prefix gates)
-    # (8 rows deferred to r10 to fund the session-5 slots — all with
-    # earlier driver evidence and every one riding each local sweep:
-    # text_token_stats / text_vocabulary / text_quality /
-    # text_source_profile keep kin via text_lang_id in-window;
-    # q_json_length_keys / q_pivot_events share the JSON-getter kernels
-    # with in-window q_events_json gates of prior rounds;
-    # v_lateral_batch_search / v_search_mmr keep kin via the v_search /
-    # v_fusion kernels exercised by in-window v_search_matryoshka)
+    "dedup_embedding_lsh", "dedup_embedding_recall",
+    "ann_knn_graph_blocked", "text_lang_id_ngram",
+    "dedup_minhash_incremental",
+    # -- 2: newest driver evidence r5 (all 17)
+    "dedup_minhash_capped", "dedup_minhash_hot",
+    "dedup_simhash_capped", "dedup_simhash_hot",
+    "doc_fingerprints", "group_centroids", "multimodal_bytes",
+    "pipeline_global_shuffle", "q_json_length_keys", "q_pivot_events",
+    "text_lang_id", "text_quality", "text_source_profile",
+    "text_token_stats", "text_vocabulary",
+    "v_lateral_batch_search", "v_search_mmr",
+    # -- 3: newest driver evidence r6 (25 of 43)
+    "ann_ivf_topk", "ann_ivfpq_topk", "dedup_exact", "dedup_simhash",
+    "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
+    "multimodal_phash_dups", "multimodal_video_dups",
+    "payload_contains", "pipeline_mix_temperature",
+    "pipeline_pack_sequences", "q_top_supplier_per_nation",
+    "q_value_histogram", "q_window_topk_per_group",
+    "text_decontaminate_bloom", "text_quality_filter",
+    "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",
+    "v_random_sample", "v_search_binary_quant", "v_search_topk",
+    "v_sparse_batch_inverted", "v_within_radius",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
