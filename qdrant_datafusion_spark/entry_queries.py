@@ -17,6 +17,7 @@ import os
 import random
 import re
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -4864,6 +4865,30 @@ ORACLES["q_value_histogram"] = Q_VALUE_HISTOGRAM_SQL
 _STREAM_SEQ = [0]
 
 
+#: state-store/shuffle partition count while a streaming GATE drains:
+#: every stateful operator commits one state file per partition per
+#: micro-batch, so at fixture scale the session default (32) is pure
+#: fixed harness cost (measured ~2.5x on the funnel gate).  Production
+#: streams size this to key cardinality; the gates' outputs are
+#: partition-count-invariant (aggregates / ordered sinks).
+_STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_conf(spark: SparkSession):
+    """Scoped shuffle-partition override for a gate's stream run (the
+    query snapshots session conf at start, so restoring after the drain
+    is safe either way)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_stream_to_table(
     stream_df: DataFrame, spark: SparkSession, tag: str, output_mode: str
 ) -> DataFrame:
@@ -4871,16 +4896,17 @@ def _run_stream_to_table(
     availableNow trigger, block until it drains, return the sink table."""
     _STREAM_SEQ[0] += 1
     name = f"_stream_gate_{tag}_{_STREAM_SEQ[0]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"streaming gate {tag} did not drain in 600s")
+    with _stream_conf(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"streaming gate {tag} did not drain in 600s")
     return spark.table(name)
 
 
@@ -4928,9 +4954,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup under a value oracle, with REAL cross-batch
-    state: documents are re-laid-out as 4 files and streamed with
+    state: documents are re-laid-out as 2 files and streamed with
     maxFilesPerTrigger=1, so the dropDuplicates state must carry hashes
-    across 4 micro-batches.  Which doc survives per hash is arrival-order
+    across micro-batches (>=2 batches exercise the cross-batch
+    property; more only multiply fixed harness cost).  Which doc survives per hash is arrival-order
     dependent (not graded); the oracle-checkable invariant is exactly-once
     per distinct content hash: every hash present in the corpus appears
     exactly once among the survivors, whatever the batch split."""
@@ -4942,7 +4969,7 @@ def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     tmp = tempfile.mkdtemp(prefix="sg_stream_dedup_")
     src = os.path.join(tmp, "src")
-    docs.repartition(4).write.parquet(src)
+    docs.repartition(2).write.parquet(src)
     try:
         stream = (
             spark.readStream.schema(docs.schema)
@@ -6125,9 +6152,9 @@ ORACLES["pipeline_pack_bpe"] = PIPELINE_PACK_BPE_SQL
 def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming top-k (applyInPandasWithState,
     streaming/ingest.streaming_topk) under a full value oracle, with REAL
-    cross-batch state: events are re-laid-out as 4 files and streamed
+    cross-batch state: events are re-laid-out as 2 files and streamed
     with maxFilesPerTrigger=1, so the per-key top-5 state must merge
-    across 4 micro-batches.  Top-k merge is associative ((value DESC,
+    across micro-batches.  Top-k merge is associative ((value DESC,
     id ASC) ties), so the result is batch-split-invariant; the final
     state is recovered from the update-mode sink as top-k over the
     distinct emitted rows (every final row was emitted; every emitted
@@ -6140,7 +6167,7 @@ def streaming_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     tmp = tempfile.mkdtemp(prefix="sg_stream_topk_")
     src = os.path.join(tmp, "src")
-    ev.select("event_id", "event_type", "value").repartition(4).write.parquet(
+    ev.select("event_id", "event_type", "value").repartition(2).write.parquet(
         src
     )
     try:
@@ -6281,13 +6308,15 @@ FROM documents
 # round-7: the two LSH ingest paths (streaming/ingest.py
 # stream_near_dup_ingest / stream_semantic_ingest) under FULL value
 # oracles — the last streaming operators that had pytest-only evidence.
-# Recipe: the table is split into 4 batch files with STAGGERED mtimes
-# (the file stream source orders by modification time, oldest first), so
-# maxFilesPerTrigger=1 + availableNow forces a deterministic 4-batch
-# arrival order; the oracle then simulates the sequential greedy ingest
-# exactly — 4 unrolled stages of (in-batch collapse: drop the larger id
-# of any qualifying in-batch pair) → (store check: drop anything
-# near-dup to an earlier batch's survivor).
+# Recipe: the table is split into INGEST_BATCHES batch files with
+# STAGGERED mtimes (the file stream source orders by modification time,
+# oldest first), so maxFilesPerTrigger=1 + availableNow forces a
+# deterministic arrival order; the oracle then simulates the sequential
+# greedy ingest exactly — INGEST_BATCHES unrolled stages of (in-batch
+# collapse: drop the larger id of any qualifying in-batch pair) →
+# (store check: drop anything near-dup to an earlier batch's survivor).
+# Two batches fully exercise the cross-batch store check; four only
+# doubled fixed micro-batch harness cost (round-9 verdict #7).
 #
 # The qualifying-pair relations are exact in SQL: text pairs are the
 # exact 3-shingle Jaccard ≥ 0.2 set (dedup_minhash's gate proves LSH
@@ -6299,10 +6328,15 @@ FROM documents
 # ===========================================================================
 
 
+#: >=2 exercises the cross-batch store check; more batches only multiply
+#: fixed micro-batch harness cost (round-9 verdict #7)
+INGEST_BATCHES = 2
+
+
 def _staggered_batch_files(df: DataFrame, key_col: str, tmp: str) -> str:
-    """Write df as 4 single-file batches (rows keyed by ``key_col % 4``)
-    into ``tmp/src`` with strictly increasing mtimes — a deterministic
-    4-micro-batch streaming source."""
+    """Write df as INGEST_BATCHES single-file batches (rows keyed by
+    ``key_col % INGEST_BATCHES``) into ``tmp/src`` with strictly
+    increasing mtimes — a deterministic micro-batch streaming source."""
     import glob as _glob
     import shutil
     import time as _time
@@ -6310,10 +6344,10 @@ def _staggered_batch_files(df: DataFrame, key_col: str, tmp: str) -> str:
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     base = _time.time() - 3600
-    for i in range(4):
+    for i in range(INGEST_BATCHES):
         part_dir = os.path.join(tmp, f"part{i}")
         (
-            df.where(F.col(key_col) % 4 == i)
+            df.where(F.col(key_col) % INGEST_BATCHES == i)
             .coalesce(1)
             .write.parquet(part_dir)
         )
@@ -6325,7 +6359,7 @@ def _staggered_batch_files(df: DataFrame, key_col: str, tmp: str) -> str:
 
 
 def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stream_near_dup_ingest end-to-end: documents stream in 4 forced
+    """stream_near_dup_ingest end-to-end: documents stream in forced
     micro-batches through the MinHash-LSH ingest filter (in-batch
     collapse + signature-store check, foreachBatch with idempotent
     _batch_id-partitioned sinks); survivors are graded against the
@@ -6346,22 +6380,25 @@ def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        q = stream_near_dup_ingest(
-            stream,
-            store_dir=os.path.join(tmp, "store"),
-            out_dir=os.path.join(tmp, "out"),
-            checkpoint_dir=os.path.join(tmp, "ckpt"),
-            content_col="text",
-            id_col="doc_id",
-            k=3,
-            num_hashes=32,
-            bands=16,
-            threshold=0.2,
-            max_bucket_size=None,  # oracle models the UNCAPPED pair set
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("near-dup ingest did not drain in 600s")
+        # conf scope opens BEFORE start(): the query snapshots session
+        # conf when it starts, and foreachBatch plans run under it
+        with _stream_conf(spark):
+            q = stream_near_dup_ingest(
+                stream,
+                store_dir=os.path.join(tmp, "store"),
+                out_dir=os.path.join(tmp, "out"),
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                content_col="text",
+                id_col="doc_id",
+                k=3,
+                num_hashes=32,
+                bands=16,
+                threshold=0.2,
+                max_bucket_size=None,  # oracle models the UNCAPPED pair set
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("near-dup ingest did not drain in 600s")
         surv = (
             spark.read.parquet(os.path.join(tmp, "out"))
             .select("doc_id", F.col("_batch_id").cast("long").alias("batch_id"))
@@ -6373,12 +6410,13 @@ def streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ingest_stages_sql(id_col: str, pair_cte: str) -> str:
-    """The shared 4-stage sequential-greedy survivor simulation; expects
-    CTEs ``allr({id_col})`` (all rows) and ``P(ia, ib)`` (qualifying
-    pairs, ia < ib) from ``pair_cte``, and yields survivors with their
-    originating batch."""
+    """The shared INGEST_BATCHES-stage sequential-greedy survivor
+    simulation; expects CTEs ``allr({id_col})`` (all rows) and
+    ``P(ia, ib)`` (qualifying pairs, ia < ib) from ``pair_cte``, and
+    yields survivors with their originating batch."""
+    nb = INGEST_BATCHES
     stages = [pair_cte]
-    for i in range(4):
+    for i in range(nb):
         prev = " UNION ALL ".join(
             f"SELECT {id_col} FROM s{j}" for j in range(i)
         )
@@ -6393,14 +6431,14 @@ def _ingest_stages_sql(id_col: str, pair_cte: str) -> str:
         )
         stages.append(
             f"""s{i} AS MATERIALIZED (
-  SELECT {id_col} FROM allr WHERE {id_col} % 4 = {i}
+  SELECT {id_col} FROM allr WHERE {id_col} % {nb} = {i}
   AND {id_col} NOT IN (
-    SELECT ib FROM P WHERE ia % 4 = {i} AND ib % 4 = {i}){store_filter}
+    SELECT ib FROM P WHERE ia % {nb} = {i} AND ib % {nb} = {i}){store_filter}
 )"""
         )
     finals = "\nUNION ALL ".join(
         f"SELECT {id_col}, {i}::BIGINT AS batch_id FROM s{i}"
-        for i in range(4)
+        for i in range(nb)
     )
     return "WITH " + ",\n".join(stages) + "\n" + finals
 
@@ -6429,9 +6467,10 @@ ORACLES["streaming_near_dup_ingest"] = STREAMING_NEAR_DUP_INGEST_SQL
 
 
 def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stream_semantic_ingest end-to-end: embeddings stream in 4 forced
-    micro-batches through the hyperplane-LSH semantic filter (literal
-    EMB_LSH_PLANES ⇒ deterministic buckets ⇒ full value oracle)."""
+    """stream_semantic_ingest end-to-end: embeddings stream in forced
+    micro-batches through the hyperplane-LSH semantic filter (corpus-
+    scaled pool slice — same planes as dedup_embedding_lsh ⇒
+    deterministic buckets ⇒ full value oracle)."""
     import shutil
     import tempfile
 
@@ -6448,20 +6487,21 @@ def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        q = stream_semantic_ingest(
-            stream,
-            store_dir=os.path.join(tmp, "store"),
-            out_dir=os.path.join(tmp, "out"),
-            checkpoint_dir=os.path.join(tmp, "ckpt"),
-            vector_col="embedding",
-            id_col="vec_id",
-            bucket_planes=EMB_LSH_PLANES,
-            tables=EMB_LSH_TABLES,
-            threshold=0.35,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("semantic ingest did not drain in 600s")
+        with _stream_conf(spark):
+            q = stream_semantic_ingest(
+                stream,
+                store_dir=os.path.join(tmp, "store"),
+                out_dir=os.path.join(tmp, "out"),
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                vector_col="embedding",
+                id_col="vec_id",
+                bucket_planes=_emb_lsh_planes_for(emb),
+                tables=EMB_LSH_TABLES,
+                threshold=0.35,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("semantic ingest did not drain in 600s")
         surv = (
             spark.read.parquet(os.path.join(tmp, "out"))
             .select("vec_id", F.col("_batch_id").cast("long").alias("batch_id"))
@@ -6474,11 +6514,16 @@ def streaming_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAMING_SEMANTIC_INGEST_SQL = _ingest_stages_sql(
     "vec_id",
-    f"""b AS (
+    f"""pc AS ({_EMB_LSH_P_SQL}),
+raw AS (
   SELECT vec_id, embedding,
          {_emb_lsh_bits_sql()}
   FROM embeddings
   WHERE embedding IS NOT NULL
+),
+b AS (
+  SELECT vec_id, embedding, {_EMB_LSH_TRUNC}
+  FROM raw, pc
 ),
 allr AS (SELECT vec_id FROM embeddings),
 P AS MATERIALIZED (
@@ -7590,7 +7635,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sketch_cms_heavy_hitters, graded by the SAME
     oracle — the point is CMS mergeability: cell counts ADD, so the
     UNCHANGED ``cms_build`` operator runs directly on a readStream
-    (events re-laid-out as 4 files, maxFilesPerTrigger=1) as a stateful
+    (events re-laid-out as 2 files, maxFilesPerTrigger=1) as a stateful
     complete-mode aggregation whose state is the bounded depth×width
     sketch, and the final sketch is bit-identical to the batch build
     whatever the micro-batch split.  The post-stream estimate/threshold
@@ -7603,7 +7648,7 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     tmp = tempfile.mkdtemp(prefix="sg_stream_cms_")
     src = os.path.join(tmp, "src")
-    raw.repartition(4).write.parquet(src)
+    raw.repartition(2).write.parquet(src)
     try:
         stream = (
             spark.readStream.schema(raw.schema)
@@ -7643,7 +7688,7 @@ def streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of sketch_hist_quantiles, graded by the SAME
     oracle — the point is histogram mergeability: bucket counts ADD, so
     the UNCHANGED ``hist_build`` runs directly on a readStream (orders
-    re-laid-out as 4 files, maxFilesPerTrigger=1) as a complete-mode
+    re-laid-out as 2 files, maxFilesPerTrigger=1) as a complete-mode
     aggregation whose state is the bounded ≤ B-row count vector.  The
     one streaming-specific requirement is EXPLICIT bounds (a streaming
     query allows one aggregation, and a production stream fixes bucket
@@ -7670,7 +7715,7 @@ def streaming_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="sg_stream_hist_")
     src = os.path.join(tmp, "src")
-    raw.repartition(4).write.parquet(src)
+    raw.repartition(2).write.parquet(src)
     try:
         stream = (
             spark.readStream.schema(raw.schema)
@@ -8624,7 +8669,7 @@ WHERE {_J_INTER} > 0
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join: purchases ⋈ same-user
     clicks within the preceding 6 hours, as a REAL two-branch streaming
-    self-join over a 4-file re-layout with maxFilesPerTrigger=1 — pairs
+    self-join over a 2-file re-layout with maxFilesPerTrigger=1 — pairs
     whose sides arrive in different micro-batches must meet through the
     join STATE.  Watermark (40 days) exceeds the fixture span (30 days),
     so nothing evicts and the appended set equals the batch join
@@ -8640,7 +8685,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     tmp = tempfile.mkdtemp(prefix="sg_stream_ij_")
     src = os.path.join(tmp, "src")
-    ev.repartition(4).write.parquet(src)
+    ev.repartition(2).write.parquet(src)
     try:
         def branch(etype: str) -> DataFrame:
             return (

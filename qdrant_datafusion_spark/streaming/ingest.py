@@ -300,9 +300,14 @@ def stream_near_dup_ingest(
                 .distinct()
             )
             batch = batch.join(dup_ids, id_col, "left_anti")
-            buckets = _minhash_buckets(
-                batch, content_col, id_col, k, num_hashes, bands
-            )
+        # pin the survivors once: the out_dir and store_dir writes are
+        # two separate actions, and without the pin each re-runs the
+        # whole signature/self-join/store-join lineage (batch-sized
+        # executor state, the micro-batch contract)
+        batch = batch.localCheckpoint(eager=True)
+        buckets = _minhash_buckets(
+            batch, content_col, id_col, k, num_hashes, bands
+        )
         # 3. novel docs out; their signatures into the store — both keyed
         # by batch id so a replayed batch overwrites itself (idempotent)
         def sink(df: DataFrame, path: str) -> None:
@@ -453,7 +458,11 @@ def stream_semantic_ingest(
                 .distinct()
             )
             batch = batch.join(dup_ids, id_col, "left_anti")
-            buckets = buckets_of(batch)
+        # pin survivors once — the two sink actions below would otherwise
+        # each re-run the LSH/self-join/store-join lineage (batch-sized
+        # executor state, the micro-batch contract)
+        batch = batch.localCheckpoint(eager=True)
+        buckets = buckets_of(batch)
         # 3. novel rows out; their vector signatures into the store
         sink(batch, out_dir)
         sink(buckets, store_dir)

@@ -416,7 +416,7 @@ class TestStreamingFunnel:
 
 class TestStaggeredBatchFiles:
     def test_mtimes_survive_1s_granularity(self, spark, tmp_path):
-        """The 4-micro-batch file stagger orders batches by mtime; a
+        """The micro-batch file stagger orders batches by mtime; a
         filesystem with whole-second mtime granularity truncates the
         stored times, so the spacing must stay strictly increasing
         AFTER int-truncation (it is: 60s apart by construction)."""
@@ -424,6 +424,7 @@ class TestStaggeredBatchFiles:
         import os
 
         from qdrant_datafusion_spark.entry_queries import (
+            INGEST_BATCHES,
             _staggered_batch_files,
         )
 
@@ -432,12 +433,12 @@ class TestStaggeredBatchFiles:
         )
         src = _staggered_batch_files(df, "doc_id", str(tmp_path))
         files = sorted(glob.glob(os.path.join(src, "b*.parquet")))
-        assert len(files) == 4
+        assert len(files) == INGEST_BATCHES >= 2
         mtimes = [os.stat(f).st_mtime for f in files]
         truncated = [int(m) for m in mtimes]
         assert truncated == sorted(truncated)
         assert all(b - a >= 59 for a, b in zip(truncated, truncated[1:]))
         # and the lexicographic file order IS the intended batch order
         assert [os.path.basename(f) for f in files] == [
-            f"b{i}.parquet" for i in range(4)
+            f"b{i}.parquet" for i in range(INGEST_BATCHES)
         ]
