@@ -627,11 +627,14 @@ def main() -> None:
 def _lsh_occupancy_probe(spark, base_dir: str, sf1_dir: str) -> dict:
     """Bucket-occupancy evidence for the dedup_embedding_lsh growth
     factor: per-bucket candidate pair mass Σ c·(c−1)/2 at sf0.1 vs the
-    10x fixture, with the gate's fixed 16×4 planes.  The r4 open
+    10x fixture, fixed 16×4 planes vs corpus-scaled.  The r4 open
     question — 11.08x runtime at 10x data — decomposes into occupancy
     (per-table buckets hold ~N/16, so pair mass grows ~x²) plus output
     growth; scaling planes with N (p ≈ log2(N/target)) restores linear
-    occupancy, shown by the p-scaled row."""
+    occupancy, shown by the p-scaled row.  Since round 10 the gates
+    DEFAULT to the corpus-scaled pool slice (entry_queries.
+    _emb_lsh_planes_for), so the fixed row here is the counterfactual
+    and the scaled row is what ships."""
     from pyspark.sql import functions as F
 
     from qdrant_datafusion_spark.entry_queries import EMB_LSH_P, EMB_LSH_TABLES

@@ -305,8 +305,11 @@ def stream_near_dup_ingest(
         # whole signature/self-join/store-join lineage (batch-sized
         # executor state, the micro-batch contract)
         batch = batch.localCheckpoint(eager=True)
-        buckets = _minhash_buckets(
-            batch, content_col, id_col, k, num_hashes, bands
+        # survivors' signatures = the already-computed bucket rows
+        # filtered to surviving ids (a semi-join, NOT a third
+        # signature/pandas-UDF pass over the batch)
+        buckets = buckets.join(
+            batch.select(F.col(id_col).alias("_id")), "_id", "left_semi"
         )
         # 3. novel docs out; their signatures into the store — both keyed
         # by batch id so a replayed batch overwrites itself (idempotent)
@@ -462,7 +465,11 @@ def stream_semantic_ingest(
         # each re-run the LSH/self-join/store-join lineage (batch-sized
         # executor state, the micro-batch contract)
         batch = batch.localCheckpoint(eager=True)
-        buckets = buckets_of(batch)
+        # survivors' signatures = the pre-store-filter bucket rows
+        # filtered to surviving ids (semi-join, not a second GEMM pass)
+        buckets = buckets.join(
+            batch.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+        )
         # 3. novel rows out; their vector signatures into the store
         sink(batch, out_dir)
         sink(buckets, store_dir)
