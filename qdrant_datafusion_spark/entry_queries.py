@@ -8862,6 +8862,84 @@ QUERIES["cdc_table_diff"] = cdc_table_diff
 ORACLES["cdc_table_diff"] = CDC_TABLE_DIFF_SQL
 
 
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO an existing snapshot (cdc.apply_changes): orders with
+    o_orderkey % 7 != 3 play the standing snapshot; keys % 5 == 0 get a
+    synthetic changeset — seq 1 upserts priority 'CHG1' for every such
+    key, seq 2 (even keys only) is a DELETE where the key % 3 == 0 and
+    an upsert to 'CHG2' otherwise — so latest-wins ordering, tombstones,
+    pass-through rows, AND inserts of keys absent from the snapshot
+    (% 7 == 3 keys in the changeset) are all exercised in one gate.
+    ONE delta-sized window + one snapshot-touching anti-join + union."""
+    from qdrant_datafusion_spark.operators.cdc import apply_changes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    snapshot = orders.filter(F.col("o_orderkey") % 7 != 3)
+    base = orders.filter(F.col("o_orderkey") % 5 == 0)
+    c1 = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("CHG1").alias("o_orderpriority"),
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    c2 = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("CHG2").alias("o_orderpriority"),
+        F.lit(2).alias("seq"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    out = apply_changes(
+        snapshot,
+        c1.unionByName(c2),
+        ["o_orderkey"],
+        ["seq"],
+        op_col="op",
+    )
+    return out.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+CDC_APPLY_CHANGES_SQL = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 3
+),
+base AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 5 = 0
+),
+chg AS (
+  SELECT o_orderkey, o_orderstatus, 'CHG1' AS o_orderpriority,
+         1 AS seq, 'upsert' AS op
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, 'CHG2' AS o_orderpriority,
+         2 AS seq,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM base WHERE o_orderkey % 2 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC) AS rn
+    FROM chg) WHERE rn = 1
+)
+SELECT s.o_orderkey, s.o_orderstatus, s.o_orderpriority
+FROM snap s
+WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM latest WHERE op <> 'delete'
+"""
+
+QUERIES["cdc_apply_changes"] = cdc_apply_changes
+ORACLES["cdc_apply_changes"] = CDC_APPLY_CHANGES_SQL
+
+
 def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity self-join: all document pairs whose
     ASCII-normalized 40-char prefix keys are within levenshtein
@@ -9367,8 +9445,9 @@ ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL
 #      streaming_funnel_conversion, streaming_topk_values,
 #      q_above_avg_orders, q_anti_join, q_approx_distinct, q_case_boost,
 #      q_distinct_aggregates, q_events_funnel, q_grouping_sets,
-#      q_rollup, q_salted_join, q_semi_join, q_setops — all due back in
-#      round 11.  Full registry rides every committed local-mirror
+#      q_rollup, q_salted_join, q_semi_join, q_setops, plus
+#      q_value_histogram swapped out late to fund the brand-new
+#      cdc_apply_changes gate — all due back in round 11.  Full registry rides every committed local-mirror
 #      sweep at two SFs regardless.
 _RUN_FIRST = [
     # -- 1: changed this round (code / oracle / physical plan)
@@ -9377,6 +9456,8 @@ _RUN_FIRST = [
     "dedup_embedding_lsh", "dedup_embedding_recall",
     "ann_knn_graph_blocked", "text_lang_id_ngram",
     "dedup_minhash_incremental",
+    # new this round: MERGE-INTO apply_changes (zero evidence anywhere)
+    "cdc_apply_changes",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -9391,7 +9472,7 @@ _RUN_FIRST = [
     "multimodal_phash_dups", "multimodal_video_dups",
     "payload_contains", "pipeline_mix_temperature",
     "pipeline_pack_sequences", "q_top_supplier_per_nation",
-    "q_value_histogram", "q_window_topk_per_group",
+    "q_window_topk_per_group",
     "text_decontaminate_bloom", "text_quality_filter",
     "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",
     "v_random_sample", "v_search_binary_quant", "v_search_topk",

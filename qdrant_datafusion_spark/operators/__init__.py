@@ -90,6 +90,7 @@ from qdrant_datafusion_spark.operators.joins import (  # noqa: F401
     salted_join,
 )
 from qdrant_datafusion_spark.operators.cdc import (  # noqa: F401
+    apply_changes,
     cdc_latest_snapshot,
     scd2_history,
     table_diff,

@@ -3,8 +3,10 @@
 A 100 TB corpus is never rebuilt from scratch — it is *maintained*: a
 stream of keyed upserts/deletes (CDC from an OLTP source, crawler
 re-fetches, label corrections) has to be folded into (a) the current
-snapshot and (b) a full validity-interval history (SCD Type 2), and two
-snapshots have to be diffable to audit what a pipeline run changed.
+snapshot — from scratch (`cdc_latest_snapshot`) or incrementally against
+an existing snapshot (`apply_changes`, the MERGE INTO shape) — and
+(b) a full validity-interval history (SCD Type 2), and two snapshots
+have to be diffable to audit what a pipeline run changed.
 These are the MERGE-INTO / dimension-history primitives of
 Delta/Iceberg/Hudi, expressed engine-agnostically over plain DataFrames.
 
@@ -26,7 +28,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_latest_snapshot", "scd2_history", "table_diff"]
+__all__ = [
+    "apply_changes",
+    "cdc_latest_snapshot",
+    "scd2_history",
+    "table_diff",
+]
 
 
 def _desc_order(order_cols: Sequence[str]) -> list[Column]:
@@ -111,6 +118,51 @@ def scd2_history(
     if op_col is not None:
         out = out.filter(~F.col(op_col).isin(list(delete_ops)))
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """MERGE INTO, engine-agnostically: fold a keyed changeset into an
+    existing snapshot and return the NEW snapshot — the incremental
+    sibling of :func:`cdc_latest_snapshot` (which folds a changelog
+    from scratch).  Per key: the changeset's latest row wins (ordered
+    by ``order_cols``, same non-NULL contract); a latest-is-delete
+    tombstones the key; keys untouched by the changeset pass through
+    unchanged; keys only in the changeset are inserts.
+
+    Output schema = ``snapshot``'s columns (the changeset's op/order
+    bookkeeping columns are dropped); ``changes`` must carry every
+    snapshot column for its upsert rows — full-row upserts, the
+    Delta/Hudi ``MERGE ... WHEN MATCHED THEN UPDATE SET *`` shape.
+
+    Execution: the changeset resolves latest-per-key with ONE exchange
+    on its own (delta-sized) data; the snapshot then anti-joins the
+    touched keys and unions the upserts.  The 100 TB property: the
+    snapshot is touched by exactly one join keyed on ``key_cols`` — with
+    a broadcast-able daily delta the snapshot never shuffles at all, and
+    with bucketed snapshot layout the exchange disappears for big deltas
+    too.  Nothing is quadratic; no driver state.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*_desc_order(order_cols))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*keys)
+    upserts = latest
+    if op_col is not None:
+        upserts = upserts.filter(~F.col(op_col).isin(list(delete_ops)))
+    return snapshot.join(touched, keys, "left_anti").unionByName(
+        upserts.select(*snapshot.columns)
+    )
 
 
 def table_diff(

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.operators.cdc import (
+    apply_changes,
     cdc_latest_snapshot,
     scd2_history,
     table_diff,
@@ -190,3 +191,76 @@ class TestTableDiff:
         assert plan.count("SortMergeJoin") + plan.count(
             "BroadcastHashJoin"
         ) == 1
+
+class TestApplyChanges:
+    def _fixture(self, spark):
+        snapshot = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+        )
+        # k=1: two upserts (latest wins -> a2); k=2: delete;
+        # k=4: insert of a key absent from the snapshot;
+        # k=5: upsert then delete (latest-is-delete -> never appears);
+        # k=3: untouched -> passes through
+        changes = spark.createDataFrame(
+            [
+                (1, "a1", 1, "upsert"),
+                (1, "a2", 2, "upsert"),
+                (2, None, 1, "delete"),
+                (4, "d", 1, "upsert"),
+                (5, "e", 1, "upsert"),
+                (5, None, 2, "delete"),
+            ],
+            "k long, val string, seq long, op string",
+        )
+        return snapshot, changes
+
+    def test_merge_semantics(self, spark):
+        snapshot, changes = self._fixture(spark)
+        out = apply_changes(snapshot, changes, ["k"], ["seq"], op_col="op")
+        assert {(r["k"], r["val"]) for r in out.collect()} == {
+            (1, "a2"),
+            (3, "c"),
+            (4, "d"),
+        }
+        assert out.columns == snapshot.columns
+
+    def test_upsert_only_log(self, spark):
+        snapshot, changes = self._fixture(spark)
+        out = apply_changes(
+            snapshot, changes.drop("op"), ["k"], ["seq"]
+        )
+        # without tombstone semantics the latest row always wins
+        assert {(r["k"], r["val"]) for r in out.collect()} == {
+            (1, "a2"),
+            (2, None),
+            (3, "c"),
+            (4, "d"),
+            (5, None),
+        }
+
+    def test_equals_full_fold(self, spark):
+        """apply_changes(latest(log[:t]), log[t:]) == latest(full log) —
+        the incremental fold must agree with the from-scratch fold."""
+        log = spark.createDataFrame(
+            [
+                (1, 1, "upsert", "a"),
+                (2, 2, "upsert", "b"),
+                (1, 3, "upsert", "a2"),
+                (3, 4, "upsert", "c"),
+                (2, 5, "delete", None),
+                (4, 6, "upsert", "d"),
+                (3, 7, "delete", None),
+                (3, 8, "upsert", "c2"),
+            ],
+            "k long, seq long, op string, val string",
+        )
+        full = cdc_latest_snapshot(log, ["k"], ["seq"], op_col="op")
+        head = cdc_latest_snapshot(
+            log.filter("seq <= 4"), ["k"], ["seq"], op_col="op"
+        ).select("k", "val")
+        inc = apply_changes(
+            head, log.filter("seq > 4"), ["k"], ["seq"], op_col="op"
+        )
+        assert {(r["k"], r["val"]) for r in inc.collect()} == {
+            (r["k"], r["val"]) for r in full.select("k", "val").collect()
+        }
