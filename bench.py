@@ -153,6 +153,8 @@ HEADLINE = [
     "v_search_matryoshka",
     "pipeline_quantile_normalize",
     "pipeline_source_cap",
+    # round 10
+    "cdc_apply_changes",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

@@ -243,6 +243,49 @@ class TestDedup:
         assert bucketed <= exact
         assert len(bucketed) > 0
 
+    def test_plane_count_sql_parity(self):
+        """The gates' DuckDB oracles recompute p in SQL
+        (entry_queries._EMB_LSH_P_SQL); the formula must agree with
+        dedup.auto_plane_count for every corpus size — including the
+        floor, the pool cap, and exact powers of two at the ceil
+        boundary."""
+        import duckdb
+
+        from qdrant_datafusion_spark.entry_queries import EMB_LSH_PMAX
+        from qdrant_datafusion_spark.operators.dedup import auto_plane_count
+
+        con = duckdb.connect()
+        for n in [1, 100, 500, 2000, 4096, 8192, 8193, 65536, 131072,
+                  131073, 262144, 10_000_000]:
+            sql_p = con.sql(
+                f"SELECT least({EMB_LSH_PMAX}, greatest(4, CAST(ceil("
+                f"log2(greatest(2.0, {n} / 512.0))) AS INT)))"
+            ).fetchone()[0]
+            py_p = min(EMB_LSH_PMAX, auto_plane_count(n))
+            assert sql_p == py_p, (n, sql_p, py_p)
+
+    def test_pool_slice_is_prefix_stable(self):
+        """Raising p must only APPEND planes per table (pool layout
+        [t*PMAX + j]) so truncating the PMAX-bit bucket string to p
+        reproduces the p-plane buckets exactly — the invariant the
+        substr() in the oracles depends on."""
+        from qdrant_datafusion_spark.entry_queries import (
+            EMB_LSH_PMAX,
+            EMB_LSH_POOL,
+            EMB_LSH_TABLES,
+        )
+
+        def slice_pool(p):
+            return [
+                EMB_LSH_POOL[t * EMB_LSH_PMAX + j]
+                for t in range(EMB_LSH_TABLES)
+                for j in range(p)
+            ]
+
+        p4, p6 = slice_pool(4), slice_pool(6)
+        for t in range(EMB_LSH_TABLES):
+            assert p6[t * 6 : t * 6 + 4] == p4[t * 4 : t * 4 + 4]
+
     def test_auto_bucket_planes_scales_with_corpus(self):
         from qdrant_datafusion_spark.operators.dedup import auto_bucket_planes
 
