@@ -204,18 +204,18 @@ TAGS = {
         "micro-batch run plus sink presentation, not a batch plan"
     ),
     "streaming_dedup_survivors": (
-        "streaming gate: includes a 4-file re-layout write + 4 "
+        "streaming gate: includes a 2-file re-layout write + 2 "
         "micro-batches of cross-batch dedup state"
     ),
     "streaming_funnel_conversion": (
         "streaming gate: full applyInPandasWithState funnel run"
     ),
     "streaming_topk_values": (
-        "streaming gate: 4-file re-layout + 4 stateful micro-batches"
+        "streaming gate: 2-file re-layout + 2 stateful micro-batches"
     ),
     "streaming_sessions": "streaming gate: session_window complete-mode run",
     "streaming_hist_quantiles": (
-        "streaming gate: 4-file re-layout + complete-mode histogram "
+        "streaming gate: 2-file re-layout + complete-mode histogram "
         "aggregation run, then the batch quantile walk on the drained sketch"
     ),
     "text_bpe_vocab": (
@@ -232,15 +232,15 @@ TAGS = {
         "codecs, then runs all three fingerprint dedups + flag joins"
     ),
     "streaming_near_dup_ingest": (
-        "streaming ingest gate: 4-file staggered re-layout write + 4 "
+        "streaming ingest gate: 2-file staggered re-layout write + 2 "
         "foreachBatch micro-batches of MinHash store-join filtering"
     ),
     "streaming_semantic_ingest": (
-        "streaming ingest gate: 4-file staggered re-layout write + 4 "
+        "streaming ingest gate: 2-file staggered re-layout write + 2 "
         "foreachBatch micro-batches of hyperplane-LSH store filtering"
     ),
     "streaming_heavy_hitters": (
-        "streaming gate: 4-file re-layout + complete-mode cms_build "
+        "streaming gate: 2-file re-layout + complete-mode cms_build "
         "run (sketch mergeability proof) ahead of the batch estimate"
     ),
     "multimodal_phash_dups": (
@@ -426,12 +426,17 @@ def main() -> None:
 
     spark = get_spark(app_name="qdrant-datafusion-spark-bench")
     # warm the JVM + parquet footers with a trivial action, then the
-    # control query itself once untimed (codegen + scan-path warmup) so
-    # control_first measures the machine, not first-run compilation
+    # control query itself a few times untimed (ONE warm run left the
+    # next timed run ~1.7x slower than end-of-run — C2 JIT tiering needs
+    # several iterations, and an inflated control_first trips the
+    # spread>1.5 refusal and loses the normalized ratio, round-10), then
+    # take the min of two timed runs — the same least-loaded-observation
+    # rule the normalizer itself applies
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    _control(spark, sf_dir)
+    for _ in range(3):
+        _control(spark, sf_dir)
 
-    control_first = _control(spark, sf_dir)
+    control_first = min(_control(spark, sf_dir), _control(spark, sf_dir))
 
     def _run(name: str) -> tuple[float, int]:
         fn = QUERIES[name]
@@ -510,9 +515,24 @@ def main() -> None:
     if control_spread <= 1.5:
         norm = round(r1_subset_sec * (r1_control_ref / control_min), 3)
         ratio_norm = round(norm / r1_subset_baseline, 3)
+        ratio_bounds = None
     else:
         norm = None
         ratio_norm = None
+        # the pair disagrees too much for ONE number (measured round-10:
+        # the spread is systematic JVM maturation — a fresh session
+        # plateaus ~1.5x above the end-of-run control — not load), but
+        # the two controls still BRACKET true machine speed, so report
+        # the honest normalized-ratio interval instead of nothing
+        ratio_bounds = [
+            round(
+                r1_subset_sec
+                * (r1_control_ref / c)
+                / r1_subset_baseline,
+                3,
+            )
+            for c in (max(control_first, control_last), control_min)
+        ]
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -528,6 +548,7 @@ def main() -> None:
         "r1_subset_raw_ratio": round(r1_subset_sec / r1_subset_baseline, 3),
         "r1_subset_normalized_sec": norm,
         "r1_ratio_normalized": ratio_norm,
+        "r1_ratio_bounds": ratio_bounds,
         "r1_subset_ab": {
             q: [timings[q], timings_b[q]] for q in sorted(r1_min)
         },
@@ -608,6 +629,7 @@ def main() -> None:
         "r1_subset_n": len(r1_min),
         "r1_subset_normalized_sec": detail["r1_subset_normalized_sec"],
         "r1_ratio_normalized": detail["r1_ratio_normalized"],
+        "r1_ratio_bounds": detail["r1_ratio_bounds"],
         "control_first_sec": control_first,
         "control_last_sec": control_last,
         "detail_file": "BENCH_DETAIL.json",
