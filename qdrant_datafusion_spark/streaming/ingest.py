@@ -233,8 +233,11 @@ def stream_near_dup_ingest(
     join-against-growing-history logic Structured Streaming state can't
     express):
 
-    1. in-batch near-dups collapse first (keep min id) via the batch
-       operator `minhash_lsh_dups`;
+    1. in-batch near-dups collapse first (keep min id) — the
+       `minhash_lsh_dups` kernel run over a SHARED signature table:
+       one `_minhash_buckets` pass per batch feeds the collapse, the
+       store check, and the store append (signatures are the expensive
+       stage; everything downstream is bigint joins);
     2. survivors' banded buckets join the store on the bucket key with
        exact-Jaccard verification inside the join (the store carries the
        fingerprint sets, so verification needs no second lookup);
@@ -249,33 +252,55 @@ def stream_near_dup_ingest(
     partition instead of appending twice — idempotent output without a
     table format.
 
-    ``max_bucket_size`` is forwarded to the in-batch collapse
-    (`minhash_lsh_dups`); pass ``None`` for the exact uncapped contract
+    ``max_bucket_size`` caps the in-batch collapse's bucket join
+    (same guard as `minhash_lsh_dups`); pass ``None`` for the exact
+    uncapped contract
     (the oracle-graded gate does), or keep the cap in production where a
     degenerate hot band bucket must not go O(n²).  Note the store-join
     stage (2) is already cap-free — the cap only affects stage 1.
     """
     from qdrant_datafusion_spark.operators.dedup import (
+        _cap_hot_buckets,
         _minhash_buckets,
-        minhash_lsh_dups,
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if not batch.take(1):
             return
-        # 1. collapse in-batch near-dups (keep the smallest id)
-        pairs = minhash_lsh_dups(
-            batch, content_col, id_col, k=k, num_hashes=num_hashes,
-            bands=bands, threshold=threshold,
-            max_bucket_size=max_bucket_size,
+        # ONE signature pass per batch: the same (id, fp, bucket) rows
+        # drive the in-batch collapse, the store check, and the store
+        # append — signatures are the expensive (Arrow/codegen) stage,
+        # everything after is bigint joins
+        buckets = _minhash_buckets(
+            batch, content_col, id_col, k, num_hashes, bands
+        ).localCheckpoint(eager=False)
+        paired = _cap_hot_buckets(buckets, ["bucket"], max_bucket_size)
+        # 1. collapse in-batch near-dups (keep the smallest id) — same
+        # kernel as minhash_lsh_dups, over the shared bucket rows
+        inter0 = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+        union0 = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter0
+        in_batch_dups = (
+            paired.select(
+                F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
+                "bucket",
+            )
+            .join(
+                paired.select(
+                    F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(inter0.cast("double") / union0 >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
         )
-        batch = batch.join(
-            pairs.select(F.col("id_b").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
+        batch = batch.join(in_batch_dups, id_col, "left_anti")
+        buckets = buckets.join(
+            batch.select(F.col(id_col).alias("_id")), "_id", "left_semi"
         )
-        buckets = _minhash_buckets(batch, content_col, id_col, k, num_hashes, bands)
         # 2. check against the accepted-history store
         from pyspark.errors.exceptions.captured import AnalysisException
 
