@@ -9415,6 +9415,258 @@ QUERIES["dedup_containment"] = dedup_containment
 ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL
 
 
+# ===========================================================================
+# round-10 session-2 additions: paragraph-level exact dedup (CCNet/Dolma
+# shape — operators/dedup.py paragraph_dedup_global/_incremental) and the
+# trained model-based quality filter (operators/classify.py, batch
+# perceptron).  The synthetic corpus is single-line, so "paragraphs" are
+# derived as fixed PARA_W-word windows — a deterministic segmentation both
+# engines replay exactly; the operator's default is split(text, '\n').
+# ===========================================================================
+
+PARA_W = 4
+
+
+def _word_windows(text, w: int):
+    """Array of w-word unit strings over tokens(text) — the synthetic
+    stand-in for newline paragraphs (trailing partial window kept)."""
+    toks = tokens(text)
+    n = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style global paragraph dedup (Wenzek et al. 2020): keep the
+    FIRST (doc_id, pos) occurrence of each distinct 4-word unit
+    corpus-wide, re-emit documents with survivors rejoined in order.
+    One 16-byte-hash groupBy (map-side combining min(struct), so
+    boilerplate units collapse before the shuffle) + one join-back +
+    one per-doc groupBy; see dedup.paragraph_dedup_global."""
+    from qdrant_datafusion_spark.operators.dedup import (
+        paragraph_dedup_global,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = paragraph_dedup_global(
+        docs, id_col="doc_id", units=_word_windows(F.col("text"), PARA_W)
+    )
+    return out.orderBy("doc_id")
+
+
+_PARA_UNITS_SQL = f"""
+nrm AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(
+           trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')),
+           ' ') AS l
+  FROM documents WHERE length(trim(text)) > 0
+),
+un AS MATERIALIZED (
+  SELECT doc_id, i,
+         array_to_string(l[(i - 1) * {PARA_W} + 1 : i * {PARA_W}], ' ') AS u
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(
+                 1, CAST(ceil(len(l) / {PARA_W}.0) AS BIGINT))) AS i
+        FROM nrm WHERE len(l) > 0)
+)
+"""
+
+DEDUP_PARAGRAPHS_GLOBAL_SQL = f"""
+WITH {_PARA_UNITS_SQL},
+fl AS MATERIALIZED (
+  SELECT doc_id, i, u,
+         row_number() OVER (PARTITION BY u ORDER BY doc_id, i) AS rn
+  FROM un
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_units,
+       coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN u END, ' ' ORDER BY i),
+                '') AS kept_text
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dedup_paragraphs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-BFF-shaped incremental paragraph dedup: the 80% of docs
+    with doc_id%10<8 are the accepted store, the rest arrive as a new
+    batch; batch units drop when seen in the store (Bloom prefilter +
+    exact verify — output exact) or earlier in the batch.  The store is
+    never shuffled; see dedup.paragraph_dedup_incremental."""
+    from qdrant_datafusion_spark.operators.dedup import (
+        paragraph_dedup_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(10))
+    out = paragraph_dedup_incremental(
+        docs.filter(part >= 8),
+        store=docs.filter(part < 8),
+        id_col="doc_id",
+        units=_word_windows(F.col("text"), PARA_W),
+    )
+    return out.orderBy("doc_id")
+
+
+DEDUP_PARAGRAPHS_INCR_SQL = f"""
+WITH {_PARA_UNITS_SQL},
+st AS MATERIALIZED (SELECT DISTINCT u FROM un WHERE doc_id % 10 < 8),
+fl AS MATERIALIZED (
+  SELECT b.doc_id, b.i, b.u,
+         row_number() OVER (PARTITION BY b.u ORDER BY b.doc_id, b.i) AS rn,
+         (st.u IS NOT NULL) AS in_store
+  FROM (SELECT * FROM un WHERE doc_id % 10 >= 8) b
+  LEFT JOIN st ON st.u = b.u
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_units,
+       coalesce(sum(CASE WHEN rn = 1 AND NOT in_store THEN 1 ELSE 0 END),
+                0)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 AND NOT in_store THEN u END,
+                           ' ' ORDER BY i), '') AS kept_text
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["dedup_paragraphs_global"] = dedup_paragraphs_global
+ORACLES["dedup_paragraphs_global"] = DEDUP_PARAGRAPHS_GLOBAL_SQL
+QUERIES["dedup_paragraphs_incremental"] = dedup_paragraphs_incremental
+ORACLES["dedup_paragraphs_incremental"] = DEDUP_PARAGRAPHS_INCR_SQL
+
+
+# ---------------------------------------------------------------------------
+# text_quality_classifier — trained model-based quality filter (the GPT-3 /
+# LLaMA / CCNet pipeline component): multinomial Naive Bayes over hashed
+# bag-of-words (dim 64, hashing trick), trained on the 80% of docs with
+# doc_id%10<8 and evaluated on the HELD-OUT 20%.  Label: y=+1 iff the doc
+# uses 'fast' strictly more often than 'slow' — a comparative, collision-
+# noised concept (dim 64 buckets 'slow' with 'agg'), so the held-out
+# confusion matrix is non-degenerate.  All-integer Q(x)=floor(ln(x)·1e6+.5)
+# fixed-point, the langid discipline → exact value oracle.
+# ---------------------------------------------------------------------------
+
+BOW_DIM = 64
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train NB on the 80% split, classify the held-out 20%, emit the
+    held-out confusion matrix.  Train = ONE (label, bucket) aggregation
+    (≤ dim×2 rows to the driver); apply = one broadcast join + one
+    groupBy(doc).  See operators/classify.py."""
+    from qdrant_datafusion_spark.operators.classify import (
+        hashed_bow_counts,
+        nb_bow_predict,
+        train_nb_bow,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    labels = docs.select(
+        "doc_id",
+        F.when(
+            F.size(F.filter(toks, lambda x: x == "fast"))
+            > F.size(F.filter(toks, lambda x: x == "slow")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    part = F.pmod(F.col("doc_id"), F.lit(10))
+    feats = hashed_bow_counts(docs, "text", "doc_id", dim=BOW_DIM)
+    model = train_nb_bow(
+        feats.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8),
+        labels.filter(part < 8),
+        dim=BOW_DIM,
+    )
+    pred = nb_bow_predict(
+        feats.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8), model
+    )
+    return (
+        pred.join(labels.filter(part >= 8), "doc_id")
+        .groupBy(F.col("y").alias("label"), "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH nrm AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(
+           trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')),
+           ' ') AS l
+  FROM documents WHERE length(trim(text)) > 0
+),
+lab AS MATERIALIZED (
+  SELECT doc_id,
+         (CASE WHEN len(list_filter(l, x -> x = 'fast'))
+                    > len(list_filter(l, x -> x = 'slow'))
+               THEN 1 ELSE -1 END)::BIGINT AS y
+  FROM nrm
+),
+tok AS (SELECT doc_id, unnest(l) AS t FROM nrm),
+fe AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5('bow:' || t), 1, 8))::BIGINT % {BOW_DIM} AS d,
+         count(*)::BIGINT AS c
+  FROM tok GROUP BY 1, 2
+),
+cls AS (SELECT DISTINCT y FROM lab WHERE doc_id % 10 < 8),
+cnt AS MATERIALIZED (
+  SELECT l.y, f.d, sum(f.c)::BIGINT AS c
+  FROM fe f JOIN lab l USING (doc_id) WHERE f.doc_id % 10 < 8
+  GROUP BY 1, 2
+),
+dims AS (SELECT DISTINCT d FROM cnt),
+tot AS (SELECT y, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+nd AS (SELECT y, count(*)::BIGINT AS n FROM lab WHERE doc_id % 10 < 8
+       GROUP BY 1),
+model AS MATERIALIZED (
+  SELECT c.y, dm.d,
+         {_LANGID_Q.format(x="coalesce(cnt.c, 0) + 1")}
+         - {_LANGID_Q.format(x=f"t.t + {BOW_DIM}")} AS w
+  FROM cls c CROSS JOIN dims dm
+  LEFT JOIN cnt ON cnt.y = c.y AND cnt.d = dm.d
+  JOIN tot t ON t.y = c.y
+),
+prior AS (
+  SELECT y, {_LANGID_Q.format(x="n")}
+            - {_LANGID_Q.format(x="(SELECT sum(n) FROM nd)")} AS p
+  FROM nd
+),
+hits AS MATERIALIZED (
+  SELECT f.doc_id, m.y AS cand, sum(m.w * f.c)::BIGINT AS h
+  FROM fe f JOIN model m ON m.d = f.d WHERE f.doc_id % 10 >= 8
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT l.doc_id, l.y AS true_y, p.y AS cand,
+         p.p + coalesce(h.h, 0) AS s
+  FROM (SELECT * FROM lab WHERE doc_id % 10 >= 8
+          AND doc_id IN (SELECT doc_id FROM fe)) l
+  CROSS JOIN prior p
+  LEFT JOIN hits h ON h.doc_id = l.doc_id AND h.cand = p.y
+),
+pr AS (
+  SELECT doc_id, true_y, cand AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, cand ASC) AS rn
+    FROM sc) WHERE rn = 1
+)
+SELECT true_y AS label, pred, count(*)::BIGINT AS n
+FROM pr GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["text_quality_classifier"] = text_quality_classifier
+ORACLES["text_quality_classifier"] = TEXT_QUALITY_CLASSIFIER_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only local-mirror evidence for that round, so order is the
@@ -9427,28 +9679,34 @@ ORACLES["dedup_containment"] = DEDUP_CONTAINMENT_SQL
 #      canonicalizer; now a sorted comma-joined string), the two
 #      int64-shingle-hashed prefix joins, the three corpus-scaled-LSH
 #      embedding gates, the checkpoint-fixed langid classifier, and the
-#      SMJ-pinned incremental minhash;
+#      SMJ-pinned incremental minhash — plus the FOUR gates born this
+#      round with zero driver evidence (cdc_apply_changes, the
+#      CCNet/Dolma paragraph-dedup pair, the trained NB quality
+#      classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 25 of the 43 r6-vintage rows — every ANN / dedup / multimodal /
+#   3. 22 of the 43 r6-vintage rows — every ANN / dedup / multimodal /
 #      match-text / pipeline / V_* row kept (reference Tier-C surface:
-#      driver freshness matters most for judge parity), deferring 18
+#      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
 #      in-window kin (q3/q5/q14 share the broadcast-join shape with
-#      r9-green q10_returned_items; the q_* agg/setop/subquery rows
-#      share Catalyst built-ins with r8/r9-green q1/q_group_having/
-#      q_events_json) or streaming gates whose ingest/stateful kernels
-#      have r9 evidence via streaming_interval_join /
+#      r9-green q10_returned_items; the q_* agg/setop/subquery/window
+#      rows share Catalyst built-ins with r8/r9-green q1/
+#      q_group_having/q_events_json; payload_contains shares the JSON
+#      path with those) or streaming gates whose ingest/stateful
+#      kernels have r9 evidence via streaming_interval_join /
 #      streaming_heavy_hitters / streaming_hist_quantiles.  Deferred:
 #      q3_topk_revenue, q5_nation_revenue, q14_promo_revenue,
 #      streaming_collection_source, streaming_dedup_survivors,
 #      streaming_funnel_conversion, streaming_topk_values,
 #      q_above_avg_orders, q_anti_join, q_approx_distinct, q_case_boost,
 #      q_distinct_aggregates, q_events_funnel, q_grouping_sets,
-#      q_rollup, q_salted_join, q_semi_join, q_setops, plus
-#      q_value_histogram swapped out late to fund the brand-new
-#      cdc_apply_changes gate — all due back in round 11.  Full registry rides every committed local-mirror
-#      sweep at two SFs regardless.
+#      q_rollup, q_salted_join, q_semi_join, q_setops,
+#      q_top_supplier_per_nation, q_window_topk_per_group,
+#      payload_contains, plus q_value_histogram swapped out in the
+#      first session to fund cdc_apply_changes — all due back in round
+#      11.  Full registry rides every committed local-mirror sweep at
+#      two SFs regardless.
 _RUN_FIRST = [
     # -- 1: changed this round (code / oracle / physical plan)
     "cdc_table_diff",
@@ -9456,8 +9714,12 @@ _RUN_FIRST = [
     "dedup_embedding_lsh", "dedup_embedding_recall",
     "ann_knn_graph_blocked", "text_lang_id_ngram",
     "dedup_minhash_incremental",
-    # new this round: MERGE-INTO apply_changes (zero evidence anywhere)
+    # new this round (zero evidence anywhere): MERGE-INTO apply_changes,
+    # the CCNet/Dolma paragraph-dedup pair, and the trained NB quality
+    # classifier
     "cdc_apply_changes",
+    "dedup_paragraphs_global", "dedup_paragraphs_incremental",
+    "text_quality_classifier",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -9470,9 +9732,8 @@ _RUN_FIRST = [
     "ann_ivf_topk", "ann_ivfpq_topk", "dedup_exact", "dedup_simhash",
     "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
     "multimodal_phash_dups", "multimodal_video_dups",
-    "payload_contains", "pipeline_mix_temperature",
-    "pipeline_pack_sequences", "q_top_supplier_per_nation",
-    "q_window_topk_per_group",
+    "pipeline_mix_temperature",
+    "pipeline_pack_sequences",
     "text_decontaminate_bloom", "text_quality_filter",
     "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",
     "v_random_sample", "v_search_binary_quant", "v_search_topk",

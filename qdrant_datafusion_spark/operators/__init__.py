@@ -37,8 +37,18 @@ from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_dups,
     sorted_neighborhood_pairs,
     ngram_jaccard_dups,
+    paragraph_dedup_global,
+    paragraph_dedup_incremental,
     select_canonical,
     simhash_dups,
+)
+from qdrant_datafusion_spark.operators.classify import (  # noqa: F401
+    hashed_bow_counts,
+    hashed_bow_features,
+    nb_bow_predict,
+    perceptron_predict,
+    train_nb_bow,
+    train_perceptron,
 )
 from qdrant_datafusion_spark.operators.ann import (  # noqa: F401
     ivf_topk,

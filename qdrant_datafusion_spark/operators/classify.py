@@ -1,0 +1,326 @@
+"""Model-based quality filtering: distributed trained text classifiers.
+
+The GPT-3 / LLaMA / CCNet-era pipelines gate web documents with a
+TRAINED quality classifier (GPT-3: logistic regression over hashed
+features of WebText-vs-CommonCrawl; LLaMA: fastText-style linear model
+on Wikipedia references; CCNet: an LM).  This module implements that
+component Spark-first, with the same all-integer fixed-point discipline
+as ``operators.langid`` / ``operators.graph`` so training is
+bit-identical on any partitioning or engine and every step mirrors into
+a DuckDB value oracle:
+
+- ``hashed_bow_counts`` / ``hashed_bow_features`` — the hashing trick
+  (Weinberger et al. 2009): a FIXED ``dim``-bucket feature space
+  regardless of vocabulary, so any trained model is a constant-size
+  driver literal at any corpus scale;
+- ``train_nb_bow`` / ``nb_bow_predict`` — multinomial Naive Bayes with
+  Laplace smoothing over the hashed buckets (the production default:
+  trains in ONE aggregation pass, converges by construction, and its
+  ``Q(x) = floor(ln(x)·1e6 + 0.5)`` integer log weights replay exactly
+  in SQL — the same quantization ``operators.langid`` pins);
+- ``train_perceptron`` / ``perceptron_predict`` — a batch perceptron
+  (Rosenblatt 1958; order-free integer batch updates) for SEPARABLE
+  planted labels.  Note the classic caveat: with a fixed unit
+  increment, the batch variant needs many epochs on small-margin data
+  and can oscillate on non-separable data — prefer the NB trainer for
+  real quality labels; the perceptron earns its keep where a clean
+  margin exists (unit-tested in tests/test_classify.py).
+
+Cost shapes: feature build = one explode + groupBy(id, d); NB train =
+one groupBy((label, d)) bounded by ``dim × |labels|`` rows collected to
+the driver (documented-bounded, like langid's K×L weight table); NB
+apply = one broadcast join + one groupBy(id); perceptron epoch = one
+explode + groupBy(d) over the misclassified docs, ``dim + 1`` longs to
+the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qdrant_datafusion_spark.functions.text import tokens
+from qdrant_datafusion_spark.operators.tokenizer import _qlog
+
+__all__ = [
+    "hashed_bow_counts",
+    "hashed_bow_features",
+    "NbBowModel",
+    "train_nb_bow",
+    "nb_bow_predict",
+    "train_perceptron",
+    "perceptron_predict",
+]
+
+
+def _bucket(tok: Column, dim: int) -> Column:
+    """md5-based feature bucket in ``[0, dim)`` — the same
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % dim`` arithmetic the
+    sketch oracles replay in DuckDB, salted with ``bow:``."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bow:"), tok)), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(dim),
+    )
+
+
+def hashed_bow_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashed bag-of-words in long form: ``(id, d int, c long)`` — one
+    row per (document, occupied bucket).  One explode + one keyed
+    groupBy, linear in corpus tokens; documents with zero tokens emit
+    no rows (callers treat missing ids as feature-less)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("_t"),
+        )
+        .select("_id", _bucket(F.col("_t"), dim).cast("int").alias("d"))
+        .groupBy("_id", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def hashed_bow_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Packed form of :func:`hashed_bow_counts`:
+    ``(id, feats array<struct<d int, c long>>)`` sorted by dimension —
+    the zero-shuffle scoring layout the perceptron folds over."""
+    return (
+        hashed_bow_counts(df, text_col, id_col, dim)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("c")))
+            ).alias("feats")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes over hashed BoW — the production quality-filter trainer
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NbBowModel:
+    """Multinomial-NB weights over hashed buckets.  ``labels`` sorted
+    ascending; ``priors[l] = Q(n_docs[l]) − Q(n_docs)``;
+    ``weights[l][d] = Q(cnt[l][d] + 1) − Q(tot[l] + dim)`` for every
+    bucket ``d`` OBSERVED IN TRAINING (out-of-vocabulary buckets score
+    0 at apply time — the same ignored-feature contract as
+    ``langid.LangNgramModel``)."""
+
+    dim: int
+    labels: tuple[int, ...]
+    priors: dict[int, int]
+    weights: dict[int, dict[int, int]]
+
+
+def train_nb_bow(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+) -> NbBowModel:
+    """Train multinomial NB from long-form features and integer labels.
+
+    ONE corpus aggregation — groupBy((label, bucket)) with map-side
+    combine — bounded by ``dim × |labels|`` rows, collected to the
+    driver alongside the ``|labels|``-row doc counts (bounded driver
+    state, the langid contract).  Smoothing denominators use ``dim``
+    (the fixed feature-space size), so the weights do not depend on
+    which buckets happen to be occupied.
+    """
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("long").alias("_y")
+    )
+    fe = feats.select(F.col(id_col).alias("_id"), "d", "c")
+    cnt_rows = (
+        fe.join(lab, "_id")
+        .groupBy("_y", "d")
+        .agg(F.sum("c").cast("long").alias("_c"))
+        .collect()  # bounded: ≤ dim × |labels| rows
+    )
+    doc_rows = lab.groupBy("_y").agg(F.count("*").alias("_n")).collect()
+    doc_counts = {int(r["_y"]): int(r["_n"]) for r in doc_rows}
+    if not doc_counts:
+        raise ValueError("labels is empty")
+    label_set = tuple(sorted(doc_counts))
+    total_docs = sum(doc_counts.values())
+    priors = {
+        y: _qlog(doc_counts[y]) - _qlog(total_docs) for y in label_set
+    }
+    cnt: dict[int, dict[int, int]] = {y: {} for y in label_set}
+    for r in cnt_rows:
+        cnt[int(r["_y"])][int(r["d"])] = int(r["_c"])
+    dims = sorted({d for per in cnt.values() for d in per})
+    weights: dict[int, dict[int, int]] = {}
+    for y in label_set:
+        tot = sum(cnt[y].values())
+        denom = _qlog(tot + dim)
+        weights[y] = {d: _qlog(cnt[y].get(d, 0) + 1) - denom for d in dims}
+    return NbBowModel(
+        dim=dim, labels=label_set, priors=priors, weights=weights
+    )
+
+
+def nb_bow_predict(
+    feats: DataFrame,
+    model: NbBowModel,
+    id_col: str = "doc_id",
+    out_col: str = "pred",
+) -> DataFrame:
+    """``(id, pred)`` — argmax over labels of
+    ``prior[l] + Σ_d c_d · weight[l][d]``, ties broken by label
+    ascending (the strict-``>`` argmax chain, identical to
+    ``ORDER BY score DESC, label ASC LIMIT 1``).  One broadcast join on
+    the bucket + one groupBy(id) — the langid apply shape."""
+    spark = feats.sparkSession
+    labs = model.labels
+    dims = sorted(model.weights[labs[0]]) if labs else []
+    wdf = spark.createDataFrame(
+        [(d, [model.weights[y][d] for y in labs]) for d in dims],
+        "d int, _w array<long>",
+    )
+    sums = (
+        feats.select(F.col(id_col).alias("_id"), "d", "c")
+        .join(F.broadcast(wdf), "d", "left")
+        .groupBy("_id")
+        .agg(
+            *[
+                F.sum(F.element_at("_w", i + 1) * F.col("c")).alias(f"_s{i}")
+                for i in range(len(labs))
+            ]
+        )
+    )
+    scores: list[tuple[int, Column]] = [
+        (
+            y,
+            F.lit(model.priors[y]).cast("long")
+            + F.coalesce(F.col(f"_s{i}"), F.lit(0)),
+        )
+        for i, y in enumerate(labs)
+    ]
+    best_y: Column = F.lit(scores[0][0]).cast("long")
+    best_s: Column = scores[0][1]
+    for y, s in scores[1:]:
+        gt = s > best_s
+        best_y = F.when(gt, F.lit(y).cast("long")).otherwise(best_y)
+        best_s = F.when(gt, s).otherwise(best_s)
+    return sums.select(
+        F.col("_id").alias(id_col), best_y.alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch perceptron — the separable-case trainer
+# ---------------------------------------------------------------------------
+
+
+def _score(feats: Column, w: list[int], b: int) -> Column:
+    """Integer margin ``b + Σ w[d]·c`` as a zero-shuffle array fold
+    against the literal weight vector."""
+    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    return F.aggregate(
+        feats,
+        F.lit(int(b)).cast("long"),
+        lambda acc, s: acc + F.element_at(w_lit, s["d"] + 1) * s["c"],
+    )
+
+
+def train_perceptron(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    epochs: int = 3,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+) -> tuple[list[int], int]:
+    """Batch-perceptron weights after ``epochs`` full passes over
+    PACKED features (:func:`hashed_bow_features`).
+
+    ``labels`` carries ``(id, y)`` with y ∈ {-1, +1}.  Per epoch t:
+    ``mis = {i : y_i · score_t(i) ≤ 0}`` (zero margin counts as wrong —
+    epoch 1 from w=0 therefore updates on every doc, the standard batch
+    start), then ``w += Σ_mis y_i·x_i`` and ``b += Σ_mis y_i``.  All
+    sums are integer and order-free → deterministic on any layout.
+
+    Returns ``(weights list of len dim, bias)``.  Driver state per
+    epoch: ``dim + 1`` longs.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    fe = (
+        feats.select(F.col(id_col).alias("_id"), "feats")
+        .join(
+            labels.select(
+                F.col(id_col).alias("_id"),
+                F.col(label_col).cast("long").alias("_y"),
+            ),
+            "_id",
+            # inner: docs with zero in-vocab tokens have no feature row
+            # and contribute nothing to any batch update either way
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = [0] * dim
+    b = 0
+    bias_d = dim  # bias rides the same explode as a planted dimension
+    for _ in range(epochs):
+        mis = fe.filter(F.col("_y") * _score(F.col("feats"), w, b) <= 0)
+        delta_rows = (
+            mis.select(
+                "_y",
+                F.explode(
+                    F.concat(
+                        F.col("feats"),
+                        F.array(
+                            F.struct(
+                                F.lit(bias_d).cast("int").alias("d"),
+                                F.lit(1).cast("long").alias("c"),
+                            )
+                        ),
+                    )
+                ).alias("s"),
+            )
+            .groupBy(F.col("s.d").alias("d"))
+            .agg(F.sum(F.col("_y") * F.col("s.c")).cast("long").alias("dw"))
+            .collect()
+        )
+        for r in delta_rows:
+            if r["d"] == bias_d:
+                b += int(r["dw"])
+            else:
+                w[r["d"]] += int(r["dw"])
+    return w, b
+
+
+def perceptron_predict(
+    feats: DataFrame,
+    w: list[int],
+    b: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, score, pred)`` — integer margin and sign prediction
+    (``score > 0 → +1`` else ``-1``; the ≤-0 side matches the training
+    mistake rule).  A pure narrow map: zero shuffles."""
+    s = _score(F.col("feats"), w, b)
+    return feats.select(
+        F.col(id_col),
+        s.alias("score"),
+        F.when(s > 0, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("pred"),
+    )

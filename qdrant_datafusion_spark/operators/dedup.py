@@ -1363,3 +1363,215 @@ def sorted_neighborhood_pairs(
         union.cast("long").alias("n_union"),
         (inter.cast("double") / union).alias("jaccard"),
     )
+
+
+def paragraph_dedup_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    units: Column | None = None,
+    normalize: bool = True,
+    join_sep: str = " ",
+) -> DataFrame:
+    """Global paragraph/line-level exact dedup: keep only the FIRST
+    occurrence (ordered by ``(id, position)``) of each distinct unit
+    across the ENTIRE corpus, and re-emit each document with its
+    surviving units rejoined in original order.
+
+    This is the CCNet paragraph-dedup pass (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — SHA1-hash paragraphs, drop every later occurrence) and the
+    batch form of Dolma's Bloom-filter paragraph dedup (Soldaini et al.
+    2024).  It removes boilerplate (headers, navigation, license
+    blocks) that document-level dedup can't see, and complements
+    :func:`substring_dup_spans` (which flags *overlapping* k-token
+    windows; this dedups *aligned* units).
+
+    ``units`` overrides the default ``split(text, sep)`` with any
+    array<string> expression over the row (the gates use fixed-width
+    word windows because the synthetic corpus is single-line).
+    ``normalize`` hashes ``lower(trim(unit))`` — the dedup key — while
+    the emitted text keeps the original spelling.
+
+    Returns ``(id, n_units, n_kept, kept_text)`` for every document
+    with ≥1 non-empty unit.
+
+    Plan shape (all shuffles linear in corpus unit count):
+    1. units posexplode to ``(id, pos, unit, h=md5(norm))`` — a narrow
+       map, pinned with a lazy localCheckpoint so the explode subtree
+       runs ONCE (it feeds both the firsts aggregate and the join-back);
+    2. first-occurrence = groupBy(h).min(struct(id, pos)) — ONE shuffle
+       on the 16-byte hash.  The groupBy form (not a window) is chosen
+       deliberately: min(struct) combines map-side, so a boilerplate
+       unit occurring 10^9 times collapses to one row per map task
+       instead of landing a 10^9-row window partition on one reducer;
+    3. join back on h (AQE splits any residual hot hash — it is a join,
+       not a window) + per-doc groupBy to rejoin survivors in order.
+    """
+    unit_expr = units if units is not None else F.split(F.col(text_col), sep)
+    ex = (
+        df.select(F.col(id_col).alias("_id"), unit_expr.alias("_us"))
+        .select(
+            "_id",
+            F.posexplode(
+                F.filter(F.col("_us"), lambda u: F.trim(u) != "")
+            ).alias("_pos", "_u"),
+        )
+        .withColumn(
+            "_h",
+            F.md5(F.lower(F.trim(F.col("_u"))) if normalize else F.col("_u")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    firsts = ex.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first")
+    )
+    flagged = ex.join(firsts, "_h").withColumn(
+        "_kept",
+        (F.col("_id") == F.col("_first._id"))
+        & (F.col("_pos") == F.col("_first._pos")),
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum(F.col("_kept").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct(F.col("_pos"), F.col("_u")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_u"],
+                ),
+                join_sep,
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def paragraph_dedup_incremental(
+    batch: DataFrame,
+    store: DataFrame | None = None,
+    store_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    units: Column | None = None,
+    normalize: bool = True,
+    join_sep: str = " ",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Incremental paragraph dedup: clean a NEW batch of documents
+    against an already-accepted corpus ``store`` — the daily-ingest form
+    of :func:`paragraph_dedup_global` and the exact batch analogue of
+    Dolma's Bloom-filter dedup (Soldaini et al. 2024, "Dolma": a
+    paragraph is dropped if it was ever seen before).  A batch unit is
+    kept iff it is the first occurrence WITHIN the batch (same
+    ``(id, pos)`` order as the global pass) AND its normalized hash does
+    not appear anywhere in the store.
+
+    Output is EXACT despite the Bloom tier (no false negatives → probe
+    + exact-verify of the positives reproduces set membership
+    bit-for-bit).  Returns ``(id, n_units, n_kept, kept_text)`` over the
+    batch.
+
+    Scale shape — the 100 TB store is NEVER shuffled by this operator:
+    1. store unit hashes (pass ``store_hashes`` — a maintained
+       ``(uh long)`` table, the pattern the streaming ingest filters
+       persist — or let the operator derive them from ``store`` with one
+       narrow explode + a map-side-combining distinct);
+    2. a fixed ``m_bits/8``-byte Bloom bitmap over those hashes
+       broadcasts to every executor; batch units probe it map-side
+       (zero shuffle of the batch);
+    3. only the Bloom-POSITIVE distinct batch hashes (true dups + FP
+       residue, a tiny set) broadcast back against the store hash table
+       for the exact verify — the store side is scanned, filtered by
+       the broadcast, and only the matched hashes (≤ positives) leave
+       the scan.
+    """
+    if (store is None) == (store_hashes is None):
+        raise ValueError("pass exactly one of store / store_hashes")
+    from qdrant_datafusion_spark.operators.pipeline import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    unit_expr = units if units is not None else F.split(F.col(text_col), sep)
+
+    def _norm(u: Column) -> Column:
+        return F.lower(F.trim(u)) if normalize else u
+
+    if store_hashes is None:
+        store_hashes = (
+            store.select(F.explode(unit_expr).alias("_u"))
+            .filter(F.trim("_u") != "")
+            .select(F.xxhash64(_norm(F.col("_u"))).alias("uh"))
+            .distinct()
+        )
+    store_hashes = store_hashes.select(F.col("uh").alias("_uh"))
+
+    ex = (
+        batch.select(F.col(id_col).alias("_id"), unit_expr.alias("_us"))
+        .select(
+            "_id",
+            F.posexplode(
+                F.filter(F.col("_us"), lambda u: F.trim(u) != "")
+            ).alias("_pos", "_u"),
+        )
+        .withColumn("_uh", F.xxhash64(_norm(F.col("_u"))))
+        .localCheckpoint(eager=False)
+    )
+    firsts = ex.groupBy("_uh").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first")
+    )
+    flagged = ex.join(firsts, "_uh").withColumn(
+        "_is_first",
+        (F.col("_id") == F.col("_first._id"))
+        & (F.col("_pos") == F.col("_first._pos")),
+    )
+
+    bitmap = bloom_bitmap(store_hashes.withColumnRenamed("_uh", "uh"),
+                          "uh", m_bits, num_hashes)
+    cand = bloom_probe(
+        flagged.select("_uh").distinct(), bitmap, "_uh", m_bits, num_hashes
+    )
+    matched = (
+        store_hashes.join(F.broadcast(cand), "_uh")
+        .select("_uh")
+        .distinct()
+        .withColumn("_in_store", F.lit(True))
+    )
+    out = flagged.join(F.broadcast(matched), "_uh", "left").withColumn(
+        "_kept",
+        F.col("_is_first") & F.col("_in_store").isNull(),
+    )
+    return (
+        out.groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum(F.col("_kept").cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct(F.col("_pos"), F.col("_u")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_u"],
+                ),
+                join_sep,
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

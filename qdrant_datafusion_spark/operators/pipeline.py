@@ -55,6 +55,8 @@ __all__ = [
     "profile_columns",
     "token_budget_select",
     "decontaminate_bloom",
+    "bloom_bitmap",
+    "bloom_probe",
     "lm_perplexity",
     "temperature_rates",
     "global_shuffle",
@@ -803,6 +805,91 @@ def decontaminate_embedding(
         (F.col("max_cosine") >= threshold).alias("contaminated"),
     )
 
+def _bloom_pos(c: Column, i: int, m_bits: int) -> Column:
+    """Bit position ``i`` of hash column ``c`` in an ``m_bits`` filter."""
+    return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+
+
+def bloom_bitmap(
+    hashes: DataFrame, hash_col: str, m_bits: int, num_hashes: int
+) -> DataFrame:
+    """Bloom bitmap over a 64-bit hash column, as ≤ ``m_bits/64`` rows of
+    ``(word_idx long, word long)``.
+
+    Built as a ``bit_or`` aggregate (combinable — hot positions collapse
+    map-side).  Small filters (≤ 2 MB bitmap) take one driver round-trip
+    and return as a literal DataFrame so the upstream subtree runs
+    exactly once and nothing stays cached past this call; larger filters
+    stay DISTRIBUTED via an eager localCheckpoint (one materialization,
+    truncated lineage, released with the DataFrame — no session-lifetime
+    cache leak).  Downstream probes broadcast either form: executors
+    hold one ``m_bits/8``-byte copy each, the standard Bloom trade.
+    """
+    bitmap_df = (
+        hashes.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(F.col(hash_col), i, m_bits)
+                        for i in range(num_hashes)
+                    ]
+                )
+            ).alias("_pos")
+        )
+        .select(
+            F.floor(F.col("_pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+    if m_bits <= _DRIVER_BITMAP_MAX_BITS:
+        bitmap_words = bitmap_df.collect()
+        return hashes.sparkSession.createDataFrame(
+            [(int(r["word_idx"]), int(r["word"])) for r in bitmap_words],
+            "word_idx long, word long",
+        )
+    return bitmap_df.localCheckpoint(eager=True)
+
+
+def bloom_probe(
+    cand: DataFrame,
+    bitmap: DataFrame,
+    hash_col: str,
+    m_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Rows of ``cand`` whose ``hash_col`` tests POSITIVE in ``bitmap``
+    (true members plus the false-positive residue — callers exact-verify
+    the survivors, so results downstream stay exact).
+
+    Each of the ``num_hashes`` probes is a broadcast join on the word
+    index — map-side, zero shuffle of ``cand``.  Probe columns are
+    dropped before returning.
+    """
+    for i in range(num_hashes):
+        cand = cand.withColumn(
+            f"_k{i}", _bloom_pos(F.col(hash_col), i, m_bits)
+        )
+    survive = None
+    for i in range(num_hashes):
+        w = bitmap.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        cand = cand.join(
+            F.broadcast(w),
+            F.floor(F.col(f"_k{i}") / 64).cast("long") == F.col(f"_wi{i}"),
+            "left",
+        )
+        mask = F.expr(f"shiftleft(1L, cast(pmod(_k{i}, 64) as int))")
+        hit = F.col(f"_w{i}").isNotNull() & (
+            F.col(f"_w{i}").bitwiseAND(mask) != 0
+        )
+        survive = hit if survive is None else survive & hit
+    drop = [c for i in range(num_hashes) for c in (f"_k{i}", f"_wi{i}", f"_w{i}")]
+    return cand.filter(survive).drop(*drop)
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -844,68 +931,14 @@ def decontaminate_bloom(
         .select(F.xxhash64("sh").alias("shh"))
         .distinct()
     )
-
-    def pos(c: Column, i: int) -> Column:
-        return F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
-
-    bitmap_df = (
-        bench_sh.select(
-            F.explode(
-                F.array(*[pos(F.col("shh"), i) for i in range(num_hashes)])
-            ).alias("_pos")
-        )
-        .select(
-            F.floor(F.col("_pos") / 64).cast("long").alias("word_idx"),
-            F.expr("shiftleft(1L, cast(pmod(_pos, 64) as int))").alias("_bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("_bit").alias("word"))
-    )
-    if m_bits <= _DRIVER_BITMAP_MAX_BITS:
-        # Small filter (≤ 2 MB bitmap): materialize to the driver once and
-        # re-create it as a literal DataFrame — the benchmark explode+agg
-        # subtree runs exactly once, and no cached partitions outlive this
-        # call (a .cache() here leaked for the app's lifetime across
-        # invocations).
-        bitmap_words = bitmap_df.collect()
-        bitmap = docs.sparkSession.createDataFrame(
-            [(int(r["word_idx"]), int(r["word"])) for r in bitmap_words],
-            "word_idx long, word long",
-        )
-    else:
-        # Large filter (the knob a 100 TB run raises: m ≈ 10–16 bits per
-        # benchmark shingle): a driver round-trip would funnel m_bits/64
-        # rows through Python↔JVM serialization on every call.  Keep the
-        # bitmap DISTRIBUTED instead — localCheckpoint materializes the
-        # aggregate once executor-side, truncates the lineage so the
-        # three probe joins reuse one computation, and releases with this
-        # DataFrame (no session-lifetime cache leak).  The probes below
-        # broadcast it; executors hold one m_bits/8-byte copy each,
-        # which is the Bloom trade already documented in the sizing note.
-        bitmap = bitmap_df.localCheckpoint(eager=True)
+    bitmap = bloom_bitmap(bench_sh, "shh", m_bits, num_hashes)
 
     doc_sh = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
     ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
-    cand = doc_sh
-    for i in range(num_hashes):
-        cand = cand.withColumn(f"_k{i}", pos(F.col("shh"), i))
-    survive = None
-    for i in range(num_hashes):
-        w = bitmap.select(
-            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
-        )
-        cand = cand.join(
-            F.broadcast(w),
-            F.floor(F.col(f"_k{i}") / 64).cast("long") == F.col(f"_wi{i}"),
-            "left",
-        )
-        mask = F.expr(f"shiftleft(1L, cast(pmod(_k{i}, 64) as int))")
-        hit = F.col(f"_w{i}").isNotNull() & (
-            F.col(f"_w{i}").bitwiseAND(mask) != 0
-        )
-        survive = hit if survive is None else survive & hit
-    survivors = cand.filter(survive).select(F.col(id_col), "shh")
+    survivors = bloom_probe(doc_sh, bitmap, "shh", m_bits, num_hashes).select(
+        F.col(id_col), "shh"
+    )
 
     # exact verify: only the post-Bloom candidate stream pays this join
     hits = (
