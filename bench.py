@@ -155,6 +155,9 @@ HEADLINE = [
     "pipeline_source_cap",
     # round 10
     "cdc_apply_changes",
+    "dedup_paragraphs_global",
+    "dedup_paragraphs_incremental",
+    "text_quality_classifier",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in
@@ -173,6 +176,7 @@ STREAMING = [
     "streaming_heavy_hitters",
     "streaming_hist_quantiles",
     "streaming_interval_join",
+    "streaming_paragraph_ingest",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -281,6 +285,11 @@ SCALE_PATH = [
     "text_decontaminate_bloom",
     "text_perplexity",
     "text_lang_id_ngram",
+    # round 10 s2: verbatim replicas multiply every unit hash's occurrence
+    # count ×replicas — exactly the boilerplate-skew stress the
+    # map-side-combining min(struct) groupBy exists for
+    "dedup_paragraphs_global",
+    "text_quality_classifier",
 ]
 
 _SCALE_REPLICAS = 10

@@ -9667,6 +9667,81 @@ QUERIES["text_quality_classifier"] = text_quality_classifier
 ORACLES["text_quality_classifier"] = TEXT_QUALITY_CLASSIFIER_SQL
 
 
+def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_paragraph_ingest end-to-end: documents stream in forced
+    micro-batches (doc_id % INGEST_BATCHES, staggered mtimes) through
+    the exact paragraph-dedup ingest filter (in-batch first-occurrence
+    collapse + unit-hash-store check, foreachBatch with idempotent
+    _batch_id sinks).  Because the filter is EXACT, the drained output
+    equals ONE global first-occurrence pass in arrival order — the
+    oracle is the batch-global SQL re-ranked by (batch, doc, pos), with
+    no recall caveats."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import (
+        stream_paragraph_ingest,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_para_ingest_")
+    try:
+        src = _staggered_batch_files(docs, "doc_id", tmp)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with _stream_conf(spark):
+            q = stream_paragraph_ingest(
+                stream,
+                store_dir=os.path.join(tmp, "store"),
+                out_dir=os.path.join(tmp, "out"),
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                units=_word_windows(F.col("text"), PARA_W),
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("paragraph ingest did not drain in 600s")
+        out = (
+            spark.read.parquet(os.path.join(tmp, "out"))
+            .select(
+                "doc_id",
+                "n_units",
+                "n_kept",
+                "kept_text",
+                F.col("_batch_id").cast("long").alias("batch_id"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)  # pin before the source dirs die
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_PARAGRAPH_INGEST_SQL = f"""
+WITH {_PARA_UNITS_SQL},
+fl AS MATERIALIZED (
+  SELECT doc_id, i, u,
+         row_number() OVER (
+           PARTITION BY u
+           ORDER BY doc_id % {INGEST_BATCHES}, doc_id, i) AS rn
+  FROM un
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_units,
+       coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN u END, ' ' ORDER BY i),
+                '') AS kept_text,
+       (doc_id % {INGEST_BATCHES})::BIGINT AS batch_id
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["streaming_paragraph_ingest"] = streaming_paragraph_ingest
+ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
+
+
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only local-mirror evidence for that round, so order is the
@@ -9681,11 +9756,11 @@ ORACLES["text_quality_classifier"] = TEXT_QUALITY_CLASSIFIER_SQL
 #      embedding gates, the checkpoint-fixed langid classifier, and the
 #      SMJ-pinned incremental minhash — plus the FOUR gates born this
 #      round with zero driver evidence (cdc_apply_changes, the
-#      CCNet/Dolma paragraph-dedup pair, the trained NB quality
-#      classifier);
+#      CCNet/Dolma paragraph-dedup pair + its streaming ingest form,
+#      the trained NB quality classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 22 of the 43 r6-vintage rows — every ANN / dedup / multimodal /
+#   3. 21 of the 43 r6-vintage rows — every ANN / dedup / multimodal /
 #      match-text / pipeline / V_* row kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
@@ -9703,10 +9778,11 @@ ORACLES["text_quality_classifier"] = TEXT_QUALITY_CLASSIFIER_SQL
 #      q_distinct_aggregates, q_events_funnel, q_grouping_sets,
 #      q_rollup, q_salted_join, q_semi_join, q_setops,
 #      q_top_supplier_per_nation, q_window_topk_per_group,
-#      payload_contains, plus q_value_histogram swapped out in the
-#      first session to fund cdc_apply_changes — all due back in round
-#      11.  Full registry rides every committed local-mirror sweep at
-#      two SFs regardless.
+#      payload_contains, dedup_exact (its hash-groupBy kernel is
+#      re-proven in-window by dedup_paragraphs_global), plus
+#      q_value_histogram swapped out in the first session to fund
+#      cdc_apply_changes — all due back in round 11.  Full registry
+#      rides every committed local-mirror sweep at two SFs regardless.
 _RUN_FIRST = [
     # -- 1: changed this round (code / oracle / physical plan)
     "cdc_table_diff",
@@ -9719,7 +9795,7 @@ _RUN_FIRST = [
     # classifier
     "cdc_apply_changes",
     "dedup_paragraphs_global", "dedup_paragraphs_incremental",
-    "text_quality_classifier",
+    "streaming_paragraph_ingest", "text_quality_classifier",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -9729,7 +9805,7 @@ _RUN_FIRST = [
     "text_token_stats", "text_vocabulary",
     "v_lateral_batch_search", "v_search_mmr",
     # -- 3: newest driver evidence r6 (25 of 43)
-    "ann_ivf_topk", "ann_ivfpq_topk", "dedup_exact", "dedup_simhash",
+    "ann_ivf_topk", "ann_ivfpq_topk", "dedup_simhash",
     "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
     "multimodal_phash_dups", "multimodal_video_dups",
     "pipeline_mix_temperature",

@@ -358,6 +358,159 @@ def stream_near_dup_ingest(
     )
 
 
+def stream_paragraph_ingest(
+    points: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    units=None,
+    normalize: bool = True,
+    join_sep: str = " ",
+) -> StreamingQuery:
+    """Ingest-time EXACT paragraph dedup — the streaming form of
+    ``dedup.paragraph_dedup_incremental`` (Dolma's Bloom-filter dedup is
+    exactly this shape run over a stream: Soldaini et al. 2024): each
+    micro-batch's units are first-occurrence-collapsed within the batch,
+    checked against the unit-hash store of everything already accepted,
+    and the CLEANED documents (surviving units rejoined in order) append
+    to ``out_dir`` while the newly accepted unit hashes append to
+    ``store_dir`` — later batches dedup against earlier ones
+    automatically, so the drained result equals one global
+    first-occurrence pass in arrival order.
+
+    Mechanics per batch (``foreachBatch`` — join-against-growing-history,
+    same contract as :func:`stream_near_dup_ingest`):
+
+    1. units posexplode ONCE (lazy localCheckpoint) to
+       ``(id, pos, unit, xxhash64(norm))`` rows;
+    2. in-batch first occurrence = the map-side-combining
+       ``min(struct(id, pos))`` groupBy (boilerplate-skew-safe) + join
+       back;
+    3. store check: the batch's candidate hashes — already distinct and
+       micro-batch-sized — BROADCAST against the store parquet, which is
+       scanned and never shuffled.  (The batch operator's Bloom tier is
+       unnecessary here: its purpose is shrinking the probe broadcast,
+       and a micro-batch's distinct unit hashes already fit one.)
+    4. cleaned docs (``id, n_units, n_kept, kept_text``) to ``out_dir``,
+       newly accepted unit hashes (``uh``) to ``store_dir`` — both
+       ``_batch_id``-partitioned with dynamic partition overwrite, so a
+       replayed batch overwrites itself (idempotent under foreachBatch's
+       at-least-once contract).
+
+    The store is 8 bytes per distinct accepted unit — the xxhash64
+    convention of the incremental batch operator (widen to md5 if a
+    100 TB deployment's unit count makes 64-bit birthday collisions a
+    concern).
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        unit_expr = (
+            units if units is not None else F.split(F.col(text_col), sep)
+        )
+
+        def _norm(u):
+            return F.lower(F.trim(u)) if normalize else u
+
+        ex = (
+            batch.select(F.col(id_col).alias("_id"), unit_expr.alias("_us"))
+            .select(
+                "_id",
+                F.posexplode(
+                    F.filter(F.col("_us"), lambda u: F.trim(u) != "")
+                ).alias("_pos", "_u"),
+            )
+            .withColumn("_uh", F.xxhash64(_norm(F.col("_u"))))
+            .localCheckpoint(eager=False)
+        )
+        firsts = ex.groupBy("_uh").agg(
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first")
+        )
+        flagged = ex.join(firsts, "_uh").withColumn(
+            "_is_first",
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_pos") == F.col("_first._pos")),
+        )
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_dir).select("uh")
+        except AnalysisException:  # first batch: PATH_NOT_FOUND only —
+            store = None  # any other read failure must fail the batch
+        if store is not None:
+            cand = (
+                flagged.filter("_is_first")
+                .select(F.col("_uh").alias("uh"))
+                .distinct()
+            )
+            matched = (
+                store.join(F.broadcast(cand), "uh")
+                .distinct()
+                .withColumnRenamed("uh", "_uh")
+                .withColumn("_in_store", F.lit(True))
+            )
+            flagged = flagged.join(F.broadcast(matched), "_uh", "left")
+            kept = F.col("_is_first") & F.col("_in_store").isNull()
+        else:
+            kept = F.col("_is_first")
+        # pin once: the docs sink and the store sink are two actions —
+        # without the pin each would re-run the explode + both joins
+        flagged = flagged.withColumn("_kept", kept).localCheckpoint(
+            eager=True
+        )
+        out = (
+            flagged.groupBy("_id")
+            .agg(
+                F.count("*").cast("long").alias("n_units"),
+                F.sum(F.col("_kept").cast("long")).cast("long").alias(
+                    "n_kept"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_kept"),
+                                    F.struct(F.col("_pos"), F.col("_u")),
+                                )
+                            )
+                        ),
+                        lambda s: s["_u"],
+                    ),
+                    join_sep,
+                ).alias("kept_text"),
+            )
+            .withColumnRenamed("_id", id_col)
+        )
+        new_hashes = (
+            flagged.filter("_kept").select(F.col("_uh").alias("uh")).distinct()
+        )
+
+        def sink(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+        sink(out, out_dir)
+        sink(new_hashes, store_dir)
+
+    return (
+        points.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_semantic_ingest(
     points: DataFrame,
     store_dir: str,

@@ -66,6 +66,8 @@ DEFAULT_OPS = [
     "dedup_fuzzy_probe",          # PassJoin segment/probe equi-join + verify
     "pipeline_qnorm_probe",       # two-phase pooled rank + group window + pos join
     "layout_compaction_probe",    # one agg to manifest + manifest-only prefix sum
+    "dedup_paragraphs_global",    # map-side-combining min(struct) groupBy on hot unit hashes
+    "text_quality_classifier",    # (label, bucket) agg -> bounded model, broadcast apply
 ]
 
 

@@ -1,7 +1,7 @@
 """End-to-end curation pipeline: clean → quality-cut → perplexity-gate →
-exact dedup →
-near-dup keep-best → substring-span gate → SemDeDup → decontaminate →
-pack → split → global shuffle.
+trained-classifier gate → exact dedup → near-dup keep-best →
+substring-span gate → paragraph-dedup rewrite → SemDeDup →
+decontaminate → pack → split → global shuffle.
 
 Every stage is an individually-gated operator; this test proves they
 COMPOSE — schemas line up across stages, filters stay monotone, the
@@ -17,10 +17,16 @@ import pytest
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.text import clean_text, quality_score
+from qdrant_datafusion_spark.operators.classify import (
+    hashed_bow_counts,
+    nb_bow_predict,
+    train_nb_bow,
+)
 from qdrant_datafusion_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
     minhash_lsh_dups,
+    paragraph_dedup_global,
     select_canonical,
     semantic_dedup,
     substring_dup_spans,
@@ -66,9 +72,32 @@ def run_pipeline(spark, sf_dir):
         ppl.filter(F.col("ppl_bucket") < 10).select("doc_id"), "doc_id"
     )
 
+    # 2b. TRAINED quality filter: hashed-BoW NB fit on a synthetic
+    #     comparative label (docs not 'slow'-heavy = positive — the
+    #     majority class, so downstream dedup stages stay populated);
+    #     identical texts score identically, so dup families survive
+    #     together and later dedup stages stay exercised.
+    from qdrant_datafusion_spark.functions.text import tokens as _toks
+
+    tk = _toks(F.col("text"))
+    labels = ppl_kept.select(
+        "doc_id",
+        F.when(
+            F.size(F.filter(tk, lambda x: x == "slow"))
+            > F.size(F.filter(tk, lambda x: x == "fast")),
+            F.lit(-1),
+        ).otherwise(F.lit(1)).cast("long").alias("y"),
+    )
+    feats = hashed_bow_counts(ppl_kept, "text", "doc_id", dim=64)
+    model = train_nb_bow(feats, labels, dim=64)
+    clf_kept = ppl_kept.join(
+        nb_bow_predict(feats, model).filter("pred = 1").select("doc_id"),
+        "doc_id",
+    )
+
     # 3. exact dedup: keep one row per distinct normalized content
-    exact_ids = exact_dedup(ppl_kept, "text", "doc_id").select("doc_id")
-    exact_kept = ppl_kept.join(exact_ids, "doc_id")
+    exact_ids = exact_dedup(clf_kept, "text", "doc_id").select("doc_id")
+    exact_kept = clf_kept.join(exact_ids, "doc_id")
 
     # 4. near-dup keep-best: MinHash pairs → components → quality argmax
     pairs = minhash_lsh_dups(
@@ -91,13 +120,30 @@ def run_pipeline(spark, sf_dir):
     ).select("doc_id")
     span_kept = near_kept.join(heavy, "doc_id", "left_anti")
 
+    # 4a'. paragraph-dedup rewrite: with whole-doc dups gone, drop every
+    #      later occurrence of each distinct 4-word unit corpus-wide and
+    #      REWRITE survivors (aligned-unit boilerplate the span flag
+    #      above only measures).  Units are 4-word windows because the
+    #      synthetic corpus is single-line (the gate's segmentation).
+    from qdrant_datafusion_spark.entry_queries import _word_windows
+
+    paras = paragraph_dedup_global(
+        span_kept, id_col="doc_id", units=_word_windows(F.col("text"), 4)
+    )
+    para_kept = span_kept.drop("text").join(
+        paras.filter("n_kept > 0").select(
+            "doc_id", F.col("kept_text").alias("text")
+        ),
+        "doc_id",
+    )
+
     # 4b. SemDeDup: embedding-level semantic duplicates (paraphrases the
     #     token-level stages cannot see).  The synthetic fixture keys
     #     embeddings by the same id space as documents.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = [_seeded_vec(64, s) for s in SEM_CENTROIDS_SEEDS]
     sem = semantic_dedup(emb, "embedding", "vec_id", centroids, threshold=0.35)
-    sem_kept = span_kept.join(
+    sem_kept = para_kept.join(
         sem.filter(F.col("dropped") == 1).select(F.col("vec_id").alias("doc_id")),
         "doc_id",
         "left_anti",
@@ -116,8 +162,8 @@ def run_pipeline(spark, sf_dir):
     split = hash_split(final, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     shuffled = global_shuffle(final.select("doc_id", "text"), "doc_id", seed=1)
     return (
-        docs, quality_kept, ppl_kept, exact_kept, near_kept, span_kept,
-        sem_kept, final, packed, split, shuffled,
+        docs, quality_kept, ppl_kept, clf_kept, exact_kept, near_kept,
+        span_kept, para_kept, sem_kept, final, packed, split, shuffled,
     )
 
 
@@ -127,7 +173,7 @@ class TestCurationPipeline:
         return run_pipeline(spark, sf_dir)
 
     def test_stages_monotone_and_subset(self, flow):
-        filtering = flow[:8]  # docs .. final — each stage only removes rows
+        filtering = flow[:10]  # docs .. final — each stage only removes rows
         counts = [df.count() for df in filtering]
         assert counts == sorted(counts, reverse=True)
         assert counts[-1] > 0
@@ -139,23 +185,36 @@ class TestCurationPipeline:
             prev = ids
 
     def test_near_dup_stage_really_dropped_a_duplicate(self, flow):
-        exact_kept, near_kept, span_kept = flow[3], flow[4], flow[5]
+        exact_kept, near_kept, span_kept = flow[4], flow[5], flow[6]
         # the sf fixture plants organic near-dup families that survive the
         # exact stage; keep-best must remove at least their non-canonical
         # members, or the stage is a no-op and the test is vacuous
         assert near_kept.count() < exact_kept.count()
         assert span_kept.count() <= near_kept.count()
 
+    def test_paragraph_stage_really_rewrote(self, flow):
+        span_kept, para_kept = flow[6], flow[7]
+        # the rewrite must be active: the surviving corpus carries fewer
+        # tokens than before (cross-doc 4-word boilerplate removed)
+        before = sum(
+            len(r.text.split()) for r in span_kept.select("text").collect()
+        )
+        after = sum(
+            len(r.text.split()) for r in para_kept.select("text").collect()
+        )
+        assert after < before
+        assert para_kept.count() <= span_kept.count()
+
     def test_semantic_stage_really_dropped_a_duplicate(self, flow):
-        span_kept, sem_kept = flow[5], flow[6]
+        para_kept, sem_kept = flow[7], flow[8]
         # the embedding fixture's planted similarity structure sits at
         # cosine ~0.35+ (the dedup_embedding gate's threshold); at that
         # ball at least one survivor of the token-level stages must fall
         # to SemDeDup (else the stage is vacuously wired)
-        assert sem_kept.count() < span_kept.count()
+        assert sem_kept.count() < para_kept.count()
 
     def test_pack_budget_invariant(self, flow):
-        final, packed = flow[7], flow[8]
+        final, packed = flow[9], flow[10]
         rows = packed.collect()
         assert {r.doc_id for r in rows} == {
             r.doc_id for r in final.select("doc_id").collect()
@@ -173,7 +232,7 @@ class TestCurationPipeline:
         assert set(over) <= singles, (over, singles)
 
     def test_split_partitions_the_final_set(self, flow):
-        split = flow[9]
+        split = flow[11]
         n = split.count()
         by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
         assert sum(by.values()) == n
@@ -181,7 +240,7 @@ class TestCurationPipeline:
         assert by.get("train", 0) > 0.7 * n  # 90% weight, generous tolerance
 
     def test_shuffle_is_a_permutation_of_the_final_set(self, flow):
-        final, shuffled = flow[7], flow[10]
+        final, shuffled = flow[9], flow[12]
         rows = shuffled.collect()
         assert sorted(r.pos for r in rows) == list(range(len(rows)))
         assert {r.doc_id for r in rows} == {
@@ -204,8 +263,8 @@ class TestCurationPipeline:
             ).hexdigest()
 
         rerun = run_pipeline(spark, sf_dir)
-        for i in (7, 8, 10):  # final, packed, shuffled
+        for i in (9, 10, 12):  # final, packed, shuffled
             assert digest(rerun[i]) == digest(flow[i]), i
-        assert digest(rerun[9].select("doc_id", "split")) == digest(
-            flow[9].select("doc_id", "split")
+        assert digest(rerun[11].select("doc_id", "split")) == digest(
+            flow[11].select("doc_id", "split")
         )

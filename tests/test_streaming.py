@@ -297,6 +297,80 @@ class TestStreamNearDupIngest:
         assert store_ids == {1, 2, 12}
 
 
+class TestStreamParagraphIngest:
+    def test_cross_batch_paragraph_dedup(self, spark, tmp_path):
+        """Two file-source batches: batch-2 docs lose every unit already
+        accepted in batch 1 (and in-batch repeats), keep novel units;
+        the store carries one hash per accepted distinct unit."""
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_paragraph_ingest,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "doc_id long, text string"
+
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta\ngamma delta"), (2, "gamma delta\nepsilon")],
+            schema,
+        )
+        b1.coalesce(1).write.mode("append").parquet(src)
+        q = stream_paragraph_ingest(
+            spark.readStream.schema(schema).parquet(src), store, out, ckpt
+        )
+        q.awaitTermination(120)
+        first = {
+            r["doc_id"]: (r["n_units"], r["n_kept"], r["kept_text"])
+            for r in spark.read.parquet(out).collect()
+        }
+        # in-batch: doc 2's 'gamma delta' loses to doc 1 pos 1
+        assert first == {
+            1: (2, 2, "alpha beta gamma delta"),
+            2: (2, 1, "epsilon"),
+        }
+        # store: one hash per accepted distinct unit
+        assert spark.read.parquet(store).count() == 3
+
+        b2 = spark.createDataFrame(
+            [
+                (10, "alpha beta\nnovel unit"),   # first unit in store
+                (11, "novel unit\nanother new"),  # in-batch dup of doc 10
+            ],
+            schema,
+        )
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q = stream_paragraph_ingest(
+            spark.readStream.schema(schema).parquet(src), store, out, ckpt
+        )
+        q.awaitTermination(120)
+        rows = {
+            r["doc_id"]: (r["n_units"], r["n_kept"], r["kept_text"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows[10] == (2, 1, "novel unit")
+        assert rows[11] == (2, 1, "another new")
+        # store grew by exactly the two newly accepted units
+        assert spark.read.parquet(store).count() == 5
+        # sequential result == one global first-occurrence pass in
+        # arrival order over the concatenated batches
+        from qdrant_datafusion_spark.operators.dedup import (
+            paragraph_dedup_global,
+        )
+
+        all_docs = spark.createDataFrame(
+            [(1, "alpha beta\ngamma delta"), (2, "gamma delta\nepsilon"),
+             (10, "alpha beta\nnovel unit"), (11, "novel unit\nanother new")],
+            schema,
+        )
+        batch_equiv = {
+            r["doc_id"]: (r["n_units"], r["n_kept"], r["kept_text"])
+            for r in paragraph_dedup_global(all_docs).collect()
+        }
+        assert batch_equiv == {**first, **rows}
+
+
 class TestStreamSemanticIngest:
     def test_cross_batch_semantic_dups_are_dropped(self, spark, tmp_path):
         """Two file-source batches of embeddings: batch 2 carries a
