@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_paragraphs_global",
     "dedup_paragraphs_incremental",
     "text_quality_classifier",
+    "text_classifier_pr",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

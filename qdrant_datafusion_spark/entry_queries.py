@@ -9595,8 +9595,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_QUALITY_CLASSIFIER_SQL = f"""
-WITH nrm AS MATERIALIZED (
+_NB_CLS_CTES = f"""nrm AS MATERIALIZED (
   SELECT doc_id,
          string_split(
            trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')),
@@ -9652,7 +9651,10 @@ sc AS (
           AND doc_id IN (SELECT doc_id FROM fe)) l
   CROSS JOIN prior p
   LEFT JOIN hits h ON h.doc_id = l.doc_id AND h.cand = p.y
-),
+)"""
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH {_NB_CLS_CTES},
 pr AS (
   SELECT doc_id, true_y, cand AS pred FROM (
     SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -9665,6 +9667,87 @@ FROM pr GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["text_quality_classifier"] = text_quality_classifier
 ORACLES["text_quality_classifier"] = TEXT_QUALITY_CLASSIFIER_SQL
+
+
+PR_BUCKETS = 8
+
+
+def text_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the trained NB quality filter on the
+    HELD-OUT split — the threshold-tuning stage that precedes unleashing
+    a filter on 100 TB.  Scores quantize into PR_BUCKETS equal-width
+    integer bins: ONE bounded groupBy + a window over ≤ PR_BUCKETS rows;
+    every ratio is integer HALF_UP ppm.  See classify.nb_bow_score /
+    classify.pr_curve."""
+    from qdrant_datafusion_spark.operators.classify import (
+        hashed_bow_counts,
+        nb_bow_score,
+        pr_curve,
+        train_nb_bow,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    labels = docs.select(
+        "doc_id",
+        F.when(
+            F.size(F.filter(toks, lambda x: x == "fast"))
+            > F.size(F.filter(toks, lambda x: x == "slow")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    part = F.pmod(F.col("doc_id"), F.lit(10))
+    feats = hashed_bow_counts(docs, "text", "doc_id", dim=BOW_DIM)
+    model = train_nb_bow(
+        feats.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8),
+        labels.filter(part < 8),
+        dim=BOW_DIM,
+    )
+    scored = nb_bow_score(
+        feats.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8), model
+    ).join(labels.filter(part >= 8), "doc_id")
+    return pr_curve(scored, "margin", "y", n_buckets=PR_BUCKETS)
+
+
+TEXT_CLASSIFIER_PR_SQL = f"""
+WITH {_NB_CLS_CTES},
+mg AS MATERIALIZED (
+  SELECT doc_id, true_y,
+         sum(CASE WHEN cand = 1 THEN s ELSE -s END)::BIGINT AS m
+  FROM sc GROUP BY 1, 2
+),
+ext AS (SELECT min(m) AS lo, max(m) AS hi FROM mg),
+bk AS (SELECT true_y,
+              ((m - (SELECT lo FROM ext)) * {PR_BUCKETS})
+                // ((SELECT hi - lo + 1 FROM ext)) AS b
+       FROM mg),
+ag AS (SELECT b,
+              sum(CASE WHEN true_y = 1 THEN 1 ELSE 0 END)::BIGINT AS pos,
+              sum(CASE WHEN true_y = -1 THEN 1 ELSE 0 END)::BIGINT AS neg
+       FROM bk GROUP BY 1),
+cm AS (SELECT b,
+              (SELECT lo FROM ext)
+                + (b * (SELECT hi - lo + 1 FROM ext) + {PR_BUCKETS} - 1)
+                  // {PR_BUCKETS} AS thr_lo,
+              sum(pos) OVER (ORDER BY b DESC) AS tp,
+              sum(neg) OVER (ORDER BY b DESC) AS fp,
+              (SELECT sum(pos) FROM ag)
+                - sum(pos) OVER (ORDER BY b DESC) AS fn
+       FROM ag)
+SELECT b::BIGINT AS b, thr_lo::BIGINT AS thr_lo,
+       tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+       ((2 * 1000000 * tp + (tp + fp)) // (2 * (tp + fp)))::BIGINT
+         AS precision_ppm,
+       ((2 * 1000000 * tp + (tp + fn)) // (2 * (tp + fn)))::BIGINT
+         AS recall_ppm
+FROM cm ORDER BY b DESC
+"""
+
+QUERIES["text_classifier_pr"] = text_classifier_pr
+ORACLES["text_classifier_pr"] = TEXT_CLASSIFIER_PR_SQL
 
 
 def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9760,8 +9843,8 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      the trained NB quality classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 21 of the 43 r6-vintage rows — every ANN / dedup / multimodal /
-#      match-text / pipeline / V_* row kept (reference Tier-C surface:
+#   3. 20 of the 43 r6-vintage rows — ANN / dedup / multimodal /
+#      pipeline / V_* rows kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
 #      in-window kin (q3/q5/q14 share the broadcast-join shape with
@@ -9779,7 +9862,9 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      q_rollup, q_salted_join, q_semi_join, q_setops,
 #      q_top_supplier_per_nation, q_window_topk_per_group,
 #      payload_contains, dedup_exact (its hash-groupBy kernel is
-#      re-proven in-window by dedup_paragraphs_global), plus
+#      re-proven in-window by dedup_paragraphs_global),
+#      match_text_tfidf (its idf-join shape rides in-window kin
+#      match_text_bm25), plus
 #      q_value_histogram swapped out in the first session to fund
 #      cdc_apply_changes — all due back in round 11.  Full registry
 #      rides every committed local-mirror sweep at two SFs regardless.
@@ -9796,6 +9881,7 @@ _RUN_FIRST = [
     "cdc_apply_changes",
     "dedup_paragraphs_global", "dedup_paragraphs_incremental",
     "streaming_paragraph_ingest", "text_quality_classifier",
+    "text_classifier_pr",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -9806,7 +9892,7 @@ _RUN_FIRST = [
     "v_lateral_batch_search", "v_search_mmr",
     # -- 3: newest driver evidence r6 (25 of 43)
     "ann_ivf_topk", "ann_ivfpq_topk", "dedup_simhash",
-    "lsh_bucket_topk", "match_text_bm25", "match_text_tfidf",
+    "lsh_bucket_topk", "match_text_bm25",
     "multimodal_phash_dups", "multimodal_video_dups",
     "pipeline_mix_temperature",
     "pipeline_pack_sequences",

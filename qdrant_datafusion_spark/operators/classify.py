@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as SqlWindow
 
 from qdrant_datafusion_spark.functions.text import tokens
 from qdrant_datafusion_spark.operators.tokenizer import _qlog
@@ -48,6 +49,8 @@ __all__ = [
     "hashed_bow_counts",
     "hashed_bow_features",
     "NbBowModel",
+    "nb_bow_score",
+    "pr_curve",
     "train_nb_bow",
     "nb_bow_predict",
     "train_perceptron",
@@ -224,6 +227,121 @@ def nb_bow_predict(
     return sums.select(
         F.col("_id").alias(id_col), best_y.alias(out_col)
     )
+
+
+def nb_bow_score(
+    feats: DataFrame,
+    model: NbBowModel,
+    id_col: str = "doc_id",
+    out_col: str = "margin",
+) -> DataFrame:
+    """``(id, margin)`` for a BINARY model: the integer decision margin
+    ``score(labels[1]) − score(labels[0])`` (positive → the larger
+    label, zero → the smaller one, matching :func:`nb_bow_predict`'s
+    tie rule).  The single-score form threshold sweeps and PR curves
+    consume.  Same plan as predict: one broadcast join + one
+    groupBy(id)."""
+    if len(model.labels) != 2:
+        raise ValueError(
+            f"margin needs a binary model, got labels {model.labels}"
+        )
+    y0, y1 = model.labels
+    dims = sorted(model.weights[y0])
+    wdf = feats.sparkSession.createDataFrame(
+        [(d, model.weights[y1][d] - model.weights[y0][d]) for d in dims],
+        "d int, _dw long",
+    )
+    prior_diff = model.priors[y1] - model.priors[y0]
+    return (
+        feats.select(F.col(id_col).alias("_id"), "d", "c")
+        .join(F.broadcast(wdf), "d", "left")
+        .groupBy("_id")
+        .agg(
+            (
+                F.lit(prior_diff).cast("long")
+                + F.coalesce(F.sum(F.col("_dw") * F.col("c")), F.lit(0))
+            ).alias(out_col)
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "margin",
+    label_col: str = "y",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Bucketed precision/recall curve — the threshold-tuning half of
+    model-based quality filtering (pick the score cut that hits a
+    target precision before unleashing the filter on 100 TB).
+
+    Scores quantize into ``n_buckets`` equal-width integer bins, so the
+    curve costs ONE groupBy bounded at ``n_buckets`` rows plus a window
+    over those rows alone (the sketch-quantile-walk discipline — the
+    single-partition window is over ≤ n_buckets rows, never the data).
+    Driver state: the 2-long min/max row.  All ratios are integer
+    HALF_UP parts-per-million (``(2·10⁶·a + b) // (2·b)``) so the curve
+    is bit-identical cross-engine.
+
+    Input: ``(score_col long, label_col ∈ {-1,+1})``.  Output, one row
+    per NON-EMPTY bucket, descending: ``(b, thr_lo, tp, fp, fn,
+    precision_ppm, recall_ppm)`` — tp/fp count rows with score ≥ the
+    bucket's lower edge ``thr_lo``.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ext = scored.agg(
+        F.min(score_col).cast("long"), F.max(score_col).cast("long")
+    ).collect()[0]
+    if ext[0] is None:
+        raise ValueError("scored is empty")
+    lo, hi = int(ext[0]), int(ext[1])
+    width = hi - lo + 1
+    y = F.col(label_col).cast("long")
+    ag = (
+        scored.groupBy(
+            F.expr(
+                f"(({score_col} - {lo}) * {n_buckets}) div {width}"
+            ).alias("b")
+        )
+        .agg(
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("pos"),
+            F.sum(F.when(y == -1, 1).otherwise(0)).cast("long").alias("neg"),
+        )
+    )
+    wd = SqlWindow.orderBy(F.desc("b")).rowsBetween(
+        SqlWindow.unboundedPreceding, SqlWindow.currentRow
+    )
+    wall = SqlWindow.orderBy(F.desc("b")).rowsBetween(
+        SqlWindow.unboundedPreceding, SqlWindow.unboundedFollowing
+    )
+    tp = F.sum("pos").over(wd)
+    fp = F.sum("neg").over(wd)
+    p_total = F.sum("pos").over(wall)
+    out = ag.select(
+        "b",
+        (
+            F.lit(lo).cast("long")
+            + F.expr(f"(b * {width} + {n_buckets} - 1) div {n_buckets}")
+        ).alias("thr_lo"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (p_total - tp).cast("long").alias("fn"),
+    )
+    return out.select(
+        "b",
+        "thr_lo",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(2 * 1000000 * tp + (tp + fp)) div (2 * (tp + fp))")
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr("(2 * 1000000 * tp + (tp + fn)) div (2 * (tp + fn))")
+        .cast("long")
+        .alias("recall_ppm"),
+    ).orderBy(F.desc("b"))
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,119 @@ class TestPerceptron:
         feats = hashed_bow_features(docs_df, dim=DIM)
         with pytest.raises(ValueError):
             train_perceptron(feats, labels_df, dim=DIM, epochs=0)
+
+
+class TestNbScore:
+    def test_margin_sign_matches_predict(self, spark, docs_df, labels_df):
+        from qdrant_datafusion_spark.operators.classify import nb_bow_score
+
+        feats = hashed_bow_counts(docs_df, dim=DIM)
+        model = train_nb_bow(feats, labels_df, dim=DIM)
+        j = nb_bow_score(feats, model).join(
+            nb_bow_predict(feats, model), "doc_id"
+        )
+        for r in j.collect():
+            assert r["pred"] == (1 if r["margin"] > 0 else -1)
+
+    def test_margin_matches_reference(self, spark, docs_df, labels_df):
+        from qdrant_datafusion_spark.operators.classify import nb_bow_score
+
+        feats = hashed_bow_counts(docs_df, dim=DIM)
+        model = train_nb_bow(feats, labels_df, dim=DIM)
+        got = {
+            r["doc_id"]: r["margin"]
+            for r in nb_bow_score(feats, model).collect()
+        }
+        labels, priors, weights = _ref_nb(set(LABELS))
+        for i, text in DOCS:
+            want = (priors[1] - priors[-1]) + sum(
+                (weights[1].get(d, 0) - weights[-1].get(d, 0)) * c
+                for d, c in _ref_counts(text).items()
+                if d in weights[1]
+            )
+            assert got[i] == want
+
+    def test_non_binary_model_rejected(self, spark, docs_df):
+        from qdrant_datafusion_spark.operators.classify import nb_bow_score
+
+        labs3 = spark.createDataFrame(
+            [(i, i % 3) for i, _ in DOCS], "doc_id long, y long"
+        )
+        feats = hashed_bow_counts(docs_df, dim=DIM)
+        model = train_nb_bow(feats, labs3, dim=DIM)
+        with pytest.raises(ValueError):
+            nb_bow_score(feats, model)
+
+
+def _ref_pr(points, nb):
+    # points: list of (score, y)
+    lo = min(s for s, _ in points)
+    hi = max(s for s, _ in points)
+    width = hi - lo + 1
+    buckets = {}
+    for s, y in points:
+        b = (s - lo) * nb // width
+        pos, neg = buckets.get(b, (0, 0))
+        buckets[b] = (pos + (y == 1), neg + (y == -1))
+    p_total = sum(p for p, _ in buckets.values())
+    rows = []
+    tp = fp = 0
+    for b in sorted(buckets, reverse=True):
+        pos, neg = buckets[b]
+        tp += pos
+        fp += neg
+        fn = p_total - tp
+        thr_lo = lo + (b * width + nb - 1) // nb
+        prec = (2 * 10**6 * tp + (tp + fp)) // (2 * (tp + fp))
+        rec = (2 * 10**6 * tp + (tp + fn)) // (2 * (tp + fn))
+        rows.append((b, thr_lo, tp, fp, fn, prec, rec))
+    return rows
+
+
+class TestPrCurve:
+    def test_matches_reference(self, spark):
+        from qdrant_datafusion_spark.operators.classify import pr_curve
+
+        points = [
+            (-17, -1), (-5, -1), (-5, 1), (0, -1), (3, 1), (3, 1),
+            (9, -1), (14, 1), (30, 1), (31, 1),
+        ]
+        df = spark.createDataFrame(points, "margin long, y long")
+        got = [tuple(r) for r in pr_curve(df, n_buckets=4).collect()]
+        assert got == _ref_pr(points, 4)
+
+    def test_monotone_recall_and_counts(self, spark):
+        from qdrant_datafusion_spark.operators.classify import pr_curve
+
+        import random
+
+        rng = random.Random(7)
+        points = [
+            (rng.randrange(-1000, 1000), rng.choice([-1, 1]))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(points, "margin long, y long")
+        rows = pr_curve(df, n_buckets=16).collect()
+        # descending thresholds: tp/fp cumulative, recall monotone up
+        tps = [r["tp"] for r in rows]
+        fps = [r["fp"] for r in rows]
+        recs = [r["recall_ppm"] for r in rows]
+        assert tps == sorted(tps) and fps == sorted(fps)
+        assert recs == sorted(recs)
+        assert rows[-1]["fn"] == 0 and rows[-1]["recall_ppm"] == 10**6
+        assert tps[-1] + fps[-1] == 500
+        assert got_matches_ref(points, rows)
+
+    def test_empty_and_bad_args(self, spark):
+        from qdrant_datafusion_spark.operators.classify import pr_curve
+
+        df = spark.createDataFrame([], "margin long, y long")
+        with pytest.raises(ValueError):
+            pr_curve(df)
+        one = spark.createDataFrame([(5, 1)], "margin long, y long")
+        with pytest.raises(ValueError):
+            pr_curve(one, n_buckets=0)
+
+
+def got_matches_ref(points, rows):
+    return [tuple(r) for r in rows] == _ref_pr(points, 16)
