@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_paragraphs_incremental",
     "text_quality_classifier",
     "text_classifier_pr",
+    "cdc_scd2_apply_changes",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

@@ -9750,6 +9750,47 @@ QUERIES["text_classifier_pr"] = text_classifier_pr
 ORACLES["text_classifier_pr"] = TEXT_CLASSIFIER_PR_SQL
 
 
+def cdc_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: fold the changelog's EARLY half
+    (ts below the exact median) into a base history, then merge the
+    LATE half with cdc.scd2_apply_changes — one delta-sized window plus
+    ONE history join on the delta's per-key min instant.  The oracle is
+    the FULL-changelog SCD2 fold (CDC_SCD2_SQL's shape), so the gate
+    proves incremental == from-scratch exactly."""
+    from qdrant_datafusion_spark.operators.cdc import (
+        scd2_apply_changes,
+        scd2_history,
+    )
+
+    ev = _events_cdc(spark, sf_dir)
+    cutoff = int(
+        ev.agg(F.expr("CAST(percentile(ts, 0.5) AS BIGINT)")).collect()[0][0]
+    )  # exact percentile — deterministic; 1 driver long
+    kwargs = dict(
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+    base = scd2_history(ev.filter(F.col("ts") <= cutoff), **kwargs)
+    merged = scd2_apply_changes(
+        base, ev.filter(F.col("ts") > cutoff), **kwargs
+    )
+    return merged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "v_micro",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+QUERIES["cdc_scd2_apply_changes"] = cdc_scd2_apply_changes
+ORACLES["cdc_scd2_apply_changes"] = CDC_SCD2_SQL
+
+
 def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_paragraph_ingest end-to-end: documents stream in forced
     micro-batches (doc_id % INGEST_BATCHES, staggered mtimes) through
@@ -9843,7 +9884,7 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      the trained NB quality classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 20 of the 43 r6-vintage rows — ANN / dedup / multimodal /
+#   3. 19 of the 43 r6-vintage rows — ANN / dedup / multimodal /
 #      pipeline / V_* rows kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
@@ -9864,7 +9905,9 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      payload_contains, dedup_exact (its hash-groupBy kernel is
 #      re-proven in-window by dedup_paragraphs_global),
 #      match_text_tfidf (its idf-join shape rides in-window kin
-#      match_text_bm25), plus
+#      match_text_bm25), v_random_sample (nondeterministic by design —
+#      the weakest-evidence driver row; its TABLESAMPLE kernel carries
+#      no cross-engine value hash), plus
 #      q_value_histogram swapped out in the first session to fund
 #      cdc_apply_changes — all due back in round 11.  Full registry
 #      rides every committed local-mirror sweep at two SFs regardless.
@@ -9881,7 +9924,7 @@ _RUN_FIRST = [
     "cdc_apply_changes",
     "dedup_paragraphs_global", "dedup_paragraphs_incremental",
     "streaming_paragraph_ingest", "text_quality_classifier",
-    "text_classifier_pr",
+    "text_classifier_pr", "cdc_scd2_apply_changes",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -9898,7 +9941,7 @@ _RUN_FIRST = [
     "pipeline_pack_sequences",
     "text_decontaminate_bloom", "text_quality_filter",
     "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",
-    "v_random_sample", "v_search_binary_quant", "v_search_topk",
+    "v_search_binary_quant", "v_search_topk",
     "v_sparse_batch_inverted", "v_within_radius",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)

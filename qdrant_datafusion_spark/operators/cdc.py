@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "apply_changes",
     "cdc_latest_snapshot",
+    "scd2_apply_changes",
     "scd2_history",
     "table_diff",
 ]
@@ -163,6 +164,62 @@ def apply_changes(
     return snapshot.join(touched, keys, "left_anti").unionByName(
         upserts.select(*snapshot.columns)
     )
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """Incrementally MERGE a keyed changeset into an EXISTING SCD Type-2
+    history — the dimension-history sibling of :func:`apply_changes`
+    (which merges into a flat snapshot).  Returns the new history,
+    exactly equal to rebuilding :func:`scd2_history` over the
+    concatenated changelog.
+
+    Contract (the standard Silver-layer increment): per key, every
+    change instant in ``changes`` is strictly LATER than that key's
+    instants already folded into ``history`` (daily batches off a
+    time-ordered log satisfy this by construction).  Out-of-order
+    backfill would need interval rewrites — rebuild those keys with
+    :func:`scd2_history` instead.
+
+    Per key: the delta's own version rows come from
+    :func:`scd2_history` over the delta alone (delta-sized window); the
+    key's currently-open history row closes at the delta's FIRST change
+    instant (any op — a delete closes without emitting, the Kimball
+    contract); untouched keys pass through byte-identical.
+
+    The 100 TB property: history — the big side — is touched by exactly
+    ONE join keyed on ``key_cols`` against the delta's per-key min
+    instant (one row per touched key, broadcast-able for daily deltas,
+    so the history never shuffles); closed version rows are never
+    rewritten, which is what makes SCD2 the append-shaped layout.
+    """
+    keys = list(key_cols)
+    first_order = order_cols[0]
+    delta_hist = scd2_history(
+        changes, key_cols, order_cols, op_col, delete_ops
+    )
+    closers = changes.groupBy(*keys).agg(
+        F.min(first_order).alias("_close_at")
+    )
+    closed = (
+        history.join(closers, keys, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("_close_at").isNotNull(),
+                F.col("_close_at"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_close_at")
+    )
+    return closed.unionByName(delta_hist.select(*history.columns))
 
 
 def table_diff(

@@ -264,3 +264,61 @@ class TestApplyChanges:
         assert {(r["k"], r["val"]) for r in inc.collect()} == {
             (r["k"], r["val"]) for r in full.select("k", "val").collect()
         }
+
+
+class TestScd2ApplyChanges:
+    def _split(self, spark, cutoff):
+        base_rows = [r for r in CHANGELOG if r[1] <= cutoff]
+        delta_rows = [r for r in CHANGELOG if r[1] > cutoff]
+        return (
+            spark.createDataFrame(base_rows, CHANGELOG_SCHEMA),
+            spark.createDataFrame(delta_rows, CHANGELOG_SCHEMA),
+        )
+
+    @pytest.mark.parametrize("cutoff", [10, 12, 20, 21, 22, 30])
+    def test_incremental_equals_full_fold(self, spark, log, cutoff):
+        from qdrant_datafusion_spark.operators.cdc import scd2_apply_changes
+
+        base_df, delta_df = self._split(spark, cutoff)
+        kwargs = dict(
+            key_cols=["k"], order_cols=["seq"], op_col="op",
+            delete_ops=("delete",),
+        )
+        base = scd2_history(base_df, **kwargs)
+        merged = scd2_apply_changes(base, delta_df, **kwargs)
+        full = scd2_history(log, **kwargs)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        ), cutoff
+
+    def test_delete_only_delta_closes_without_emitting(self, spark):
+        from qdrant_datafusion_spark.operators.cdc import scd2_apply_changes
+
+        base = scd2_history(
+            spark.createDataFrame(
+                [(7, 10, "upsert", "x")], CHANGELOG_SCHEMA
+            ),
+            ["k"], ["seq"], op_col="op",
+        )
+        delta = spark.createDataFrame([(7, 20, "delete", None)], CHANGELOG_SCHEMA)
+        merged = scd2_apply_changes(
+            base, delta, ["k"], ["seq"], op_col="op"
+        ).collect()
+        assert len(merged) == 1  # no version row for the delete itself
+        (row,) = merged
+        assert row["valid_to"] == 20 and row["is_current"] is False
+
+    def test_untouched_keys_pass_through(self, spark, log):
+        from qdrant_datafusion_spark.operators.cdc import scd2_apply_changes
+
+        base = scd2_history(log, ["k"], ["seq"], op_col="op")
+        delta = spark.createDataFrame(
+            [(99, 100, "upsert", "new")], CHANGELOG_SCHEMA
+        )
+        merged = scd2_apply_changes(base, delta, ["k"], ["seq"], op_col="op")
+        untouched = sorted(
+            map(tuple, merged.filter(F.col("k") != 99).collect())
+        )
+        assert untouched == sorted(map(tuple, base.collect()))
+        new = merged.filter(F.col("k") == 99).collect()
+        assert len(new) == 1 and new[0]["is_current"] is True
