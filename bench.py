@@ -179,6 +179,7 @@ STREAMING = [
     "streaming_hist_quantiles",
     "streaming_interval_join",
     "streaming_paragraph_ingest",
+    "streaming_cdc_apply",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:

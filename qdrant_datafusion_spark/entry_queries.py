@@ -6333,10 +6333,15 @@ FROM documents
 INGEST_BATCHES = 2
 
 
-def _staggered_batch_files(df: DataFrame, key_col: str, tmp: str) -> str:
+def _staggered_batch_files(
+    df: DataFrame, key_col: str, tmp: str, key_expr=None
+) -> str:
     """Write df as INGEST_BATCHES single-file batches (rows keyed by
-    ``key_col % INGEST_BATCHES``) into ``tmp/src`` with strictly
-    increasing mtimes — a deterministic micro-batch streaming source."""
+    ``key_col % INGEST_BATCHES``, or by ``key_expr == i`` when an
+    explicit batch-id expression is given — e.g. a time cutoff for CDC
+    feeds whose arrival order must respect per-key change order) into
+    ``tmp/src`` with strictly increasing mtimes — a deterministic
+    micro-batch streaming source."""
     import glob as _glob
     import shutil
     import time as _time
@@ -6346,8 +6351,13 @@ def _staggered_batch_files(df: DataFrame, key_col: str, tmp: str) -> str:
     base = _time.time() - 3600
     for i in range(INGEST_BATCHES):
         part_dir = os.path.join(tmp, f"part{i}")
+        pred = (
+            (key_expr == i)
+            if key_expr is not None
+            else F.col(key_col) % INGEST_BATCHES == i
+        )
         (
-            df.where(F.col(key_col) % INGEST_BATCHES == i)
+            df.where(pred)
             .coalesce(1)
             .write.parquet(part_dir)
         )
@@ -9791,6 +9801,67 @@ QUERIES["cdc_scd2_apply_changes"] = cdc_scd2_apply_changes
 ORACLES["cdc_scd2_apply_changes"] = CDC_SCD2_SQL
 
 
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_apply_changes end-to-end: the events changelog arrives in
+    two time-ordered micro-batches (ts ≤/> the exact median) and folds
+    continuously into a key-hash-bucketed snapshot store — the
+    Delta-Live-Tables APPLY CHANGES INTO shape with per-batch cost
+    bounded by touched buckets.  The drained store must equal the
+    full-changelog latest-state fold (CDC_LATEST_STATE_SQL oracle):
+    streaming MERGE == batch MERGE, value-hashed."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import (
+        stream_apply_changes,
+    )
+
+    ev = _events_cdc(spark, sf_dir)
+    cutoff = int(
+        ev.agg(F.expr("CAST(percentile(ts, 0.5) AS BIGINT)")).collect()[0][0]
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_cdc_apply_")
+    try:
+        src = _staggered_batch_files(
+            ev,
+            "user_id",
+            tmp,
+            key_expr=(F.col("ts") > cutoff).cast("int"),
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with _stream_conf(spark):
+            q = stream_apply_changes(
+                stream,
+                snapshot_dir=os.path.join(tmp, "snap"),
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                key_cols=["user_id"],
+                order_cols=["ts", "event_id"],
+                op_col="event_type",
+                delete_ops=("error",),
+                n_buckets=16,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("cdc apply did not drain in 600s")
+        out = (
+            spark.read.parquet(os.path.join(tmp, "snap"))
+            .select("user_id", "ts", "event_id", "event_type", "v_micro")
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)  # pin before the source dirs die
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+QUERIES["streaming_cdc_apply"] = streaming_cdc_apply
+ORACLES["streaming_cdc_apply"] = CDC_LATEST_STATE_SQL
+
+
 def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_paragraph_ingest end-to-end: documents stream in forced
     micro-batches (doc_id % INGEST_BATCHES, staggered mtimes) through
@@ -9884,7 +9955,7 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      the trained NB quality classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 19 of the 43 r6-vintage rows — ANN / dedup / multimodal /
+#   3. 18 of the 43 r6-vintage rows — ANN / dedup / multimodal /
 #      pipeline / V_* rows kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
@@ -9907,7 +9978,9 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      match_text_tfidf (its idf-join shape rides in-window kin
 #      match_text_bm25), v_random_sample (nondeterministic by design —
 #      the weakest-evidence driver row; its TABLESAMPLE kernel carries
-#      no cross-engine value hash), plus
+#      no cross-engine value hash), pipeline_mix_temperature (its
+#      md5-coin kernel rides r9-green source_cap and in-window
+#      pipeline_global_shuffle), plus
 #      q_value_histogram swapped out in the first session to fund
 #      cdc_apply_changes — all due back in round 11.  Full registry
 #      rides every committed local-mirror sweep at two SFs regardless.
@@ -9925,6 +9998,7 @@ _RUN_FIRST = [
     "dedup_paragraphs_global", "dedup_paragraphs_incremental",
     "streaming_paragraph_ingest", "text_quality_classifier",
     "text_classifier_pr", "cdc_scd2_apply_changes",
+    "streaming_cdc_apply",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -9937,7 +10011,6 @@ _RUN_FIRST = [
     "ann_ivf_topk", "ann_ivfpq_topk", "dedup_simhash",
     "lsh_bucket_topk", "match_text_bm25",
     "multimodal_phash_dups", "multimodal_video_dups",
-    "pipeline_mix_temperature",
     "pipeline_pack_sequences",
     "text_decontaminate_bloom", "text_quality_filter",
     "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",

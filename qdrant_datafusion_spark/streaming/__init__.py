@@ -11,6 +11,7 @@ dedup at ingest time).
 
 from qdrant_datafusion_spark.streaming.ingest import (  # noqa: F401
     sessionized_counts,
+    stream_apply_changes,
     stream_collection_writer,
     stream_dedup_exact,
     stream_interval_join,

@@ -358,6 +358,116 @@ def stream_near_dup_ingest(
     )
 
 
+def stream_apply_changes(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("delete",),
+    n_buckets: int = 64,
+) -> StreamingQuery:
+    """Streaming MERGE INTO — the Delta-Live-Tables ``APPLY CHANGES
+    INTO`` shape over plain parquet: a keyed CDC stream continuously
+    folds into a maintained current-state snapshot.  Each micro-batch
+    resolves latest-per-key within itself (``cdc.apply_changes``
+    semantics: upserts replace, a latest-is-delete tombstones, unseen
+    keys insert) and merges into the snapshot store.
+
+    Scale mechanics — the snapshot is key-hash BUCKETED
+    (``_kb = pmod(xxhash64(keys), n_buckets)`` partition column) so a
+    micro-batch never touches more of it than it changes:
+
+    1. the batch's touched bucket ids collect to the driver
+       (≤ ``n_buckets`` ints — bounded driver state);
+    2. ONLY those bucket partitions are read back (partition pruning on
+       ``_kb``), merged with the batch via :func:`~qdrant_datafusion_spark.operators.cdc.apply_changes`
+       (one delta-sized window + one keyed anti-join), pinned with an
+       eager localCheckpoint (you cannot overwrite a path you are still
+       lazily reading), and
+    3. rewritten with dynamic partition overwrite — untouched buckets
+       are never read OR written, so per-batch cost tracks the batch,
+       not the 100 TB snapshot.
+
+    Replay safety comes from the MERGE itself being IDEMPOTENT (unlike
+    append sinks): re-applying the same changeset to the already-merged
+    store upserts identical rows and re-tombstones absent keys, so the
+    at-least-once ``foreachBatch`` contract needs no ``_batch_id``
+    bookkeeping.  Cross-batch ordering contract: arrival order must
+    respect per-key change order (same as every incremental CDC fold
+    here — time-partitioned CDC feeds satisfy it by construction);
+    within a batch ``order_cols`` resolves.
+    """
+    from qdrant_datafusion_spark.operators.cdc import apply_changes
+
+    keys = list(key_cols)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        kb = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(n_buckets))
+        touched = sorted(
+            int(r["_kb"])
+            for r in batch.select(kb.alias("_kb")).distinct().collect()
+        )  # bounded: <= n_buckets ints
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            store = spark.read.parquet(snapshot_dir).filter(
+                F.col("_kb").isin(touched)
+            )
+        except AnalysisException:  # first batch: PATH_NOT_FOUND only
+            store = None
+        # snapshot schema = the batch's columns (full-row upserts, the
+        # MERGE ... UPDATE SET * shape apply_changes implements)
+        if store is None:
+            store_subset = spark.createDataFrame([], batch.schema)
+        else:
+            store_subset = store.select(*batch.columns)
+        merged = apply_changes(
+            store_subset,
+            batch,
+            key_cols=keys,
+            order_cols=order_cols,
+            op_col=op_col,
+            delete_ops=delete_ops,
+        )
+        out = merged.withColumn("_kb", kb).localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_kb")
+            .parquet(snapshot_dir)
+        )
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # output — a bucket whose every key was tombstoned this batch
+        # produces no rows, so its stale partition must be dropped
+        # explicitly (local-FS form; a production deployment layers a
+        # table format whose MERGE handles emptied partitions natively,
+        # or uses the Hadoop FileSystem API here)
+        present = {
+            int(r["_kb"]) for r in out.select("_kb").distinct().collect()
+        }  # bounded: <= n_buckets ints
+        import os as _os
+        import shutil as _shutil
+
+        for b in touched:
+            if b not in present:
+                _shutil.rmtree(
+                    _os.path.join(snapshot_dir, f"_kb={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        changes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_paragraph_ingest(
     points: DataFrame,
     store_dir: str,

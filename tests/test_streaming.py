@@ -297,6 +297,111 @@ class TestStreamNearDupIngest:
         assert store_ids == {1, 2, 12}
 
 
+class TestStreamApplyChanges:
+    SCHEMA = "k long, seq long, op string, val string"
+
+    def _drain(self, spark, src, snap, ckpt):
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_apply_changes,
+        )
+
+        q = stream_apply_changes(
+            spark.readStream.schema(self.SCHEMA).parquet(src),
+            snap,
+            ckpt,
+            key_cols=["k"],
+            order_cols=["seq"],
+            op_col="op",
+            n_buckets=8,
+        )
+        assert q.awaitTermination(120)
+
+    def test_cross_batch_merge_equals_batch_fold(self, spark, tmp_path):
+        from qdrant_datafusion_spark.operators.cdc import (
+            cdc_latest_snapshot,
+        )
+
+        src = str(tmp_path / "src")
+        snap = str(tmp_path / "snap")
+        b1 = [(1, 10, "upsert", "a"), (2, 11, "upsert", "b"),
+              (3, 12, "upsert", "c")]
+        b2 = [(1, 20, "upsert", "a2"),          # update
+              (2, 21, "delete", None),          # tombstone
+              (4, 22, "upsert", "d"),           # insert
+              (4, 23, "upsert", "d2")]          # in-batch latest wins
+        spark.createDataFrame(b1, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, snap, str(tmp_path / "ck1"))
+        spark.createDataFrame(b2, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, snap, str(tmp_path / "ck2"))
+        got = {
+            r["k"]: (r["seq"], r["val"])
+            for r in spark.read.parquet(snap).collect()
+        }
+        full = spark.createDataFrame(b1 + b2, self.SCHEMA)
+        want = {
+            r["k"]: (r["seq"], r["val"])
+            for r in cdc_latest_snapshot(
+                full, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        assert got == want == {
+            1: (20, "a2"), 3: (12, "c"), 4: (23, "d2")
+        }
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        snap = str(tmp_path / "snap")
+        rows = [(1, 10, "upsert", "a"), (2, 11, "delete", None)]
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, snap, str(tmp_path / "ck1"))
+        first = sorted(map(tuple, spark.read.parquet(snap).collect()))
+        # a fresh checkpoint re-delivers the same file = an at-least-once
+        # replay; the MERGE must leave the store byte-identical
+        self._drain(spark, src, snap, str(tmp_path / "ck2"))
+        assert sorted(map(tuple, spark.read.parquet(snap).collect())) == first
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        import glob
+        import os as _os
+
+        src = str(tmp_path / "src")
+        snap = str(tmp_path / "snap")
+        ck = str(tmp_path / "ck")  # SHARED checkpoint: the second drain
+        # must see only the new file (a fresh checkpoint would re-deliver
+        # everything and legitimately rewrite every bucket)
+        b1 = [(i, 10, "upsert", f"v{i}") for i in range(32)]
+        spark.createDataFrame(b1, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, snap, ck)
+        mtimes_before = {
+            d: _os.stat(d).st_mtime_ns
+            for d in glob.glob(_os.path.join(snap, "_kb=*"))
+        }
+        assert len(mtimes_before) > 1  # keys spread over several buckets
+        # second batch touches ONE key -> only its bucket may change
+        spark.createDataFrame(
+            [(5, 20, "upsert", "v5b")], self.SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        self._drain(spark, src, snap, ck)
+        changed = {
+            d
+            for d in glob.glob(_os.path.join(snap, "_kb=*"))
+            if _os.stat(d).st_mtime_ns != mtimes_before.get(d)
+        }
+        assert len(changed) == 1
+        got = {
+            r["k"]: r["val"] for r in spark.read.parquet(snap).collect()
+        }
+        assert got[5] == "v5b" and len(got) == 32
+
+
 class TestStreamParagraphIngest:
     def test_cross_batch_paragraph_dedup(self, spark, tmp_path):
         """Two file-source batches: batch-2 docs lose every unit already
