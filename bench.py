@@ -160,6 +160,7 @@ HEADLINE = [
     "text_quality_classifier",
     "text_classifier_pr",
     "cdc_scd2_apply_changes",
+    "ann_hard_negatives",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

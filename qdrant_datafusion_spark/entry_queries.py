@@ -9862,6 +9862,64 @@ QUERIES["streaming_cdc_apply"] = streaming_cdc_apply
 ORACLES["streaming_cdc_apply"] = CDC_LATEST_STATE_SQL
 
 
+HN_K, HN_LO, HN_HI, HN_OVERFETCH = 3, 0.2, 0.9, 20
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining over embeddings: per anchor, the
+    top-3 neighbors with cosine in [0.2, 0.9) drawn from the exact
+    top-20 list — similar-but-not-duplicate training negatives.  See
+    ann.hard_negatives (blocked-GEMM candidates, sequential-exact
+    re-score, rounded-6 band both engines share)."""
+    from qdrant_datafusion_spark.operators.ann import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        hard_negatives(
+            emb,
+            "embedding",
+            "vec_id",
+            k=HN_K,
+            lo=HN_LO,
+            hi=HN_HI,
+            overfetch_rank=HN_OVERFETCH,
+        )
+        .withColumn("neg_rank", F.col("neg_rank").cast("long"))
+        .orderBy("id", "neg_rank")
+    )
+
+
+ANN_HARD_NEGATIVES_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+),
+ranked AS (
+  SELECT id, nbr_id, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, nbr_id ASC) AS rank
+  FROM scored
+),
+band AS (
+  SELECT id, nbr_id, score FROM ranked
+  WHERE rank <= {HN_OVERFETCH} AND score >= {HN_LO} AND score < {HN_HI}
+)
+SELECT id, nbr_id, score,
+       row_number() OVER (PARTITION BY id
+                          ORDER BY score DESC, nbr_id ASC) AS neg_rank
+FROM band QUALIFY neg_rank <= {HN_K}
+ORDER BY id, neg_rank
+"""
+
+QUERIES["ann_hard_negatives"] = ann_hard_negatives
+ORACLES["ann_hard_negatives"] = ANN_HARD_NEGATIVES_SQL
+
+
 def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_paragraph_ingest end-to-end: documents stream in forced
     micro-batches (doc_id % INGEST_BATCHES, staggered mtimes) through
@@ -9955,7 +10013,7 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      the trained NB quality classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 18 of the 43 r6-vintage rows — ANN / dedup / multimodal /
+#   3. 17 of the 43 r6-vintage rows — ANN / dedup / multimodal /
 #      pipeline / V_* rows kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
@@ -9980,7 +10038,8 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      the weakest-evidence driver row; its TABLESAMPLE kernel carries
 #      no cross-engine value hash), pipeline_mix_temperature (its
 #      md5-coin kernel rides r9-green source_cap and in-window
-#      pipeline_global_shuffle), plus
+#      pipeline_global_shuffle), dedup_simhash (its banded kernel rides
+#      in-window kin dedup_simhash_capped/_hot), plus
 #      q_value_histogram swapped out in the first session to fund
 #      cdc_apply_changes — all due back in round 11.  Full registry
 #      rides every committed local-mirror sweep at two SFs regardless.
@@ -9998,7 +10057,7 @@ _RUN_FIRST = [
     "dedup_paragraphs_global", "dedup_paragraphs_incremental",
     "streaming_paragraph_ingest", "text_quality_classifier",
     "text_classifier_pr", "cdc_scd2_apply_changes",
-    "streaming_cdc_apply",
+    "streaming_cdc_apply", "ann_hard_negatives",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -10008,7 +10067,7 @@ _RUN_FIRST = [
     "text_token_stats", "text_vocabulary",
     "v_lateral_batch_search", "v_search_mmr",
     # -- 3: newest driver evidence r6 (25 of 43)
-    "ann_ivf_topk", "ann_ivfpq_topk", "dedup_simhash",
+    "ann_ivf_topk", "ann_ivfpq_topk",
     "lsh_bucket_topk", "match_text_bm25",
     "multimodal_phash_dups", "multimodal_video_dups",
     "pipeline_pack_sequences",

@@ -249,6 +249,52 @@ def self_knn_join(
     )
 
 
+def hard_negatives(
+    collection: DataFrame,
+    vector_col: str,
+    id_col: str,
+    k: int = 5,
+    lo: float = 0.5,
+    hi: float = 0.95,
+    overfetch_rank: int = 50,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training
+    (Karpukhin et al. 2020, DPR; the standard retrieve-then-filter
+    recipe): per anchor row, the top-``k`` neighbors whose cosine falls
+    in the band ``[lo, hi)`` — similar enough to be informative
+    negatives, below the near-duplicate ceiling ``hi`` (pair it with
+    the dedup tiers: anything ≥ ``hi`` is a positive/duplicate, not a
+    negative).  Returns ``(id, nbr_id, score, neg_rank)``.
+
+    Band members are drawn from each anchor's EXACT global
+    top-``overfetch_rank`` list (:func:`self_knn_join` — blocked-GEMM
+    candidates, sequential-exact re-score), then band-filtered and
+    re-ranked.  Contract: an anchor with more than
+    ``overfetch_rank − k`` neighbors scoring ≥ ``lo`` above the band
+    may under-return — size ``overfetch_rank`` ≥ k + the corpus's
+    near-dup ceiling (the dedup gates measure it).  This is the same
+    top-N-then-filter contract DPR mining runs in production, and it
+    keeps the kernel the proven kNN plan instead of a second
+    band-aware candidate stage.
+    """
+    if not (lo < hi):
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if overfetch_rank < k:
+        raise ValueError("overfetch_rank must be >= k")
+    nn = self_knn_join(
+        collection, vector_col, id_col, k=overfetch_rank,
+        block_size=block_size,
+    )
+    band = nn.filter((F.col("score") >= lo) & (F.col("score") < hi))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        band.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("id", "nbr_id", "score", "neg_rank")
+    )
+
+
 def self_knn_join_lsh(
     collection: DataFrame,
     vector_col: str,

@@ -393,6 +393,48 @@ class TestSelfKnn:
         assert got == truth
 
 
+class TestHardNegatives:
+    def test_matches_bruteforce_band(self, spark, emb):
+        from qdrant_datafusion_spark.operators.ann import hard_negatives
+
+        data = {r.vec_id: np.array(r.embedding) for r in emb.limit(80).collect()}
+        lo, hi, k, over = 0.1, 0.9, 3, 20
+        truth = {}
+        for a in data:
+            scored = []
+            for b in data:
+                if a == b:
+                    continue
+                va, vb = data[a], data[b]
+                c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+                scored.append((-c, b))
+            top = sorted(scored)[:over]
+            band = [(c, b) for c, b in top if lo <= -c < hi][:k]
+            if band:
+                truth[a] = [b for _, b in band]
+        sub = emb.filter(emb.vec_id.isin(list(data)))
+        out = hard_negatives(
+            sub, "embedding", "vec_id", k=k, lo=lo, hi=hi,
+            overfetch_rank=over, block_size=32,
+        ).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.id, r.neg_rank)):
+            got.setdefault(r.id, []).append(r.nbr_id)
+        assert got == truth
+        # every emitted score sits inside the band
+        assert all(lo <= r.score < hi for r in out)
+
+    def test_bad_args(self, spark, emb):
+        from qdrant_datafusion_spark.operators.ann import hard_negatives
+
+        with pytest.raises(ValueError):
+            hard_negatives(emb, "embedding", "vec_id", lo=0.9, hi=0.5)
+        with pytest.raises(ValueError):
+            hard_negatives(
+                emb, "embedding", "vec_id", k=10, overfetch_rank=5
+            )
+
+
 class TestIvfTraining:
     def test_kmeans_reduces_inertia_and_improves_recall(self, spark, emb, rng_query):
         from qdrant_datafusion_spark.operators.ann import (
