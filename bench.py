@@ -161,6 +161,7 @@ HEADLINE = [
     "text_classifier_pr",
     "cdc_scd2_apply_changes",
     "ann_hard_negatives",
+    "source_formats_roundtrip",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

@@ -9920,6 +9920,84 @@ QUERIES["ann_hard_negatives"] = ann_hard_negatives
 ORACLES["ann_hard_negatives"] = ANN_HARD_NEGATIVES_SQL
 
 
+# ---------------------------------------------------------------------------
+# source_formats_roundtrip — gate evidence for the SURVEY §2.1 "other
+# formats" row (previously claimed as "Spark native" with no gate): the
+# documents table writes to ORC, JSON, and CSV and reads back through
+# Spark's native sources; per format the gate emits the row count and a
+# value checksum that must equal the parquet truth the oracle computes.
+# The checksum is the md5-prefix integer sum (the repo's cross-engine
+# hash convention), over every column rendered to a canonical string.
+# ---------------------------------------------------------------------------
+
+_FMT_CANON = (
+    "concat_ws('|', cast(doc_id as string), text, lang, source,"
+    " cast(n_chars as string))"
+)
+
+
+def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents to ORC / JSON / CSV, read each back (explicit
+    schema — CSV carries no types), and emit (fmt, n_rows, checksum).
+    Proves the non-parquet source surface end-to-end: a lossy writer,
+    reader, or type mapping would shift the checksum."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    digest = F.sum(
+        F.conv(
+            F.substring(F.md5(F.expr(_FMT_CANON)), 1, 12), 16, 10
+        ).cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_formats_")
+    out_rows = []
+    try:
+        for fmt in ("orc", "json", "csv"):
+            path = os.path.join(tmp, fmt)
+            w = docs.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                # text contains no quotes/newlines in the fixture, but
+                # escape/quote defaults still apply — header carries names
+                w = w.option("header", "true")
+            w.save(path)
+            r = spark.read.format(fmt)
+            if fmt == "csv":
+                r = r.option("header", "true").schema(docs.schema)
+            elif fmt == "json":
+                r = r.schema(docs.schema)
+            back = r.load(path)
+            row = back.agg(
+                F.count("*").cast("long").alias("n"),
+                digest.alias("checksum"),
+            ).collect()[0]
+            out_rows.append((fmt, int(row["n"]), int(row["checksum"])))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows, "fmt string, n_rows long, checksum long"
+    ).orderBy("fmt")
+
+
+SOURCE_FORMATS_SQL = f"""
+WITH truth AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(('0x' || substr(md5(
+           concat_ws('|', doc_id::VARCHAR, text, lang, source,
+                     n_chars::VARCHAR)), 1, 12))::BIGINT)::BIGINT AS checksum
+  FROM documents
+)
+SELECT fmt, n AS n_rows, checksum
+FROM (VALUES ('csv'), ('json'), ('orc')) AS f(fmt), truth
+ORDER BY fmt
+"""
+
+QUERIES["source_formats_roundtrip"] = source_formats_roundtrip
+ORACLES["source_formats_roundtrip"] = SOURCE_FORMATS_SQL
+
+
 def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_paragraph_ingest end-to-end: documents stream in forced
     micro-batches (doc_id % INGEST_BATCHES, staggered mtimes) through
@@ -10013,7 +10091,7 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      the trained NB quality classifier);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 17 of the 43 r6-vintage rows — ANN / dedup / multimodal /
+#   3. 16 of the 43 r6-vintage rows — ANN / dedup / multimodal /
 #      pipeline / V_* rows kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through
@@ -10039,7 +10117,9 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      no cross-engine value hash), pipeline_mix_temperature (its
 #      md5-coin kernel rides r9-green source_cap and in-window
 #      pipeline_global_shuffle), dedup_simhash (its banded kernel rides
-#      in-window kin dedup_simhash_capped/_hot), plus
+#      in-window kin dedup_simhash_capped/_hot), pipeline_pack_sequences
+#      (the same pack kernel is r9-driver-green as pipeline_pack_bpe over
+#      real BPE token counts), plus
 #      q_value_histogram swapped out in the first session to fund
 #      cdc_apply_changes — all due back in round 11.  Full registry
 #      rides every committed local-mirror sweep at two SFs regardless.
@@ -10058,6 +10138,7 @@ _RUN_FIRST = [
     "streaming_paragraph_ingest", "text_quality_classifier",
     "text_classifier_pr", "cdc_scd2_apply_changes",
     "streaming_cdc_apply", "ann_hard_negatives",
+    "source_formats_roundtrip",
     # -- 2: newest driver evidence r5 (all 17)
     "dedup_minhash_capped", "dedup_minhash_hot",
     "dedup_simhash_capped", "dedup_simhash_hot",
@@ -10070,7 +10151,6 @@ _RUN_FIRST = [
     "ann_ivf_topk", "ann_ivfpq_topk",
     "lsh_bucket_topk", "match_text_bm25",
     "multimodal_phash_dups", "multimodal_video_dups",
-    "pipeline_pack_sequences",
     "text_decontaminate_bloom", "text_quality_filter",
     "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",
     "v_search_binary_quant", "v_search_topk",
