@@ -10085,13 +10085,15 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      canonicalizer; now a sorted comma-joined string), the two
 #      int64-shingle-hashed prefix joins, the three corpus-scaled-LSH
 #      embedding gates, the checkpoint-fixed langid classifier, and the
-#      SMJ-pinned incremental minhash — plus the FOUR gates born this
+#      SMJ-pinned incremental minhash — plus the TEN gates born this
 #      round with zero driver evidence (cdc_apply_changes, the
 #      CCNet/Dolma paragraph-dedup pair + its streaming ingest form,
-#      the trained NB quality classifier);
+#      the trained NB quality classifier + its PR threshold curve,
+#      incremental SCD2 maintenance batch + streaming, DPR hard-negative
+#      mining, and the ORC/JSON/CSV source round-trip);
 #   2. all 17 rows whose newest driver evidence is r5 (the oldest
 #      vintage in the table);
-#   3. 16 of the 43 r6-vintage rows — ANN / dedup / multimodal /
+#   3. 15 of the 43 r6-vintage rows — ANN / dedup / multimodal /
 #      pipeline / V_* rows kept (reference Tier-C surface:
 #      driver freshness matters most for judge parity), deferring 21
 #      rows that are either plain relational kernels re-proven through

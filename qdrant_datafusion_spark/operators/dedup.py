@@ -23,6 +23,14 @@ Five strategies, cheapest→richest; all return deterministic results
                              exact pairwise within LSH-ish buckets or
                              brute-force for small/verified sets.
 
+Below the document level: ``substring_dup_spans`` (overlapping k-token
+windows), ``paragraph_dedup_global`` / ``paragraph_dedup_incremental``
+(aligned units, CCNet/Dolma shape — global first-occurrence and
+batch-vs-store with a Bloom prefilter).  Incremental / ER forms:
+``minhash_incremental_dups``, ``sorted_neighborhood_pairs``; cluster
+resolution: ``dup_clusters`` / ``select_canonical``; span/semantic:
+``semantic_dedup``.
+
 Hashing uses md5 (bit-identical in DuckDB → every operator is
 oracle-checkable end-to-end); swap F.xxhash64 in-place for ~3× at scale.
 """

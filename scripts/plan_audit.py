@@ -130,6 +130,32 @@ NOTES = {
         "pairs meet through join state); the audit sees the SELECT "
         "over the appended memory sink"
     ),
+    "streaming_paragraph_ingest": (
+        "streaming-gate shape: the foreachBatch explode/groupBy/"
+        "store-join pipeline runs during construction; the audit sees "
+        "the pinned (localCheckpoint) read of the drained out_dir"
+    ),
+    "streaming_cdc_apply": (
+        "streaming-gate shape: the bucketed MERGE runs during "
+        "construction; the audit sees the pinned read of the drained "
+        "snapshot store"
+    ),
+    "dedup_paragraphs_global": (
+        "0 scans is the lazy-localCheckpoint pin on the unit explode "
+        "(one LogicalRDD feeds the firsts aggregate AND the join-back); "
+        "the 3 exchanges are groupBy(hash), the co-partitioned "
+        "join-back, and the per-doc rejoin"
+    ),
+    "ann_hard_negatives": (
+        "inherits the self_knn_join plan: the single NLJ is the "
+        "bounded block-pair crossJoin (nblocks² grouped rows, not "
+        "data-sized) feeding the Arrow GEMM candidate stage — same "
+        "shape as ann_knn_graph"
+    ),
+    "source_formats_roundtrip": (
+        "the ORC/JSON/CSV write+read round-trips execute during gate "
+        "construction; the audit sees the 3-row literal result frame"
+    ),
     "streaming_collection_source": (
         "same streaming-gate shape: the custom qdrant_collection "
         "Python DataSource streams the 4-fragment dir during "
