@@ -4,7 +4,12 @@
 - ``dedup``      — exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
 - ``fuzzy``      — similarity self-joins: PassJoin edit distance +
                    prefix-filtered exact Jaccard (All-Pairs/PPJoin)
-- ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths
+- ``ann``        — brute-force kNN + IVF- and LSH-bucketed approximate paths,
+                   MMR diversification, DPR-style hard-negative mining
+- ``classify``   — trained quality filters: hashed-BoW NB (+ margin and
+                   PR-curve threshold tuning), batch perceptron
+- ``cdc``        — changelog folding: latest snapshot, SCD2 history,
+                   incremental MERGE into both, snapshot diff
 - ``quantize``   — scalar int8 / binary sign-bit / product quantization + searches
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads
 - ``phash``      — perceptual-hash (dHash) image dedup over binary columns
@@ -46,7 +51,9 @@ from qdrant_datafusion_spark.operators.classify import (  # noqa: F401
     hashed_bow_counts,
     hashed_bow_features,
     nb_bow_predict,
+    nb_bow_score,
     perceptron_predict,
+    pr_curve,
     train_nb_bow,
     train_perceptron,
 )
@@ -58,6 +65,8 @@ from qdrant_datafusion_spark.operators.ann import (  # noqa: F401
     self_knn_join,
 )
 from qdrant_datafusion_spark.operators.ann import (  # noqa: F401
+    hard_negatives,
+    mmr_select,
     self_knn_join_lsh,
     train_ivf_centroids,
 )
@@ -102,6 +111,7 @@ from qdrant_datafusion_spark.operators.joins import (  # noqa: F401
 from qdrant_datafusion_spark.operators.cdc import (  # noqa: F401
     apply_changes,
     cdc_latest_snapshot,
+    scd2_apply_changes,
     scd2_history,
     table_diff,
 )
