@@ -291,11 +291,18 @@ def pr_curve(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    y0 = F.col(label_col).cast("long")
     ext = scored.agg(
-        F.min(score_col).cast("long"), F.max(score_col).cast("long")
+        F.min(score_col).cast("long"),
+        F.max(score_col).cast("long"),
+        F.sum(F.when(y0 == 1, 1).otherwise(0)).cast("long"),
     ).collect()[0]
     if ext[0] is None:
         raise ValueError("scored is empty")
+    if not ext[2]:
+        # recall is tp / positives — undefined over an all-negative set
+        # (found by the hypothesis property test as a DIVIDE_BY_ZERO)
+        raise ValueError("scored has no positive labels; recall undefined")
     lo, hi = int(ext[0]), int(ext[1])
     width = hi - lo + 1
     y = F.col(label_col).cast("long")

@@ -354,3 +354,13 @@ class TestPrCurve:
 
 def got_matches_ref(points, rows):
     return [tuple(r) for r in rows] == _ref_pr(points, 16)
+
+
+def test_pr_curve_all_negative_rejected(spark):
+    # recall = tp/positives is undefined with zero positives — the
+    # hypothesis sweep surfaced this as an ANSI DIVIDE_BY_ZERO
+    from qdrant_datafusion_spark.operators.classify import pr_curve
+
+    df = spark.createDataFrame([(1, -1), (5, -1)], "margin long, y long")
+    with pytest.raises(ValueError, match="no positive labels"):
+        pr_curve(df)

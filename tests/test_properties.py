@@ -659,3 +659,84 @@ class TestResampleProperties:
                 w = prev[1]
             want[g] = w
         assert got == want
+
+
+class TestParagraphDedupProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]),
+                min_size=1,
+                max_size=5,
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_global_first_occurrence(self, spark, doc_units):
+        """Random unit sequences over a tiny alphabet (heavy collisions
+        guaranteed): the operator must equal the sequential
+        first-occurrence fold exactly."""
+        from qdrant_datafusion_spark.operators.dedup import (
+            paragraph_dedup_global,
+        )
+
+        rows = [(i, "\n".join(us)) for i, us in enumerate(doc_units)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_units"], r["n_kept"], r["kept_text"])
+            for r in paragraph_dedup_global(df).collect()
+        }
+        seen: set[str] = set()
+        want = {}
+        for i, us in enumerate(doc_units):
+            kept = []
+            for u in us:
+                if u not in seen:
+                    seen.add(u)
+                    kept.append(u)
+            want[i] = (len(us), len(kept), " ".join(kept))
+        assert got == want
+
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),
+                st.sampled_from([-1, 1]),
+            ),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda ps: any(y == 1 for _, y in ps)),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_pr_curve_matches_python_fold(self, spark, points, nb):
+        """Random (score, label) sets at random bucket counts: the
+        bucketed curve must equal the pure-Python cumulative fold,
+        including the HALF_UP ppm arithmetic."""
+        from qdrant_datafusion_spark.operators.classify import pr_curve
+
+        df = spark.createDataFrame(points, "margin long, y long")
+        got = [tuple(r) for r in pr_curve(df, n_buckets=nb).collect()]
+        lo = min(s for s, _ in points)
+        hi = max(s for s, _ in points)
+        width = hi - lo + 1
+        buckets: dict[int, list[int]] = {}
+        for s, y in points:
+            b = (s - lo) * nb // width
+            pos, neg = buckets.get(b, (0, 0))
+            buckets[b] = (pos + (y == 1), neg + (y == -1))
+        p_total = sum(p for p, _ in buckets.values())
+        want = []
+        tp = fp = 0
+        for b in sorted(buckets, reverse=True):
+            pos, neg = buckets[b]
+            tp += pos
+            fp += neg
+            fn = p_total - tp
+            thr_lo = lo + (b * width + nb - 1) // nb
+            prec = (2 * 10**6 * tp + (tp + fp)) // (2 * (tp + fp))
+            rec = (2 * 10**6 * tp + (tp + fn)) // (2 * (tp + fn))
+            want.append((b, thr_lo, tp, fp, fn, prec, rec))
+        assert got == want
