@@ -740,3 +740,49 @@ class TestParagraphDedupProperties:
             rec = (2 * 10**6 * tp + (tp + fn)) // (2 * (tp + fn))
             want.append((b, thr_lo, tp, fp, fn, prec, rec))
         assert got == want
+
+    @SETTINGS
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_incremental_with_tiny_bloom_stays_exact(self, spark, doc_units):
+        """Random store/batch splits with a 32-bit Bloom (dense — false
+        positives guaranteed): the exact-verify tier must scrub every FP
+        so the result equals the pure set-membership fold."""
+        from qdrant_datafusion_spark.operators.dedup import (
+            paragraph_dedup_incremental,
+        )
+
+        half = len(doc_units) // 2
+        store_rows = [(i, "\n".join(us)) for i, us in enumerate(doc_units[:half])]
+        batch_rows = [
+            (100 + i, "\n".join(us))
+            for i, us in enumerate(doc_units[half:])
+        ]
+        store = spark.createDataFrame(store_rows, "doc_id long, text string")
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_units"], r["n_kept"], r["kept_text"])
+            for r in paragraph_dedup_incremental(
+                batch, store=store, m_bits=32, num_hashes=2
+            ).collect()
+        }
+        store_units = {u for us in doc_units[:half] for u in us}
+        seen: set[str] = set()
+        want = {}
+        for i, us in enumerate(doc_units[half:]):
+            kept = []
+            for u in us:
+                if u not in store_units and u not in seen:
+                    seen.add(u)
+                    kept.append(u)
+            want[100 + i] = (len(us), len(kept), " ".join(kept))
+        assert got == want
