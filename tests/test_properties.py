@@ -786,3 +786,48 @@ class TestParagraphDedupProperties:
                     kept.append(u)
             want[100 + i] = (len(us), len(kept), " ".join(kept))
         assert got == want
+
+
+class TestCdcMergeProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),    # key
+                st.sampled_from(["upsert", "delete"]),
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(min_value=0, max_value=19),
+    )
+    def test_scd2_incremental_equals_full_fold(self, spark, ops, cut_idx):
+        """Random keyed changelogs with random upsert/delete interleavings
+        and a random time split: merging the late half into the early
+        half's SCD2 history must equal folding the whole log at once."""
+        from qdrant_datafusion_spark.operators.cdc import (
+            scd2_apply_changes,
+            scd2_history,
+        )
+
+        rows = [
+            (k, seq, op, v) for seq, (k, op, v) in enumerate(ops)
+        ]
+        cutoff = min(cut_idx, len(rows) - 1)
+        schema = "k long, seq long, op string, val string"
+        log = spark.createDataFrame(rows, schema)
+        kwargs = dict(
+            key_cols=["k"], order_cols=["seq"], op_col="op",
+            delete_ops=("delete",),
+        )
+        full = scd2_history(log, **kwargs)
+        base = scd2_history(log.filter(F.col("seq") <= cutoff), **kwargs)
+        delta = log.filter(F.col("seq") > cutoff)
+        if delta.take(1):
+            merged = scd2_apply_changes(base, delta, **kwargs)
+        else:
+            merged = base
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
