@@ -831,3 +831,43 @@ class TestCdcMergeProperties:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),
+                st.sampled_from(["upsert", "delete"]),
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(min_value=0, max_value=19),
+    )
+    def test_snapshot_merge_equals_full_fold(self, spark, ops, cut_idx):
+        """apply_changes mirror of the SCD2 property: folding the late
+        half into the early half's latest-state snapshot must equal the
+        one-shot latest-state fold of the whole log."""
+        from qdrant_datafusion_spark.operators.cdc import (
+            apply_changes,
+            cdc_latest_snapshot,
+        )
+
+        rows = [(k, seq, op, v) for seq, (k, op, v) in enumerate(ops)]
+        cutoff = min(cut_idx, len(rows) - 1)
+        schema = "k long, seq long, op string, val string"
+        log = spark.createDataFrame(rows, schema)
+        kwargs = dict(key_cols=["k"], order_cols=["seq"], op_col="op",
+                      delete_ops=("delete",))
+        full = cdc_latest_snapshot(log, **kwargs)
+        base = cdc_latest_snapshot(
+            log.filter(F.col("seq") <= cutoff), **kwargs
+        )
+        delta = log.filter(F.col("seq") > cutoff)
+        merged = (
+            apply_changes(base, delta, **kwargs) if delta.take(1) else base
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
