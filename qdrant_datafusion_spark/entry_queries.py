@@ -9576,7 +9576,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    labels = docs.select(
+    # label population must match the oracle's nrm CTE, which drops
+    # empty/whitespace-only text — identical training sets by construction
+    labels = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         F.when(
             F.size(F.filter(toks, lambda x: x == "fast"))
@@ -9698,7 +9700,9 @@ def text_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    labels = docs.select(
+    # label population must match the oracle's nrm CTE, which drops
+    # empty/whitespace-only text — identical training sets by construction
+    labels = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         F.when(
             F.size(F.filter(toks, lambda x: x == "fast"))

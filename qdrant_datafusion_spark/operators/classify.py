@@ -291,6 +291,9 @@ def pr_curve(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # pin once: the min/max/positives collect and the bucket groupBy are
+    # two actions — without the pin the upstream scoring join runs twice
+    scored = scored.localCheckpoint(eager=False)
     y0 = F.col(label_col).cast("long")
     ext = scored.agg(
         F.min(score_col).cast("long"),

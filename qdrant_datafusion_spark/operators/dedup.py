@@ -1486,10 +1486,14 @@ def paragraph_dedup_incremental(
     ``(id, pos)`` order as the global pass) AND its normalized hash does
     not appear anywhere in the store.
 
-    Output is EXACT despite the Bloom tier (no false negatives → probe
-    + exact-verify of the positives reproduces set membership
-    bit-for-bit).  Returns ``(id, n_units, n_kept, kept_text)`` over the
-    batch.
+    Output is EXACT w.r.t. 64-bit hash membership: the Bloom tier adds
+    no error (no false negatives → probe + exact-verify of the positives
+    reproduces set membership bit-for-bit), but the dedup key itself is
+    ``xxhash64(norm(unit))`` — at very large store sizes a birthday
+    collision between a store hash and a unique batch unit silently
+    drops real content (the global pass uses 128-bit md5 and has no such
+    caveat; widen here too if a deployment's unit count warrants it).
+    Returns ``(id, n_units, n_kept, kept_text)`` over the batch.
 
     Scale shape — the 100 TB store is NEVER shuffled by this operator:
     1. store unit hashes (pass ``store_hashes`` — a maintained

@@ -500,8 +500,9 @@ def stream_paragraph_ingest(
        ``min(struct(id, pos))`` groupBy (boilerplate-skew-safe) + join
        back;
     3. store check: the batch's candidate hashes — already distinct and
-       micro-batch-sized — BROADCAST against the store parquet, which is
-       scanned and never shuffled.  (The batch operator's Bloom tier is
+       micro-batch-sized — BROADCAST against the store parquet (prior
+       ``_batch_id`` partitions only, so a replayed batch never sees its
+       own earlier write), which is scanned and never shuffled.  (The batch operator's Bloom tier is
        unnecessary here: its purpose is shrinking the probe broadcast,
        and a micro-batch's distinct unit hashes already fit one.)
     4. cleaned docs (``id, n_units, n_kept, kept_text``) to ``out_dir``,
@@ -549,7 +550,16 @@ def stream_paragraph_ingest(
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
-            store = spark.read.parquet(store_dir).select("uh")
+            # Exclude THIS batch's own partition: on an at-least-once
+            # replay (failure after the sinks wrote but before the
+            # checkpoint committed) the store already holds this batch's
+            # accepted hashes — reading them back would mark every unit
+            # a duplicate and dynamic-overwrite out_dir with empty rows.
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("_batch_id") != F.lit(int(batch_id)))
+                .select("uh")
+            )
         except AnalysisException:  # first batch: PATH_NOT_FOUND only —
             store = None  # any other read failure must fail the batch
         if store is not None:

@@ -475,6 +475,50 @@ class TestStreamParagraphIngest:
         }
         assert batch_equiv == {**first, **rows}
 
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """A fresh checkpoint re-delivers the same file = an at-least-once
+        replay AFTER the sinks already wrote batch 0.  The replayed batch
+        must not see its own earlier store write (else every unit looks
+        'already in store' and out_dir is overwritten with n_kept=0
+        rows) — out and store must stay byte-identical."""
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_paragraph_ingest,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        schema = "doc_id long, text string"
+        spark.createDataFrame(
+            [(1, "alpha beta\ngamma delta"), (2, "gamma delta\nepsilon")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def drain(ckpt):
+            q = stream_paragraph_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                store,
+                out,
+                str(tmp_path / ckpt),
+            )
+            assert q.awaitTermination(120)
+
+        drain("ck1")
+        out_first = sorted(
+            map(tuple, spark.read.parquet(out).drop("_batch_id").collect())
+        )
+        store_first = sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        )
+        assert any(r[2] > 0 for r in out_first)  # n_kept nonzero pre-replay
+        drain("ck2")
+        assert sorted(
+            map(tuple, spark.read.parquet(out).drop("_batch_id").collect())
+        ) == out_first
+        assert sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        ) == store_first
+
 
 class TestStreamSemanticIngest:
     def test_cross_batch_semantic_dups_are_dropped(self, spark, tmp_path):
