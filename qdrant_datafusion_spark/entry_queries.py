@@ -4356,20 +4356,39 @@ QUERIES["q_events_funnel"] = q_events_funnel
 ORACLES["q_events_funnel"] = Q_EVENTS_FUNNEL_SQL
 
 
+_KNN_EDGES_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine kNN edge table over embeddings — the identical
+    edge construction graph_pagerank and graph_trustrank both start
+    from.  Built once per (session, sf_dir) and pinned with an eager
+    localCheckpoint (the _skew_fixture memo pattern), so the blocked-GEMM
+    scoring pass runs once per sweep instead of once per gate."""
+    hit = _KNN_EDGES_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from qdrant_datafusion_spark.operators.ann import self_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = (
+        self_knn_join(emb, "embedding", "vec_id", k=5, block_size=256)
+        .select(F.col("id").alias("src"), F.col("nbr_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    _KNN_EDGES_MEMO[sf_dir] = (spark, edges)
+    return edges
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-centrality data selection: PageRank (3 fixed-point
     iterations, d=0.85) over the corpus kNN graph (exact top-5 cosine
     neighbors — the ann_knn_graph edges).  All rank arithmetic is
     integer HALF_UP in 1e-9 units, so the DuckDB oracle unrolling the
     identical arithmetic matches bit-for-bit; see operators.graph."""
-    from qdrant_datafusion_spark.operators.ann import self_knn_join
     from qdrant_datafusion_spark.operators.graph import pagerank
 
-    emb = _t(spark, sf_dir, "embeddings")
-    edges = self_knn_join(
-        emb, "embedding", "vec_id", k=5, block_size=256
-    ).select(F.col("id").alias("src"), F.col("nbr_id").alias("dst"))
-    return pagerank(edges, "src", "dst", iters=3)
+    return pagerank(_knn_edges(spark, sf_dir), "src", "dst", iters=3)
 
 
 def _knn_edges_cte() -> str:
@@ -4470,14 +4489,11 @@ def graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity to the vetted corpus.  Same all-integer arithmetic as
     graph_pagerank; top-50 by rank (rank desc, node asc) keeps the gate
     output focused on the endorsed set."""
-    from qdrant_datafusion_spark.operators.ann import self_knn_join
     from qdrant_datafusion_spark.operators.graph import pagerank
 
-    emb = _t(spark, sf_dir, "embeddings")
-    edges = self_knn_join(
-        emb, "embedding", "vec_id", k=5, block_size=256
-    ).select(F.col("id").alias("src"), F.col("nbr_id").alias("dst"))
-    out = pagerank(edges, "src", "dst", iters=3, seeds=TRUST_SEEDS)
+    out = pagerank(
+        _knn_edges(spark, sf_dir), "src", "dst", iters=3, seeds=TRUST_SEEDS
+    )
     return out.orderBy(F.desc("rank_units"), F.asc("node")).limit(50)
 
 
