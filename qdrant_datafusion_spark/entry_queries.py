@@ -788,6 +788,31 @@ LIMIT 10
 """
 
 
+def v_search_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cosine top-10 as v_search_topk, but through the Spark-4
+    Python UDTF surface (SURVEY §2.10): V_SEARCH_TABLE(TABLE(emb), q, k)
+    emits each partition's bounded top-k from terminate(), and the outer
+    ORDER BY ... LIMIT refines n_partitions*k rows to the global answer
+    (two-phase top-k — the UDTF never needs a single partition).  Oracle
+    is v_search_topk's verbatim: the two paths must agree exactly."""
+    import json as _json
+
+    from qdrant_datafusion_spark.functions.registry import register_all
+
+    register_all(spark)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("_udtf_emb")
+    qjson = _json.dumps(QUERY_VEC)
+    return spark.sql(
+        f"""
+        SELECT vec_id, score
+        FROM V_SEARCH_TABLE(
+          TABLE(SELECT vec_id, embedding FROM _udtf_emb), '{qjson}', 10)
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+        """
+    )
+
+
 def v_search_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V_SEARCH with explicit dot metric."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1681,6 +1706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_sessions": q_events_sessions,
     # vector search (V_* surface)
     "v_search_topk": v_search_topk,
+    # same answer through the Spark-4 Python UDTF surface (SURVEY §2.10)
+    "v_search_udtf": v_search_udtf,
     "v_search_dot_topk": v_search_dot_topk,
     "v_within_radius": v_within_radius,
     "v_recommend_topk": v_recommend_topk,
@@ -1729,6 +1756,8 @@ ORACLES: dict[str, str] = {
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,
     "q_events_sessions": Q_EVENTS_SESSIONS_SQL,
     "v_search_topk": V_SEARCH_TOPK_SQL,
+    # the UDTF path must match the scalar-kernel top-k oracle verbatim
+    "v_search_udtf": V_SEARCH_TOPK_SQL,
     "v_search_dot_topk": V_SEARCH_DOT_SQL,
     "v_within_radius": V_WITHIN_SQL,
     "v_recommend_topk": V_RECOMMEND_SQL,

@@ -237,6 +237,21 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("V_SPARSE_SEARCH", v_sparse)
     spark.udf.register("V_COLBERT", v_maxsim)
 
+    # SURVEY §2.10 table-function hook: the Spark-4 Python UDTF form of
+    # V_SEARCH — per-partition bounded top-k over a TABLE argument; see
+    # functions/table_fns.py for the two-phase top-k scale argument
+    from pyspark.sql.functions import udtf as _udtf
+
+    from qdrant_datafusion_spark.functions.table_fns import (
+        V_SEARCH_TABLE_SCHEMA,
+        VSearchTable,
+    )
+
+    spark.udtf.register(
+        "V_SEARCH_TABLE",
+        _udtf(VSearchTable, returnType=V_SEARCH_TABLE_SCHEMA),
+    )
+
     # V_RANDOM is SQL-defined over native rand() — fully JVM-side, no
     # Python boundary.  Spark rejects SQL UDFs inside Sort, so the
     # corpus's ``ORDER BY V_RANDOM()`` idiom (tests/bin/tests.sql:310-320)

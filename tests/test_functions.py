@@ -301,6 +301,51 @@ class TestSqlRegistry:
         ).collect()
         assert rows[0].score == pytest.approx(1.0, abs=1e-6)
 
+    def test_udtf_table_function_from_sql(self, spark):
+        """SURVEY §2.10 UDTF hook: V_SEARCH_TABLE(TABLE(...), q, k) is a
+        Spark-4 Python UDTF — per-partition bounded top-k emitted from
+        terminate(), refined by the outer ORDER BY/LIMIT.  Must agree
+        exactly with the scalar V_SEARCH kernel over the same rows, and
+        must stay bounded at <= k rows per partition pre-refine."""
+        import json
+
+        from qdrant_datafusion_spark.functions import register_all
+
+        register_all(spark)
+        df = fixtures.unnamed_df(spark).repartition(4)
+        df.createOrReplaceTempView("_udtf_t")
+        q = [0.1, 0.2, 0.3]
+        got = spark.sql(
+            f"""
+            SELECT vec_id, score
+            FROM V_SEARCH_TABLE(
+              TABLE(SELECT CAST(id AS BIGINT) AS vec_id,
+                           CAST(vector AS ARRAY<DOUBLE>) AS embedding
+                    FROM _udtf_t),
+              '{json.dumps(q)}', 2)
+            ORDER BY score DESC, vec_id ASC LIMIT 2
+            """
+        ).collect()
+        want = spark.sql(
+            "SELECT CAST(id AS BIGINT) AS vec_id, round(V_SEARCH(CAST(vector AS "
+            "ARRAY<DOUBLE>), array(0.1D, 0.2D, 0.3D)), 6) AS score "
+            "FROM _udtf_t ORDER BY score DESC, vec_id LIMIT 2"
+        ).collect()
+        assert [(r.vec_id, r.score) for r in got] == [
+            (r.vec_id, r.score) for r in want
+        ]
+        # pre-refine output is bounded: <= k rows per input partition
+        pre = spark.sql(
+            f"""
+            SELECT * FROM V_SEARCH_TABLE(
+              TABLE(SELECT CAST(id AS BIGINT) AS vec_id,
+                           CAST(vector AS ARRAY<DOUBLE>) AS embedding
+                    FROM _udtf_t),
+              '{json.dumps(q)}', 2)
+            """
+        ).count()
+        assert pre <= 2 * 4
+
     def test_json_named_getter_aliases(self, spark):
         """The reference registers the datafusion-functions-json getters
         by NAME (reference src/udfs.rs:13-16); SQL calling those names
