@@ -201,7 +201,9 @@ class TestPerceptron:
     @pytest.mark.parametrize("epochs", [1, 3])
     def test_matches_integer_reference(self, spark, docs_df, labels_df, epochs):
         feats = hashed_bow_features(docs_df, dim=DIM)
-        w, b = train_perceptron(feats, labels_df, dim=DIM, epochs=epochs)
+        w, b = train_perceptron(
+            feats, labels_df, dim=DIM, epochs=epochs, averaged=False
+        )
         rw, rb = _ref_perceptron(epochs)
         assert w == rw
         assert b == rb
@@ -230,7 +232,9 @@ class TestPerceptron:
 
     def test_predict_sign_rule(self, spark, docs_df, labels_df):
         feats = hashed_bow_features(docs_df, dim=DIM)
-        w, b = train_perceptron(feats, labels_df, dim=DIM, epochs=1)
+        w, b = train_perceptron(
+            feats, labels_df, dim=DIM, epochs=1, averaged=False
+        )
         for r in perceptron_predict(feats, w, b).collect():
             assert r["pred"] == (1 if r["score"] > 0 else -1)
 
@@ -238,6 +242,112 @@ class TestPerceptron:
         feats = hashed_bow_features(docs_df, dim=DIM)
         with pytest.raises(ValueError):
             train_perceptron(feats, labels_df, dim=DIM, epochs=0)
+
+
+def _ref_perceptron_both(docs, labels, ids, epochs):
+    """(plain last-epoch, averaged Σ-snapshot) weights — the same
+    integer batch algebra as _ref_perceptron, over arbitrary data."""
+    w = [0] * DIM
+    b = 0
+    sw = [0] * DIM
+    sb = 0
+    for _ in range(epochs):
+        dw = [0] * DIM
+        db = 0
+        for i in ids:
+            c, y = docs[i], labels[i]
+            s = b + sum(w[d] * v for d, v in c.items())
+            if y * s <= 0:
+                db += y
+                for d, v in c.items():
+                    dw[d] += y * v
+        w = [a + x for a, x in zip(w, dw)]
+        b += db
+        sw = [a + x for a, x in zip(sw, w)]
+        sb += b
+    return (w, b), (sw, sb)
+
+
+class TestAveragedPerceptron:
+    """The library-default trainer (averaged=True, Freund & Schapire
+    1999 batch analogue): on NON-separable data the plain batch rule
+    oscillates between weight states; the snapshot average smooths it
+    and held-out accuracy must not degrade."""
+
+    def test_spark_matches_averaged_reference(self, spark, docs_df, labels_df):
+        feats = hashed_bow_features(docs_df, dim=DIM)
+        w, b = train_perceptron(feats, labels_df, dim=DIM, epochs=3)
+        ref_docs = {i: _ref_counts(text) for i, text in DOCS}
+        _, (sw, sb) = _ref_perceptron_both(
+            ref_docs, LABELS, sorted(ref_docs), epochs=3
+        )
+        assert w == sw
+        assert b == sb
+
+    def test_still_converges_on_separable_margin(self, spark):
+        # the averaged default must not break the separable guarantee:
+        # every snapshot past convergence IS the separator, so the
+        # average separates too
+        rows = [
+            (i, ("pos common filler" if i % 2 == 0 else "neg common filler"))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        labels = df.select(
+            "doc_id",
+            F.when(F.col("text").startswith("pos"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("y"),
+        )
+        feats = hashed_bow_features(df, dim=DIM)
+        w, b = train_perceptron(feats, labels, dim=DIM, epochs=3)
+        joined = perceptron_predict(feats, w, b).join(labels, "doc_id")
+        assert joined.filter(F.col("pred") != F.col("y")).count() == 0
+
+    def test_heldout_accuracy_ge_plain_on_nonseparable(self):
+        """Across 5 fixed seeds of a label-noised (non-separable) random
+        corpus, averaged held-out accuracy >= plain per seed, and
+        strictly better in aggregate.  Pure-Python over the SAME integer
+        algebra the Spark trainer is pinned to by
+        test_spark_matches_averaged_reference + the integer-reference
+        tests, so this property transfers to the distributed trainer."""
+        import random
+
+        def gen(seed, n=80, flip=0.15):
+            rng = random.Random(seed)
+            docs, labels = {}, {}
+            fillers = [f"w{j}" for j in range(10)]
+            for i in range(n):
+                sig = "pos" if i % 2 == 0 else "neg"
+                toks = [sig] + [rng.choice(fillers) for _ in range(3)]
+                docs[i] = Counter(_bucket(t) for t in toks)
+                y = 1 if i % 2 == 0 else -1
+                if rng.random() < flip:
+                    y = -y
+                labels[i] = y
+            return docs, labels
+
+        def acc(docs, labels, ids, w, b):
+            ok = 0
+            for i in ids:
+                s = b + sum(w[d] * v for d, v in docs[i].items())
+                ok += ((1 if s > 0 else -1) == labels[i])
+            return ok / len(ids)
+
+        plain_total = avg_total = 0.0
+        for seed in range(5):
+            docs, labels = gen(seed)
+            ids = sorted(docs)
+            tr = [i for i in ids if i % 10 < 7]
+            ho = [i for i in ids if i % 10 >= 7]
+            (w, b), (sw, sb) = _ref_perceptron_both(docs, labels, tr, 8)
+            a_plain = acc(docs, labels, ho, w, b)
+            a_avg = acc(docs, labels, ho, sw, sb)
+            assert a_avg >= a_plain, (seed, a_plain, a_avg)
+            plain_total += a_plain
+            avg_total += a_avg
+        assert avg_total > plain_total
 
 
 class TestNbScore:
