@@ -10125,87 +10125,50 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 # The driver's CORRECTNESS file has held exactly 50 rows per round while
 # this registry grew past it — every query registered after slot 50 has
 # only local-mirror evidence for that round, so order is the
-# gate-evidence budget.  Round-10 window (exactly 50), built from the
+# gate-evidence budget.  Round-11 window (exactly 50), built from the
 # per-query "newest driver round" table (union of committed
 # CORRECTNESS_r*.json):
-#   1. the eight gates whose code, oracle, or physical plan changed
-#      THIS round — cdc_table_diff in slot 1 (the round-9 red row: the
-#      array<string> changed_cols column crashed the driver's pandas
-#      canonicalizer; now a sorted comma-joined string), the two
-#      int64-shingle-hashed prefix joins, the three corpus-scaled-LSH
-#      embedding gates, the checkpoint-fixed langid classifier, and the
-#      SMJ-pinned incremental minhash — plus the TEN gates born this
-#      round with zero driver evidence (cdc_apply_changes, the
-#      CCNet/Dolma paragraph-dedup pair + its streaming ingest form,
-#      the trained NB quality classifier + its PR threshold curve,
-#      incremental SCD2 maintenance batch + streaming, DPR hard-negative
-#      mining, and the ORC/JSON/CSV source round-trip);
-#   2. all 17 rows whose newest driver evidence is r5 (the oldest
-#      vintage in the table);
-#   3. 15 of the 43 r6-vintage rows — ANN / dedup / multimodal /
-#      pipeline / V_* rows kept (reference Tier-C surface:
-#      driver freshness matters most for judge parity), deferring 21
-#      rows that are either plain relational kernels re-proven through
-#      in-window kin (q3/q5/q14 share the broadcast-join shape with
-#      r9-green q10_returned_items; the q_* agg/setop/subquery/window
-#      rows share Catalyst built-ins with r8/r9-green q1/
-#      q_group_having/q_events_json; payload_contains shares the JSON
-#      path with those) or streaming gates whose ingest/stateful
-#      kernels have r9 evidence via streaming_interval_join /
-#      streaming_heavy_hitters / streaming_hist_quantiles.  Deferred:
-#      q3_topk_revenue, q5_nation_revenue, q14_promo_revenue,
-#      streaming_collection_source, streaming_dedup_survivors,
-#      streaming_funnel_conversion, streaming_topk_values,
-#      q_above_avg_orders, q_anti_join, q_approx_distinct, q_case_boost,
-#      q_distinct_aggregates, q_events_funnel, q_grouping_sets,
-#      q_rollup, q_salted_join, q_semi_join, q_setops,
-#      q_top_supplier_per_nation, q_window_topk_per_group,
-#      payload_contains, dedup_exact (its hash-groupBy kernel is
-#      re-proven in-window by dedup_paragraphs_global),
-#      match_text_tfidf (its idf-join shape rides in-window kin
-#      match_text_bm25), v_random_sample (nondeterministic by design —
-#      the weakest-evidence driver row; its TABLESAMPLE kernel carries
-#      no cross-engine value hash), pipeline_mix_temperature (its
-#      md5-coin kernel rides r9-green source_cap and in-window
-#      pipeline_global_shuffle), dedup_simhash (its banded kernel rides
-#      in-window kin dedup_simhash_capped/_hot), pipeline_pack_sequences
-#      (the same pack kernel is r9-driver-green as pipeline_pack_bpe over
-#      real BPE token counts), plus
-#      q_value_histogram swapped out in the first session to fund
-#      cdc_apply_changes — all due back in round 11.  Full registry
-#      rides every committed local-mirror sweep at two SFs regardless.
+#   1. the six gates whose code, oracle, or physical plan changed THIS
+#      round — v_search_udtf (born this round: the Spark-4 Python UDTF
+#      path), the NB classifier pair (label population now filtered to
+#      non-blank text to match the oracle's nrm CTE, + pr_curve input
+#      pinning), streaming_paragraph_ingest (replay-idempotency fix:
+#      the store read now excludes the current batch's own partition),
+#      and the graph pair (shared kNN edge table now memoized +
+#      localCheckpoint-pinned);
+#   2. ALL 28 rows whose newest driver evidence was round 6 — the
+#      whole stale tail deferred by the round-10 rotation (the verdict's
+#      round-11 task #1: after this round no registered query's newest
+#      driver evidence may predate round 8);
+#   3. 16 of the 45 r8-vintage rows, alphabetically first (graph_* are
+#      already in region 1) — the rest stay r8-fresh and rotate next
+#      round.  Every deferred query remains green in both committed
+#      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: changed this round (code / oracle / physical plan)
-    "cdc_table_diff",
-    "dedup_jaccard_prefix", "dedup_containment",
-    "dedup_embedding_lsh", "dedup_embedding_recall",
-    "ann_knn_graph_blocked", "text_lang_id_ngram",
-    "dedup_minhash_incremental",
-    # new this round (zero evidence anywhere): MERGE-INTO apply_changes,
-    # the CCNet/Dolma paragraph-dedup pair, and the trained NB quality
-    # classifier
-    "cdc_apply_changes",
-    "dedup_paragraphs_global", "dedup_paragraphs_incremental",
-    "streaming_paragraph_ingest", "text_quality_classifier",
-    "text_classifier_pr", "cdc_scd2_apply_changes",
-    "streaming_cdc_apply", "ann_hard_negatives",
-    "source_formats_roundtrip",
-    # -- 2: newest driver evidence r5 (all 17)
-    "dedup_minhash_capped", "dedup_minhash_hot",
-    "dedup_simhash_capped", "dedup_simhash_hot",
-    "doc_fingerprints", "group_centroids", "multimodal_bytes",
-    "pipeline_global_shuffle", "q_json_length_keys", "q_pivot_events",
-    "text_lang_id", "text_quality", "text_source_profile",
-    "text_token_stats", "text_vocabulary",
-    "v_lateral_batch_search", "v_search_mmr",
-    # -- 3: newest driver evidence r6 (25 of 43)
-    "ann_ivf_topk", "ann_ivfpq_topk",
-    "lsh_bucket_topk", "match_text_bm25",
-    "multimodal_phash_dups", "multimodal_video_dups",
-    "text_decontaminate_bloom", "text_quality_filter",
-    "v_batch_search", "v_fusion_hybrid", "v_prefetch_rerank",
-    "v_search_binary_quant", "v_search_topk",
-    "v_sparse_batch_inverted", "v_within_radius",
+    # -- 1: changed or born this round
+    "v_search_udtf",
+    "text_quality_classifier", "text_classifier_pr",
+    "streaming_paragraph_ingest",
+    "graph_pagerank", "graph_trustrank",
+    # -- 2: the complete r6-vintage tail (28)
+    "dedup_exact", "dedup_simhash", "match_text_tfidf",
+    "payload_contains", "pipeline_mix_temperature",
+    "pipeline_pack_sequences", "q14_promo_revenue", "q3_topk_revenue",
+    "q5_nation_revenue", "q_above_avg_orders", "q_anti_join",
+    "q_approx_distinct", "q_case_boost", "q_distinct_aggregates",
+    "q_events_funnel", "q_grouping_sets", "q_rollup", "q_salted_join",
+    "q_semi_join", "q_setops", "q_top_supplier_per_nation",
+    "q_value_histogram", "q_window_topk_per_group",
+    "streaming_collection_source", "streaming_dedup_survivors",
+    "streaming_funnel_conversion", "streaming_topk_values",
+    "v_random_sample",
+    # -- 3: oldest r8-vintage rows (alphabetical, 16)
+    "ann_knn_graph", "ann_pq_topk", "dedup_clusters", "dedup_keep_best",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_substring", "embed_jl_project", "match_text_topk",
+    "multimodal_audio_dups", "multimodal_cross_dups",
+    "pipeline_hash_split", "pipeline_mix_datasets",
+    "pipeline_stratified_sample", "pipeline_token_budget",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
