@@ -134,6 +134,42 @@ class QdrantRestClient:
         points = (data.get("result") or {}).get("points") or []
         return [rest_point_to_wire(p) for p in points]
 
+    @staticmethod
+    def _selector(ids: list | None, flt: dict | None) -> dict:
+        """Qdrant PointsSelector: exactly one of an ids list / a filter."""
+        if (ids is None) == (flt is None):
+            raise ValueError("pass exactly one of ids / flt")
+        return {"points": list(ids)} if ids is not None else {"filter": flt}
+
+    def delete_points(
+        self,
+        collection: str,
+        ids: list | None = None,
+        flt: dict | None = None,
+    ) -> dict:
+        """``POST /collections/{c}/points/delete`` — the remote form of
+        the catalog's ``delete_where`` (the write path the reference
+        leaves ``todo!()``, src/table.rs:186-193)."""
+        return self._post(
+            f"/collections/{collection}/points/delete",
+            self._selector(ids, flt),
+        )
+
+    def set_payload(
+        self,
+        collection: str,
+        payload: dict,
+        ids: list | None = None,
+        flt: dict | None = None,
+    ) -> dict:
+        """``POST /collections/{c}/points/payload`` — merge ``payload``
+        keys into the selected points (set-payload semantics; the remote
+        form of the catalog's ``update_payload``)."""
+        return self._post(
+            f"/collections/{collection}/points/payload",
+            {"payload": payload, **self._selector(ids, flt)},
+        )
+
 
 def grpc_query_body(request: dict) -> dict:
     """Builder request dict → protobuf-JSON for ``QueryPoints``.

@@ -182,6 +182,28 @@ class FakeQdrantServer:
                     if pts is None:
                         return self._reply(404, None)
                     return self._reply(200, {"points": pts})
+                if (
+                    len(parts) == 4
+                    and parts[0] == "collections"
+                    and parts[2:] == ["points", "delete"]
+                ):
+                    n = outer.delete_points(parts[1], self._body())
+                    if n is None:
+                        return self._reply(404, None)
+                    return self._reply(
+                        200, {"operation_id": 0, "status": "completed"}
+                    )
+                if (
+                    len(parts) == 4
+                    and parts[0] == "collections"
+                    and parts[2:] == ["points", "payload"]
+                ):
+                    n = outer.set_payload(parts[1], self._body())
+                    if n is None:
+                        return self._reply(404, None)
+                    return self._reply(
+                        200, {"operation_id": 0, "status": "completed"}
+                    )
                 return self._reply(404, None)
 
         self._srv = HTTPServer(("127.0.0.1", 0), _Handler)
@@ -226,6 +248,46 @@ class FakeQdrantServer:
                 coll["points"][by_id[p["id"]]] = dict(p)
             else:
                 coll["points"].append(dict(p))
+
+    def _selected(self, name: str, body: dict) -> list[dict] | None:
+        """Points selected by a points-list OR a filter — the two
+        selector forms Qdrant's delete-points / set-payload APIs accept
+        (https://api.qdrant.tech/: PointsSelector)."""
+        coll = self.collections.get(name)
+        if coll is None:
+            return None
+        if "points" in body:
+            ids = set(body["points"])
+            return [p for p in coll["points"] if p["id"] in ids]
+        return [
+            p for p in coll["points"] if _apply_filter(p, body.get("filter"))
+        ]
+
+    def delete_points(self, name: str, body: dict) -> int | None:
+        """``POST /collections/{c}/points/delete`` — remove by ids list
+        or by filter."""
+        victims = self._selected(name, body)
+        if victims is None:
+            return None
+        drop = {id(p) for p in victims}
+        coll = self.collections[name]
+        before = len(coll["points"])
+        coll["points"] = [p for p in coll["points"] if id(p) not in drop]
+        return before - len(coll["points"])
+
+    def set_payload(self, name: str, body: dict) -> int | None:
+        """``POST /collections/{c}/points/payload`` — MERGE ``payload``
+        keys into the selected points (Qdrant set-payload semantics:
+        unpatched keys keep their values)."""
+        targets = self._selected(name, body)
+        if targets is None:
+            return None
+        patch = body.get("payload") or {}
+        for p in targets:
+            merged = dict(p.get("payload") or {})
+            merged.update(patch)
+            p["payload"] = merged
+        return len(targets)
 
     def collection_info(self, name: str) -> dict | None:
         coll = self.collections.get(name)

@@ -300,3 +300,78 @@ class TestServerSideSearchParity:
             .collect()
         )
         assert [r["id"] for r in local] == remote_ids
+
+
+class TestMutationsLive:
+    """The write path over a LIVE server: point-delete and set-payload
+    round-trips through the REST endpoints (the remote mirror of
+    test_fixtures_parity.TestCollectionMutations, which exercises the
+    same semantics against the parquet catalog).  A dedicated collection
+    keeps the module-shared fixtures untouched."""
+
+    @pytest.fixture()
+    def mut(self, server):
+        _put(
+            server,
+            "/collections/mut",
+            {"vectors": {"size": 2, "distance": "Cosine"}},
+        )
+        _put(
+            server,
+            "/collections/mut/points?wait=true",
+            {
+                "points": [
+                    {
+                        "id": i,
+                        "vector": [float(i), 1.0],
+                        "payload": {"rank": i, "lang": "en" if i % 2 == 0 else "de"},
+                    }
+                    for i in range(6)
+                ]
+            },
+        )
+        return "mut"
+
+    def _all_points(self, server, name):
+        desc = descriptor_from_collection_info(
+            name, _get(server, f"/collections/{name}")
+        )
+        request, _ = build_query_request(name, desc.schema())
+        return QdrantRestClient(server).query_points(request)
+
+    def test_delete_by_ids_removes_only_matches(self, server, mut):
+        QdrantRestClient(server).delete_points(mut, ids=[1, 3])
+        ids = sorted(p["id"]["num"] for p in self._all_points(server, mut))
+        assert ids == [0, 2, 4, 5]
+        assert _get(server, f"/collections/{mut}")["result"]["points_count"] == 4
+
+    def test_delete_by_filter(self, server, mut):
+        flt = {"must": [{"key": "lang", "match": {"value": "de"}}]}
+        QdrantRestClient(server).delete_points(mut, flt=flt)
+        pts = self._all_points(server, mut)
+        assert sorted(p["id"]["num"] for p in pts) == [0, 2, 4]
+        assert all(p["payload"]["lang"] == "en" for p in pts)
+
+    def test_set_payload_merges_typed_values(self, server, mut):
+        QdrantRestClient(server).set_payload(
+            mut, {"boosted": True, "score": 3}, ids=[2]
+        )
+        by_id = {p["id"]["num"]: p["payload"] for p in self._all_points(server, mut)}
+        assert by_id[2]["boosted"] is True and by_id[2]["score"] == 3  # typed
+        assert by_id[2]["rank"] == 2  # merge keeps unpatched keys
+        for i, payload in by_id.items():
+            if i != 2:
+                assert "boosted" not in payload
+
+    def test_set_payload_by_filter_counts_and_scopes(self, server, mut):
+        flt = {"must": [{"key": "lang", "match": {"value": "en"}}]}
+        QdrantRestClient(server).set_payload(mut, {"vetted": 1}, flt=flt)
+        by_id = {p["id"]["num"]: p["payload"] for p in self._all_points(server, mut)}
+        for i, payload in by_id.items():
+            assert ("vetted" in payload) == (i % 2 == 0)
+
+    def test_selector_contract(self, server, mut):
+        with pytest.raises(ValueError):
+            QdrantRestClient(server).delete_points(mut)
+        with pytest.raises(ValueError):
+            QdrantRestClient(server).set_payload(mut, {"x": 1}, ids=[1], flt={})
