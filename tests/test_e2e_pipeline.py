@@ -61,7 +61,7 @@ def run_pipeline(spark, sf_dir):
     scored = cleaned.withColumn("q12", q12)
     quality_kept = quality_percentile_filter(
         scored, "q12", by="source", keep_frac=0.8
-    )
+    ).localCheckpoint(eager=False)
 
     # 2a. LM-perplexity gate (CCNet shape): corpus-trained bigram LM,
     #     drop the worst-fluency decile (bucket 10 of 10).  Identical
@@ -70,7 +70,7 @@ def run_pipeline(spark, sf_dir):
     ppl = lm_perplexity(quality_kept, "text", "doc_id", n_buckets=10)
     ppl_kept = quality_kept.join(
         ppl.filter(F.col("ppl_bucket") < 10).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
 
     # 2b. TRAINED quality filter: hashed-BoW NB fit on a synthetic
     #     comparative label (docs not 'slow'-heavy = positive — the
@@ -93,11 +93,13 @@ def run_pipeline(spark, sf_dir):
     clf_kept = ppl_kept.join(
         nb_bow_predict(feats, model).filter("pred = 1").select("doc_id"),
         "doc_id",
-    )
+    ).localCheckpoint(eager=False)
 
     # 3. exact dedup: keep one row per distinct normalized content
     exact_ids = exact_dedup(clf_kept, "text", "doc_id").select("doc_id")
-    exact_kept = clf_kept.join(exact_ids, "doc_id")
+    exact_kept = clf_kept.join(exact_ids, "doc_id").localCheckpoint(
+        eager=False
+    )
 
     # 4. near-dup keep-best: MinHash pairs → components → quality argmax
     pairs = minhash_lsh_dups(
@@ -107,7 +109,7 @@ def run_pipeline(spark, sf_dir):
     canon = select_canonical(exact_kept, clusters, "doc_id", F.col("q12"))
     near_kept = exact_kept.join(
         canon.filter("kept").select(F.col("id").alias("doc_id")), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
 
     # 4a. substring-span gate AFTER document-level dedup: with whole-doc
     #     near-dups already collapsed, what the span stats flag now is
@@ -118,7 +120,9 @@ def run_pipeline(spark, sf_dir):
     heavy = spans.filter(
         F.col("covered_tokens") * 2 > F.col("n_tokens")
     ).select("doc_id")
-    span_kept = near_kept.join(heavy, "doc_id", "left_anti")
+    span_kept = near_kept.join(heavy, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
 
     # 4a'. paragraph-dedup rewrite: with whole-doc dups gone, drop every
     #      later occurrence of each distinct 4-word unit corpus-wide and
@@ -135,7 +139,7 @@ def run_pipeline(spark, sf_dir):
             "doc_id", F.col("kept_text").alias("text")
         ),
         "doc_id",
-    )
+    ).localCheckpoint(eager=False)
 
     # 4b. SemDeDup: embedding-level semantic duplicates (paraphrases the
     #     token-level stages cannot see).  The synthetic fixture keys
@@ -147,14 +151,14 @@ def run_pipeline(spark, sf_dir):
         sem.filter(F.col("dropped") == 1).select(F.col("vec_id").alias("doc_id")),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
 
     # 5. decontaminate against a deterministic pseudo-benchmark
     benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     decon = decontaminate(sem_kept, benchmark, "text", "doc_id", k=5, min_hits=1)
     final = sem_kept.join(
         decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
 
     # 6. pack into training sequences; 7. split train/val/test;
     # 8. deterministic global shuffle = the training read order
