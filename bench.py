@@ -168,6 +168,7 @@ HEADLINE = [
     "source_formats_roundtrip",
     # round 11
     "v_search_udtf",
+    "v_centroid_udaf",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

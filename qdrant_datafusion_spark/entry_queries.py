@@ -2832,6 +2832,39 @@ QUERIES["group_centroids"] = group_centroids
 ORACLES["group_centroids"] = GROUP_CENTROIDS_SQL
 
 
+def v_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-label centroid as group_centroids, but through the
+    Spark-4 grouped-aggregate pandas UDF surface (SURVEY §2.10):
+    ``GROUP BY label`` with V_CENTROID(embedding), then posexplode to
+    the gate's long form.  The UDAF replicates the exact fixed-point
+    average (functions/agg_fns.py), so the oracle is group_centroids'
+    verbatim — the two paths must agree bit-for-bit.  Production path
+    at 100 TB stays the native partial aggregation (a grouped-agg UDF
+    ships whole groups); this gate proves the registration hook."""
+    from qdrant_datafusion_spark.functions.agg_fns import v_centroid
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # Spark disallows mixing a grouped-agg pandas UDF with non-pandas
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count rides a separate native groupBy joined back on label
+    cent = emb.groupBy("label").agg(
+        v_centroid(F.col("embedding").cast("array<double>")).alias("c")
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    return (
+        cent.join(counts, "label")
+        .select("label", F.posexplode("c").alias("pos", "m"), "n")
+        .select("label", F.col("pos").cast("int").alias("pos"), "m", "n")
+    )
+
+
+QUERIES["v_centroid_udaf"] = v_centroid_udaf
+# the UDAF path must match the native-aggregation oracle verbatim
+ORACLES["v_centroid_udaf"] = GROUP_CENTROIDS_SQL
+
+
 # ---------------------------------------------------------------------------
 # Training-data assembly pipeline (operators/pipeline.py): deterministic
 # splits, benchmark decontamination, repetition quality, sequence packing
@@ -10140,13 +10173,13 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      whole stale tail deferred by the round-10 rotation (the verdict's
 #      round-11 task #1: after this round no registered query's newest
 #      driver evidence may predate round 8);
-#   3. 16 of the 45 r8-vintage rows, alphabetically first (graph_* are
+#   3. 15 of the 45 r8-vintage rows, alphabetically first (graph_* are
 #      already in region 1) — the rest stay r8-fresh and rotate next
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
     # -- 1: changed or born this round
-    "v_search_udtf",
+    "v_search_udtf", "v_centroid_udaf",
     "text_quality_classifier", "text_classifier_pr",
     "streaming_paragraph_ingest",
     "graph_pagerank", "graph_trustrank",
@@ -10168,7 +10201,7 @@ _RUN_FIRST = [
     "dedup_substring", "embed_jl_project", "match_text_topk",
     "multimodal_audio_dups", "multimodal_cross_dups",
     "pipeline_hash_split", "pipeline_mix_datasets",
-    "pipeline_stratified_sample", "pipeline_token_budget",
+    "pipeline_stratified_sample",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -252,6 +252,13 @@ def register_all(spark: SparkSession) -> None:
         _udtf(VSearchTable, returnType=V_SEARCH_TABLE_SCHEMA),
     )
 
+    # SURVEY §2.10 UDAF hook: grouped-aggregate pandas UDF form of the
+    # group-centroid computation; see functions/agg_fns.py for the exact
+    # fixed-point contract and the 100 TB production-path note
+    from qdrant_datafusion_spark.functions.agg_fns import v_centroid
+
+    spark.udf.register("V_CENTROID", v_centroid)
+
     # V_RANDOM is SQL-defined over native rand() — fully JVM-side, no
     # Python boundary.  Spark rejects SQL UDFs inside Sort, so the
     # corpus's ``ORDER BY V_RANDOM()`` idiom (tests/bin/tests.sql:310-320)

@@ -346,6 +346,48 @@ class TestSqlRegistry:
         ).count()
         assert pre <= 2 * 4
 
+    def test_udaf_grouped_centroid_from_sql(self, spark):
+        """SURVEY §2.10 UDAF hook: V_CENTROID is a grouped-aggregate
+        pandas UDF callable from SQL GROUP BY; its exact fixed-point
+        average must agree bit-for-bit with the independent per-dim
+        decimal reference."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from qdrant_datafusion_spark.functions import register_all
+
+        register_all(spark)
+        rows = [(0, [1.0, 2.5]), (0, [2.0, 0.5]), (1, [0.1, 0.2]),
+                (0, None), (1, [0.2, 0.1])]
+        spark.createDataFrame(
+            rows, "g int, v array<double>"
+        ).createOrReplaceTempView("_udaf_t")
+        got = {
+            r.g: r.c
+            for r in spark.sql(
+                "SELECT g, V_CENTROID(v) AS c FROM _udaf_t "
+                "WHERE v IS NOT NULL GROUP BY g"
+            ).collect()
+        }
+
+        def ref(vecs):
+            q12 = Decimal("1e-12")
+            sums = [0] * len(vecs[0])
+            for v in vecs:
+                for i, x in enumerate(v):
+                    sums[i] += int(
+                        Decimal(repr(x)).quantize(q12, rounding=ROUND_HALF_UP)
+                        * 10**12
+                    )
+            q = len(vecs) * 10**6
+            return [
+                ((-((2 * abs(s) + q) // (2 * q)))
+                 if s < 0 else ((2 * abs(s) + q) // (2 * q))) / 1e6
+                for s in sums
+            ]
+
+        assert got[0] == ref([[1.0, 2.5], [2.0, 0.5]]) == [1.5, 1.5]
+        assert got[1] == ref([[0.1, 0.2], [0.2, 0.1]])
+
     def test_json_named_getter_aliases(self, spark):
         """The reference registers the datafusion-functions-json getters
         by NAME (reference src/udfs.rs:13-16); SQL calling those names
