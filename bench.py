@@ -169,6 +169,7 @@ HEADLINE = [
     # round 11
     "v_search_udtf",
     "v_centroid_udaf",
+    "graph_hits",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in

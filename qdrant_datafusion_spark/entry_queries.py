@@ -4566,6 +4566,57 @@ QUERIES["graph_trustrank"] = graph_trustrank
 ORACLES["graph_trustrank"] = _pagerank_oracle_sql(seeds=TRUST_SEEDS, limit=50)
 
 
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the same corpus
+    kNN graph the pagerank pair uses (shared memoized edge table):
+    authorities = documents many neighborhoods point at (canonical —
+    keep), hubs = documents whose neighbor lists cover many authorities
+    (diversity-sampling seeds).  Integer L1-normalized iteration, so the
+    unrolled DuckDB oracle matches bit-for-bit; see operators.graph.hits
+    for the shuffle-shape and overflow arguments."""
+    from qdrant_datafusion_spark.operators.graph import hits
+
+    return hits(_knn_edges(spark, sf_dir), "src", "dst", iters=2)
+
+
+def _hits_oracle_sql(iters: int = 2, units: int = 10**6) -> str:
+    """Unrolled integer-HITS oracle: mirrors operators.graph.hits —
+    per half-iteration one edge⨝state sum and the HALF_UP
+    ``(2·v·units + S) // (2·S)`` L1 normalization."""
+    cte = _knn_edges_cte() + f""",
+nn AS (SELECT count(*) AS ncount FROM nodes),
+h0 AS (SELECT n, (2 * {units} + ncount) // (2 * ncount) AS h
+       FROM nodes CROSS JOIN nn)"""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        cte += f""",
+a{i}r AS (SELECT e.dd AS n, sum(p.h)::BIGINT AS v
+          FROM e JOIN {prev_h} p ON e.s = p.n GROUP BY 1),
+a{i}s AS (SELECT sum(v)::BIGINT AS s FROM a{i}r),
+a{i} AS (SELECT nodes.n,
+                ((2 * coalesce(r.v, 0) * {units} + t.s)
+                 // (2 * t.s))::BIGINT AS a
+         FROM nodes LEFT JOIN a{i}r r ON nodes.n = r.n CROSS JOIN a{i}s t),
+h{i}r AS (SELECT e.s AS n, sum(p.a)::BIGINT AS v
+          FROM e JOIN a{i} p ON e.dd = p.n GROUP BY 1),
+h{i}s AS (SELECT sum(v)::BIGINT AS s FROM h{i}r),
+h{i} AS (SELECT nodes.n,
+                ((2 * coalesce(r.v, 0) * {units} + t.s)
+                 // (2 * t.s))::BIGINT AS h
+         FROM nodes LEFT JOIN h{i}r r ON nodes.n = r.n CROSS JOIN h{i}s t)"""
+        prev_h = f"h{i}"
+    return cte + f"""
+SELECT a{iters}.n AS node, a{iters}.a AS auth_units, h{iters}.h AS hub_units,
+       (a{iters}.a / {float(units)}) AS authority,
+       (h{iters}.h / {float(units)}) AS hub
+FROM a{iters} JOIN h{iters} ON a{iters}.n = h{iters}.n
+"""
+
+
+QUERIES["graph_hits"] = graph_hits
+ORACLES["graph_hits"] = _hits_oracle_sql()
+
+
 def v_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-10 (λ=0.7) against the shared literal query —
     the diversity-aware sibling of v_search_topk: picks trade relevance
@@ -10173,13 +10224,13 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      whole stale tail deferred by the round-10 rotation (the verdict's
 #      round-11 task #1: after this round no registered query's newest
 #      driver evidence may predate round 8);
-#   3. 15 of the 45 r8-vintage rows, alphabetically first (graph_* are
+#   3. 14 of the 45 r8-vintage rows, alphabetically first (graph_* are
 #      already in region 1) — the rest stay r8-fresh and rotate next
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
     # -- 1: changed or born this round
-    "v_search_udtf", "v_centroid_udaf",
+    "v_search_udtf", "v_centroid_udaf", "graph_hits",
     "text_quality_classifier", "text_classifier_pr",
     "streaming_paragraph_ingest",
     "graph_pagerank", "graph_trustrank",
@@ -10201,7 +10252,6 @@ _RUN_FIRST = [
     "dedup_substring", "embed_jl_project", "match_text_topk",
     "multimodal_audio_dups", "multimodal_cross_dups",
     "pipeline_hash_split", "pipeline_mix_datasets",
-    "pipeline_stratified_sample",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -2006,3 +2006,79 @@ class TestBpeEncodeViaWords:
         v = bpe_encode_via_words(apply_df, merges, vocab=vocab).collect()[0]
         assert d["token_ids"] == v["token_ids"]
         assert 0 in v["token_ids"]  # the unseen 'z' pieces hit <unk>
+
+
+class TestHits:
+    """operators.graph.hits — integer L1-normalized HITS (Kleinberg
+    1999); every assertion compares against a pure-Python fold of the
+    same HALF_UP integer algebra."""
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+
+    @staticmethod
+    def _reference(edges, iters, units=10**6):
+        def hu(a, b):
+            return (2 * a + b) // (2 * b)
+
+        nodes = sorted({n for e in edges for n in e})
+        N = len(nodes)
+        h = {n: hu(units, N) for n in nodes}
+        a = None
+        for _ in range(iters):
+            raw = {n: 0 for n in nodes}
+            for s, d in edges:
+                raw[d] += h[s]
+            tot = sum(raw.values())
+            a = {n: hu(raw[n] * units, tot) for n in nodes}
+            raw = {n: 0 for n in nodes}
+            for s, d in edges:
+                raw[s] += a[d]
+            tot = sum(raw.values())
+            h = {n: hu(raw[n] * units, tot) for n in nodes}
+        return a, h
+
+    def _run(self, spark, edges, **kw):
+        from qdrant_datafusion_spark.operators.graph import hits
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = hits(df, **kw).collect()
+        return (
+            {r.node: r.auth_units for r in rows},
+            {r.node: r.hub_units for r in rows},
+        )
+
+    def test_matches_integer_reference(self, spark):
+        for iters in (1, 2):
+            got_a, got_h = self._run(
+                spark, self.EDGES, iters=iters, materialize=False
+            )
+            ref_a, ref_h = self._reference(self.EDGES, iters)
+            assert got_a == ref_a
+            assert got_h == ref_h
+
+    def test_roles_separate(self, spark):
+        # node 3 is the in-degree magnet -> top authority; node 1 points
+        # at both high authorities -> top hub; L1 mass ~ units each side
+        got_a, got_h = self._run(spark, self.EDGES, iters=2)
+        assert max(got_a, key=got_a.get) == 3
+        assert max(got_h, key=got_h.get) == 1
+        assert abs(sum(got_a.values()) - 10**6) <= len(got_a)
+        assert abs(sum(got_h.values()) - 10**6) <= len(got_h)
+
+    def test_layout_and_materialize_independent(self, spark):
+        from qdrant_datafusion_spark.operators.graph import hits
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = {r.node: (r.auth_units, r.hub_units) for r in hits(df).collect()}
+        b = {
+            r.node: (r.auth_units, r.hub_units)
+            for r in hits(df.repartition(5), materialize=False).collect()
+        }
+        assert a == b
+
+    def test_bad_iters_raises(self, spark):
+        from qdrant_datafusion_spark.operators.graph import hits
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError):
+            hits(df, iters=0)
