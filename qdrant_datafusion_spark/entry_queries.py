@@ -4472,9 +4472,9 @@ rk AS (
          row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
   FROM scored
 ),
-e AS (SELECT id AS s, nbr_id AS dd FROM rk WHERE rank <= 5),
-nodes AS (SELECT s AS n FROM e UNION SELECT dd FROM e),
-dg AS (SELECT s, count(*) AS deg FROM e GROUP BY s)"""
+e AS MATERIALIZED (SELECT id AS s, nbr_id AS dd FROM rk WHERE rank <= 5),
+nodes AS MATERIALIZED (SELECT s AS n FROM e UNION SELECT dd FROM e),
+dg AS MATERIALIZED (SELECT s, count(*) AS deg FROM e GROUP BY s)"""
 
 
 def _pagerank_oracle_sql(
