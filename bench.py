@@ -556,10 +556,20 @@ def main() -> None:
     if control_spread <= 1.5:
         norm = round(r1_subset_sec * (r1_control_ref / control_min), 3)
         ratio_norm = round(norm / r1_subset_baseline, 3)
+        # continuity number: min-of-N vs the single-shot baseline — the
+        # r<=10 definition (median-of-3 vs a 1-observation baseline is
+        # biased against this repo; min is biased for it; report both)
+        ratio_norm_min = round(
+            r1_subset_min_sec
+            * (r1_control_ref / control_min)
+            / r1_subset_baseline,
+            3,
+        )
         ratio_bounds = None
     else:
         norm = None
         ratio_norm = None
+        ratio_norm_min = None
         # the pair disagrees too much for ONE number (measured round-10:
         # the spread is systematic JVM maturation — a fresh session
         # plateaus ~1.5x above the end-of-run control — not load), but
@@ -591,6 +601,7 @@ def main() -> None:
         "r1_subset_raw_ratio": round(r1_subset_sec / r1_subset_baseline, 3),
         "r1_subset_normalized_sec": norm,
         "r1_ratio_normalized": ratio_norm,
+        "r1_ratio_normalized_min": ratio_norm_min,
         "r1_ratio_bounds": ratio_bounds,
         "r1_subset_obs": {q: r1_obs[q] for q in sorted(r1_obs)},
         "r1_subset_spread": {q: r1_spread[q] for q in sorted(r1_spread)},
@@ -673,6 +684,7 @@ def main() -> None:
         "r1_subset_n": len(r1_med),
         "r1_subset_normalized_sec": detail["r1_subset_normalized_sec"],
         "r1_ratio_normalized": detail["r1_ratio_normalized"],
+        "r1_ratio_normalized_min": detail["r1_ratio_normalized_min"],
         "r1_ratio_bounds": detail["r1_ratio_bounds"],
         "control_first_sec": control_first,
         "control_last_sec": control_last,
