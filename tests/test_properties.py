@@ -871,3 +871,59 @@ class TestCdcMergeProperties:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+
+class TestHitsProperties:
+    """operators.graph.hits vs a pure-Python fold of the same integer
+    L1-normalized algebra, over random directed graphs — catches any
+    divergence between the distributed join/groupBy formulation and the
+    sequential definition (sum order, absent-key handling, HALF_UP
+    boundaries)."""
+
+    graphs = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+
+    @staticmethod
+    def _reference(edges, iters, units=10**6):
+        def hu(a, b):
+            return (2 * a + b) // (2 * b)
+
+        nodes = sorted({n for e in edges for n in e})
+        h = {n: hu(units, len(nodes)) for n in nodes}
+        a = None
+        for _ in range(iters):
+            raw = {n: 0 for n in nodes}
+            for s, d in edges:
+                raw[d] += h[s]
+            tot = sum(raw.values())
+            a = {n: hu(raw[n] * units, tot) for n in nodes}
+            raw = {n: 0 for n in nodes}
+            for s, d in edges:
+                raw[s] += a[d]
+            tot = sum(raw.values())
+            h = {n: hu(raw[n] * units, tot) for n in nodes}
+        return a, h
+
+    @SETTINGS
+    @given(graphs)
+    def test_matches_pure_fold(self, spark, edges):
+        from qdrant_datafusion_spark.operators.graph import hits
+
+        df = spark.createDataFrame(list(edges), "src long, dst long")
+        rows = hits(df, iters=2, materialize=False).collect()
+        got_a = {r.node: r.auth_units for r in rows}
+        got_h = {r.node: r.hub_units for r in rows}
+        ref_a, ref_h = self._reference(list(edges), 2)
+        assert got_a == ref_a
+        assert got_h == ref_h
+        # L1 mass invariant: each side normalizes to ~units (HALF_UP
+        # quantization drifts at most 1 per node)
+        assert abs(sum(got_a.values()) - 10**6) <= len(got_a)
+        assert abs(sum(got_h.values()) - 10**6) <= len(got_h)
