@@ -45,6 +45,7 @@ DEFAULT_OPS = [
     "q_events_funnel",            # per-stage keyed join chain over shrinking state
     "text_source_profile",        # (source, token) count shuffle + shrinking aggs
     "graph_pagerank_autoplanes",  # integer PageRank iterations over the LSH graph
+    "graph_hits_autoplanes",      # HITS half-iterations + 1-row normalizer broadcasts
     "multimodal_phash_probe",     # PNG synth+decode+dHash map + banded join
     "multimodal_audio_probe",     # WAV synth+parse+energy hash + banded join
     "multimodal_video_probe",     # Y4M synth+demux+temporal hash + banded join
@@ -336,6 +337,21 @@ def _graph_pagerank_autoplanes(spark, sf_dir: str):
     return pagerank(edges, "src", "dst", iters=3)
 
 
+def _graph_hits_autoplanes(spark, sf_dir: str):
+    """Probe-only production form of graph_hits: same LSH-blocked graph
+    as the pagerank probe; measures the HITS half-iterations (edge join
+    + map-side-combined groupBy + 1-row normalizer broadcast per side)
+    on a linearly-built graph."""
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.graph import hits
+
+    edges = _ann_knn_graph_autoplanes(spark, sf_dir).select(
+        F.col("id").alias("src"), F.col("nbr_id").alias("dst")
+    )
+    return hits(edges, "src", "dst", iters=2)
+
+
 def _sketch_cms_autowidth(spark, sf_dir: str):
     """Production form of the CMS heavy-hitter pass: width scales with
     the distinct-key count (cms_auto_width) — the gate pins width=4096
@@ -603,6 +619,7 @@ def main() -> None:
         "ann_knn_graph_autoplanes": _ann_knn_graph_autoplanes,
         "dedup_semantic_autok": _dedup_semantic_autok,
         "graph_pagerank_autoplanes": _graph_pagerank_autoplanes,
+        "graph_hits_autoplanes": _graph_hits_autoplanes,
         "dedup_substring_salted": _dedup_substring_salted,
         "multimodal_phash_probe": _fingerprint_probe("image"),
         "multimodal_audio_probe": _fingerprint_probe("audio"),
