@@ -56,6 +56,12 @@ def v_centroid(v: pd.Series) -> list:
     dim = len(rows[0])
     sums = [0] * dim
     for r in rows:
+        if len(r) != dim:
+            # a silent partial mean over ragged vectors would be a wrong
+            # answer, not an error — fail loudly instead
+            raise ValueError(
+                f"V_CENTROID: ragged group (dim {len(r)} vs {dim})"
+            )
         for i, x in enumerate(r):
             sums[i] += _units(x)
     q = n * 10**6  # scale_in 12 -> out_scale 6
