@@ -301,11 +301,19 @@ def stream_near_dup_ingest(
         buckets = buckets.join(
             batch.select(F.col(id_col).alias("_id")), "_id", "left_semi"
         )
-        # 2. check against the accepted-history store
+        # 2. check against the accepted-history store.  Exclude THIS
+        # batch's own partition: on an at-least-once replay (sinks
+        # written, checkpoint not committed) the store already holds
+        # this batch's signatures — without the filter every survivor
+        # would look like a dup.  (The result happened to stay intact
+        # only because dynamic overwrite skips empty outputs; the
+        # exclusion makes the idempotence explicit, not accidental.)
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
-            store = spark.read.parquet(store_dir)
+            store = spark.read.parquet(store_dir).filter(
+                F.col("_batch_id") != F.lit(int(batch_id))
+            )
         except AnalysisException:  # first batch: PATH_NOT_FOUND only —
             store = None  # any other read failure must fail the batch
         if store is not None:
@@ -733,11 +741,14 @@ def stream_semantic_ingest(
             ).filter(F.col("_v").isNotNull())
 
         buckets = buckets_of(batch)
-        # 2. check against the accepted-history vector store
+        # 2. check against the accepted-history vector store — prior
+        # batches only (see the near-dup ingest replay note above)
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
-            store = spark.read.parquet(store_dir)
+            store = spark.read.parquet(store_dir).filter(
+                F.col("_batch_id") != F.lit(int(batch_id))
+            )
         except AnalysisException:  # first batch: PATH_NOT_FOUND only —
             store = None  # any other read failure must fail the batch
         if store is not None:

@@ -296,6 +296,48 @@ class TestStreamNearDupIngest:
         store_ids = {r._id for r in spark.read.parquet(store).collect()}
         assert store_ids == {1, 2, 12}
 
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """A fresh checkpoint re-delivers the same file = an at-least-once
+        replay AFTER the sinks wrote batch 0.  The replayed batch must
+        not see its own earlier store write (else every survivor looks
+        like a near-dup of itself) — out and store stay identical."""
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_near_dup_ingest,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        schema = "doc_id long, text string"
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog near the barn"),
+             (2, "completely unrelated content about spark query planning")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def drain(ck):
+            q = stream_near_dup_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                store, out, str(tmp_path / ck), threshold=0.5,
+            )
+            assert q.awaitTermination(120)
+
+        drain("ck1")
+        out_first = sorted(
+            map(tuple, spark.read.parquet(out).drop("_batch_id").collect())
+        )
+        store_first = sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        )
+        assert {r[0] for r in out_first} == {1, 2}
+        drain("ck2")
+        assert sorted(
+            map(tuple, spark.read.parquet(out).drop("_batch_id").collect())
+        ) == out_first
+        assert sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        ) == store_first
+
 
 class TestStreamApplyChanges:
     SCHEMA = "k long, seq long, op string, val string"
@@ -569,6 +611,46 @@ class TestStreamSemanticIngest:
         assert accepted == {1, 2, 12}
         store_ids = {r._id for r in spark.read.parquet(store).collect()}
         assert store_ids == {1, 2, 12}
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """Replay safety for the vector-store form: a fresh checkpoint
+        re-delivers batch 0 after its sinks wrote; the batch must not
+        match against its own earlier store partition."""
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_semantic_ingest,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        schema = "vec_id long, embedding array<float>"
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def drain(ck):
+            q = stream_semantic_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                store, out, str(tmp_path / ck), threshold=0.99,
+            )
+            assert q.awaitTermination(120)
+
+        drain("ck1")
+        out_first = sorted(
+            r.vec_id for r in spark.read.parquet(out).collect()
+        )
+        store_first = sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        )
+        assert out_first == [1, 2]
+        drain("ck2")
+        assert sorted(
+            r.vec_id for r in spark.read.parquet(out).collect()
+        ) == out_first
+        assert sorted(
+            map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+        ) == store_first
 
 
 class TestStreamingFunnel:
