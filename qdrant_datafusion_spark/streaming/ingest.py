@@ -12,6 +12,12 @@ Scale notes:
   (``dropDuplicates`` on a 32-char column), not the payload.
 - the collection writer is an append-mode parquet sink with checkpointing:
   exactly-once into the same directory layout CollectionCatalog reads.
+- custom stateful operators use ``applyInPandasWithState``.  Spark 4's
+  newer ``transformWithStateInPandas`` was evaluated as an alternate
+  path and works API-wise, but its driver-side state server requires
+  ``google.protobuf`` (broken in this environment) — revisit where
+  protobuf is installable; the state contracts here port directly
+  (ValueState of the same tuple the GroupState carries).
 """
 
 from __future__ import annotations
