@@ -438,7 +438,20 @@ def _ensure_sf1(
     return out_dir, round(time.time() - t0, 3)
 
 
+def _parse_repeat(argv: list[str]) -> int:
+    """Validate --repeat N up front — a bare trailing flag or a
+    non-numeric value must fail with a usage message BEFORE any warm-up
+    or timed work, not as an IndexError/ValueError an hour in."""
+    if "--repeat" not in argv:
+        return 3
+    i = argv.index("--repeat")
+    if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+        sys.exit("usage: bench.py [--repeat N]  (N = positive integer)")
+    return max(1, int(argv[i + 1]))
+
+
 def main() -> None:
+    repeat = _parse_repeat(sys.argv)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -485,9 +498,6 @@ def main() -> None:
     # the min is kept for continuity with r<=10 recordings (round-10
     # verdict task #4).  The full headline set stays single-shot to
     # bound wall time.
-    repeat = 3
-    if "--repeat" in sys.argv:
-        repeat = max(1, int(sys.argv[sys.argv.index("--repeat") + 1]))
     r1_obs: dict[str, list[float]] = {q: [timings[q]] for q in R1_SUBSET}
     for _ in range(repeat - 1):
         for name in R1_SUBSET:

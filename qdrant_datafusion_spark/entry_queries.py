@@ -794,22 +794,26 @@ def v_search_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits each partition's bounded top-k from terminate(), and the outer
     ORDER BY ... LIMIT refines n_partitions*k rows to the global answer
     (two-phase top-k — the UDTF never needs a single partition).  Oracle
-    is v_search_topk's verbatim: the two paths must agree exactly."""
+    is v_search_topk's verbatim: the two paths must agree exactly.
+
+    The query vector and k arrive via ``spark.sql`` named-parameter
+    binding (``:qjson`` / ``:k``), not string interpolation — the
+    convention for SQL built from runtime values."""
     import json as _json
 
     from qdrant_datafusion_spark.functions.registry import register_all
 
     register_all(spark)
     _t(spark, sf_dir, "embeddings").createOrReplaceTempView("_udtf_emb")
-    qjson = _json.dumps(QUERY_VEC)
     return spark.sql(
-        f"""
+        """
         SELECT vec_id, score
         FROM V_SEARCH_TABLE(
-          TABLE(SELECT vec_id, embedding FROM _udtf_emb), '{qjson}', 10)
+          TABLE(SELECT vec_id, embedding FROM _udtf_emb), :qjson, :k)
         ORDER BY score DESC, vec_id ASC
-        LIMIT 10
-        """
+        LIMIT :k
+        """,
+        args={"qjson": _json.dumps(QUERY_VEC), "k": 10},
     )
 
 
@@ -2848,13 +2852,19 @@ def v_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spark disallows mixing a grouped-agg pandas UDF with non-pandas
     # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row
-    # count rides a separate native groupBy joined back on label
+    # count rides a separate native groupBy joined back on label.
+    # eqNullSafe: a NULL-label group is one grouping key to both
+    # groupBys (and to the oracle's GROUP BY) — a plain equi-join would
+    # silently drop it
     cent = emb.groupBy("label").agg(
         v_centroid(F.col("embedding").cast("array<double>")).alias("c")
     )
-    counts = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    counts = emb.groupBy(F.col("label").alias("_label")).agg(
+        F.count("*").cast("long").alias("n")
+    )
     return (
-        cent.join(counts, "label")
+        cent.join(counts, F.col("label").eqNullSafe(F.col("_label")))
+        .drop("_label")
         .select("label", F.posexplode("c").alias("pos", "m"), "n")
         .select("label", F.col("pos").cast("int").alias("pos"), "m", "n")
     )

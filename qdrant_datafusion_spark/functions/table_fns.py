@@ -19,6 +19,18 @@ The in-heap ordering key is the ROUND-6 score (ties broken by smaller
 local eviction can never disagree with the global refine at a rounded
 tie boundary.
 
+Numeric contract: the score is computed with the SAME sequential
+left-fold summation order as the scalar kernel
+(``functions/distance.py`` ``_fsum`` = ``F.aggregate(zip_with(v, q, *),
+0.0, acc + x)``) — a plain element-order Python loop, NOT numpy BLAS
+dot (pairwise summation reorders the adds and can differ in the last
+ulp) — and rounded with decimal HALF_UP exactly as Spark's
+``round(double, 6)`` does (``BigDecimal.valueOf(x).setScale(6,
+HALF_UP)``; Python's builtin ``round`` is half-even and disagrees on
+exact .5e-6 boundaries).  So the UDTF path and the native
+``v_search_topk`` path agree bit-for-bit, not merely within round-6
+absorption.
+
 The reference exposes no table functions (SURVEY §2.10: none); this
 demonstrates the Spark-native UDTF registration hook.  The scalar-kernel
 top-k (``v_search_topk``) stays the production path at 100 TB — it is
@@ -29,12 +41,33 @@ pass over the corpus.
 from __future__ import annotations
 
 import json
-
-import numpy as np
+from decimal import ROUND_HALF_UP, Decimal
+from math import sqrt
 
 #: DDL return schema for registration (kept next to the class so the
 #: registry and tests cannot drift)
 V_SEARCH_TABLE_SCHEMA = "vec_id bigint, score double"
+
+_SIX = Decimal("0.000001")
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's round(double, 6): shortest-decimal repr, then HALF_UP.
+
+    ``BigDecimal.valueOf(x)`` goes through ``Double.toString`` (shortest
+    round-trip decimal); Python's ``repr(float)`` is the same shortest
+    representation, and ``Decimal`` parses its exponent forms.
+    """
+    return float(Decimal(repr(x)).quantize(_SIX, rounding=ROUND_HALF_UP))
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold dot product, matching the scalar kernel's
+    ``F.aggregate(zip_with(a, b, *), 0.0, acc + x)`` summation order."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
 
 
 class VSearchTable:
@@ -48,7 +81,7 @@ class VSearchTable:
     """
 
     def __init__(self) -> None:
-        self._q: np.ndarray | None = None
+        self._q: list[float] | None = None
         self._qn: float = 0.0
         self._k: int = 0
         # min-heap on (round6 score, -vec_id): the root is the WORST of
@@ -57,17 +90,16 @@ class VSearchTable:
 
     def eval(self, row, query_json: str, k: int) -> None:
         if self._q is None:
-            self._q = np.asarray(json.loads(query_json), dtype=np.float64)
-            self._qn = float(np.sqrt(self._q @ self._q))
+            self._q = [float(x) for x in json.loads(query_json)]
+            self._qn = sqrt(_fold_dot(self._q, self._q))
             self._k = int(k)
         emb = row["embedding"]
         if emb is None:
             return
-        v = np.asarray(emb, dtype=np.float64)
-        denom = float(np.sqrt(v @ v)) * self._qn
+        denom = sqrt(_fold_dot(emb, emb)) * self._qn
         if denom == 0.0:
             return  # zero vector: cosine undefined (scalar kernel -> NULL)
-        score = round(float(v @ self._q) / denom, 6)
+        score = _round6_half_up(_fold_dot(emb, self._q) / denom)
         import heapq
 
         item = (score, -int(row["vec_id"]), int(row["vec_id"]))

@@ -188,6 +188,17 @@ def hits(
     truncation).  ``units`` defaults to 1e6 so the normalization
     numerator ``2·a_raw·units`` stays far inside int64 for any graph
     with Σ out-degree ≤ ~4e12.
+
+    Node-count bounds: int64 caps Σ out-degree above (documented), and
+    the integer initial state ``(2·units + n) div (2·n)`` (HALF_UP of
+    ``units/n``) underflows to 0 once ``n_nodes > 2·units`` — every
+    first-pass ``a_raw`` would be 0 and the normalizer would divide by
+    zero.  That bound is enforced in-plan: a graph with more than
+    ``2·units`` nodes raises a loud error naming the fix (raise
+    ``units`` to at least ``n_nodes/2``) instead of an opaque ANSI
+    divide-by-zero.  At the default units=1e6 that admits 2M nodes;
+    production-scale graphs pass ``units=10**9`` (int64 then still
+    allows Σ out-degree ~4e9 per the numerator bound above).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -203,9 +214,19 @@ def hits(
         .distinct()
     )
     n_df = nodes.agg(F.count("*").alias("_nn"))
+    # in-plan guard: n_nodes > 2*units would underflow the integer 1/n
+    # initial state to 0 (see docstring) — fail loudly, no extra job
+    init_h = (
+        f"CASE WHEN _nn > 2 * {units}L THEN cast(assert_true(false,"
+        f" concat('hits(): graph has ', _nn, ' nodes > 2*units = ',"
+        f" 2 * {units}L, '; the integer initial state (2*units + n)"
+        f" div (2*n) underflows to 0 — pass units >= n_nodes/2'))"
+        f" AS bigint)"
+        f" ELSE (2 * {units}L + _nn) div (2 * _nn) END"
+    )
     state = (
         nodes.crossJoin(F.broadcast(n_df))
-        .select("_n", F.expr(f"(2 * {units}L + _nn) div (2 * _nn)").alias("_h"))
+        .select("_n", F.expr(init_h).alias("_h"))
     )
     if materialize:
         state = state.localCheckpoint(eager=False)

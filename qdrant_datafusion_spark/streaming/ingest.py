@@ -29,6 +29,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _guard_store_lifetime(spark, store_dir: str, batch_id: int) -> None:
+    """Fail loudly if ``store_dir`` predates this checkpoint lifetime.
+
+    The store-join ingests exclude the store partition whose
+    ``_batch_id`` equals the current batch id (the at-least-once replay
+    case: sinks wrote, checkpoint didn't commit).  That exclusion is
+    only sound while batch ids are monotone within one checkpoint
+    lifetime.  If a user deletes/resets the checkpoint directory but
+    keeps the store, batch ids restart at 0 and genuinely-historical
+    partitions alias the "my own replay" case — silently re-admitting
+    duplicates.  Batch ids commit in order, so a store partition with
+    ``_batch_id`` GREATER than the current batch id can only mean a
+    reset: raise instead of corrupting the dedup contract.
+
+    Cost: one driver-side directory listing (partition names only), no
+    Spark job.  Residual (documented in each ingest's docstring): a
+    reset after a single-batch history is indistinguishable from a
+    legitimate replay of batch 0 by ids alone — a store directory is
+    bound to ONE checkpoint lifetime.
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if not fs.exists(path):
+        return
+    stale = [
+        int(name.split("=", 1)[1])
+        for st in fs.listStatus(path)
+        if (name := st.getPath().getName()).startswith("_batch_id=")
+        and name.split("=", 1)[1].isdigit()
+        and int(name.split("=", 1)[1]) > batch_id
+    ]
+    if stale:
+        raise ValueError(
+            f"store {store_dir!r} holds partitions from a future batch "
+            f"id ({max(stale)} > current {batch_id}): the checkpoint "
+            "was reset against an existing store. A store directory is "
+            "bound to one checkpoint lifetime — start a fresh store "
+            "(or restore the original checkpoint) instead of silently "
+            "re-admitting duplicates."
+        )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -256,7 +301,12 @@ def stream_near_dup_ingest(
     at-least-once, so both sinks write ``_batch_id``-partitioned parquet
     with dynamic partition overwrite: a replayed batch overwrites its own
     partition instead of appending twice — idempotent output without a
-    table format.
+    table format.  The store directory is bound to ONE
+    checkpoint lifetime: resetting the checkpoint against an
+    existing store restarts batch ids at 0, aliasing historical
+    partitions with the replay exclusion — ``_guard_store_lifetime``
+    detects this (any store partition with a future batch id) and
+    fails loudly instead of silently re-admitting duplicates.
 
     ``max_bucket_size`` caps the in-batch collapse's bucket join
     (same guard as `minhash_lsh_dups`); pass ``None`` for the exact
@@ -316,6 +366,7 @@ def stream_near_dup_ingest(
         # exclusion makes the idempotence explicit, not accidental.)
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        _guard_store_lifetime(spark, store_dir, int(batch_id))
         try:
             store = spark.read.parquet(store_dir).filter(
                 F.col("_batch_id") != F.lit(int(batch_id))
@@ -523,7 +574,9 @@ def stream_paragraph_ingest(
        newly accepted unit hashes (``uh``) to ``store_dir`` — both
        ``_batch_id``-partitioned with dynamic partition overwrite, so a
        replayed batch overwrites itself (idempotent under foreachBatch's
-       at-least-once contract).
+       at-least-once contract).  The store directory is bound to ONE checkpoint
+       lifetime (``_guard_store_lifetime`` fails loudly on a
+       checkpoint reset against an existing store).
 
     The store is 8 bytes per distinct accepted unit — the xxhash64
     convention of the incremental batch operator (widen to md5 if a
@@ -563,6 +616,7 @@ def stream_paragraph_ingest(
         )
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        _guard_store_lifetime(spark, store_dir, int(batch_id))
         try:
             # Exclude THIS batch's own partition: on an at-least-once
             # replay (failure after the sinks wrote but before the
@@ -673,7 +727,9 @@ def stream_semantic_ingest(
        the join (the store carries vectors, so no second lookup);
     3. novel rows and their bucket signatures append, both
        ``_batch_id``-partitioned with dynamic overwrite — a replayed
-       batch overwrites itself (idempotent, the at-least-once contract).
+       batch overwrites itself (idempotent, the at-least-once contract).  The store directory is bound to ONE checkpoint
+       lifetime (``_guard_store_lifetime`` fails loudly on a
+       checkpoint reset against an existing store).
 
     ``bucket_planes`` defaults to
     :func:`~qdrant_datafusion_spark.operators.dedup.auto_bucket_planes`
@@ -751,6 +807,7 @@ def stream_semantic_ingest(
         # batches only (see the near-dup ingest replay note above)
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        _guard_store_lifetime(spark, store_dir, int(batch_id))
         try:
             store = spark.read.parquet(store_dir).filter(
                 F.col("_batch_id") != F.lit(int(batch_id))

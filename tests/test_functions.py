@@ -346,6 +346,31 @@ class TestSqlRegistry:
         ).count()
         assert pre <= 2 * 4
 
+    def test_udtf_score_matches_spark_round_half_up(self, spark):
+        """The UDTF rounds with decimal HALF_UP like Spark's
+        round(double, 6) — NOT Python's half-even builtin.  A score
+        landing exactly on a .5e-6 boundary must round UP on both
+        paths (0.1234565 -> 0.123457, where round() gives 0.123456)."""
+        from qdrant_datafusion_spark.functions.table_fns import (
+            _fold_dot,
+            _round6_half_up,
+        )
+
+        assert _round6_half_up(0.1234565) == 0.123457
+        assert round(0.1234565, 6) == 0.123456  # builtin disagrees
+        spark_r = spark.sql(
+            "SELECT round(CAST(0.1234565 AS DOUBLE), 6) AS r"
+        ).first().r
+        assert spark_r == _round6_half_up(0.1234565)
+        # and the fold order is the scalar kernel's sequential left
+        # fold, not a reordered pairwise sum
+        v = [1e16, 1.0, -1e16, 1.0]
+        q = [1.0, 1.0, 1.0, 1.0]
+        seq = 0.0
+        for x, y in zip(v, q):
+            seq += x * y
+        assert _fold_dot(v, q) == seq
+
     def test_udaf_grouped_centroid_from_sql(self, spark):
         """SURVEY §2.10 UDAF hook: V_CENTROID is a grouped-aggregate
         pandas UDF callable from SQL GROUP BY; its exact fixed-point

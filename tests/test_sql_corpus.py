@@ -248,6 +248,24 @@ LIMIT 3;
         assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
         assert rows[0].score == pytest.approx(1.0)  # exact vector match
 
+    def test_v_search_with_bound_parameters(self, spark, corpus_view):
+        """A V_* query with spark.sql named-parameter binding: the query
+        vector and k arrive via args= (:q / :k), never f-string
+        interpolation — the convention for SQL built from runtime
+        values (the v_search_udtf gate binds the same way)."""
+        rows = spark.sql(
+            """
+            SELECT id, V_SEARCH(text_embedding, :q) AS score
+            FROM collection_name
+            ORDER BY score DESC, id
+            LIMIT :k
+            """,
+            args={"q": [0.1, 0.9], "k": 3},
+        ).collect()
+        assert len(rows) == 3
+        assert rows[0].id == "43cf51e2-8777-4f52-bc74-c2cbde0c8b04"
+        assert rows[0].score == pytest.approx(1.0)
+
     def test_search_by_point_id_verbatim(self, spark, corpus_view):
         # tests/bin/tests.sql:21-25
         rows = self._run(spark, corpus_view, """

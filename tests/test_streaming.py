@@ -338,6 +338,47 @@ class TestStreamNearDupIngest:
             map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
         ) == store_first
 
+    def test_checkpoint_reset_against_store_fails_loudly(
+        self, spark, tmp_path
+    ):
+        """A checkpoint reset after a MULTI-batch history restarts batch
+        ids at 0 while the store still holds _batch_id=1 — the replay
+        exclusion would alias history as 'my own replay' and re-admit
+        dups.  _guard_store_lifetime must fail the batch instead."""
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_near_dup_ingest,
+        )
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        store = str(tmp_path / "store")
+        schema = "doc_id long, text string"
+
+        def drain(ck):
+            q = stream_near_dup_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                store, out, str(tmp_path / ck), threshold=0.5,
+            )
+            assert q.awaitTermination(120)
+
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog near the barn")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain("ck1")
+        spark.createDataFrame(
+            [(2, "completely unrelated content about spark query planning")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain("ck1")  # same checkpoint: batch 1 -> store has _batch_id=1
+        with pytest.raises(StreamingQueryException, match="checkpoint"):
+            drain("ck_reset")  # fresh checkpoint restarts at batch 0
+
 
 class TestStreamApplyChanges:
     SCHEMA = "k long, seq long, op string, val string"
