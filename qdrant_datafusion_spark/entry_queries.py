@@ -47,6 +47,7 @@ from qdrant_datafusion_spark.functions.text import (
 from qdrant_datafusion_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
+    minhash_buckets,
     minhash_hot_buckets,
     minhash_lsh_dups,
     ngram_jaccard_dups,
@@ -1215,6 +1216,31 @@ WHERE {_J_INTER} > 0
 """
 
 
+#: (sf_dir -> (session, pinned bucket table)).  Five MinHash gates share
+#: ONE signature/bucket build per (session, sf_dir) — the _knn_edges memo
+#: pattern.  All five use the same build parameters (k=3, 32 hashes, 16
+#: bands); per-gate differences (cap, corpus/batch split, boilerplate
+#: union) are derived FROM the table, never by rebuilding it.  The
+#: library mirror of this harness memo is the persisted signature table
+#: (dedup.minhash_buckets + write.bucketBy) a production deployment
+#: maintains across ingests.
+_MINHASH_BUCKETS_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _doc_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash bucket table over documents at the shared gate
+    parameters, built once per (session, sf_dir) and eagerly pinned."""
+    hit = _MINHASH_BUCKETS_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = _t(spark, sf_dir, "documents")
+    b = minhash_buckets(
+        docs, "text", "doc_id", k=3, num_hashes=32, bands=16
+    ).localCheckpoint(eager=True)
+    _MINHASH_BUCKETS_MEMO[sf_dir] = (spark, b)
+    return b
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
     The oracle is the *exact* Jaccard pair set — this asserts the LSH stage
@@ -1225,7 +1251,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract, so the gate must run it; production keeps the skew cap
     pairs = minhash_lsh_dups(
         docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2,
-        max_bucket_size=None,
+        max_bucket_size=None, buckets=_doc_minhash_buckets(spark, sf_dir),
     )
     return pairs.select(
         "id_a", "id_b", _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard")
@@ -3842,6 +3868,32 @@ def _skew_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, int
     return docs.unionByName(boiler), n_docs, boiler_n
 
 
+def _skew_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket table for the skewed fixture = the memoized documents
+    table ∪ a boilerplate-only build (per-doc independence makes the
+    union exact) — the organic half is never re-shingled."""
+    key = sf_dir + "#skew"
+    hit = _MINHASH_BUCKETS_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    _, n_docs, boiler_n = _skew_fixture(spark, sf_dir)
+    boiler = spark.range(1, boiler_n + 1).select(
+        (F.lit(_BOILER_BASE) + F.col("id")).alias("doc_id"),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    b = (
+        _doc_minhash_buckets(spark, sf_dir)
+        .unionByName(
+            minhash_buckets(
+                boiler, "text", "doc_id", k=3, num_hashes=32, bands=16
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    _MINHASH_BUCKETS_MEMO[key] = (spark, b)
+    return b
+
+
 def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs WITH the hot-bucket cap active on the
     skewed fixture: the 2·n_docs-copy boilerplate bucket (> cap in all 16
@@ -3852,7 +3904,7 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dups(
         skewed, "text", "doc_id",
         k=3, num_hashes=32, bands=16, threshold=0.2,
-        max_bucket_size=cap,
+        max_bucket_size=cap, buckets=_skew_minhash_buckets(spark, sf_dir),
     )
     return pairs.select(
         "id_a", "id_b", _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard")
@@ -3868,6 +3920,7 @@ def dedup_minhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = minhash_hot_buckets(
         skewed, "text", "doc_id",
         k=3, num_hashes=32, bands=16, max_bucket_size=cap,
+        buckets=_skew_minhash_buckets(spark, sf_dir),
     )
     return hot.agg(
         F.count("*").alias("n_hot_buckets"),
@@ -4052,7 +4105,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production composes the capped form + minhash_hot_buckets audit.
     pairs = minhash_lsh_dups(
         docs, "text", "doc_id", k=3, num_hashes=32, bands=16, threshold=0.2,
-        max_bucket_size=None,
+        max_bucket_size=None, buckets=_doc_minhash_buckets(spark, sf_dir),
     )
     clusters = dup_clusters(pairs)
     q12 = (
@@ -8794,10 +8847,16 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # per-doc independence: the corpus/batch bucket tables are _id
+    # filters of the ONE memoized corpus-wide table — exactly the
+    # persisted-signature-table production pattern
+    all_b = _doc_minhash_buckets(spark, sf_dir)
     pairs = minhash_incremental_dups(
         corpus, batch, "text", "doc_id",
         k=3, num_hashes=32, bands=16, threshold=0.2,
         max_bucket_size=None,
+        corpus_buckets=all_b.filter(F.col("_id") % 10 != 0),
+        batch_buckets=all_b.filter(F.col("_id") % 10 == 0),
     )
     return pairs.select(
         "id_a",

@@ -38,6 +38,7 @@ from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
     dup_clusters,
     embedding_near_dups,
     exact_dedup,
+    minhash_buckets,
     minhash_incremental_dups,
     minhash_lsh_dups,
     sorted_neighborhood_pairs,

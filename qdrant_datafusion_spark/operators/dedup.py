@@ -257,6 +257,26 @@ def _hot_bucket_stats(
     )
 
 
+def minhash_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """The banded MinHash signature/bucket table ``(_id, _fp, bucket)``
+    — one row per (doc, band) — that every ``minhash_*`` entry point
+    builds internally.  Exposed so the EXPENSIVE stage (shingle → md5 →
+    signature) can run ONCE and be reused: persist it (production:
+    ``write.bucketBy("bucket")`` so downstream joins never re-shuffle)
+    or pin it in-session, then pass it back via the ``buckets=`` /
+    ``corpus_buckets=`` parameters.  Per-doc independent, so a row
+    filter on ``_id`` equals building the table on the filtered input —
+    one corpus-wide table serves any corpus/batch split."""
+    return _minhash_buckets(df, content_col, id_col, k, num_hashes, bands)
+
+
 def minhash_lsh_dups(
     df: DataFrame,
     content_col: str,
@@ -266,6 +286,7 @@ def minhash_lsh_dups(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -283,12 +304,15 @@ def minhash_lsh_dups(
     :func:`exact_dedup` first.  Returns (id_a, id_b, inter, n_union,
     jaccard) — integer numerator/denominator ride along as in
     :func:`ngram_jaccard_dups`.
+
+    ``buckets``: a precomputed :func:`minhash_buckets` table; when given,
+    the signature build is skipped (``df``/``content_col``/shingle
+    params are then unused — the caller owns their consistency with the
+    table's build).  The cap still applies here.
     """
-    buckets = _cap_hot_buckets(
-        _minhash_buckets(df, content_col, id_col, k, num_hashes, bands),
-        ["bucket"],
-        max_bucket_size,
-    )
+    if buckets is None:
+        buckets = _minhash_buckets(df, content_col, id_col, k, num_hashes, bands)
+    buckets = _cap_hot_buckets(buckets, ["bucket"], max_bucket_size)
 
     a = buckets.select(
         F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "bucket"
@@ -326,14 +350,14 @@ def minhash_hot_buckets(
     num_hashes: int = 32,
     bands: int = 16,
     max_bucket_size: int = 1000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, n_members) for every MinHash band bucket over the cap —
-    the audit companion to :func:`minhash_lsh_dups`'s skew guard."""
-    return _hot_bucket_stats(
-        _minhash_buckets(df, content_col, id_col, k, num_hashes, bands),
-        ["bucket"],
-        max_bucket_size,
-    )
+    the audit companion to :func:`minhash_lsh_dups`'s skew guard.
+    ``buckets``: precomputed :func:`minhash_buckets` table (see there)."""
+    if buckets is None:
+        buckets = _minhash_buckets(df, content_col, id_col, k, num_hashes, bands)
+    return _hot_bucket_stats(buckets, ["bucket"], max_bucket_size)
 
 
 def _minhash_buckets(
@@ -1190,6 +1214,8 @@ def minhash_incremental_dups(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket_size: int | None = 1000,
+    corpus_buckets: DataFrame | None = None,
+    batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: every near-dup pair INVOLVING the
     new ``batch`` — batch-vs-corpus and batch-vs-batch — without ever
@@ -1214,13 +1240,22 @@ def minhash_incremental_dups(
     member.  The hot-bucket cap applies to the COMBINED occupancy
     (a batch landing in an already-hot corpus bucket is exactly when
     the guard matters); pass ``None`` for the complete-pairs contract.
+
+    ``corpus_buckets``/``batch_buckets``: precomputed
+    :func:`minhash_buckets` tables — in production the corpus one IS the
+    persisted signature table described above; per-doc independence
+    means both can be ``_id`` filters of one corpus-wide table.
     """
-    corpus_b = _minhash_buckets(
-        corpus, content_col, id_col, k, num_hashes, bands
-    ).withColumn("_new", F.lit(False))
-    batch_b = _minhash_buckets(
-        batch, content_col, id_col, k, num_hashes, bands
-    ).withColumn("_new", F.lit(True))
+    if corpus_buckets is None:
+        corpus_buckets = _minhash_buckets(
+            corpus, content_col, id_col, k, num_hashes, bands
+        )
+    if batch_buckets is None:
+        batch_buckets = _minhash_buckets(
+            batch, content_col, id_col, k, num_hashes, bands
+        )
+    corpus_b = corpus_buckets.withColumn("_new", F.lit(False))
+    batch_b = batch_buckets.withColumn("_new", F.lit(True))
     buckets = _cap_hot_buckets(
         corpus_b.unionByName(batch_b), ["bucket"], max_bucket_size
     )

@@ -128,6 +128,54 @@ class TestDedup:
         }
         assert lsh == exact  # full recall at this banding + data scale
 
+    def test_minhash_precomputed_buckets_identical(self, docs):
+        """The persisted-signature-table path: a minhash_buckets table
+        passed back via buckets=/corpus_buckets= must give exactly the
+        internal build's answer, including the incremental split riding
+        _id filters of ONE corpus-wide table."""
+        from pyspark.sql import functions as F
+
+        from qdrant_datafusion_spark.operators.dedup import (
+            minhash_buckets,
+            minhash_incremental_dups,
+        )
+
+        table = minhash_buckets(docs, "text", "doc_id", 3, 32, 16)
+        direct = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_dups(
+                docs, "text", "doc_id", 3, num_hashes=32, bands=16,
+                threshold=0.2,
+            ).collect()
+        }
+        via_table = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_dups(
+                docs, "text", "doc_id", 3, num_hashes=32, bands=16,
+                threshold=0.2, buckets=table,
+            ).collect()
+        }
+        assert via_table == direct
+        corpus = docs.filter(F.col("doc_id") % 2 != 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 0)
+        incr_direct = {
+            (r.id_a, r.id_b)
+            for r in minhash_incremental_dups(
+                corpus, batch, "text", "doc_id", 3, num_hashes=32,
+                bands=16, threshold=0.2,
+            ).collect()
+        }
+        incr_split = {
+            (r.id_a, r.id_b)
+            for r in minhash_incremental_dups(
+                corpus, batch, "text", "doc_id", 3, num_hashes=32,
+                bands=16, threshold=0.2,
+                corpus_buckets=table.filter(F.col("_id") % 2 != 0),
+                batch_buckets=table.filter(F.col("_id") % 2 == 0),
+            ).collect()
+        }
+        assert incr_split == incr_direct
+
     def test_simhash_identical_texts_distance_zero(self, spark):
         rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zeta eta theta iota")]
         df = spark.createDataFrame(rows, "id long, text string")
