@@ -1258,6 +1258,32 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop cross-check: the SAME exact-Jaccard pair set as
+    dedup_minhash, but with the stock ``pyspark.ml`` MinHashLSH as the
+    candidate generator (seeded ⇒ deterministic) and the house
+    fingerprint kernel as the verify — proving a pipeline standardized
+    on MLlib's LSH primitives plugs into this engine and reaches the
+    identical answer.  Shares dedup_minhash's exact-pairs oracle
+    verbatim: at 32 single-row hash tables P(miss) = (1−J)^32 ≤ 1e-9
+    for the fixture's J ≥ 0.5 pairs, so full recall is the contract,
+    not a hope."""
+    from qdrant_datafusion_spark.operators.dedup import (
+        minhash_lsh_dups_mllib,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dups_mllib(
+        docs, "text", "doc_id", k=3, num_hash_tables=32, threshold=0.2,
+        seed=7,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 4 on 60-bit signatures) via exact
     block-permutation candidate search (5 blocks of 12 bits ⇒
@@ -1750,6 +1776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_mllib": dedup_minhash_mllib,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "text_quality": text_quality,
@@ -1801,6 +1828,8 @@ ORACLES: dict[str, str] = {
     # dedup_minhash intentionally shares the exact-jaccard oracle: LSH must
     # reach full recall for the verified-pairs contract to hold
     "dedup_minhash": DEDUP_JACCARD_SQL,
+    # the MLlib interop tier must reach the SAME exact pair set
+    "dedup_minhash_mllib": DEDUP_JACCARD_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "text_quality": TEXT_QUALITY_SQL,
@@ -10298,29 +10327,34 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: changed or born this round
-    "v_search_udtf", "v_centroid_udaf", "graph_hits",
-    "text_quality_classifier", "text_classifier_pr",
-    "streaming_paragraph_ingest",
-    "graph_pagerank", "graph_trustrank",
-    # -- 2: the complete r6-vintage tail (28)
-    "dedup_exact", "dedup_simhash", "match_text_tfidf",
-    "payload_contains", "pipeline_mix_temperature",
-    "pipeline_pack_sequences", "q14_promo_revenue", "q3_topk_revenue",
-    "q5_nation_revenue", "q_above_avg_orders", "q_anti_join",
-    "q_approx_distinct", "q_case_boost", "q_distinct_aggregates",
-    "q_events_funnel", "q_grouping_sets", "q_rollup", "q_salted_join",
-    "q_semi_join", "q_setops", "q_top_supplier_per_nation",
-    "q_value_histogram", "q_window_topk_per_group",
-    "streaming_collection_source", "streaming_dedup_survivors",
-    "streaming_funnel_conversion", "streaming_topk_values",
-    "v_random_sample",
-    # -- 3: oldest r8-vintage rows (alphabetical, 16)
-    "ann_knn_graph", "ann_pq_topk", "dedup_clusters", "dedup_keep_best",
-    "dedup_minhash", "dedup_ngram_jaccard", "dedup_semantic",
-    "dedup_substring", "embed_jl_project", "match_text_topk",
-    "multimodal_audio_dups", "multimodal_cross_dups",
-    "pipeline_hash_split", "pipeline_mix_datasets",
+    # -- 1: changed or born this round (9).  dedup_minhash_mllib is NEW
+    # (registry 174); the UDTF/UDAF gates changed kernels (sequential
+    # fold + HALF_UP; null-safe count join); graph_hits gained the
+    # in-plan node-count guard; the five MinHash gates now ride the
+    # shared memoized signature table — all need fresh driver evidence.
+    "dedup_minhash_mllib", "v_search_udtf", "v_centroid_udaf",
+    "graph_hits", "dedup_minhash", "dedup_minhash_capped",
+    "dedup_minhash_hot", "dedup_keep_best", "dedup_minhash_incremental",
+    # -- 2: the complete r8-vintage tail (31 — the round-11 vintage
+    # audit's full list; after this round no query's newest driver
+    # evidence predates round 9).  dedup_minhash (already in group 1)
+    # was r11-green; these 31 were last driver-graded in r8.
+    "pipeline_stratified_sample", "pipeline_token_budget",
+    "q1_pricing_summary", "q_approx_percentile", "q_asof_purchase_click",
+    "q_event_percentiles", "q_events_cohorts", "q_events_hourly",
+    "q_events_json", "q_events_json_variant", "q_events_sessions",
+    "q_group_having", "q_interval_signup_window", "quant_error_stats",
+    "streaming_hourly_counts", "streaming_near_dup_ingest",
+    "streaming_semantic_ingest", "streaming_sessions", "text_chunking",
+    "text_clean", "text_decontaminate", "text_dsir_select",
+    "text_perplexity", "text_repetition", "v_colbert_topk",
+    "v_discover_topk", "v_geo_decay_topk", "v_recommend_topk",
+    "v_search_dot_topk", "v_search_scalar_quant", "v_sparse_topk",
+    # -- 3: the oldest r9-vintage rows, alphabetical, filling to 50
+    "cdc_latest_state", "cdc_scd2_history", "dedup_embedding",
+    "dedup_fuzzy_incremental", "dedup_fuzzy_pairs",
+    "dedup_sorted_neighborhood", "layout_compaction_plan",
+    "layout_hilbert_prune", "layout_hilbert_value", "layout_zorder_prune",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

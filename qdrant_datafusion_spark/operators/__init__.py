@@ -41,6 +41,7 @@ from qdrant_datafusion_spark.operators.dedup import (  # noqa: F401
     minhash_buckets,
     minhash_incremental_dups,
     minhash_lsh_dups,
+    minhash_lsh_dups_mllib,
     sorted_neighborhood_pairs,
     ngram_jaccard_dups,
     paragraph_dedup_global,

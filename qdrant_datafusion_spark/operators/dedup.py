@@ -342,6 +342,100 @@ def minhash_lsh_dups(
     )
 
 
+def minhash_lsh_dups_mllib(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hash_tables: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    num_features: int = 1 << 22,
+) -> DataFrame:
+    """MLlib interop tier: near-dup pairs via the STOCK Spark primitive
+    (``pyspark.ml.feature.MinHashLSH.approxSimilarityJoin``) instead of
+    the house banded kernel — same output contract as
+    :func:`minhash_lsh_dups` (id_a, id_b, inter, n_union, jaccard).
+
+    Pipeline: k-word shingles → ``HashingTF(binary=True)`` sparse
+    membership vectors (bounded executor-side state — no driver
+    vocabulary, unlike CountVectorizer) → seeded ``MinHashLSH`` with
+    ``num_hash_tables`` single-row bands → ``approxSimilarityJoin`` at
+    Jaccard distance ``1 - threshold`` (candidates = any shared hash
+    table value; MLlib then filters on its exact vector Jaccard) → final
+    exact verify with the repo's md5 fingerprint-set kernel, inclusive
+    at ``jaccard >= threshold``.
+
+    The final house verify makes the emitted VALUES independent of two
+    MLlib artifacts: (a) ``approxSimilarityJoin`` filters strictly
+    ``< threshold`` where every gate contract is inclusive ``>=``, and
+    (b) a HashingTF index collision inside one document perturbs MLlib's
+    vector Jaccard by ~1/|union| — harmless at the join's slack
+    threshold, wrong to emit.  Recall is the MLlib banding's:
+    P(candidate) = 1 − (1−J)^tables (32 single-row tables ⇒ ≥ 0.999 at
+    J = 0.2), and the join is seeded ⇒ deterministic.
+
+    Scale: approxSimilarityJoin explodes ``num_hash_tables`` rows per
+    doc and shuffle-joins on the hash value — the same banded-bucket
+    join shape as the house kernel.  The house
+    :func:`minhash_lsh_dups` stays the production default (oracle-able
+    md5 hashing, Kirsch-Mitzenmacher derived hashes, multi-row band
+    width control, hot-bucket skew cap — MLlib exposes none of these);
+    this tier exists for pipelines standardized on ``pyspark.ml``
+    (SURVEY §2.3/§2.11 names the stock primitive).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    # house 60-bit md5 fingerprints of the SAME shingles ride along for
+    # the exact verify (word_shingles is already distinct per doc)
+    base = sh.withColumn(
+        "_fp",
+        F.transform(
+            "_sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ),
+    )
+    tf = HashingTF(
+        inputCol="_sh", outputCol="_vec", numFeatures=num_features,
+        binary=True,
+    )
+    vecs = tf.transform(base).select("_id", "_fp", "_vec")
+    lsh = MinHashLSH(
+        inputCol="_vec", outputCol="_hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    # +1e-6 slack: exact-boundary pairs (vector Jaccard == threshold)
+    # must reach the inclusive house verify, not die on MLlib's strict <
+    joined = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - threshold + 1e-6, distCol="_jd"
+    )
+    inter = F.size(
+        F.array_intersect(F.col("datasetA._fp"), F.col("datasetB._fp"))
+    )
+    union = (
+        F.size(F.col("datasetA._fp")) + F.size(F.col("datasetB._fp")) - inter
+    )
+    jac = inter.cast("double") / union
+    return (
+        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_hot_buckets(
     df: DataFrame,
     content_col: str,
@@ -855,6 +949,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iterations: int = 20,
     reliable: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id) with
     cluster_id = min member id.  This turns pairwise dedup output into
@@ -879,6 +974,10 @@ def dup_clusters(
     persists rounds to the configured checkpoint dir
     (``spark.sparkContext.setCheckpointDir`` — typically HDFS/S3) and
     survives executor loss at the cost of a write per round.
+
+    ``stats``: optional dict the call fills with ``{"rounds": r,
+    "converged": bool}`` — the observable the giant-component scale
+    probe asserts O(log diameter) convergence on.
     """
     import warnings
 
@@ -902,7 +1001,9 @@ def dup_clusters(
         F.col("src").alias("id"), F.col("src").alias("label")
     )
     changed = 0
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -947,6 +1048,9 @@ def dup_clusters(
         labels = new_cp
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     if changed != 0:
         warnings.warn(
             f"dup_clusters did not converge in {max_iterations} iterations; "

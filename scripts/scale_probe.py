@@ -595,6 +595,60 @@ def _layout_compaction_probe(spark, sf_dir: str):
     return compaction_plan(docs, "source", F.octet_length("text"), 1 << 20)
 
 
+def _dup_clusters_giant_probe(spark, sf_dir: str):
+    """Giant-component stress for dup_clusters: a boilerplate-heavy
+    crawl chains near-dups into ONE component spanning ~10% of docs
+    (doc A ~ doc B ~ doc C ... — each copy near its neighbors, the
+    whole family connected).  Model: a PATH graph over every 10th
+    doc_id, rank-adjacent — a path maximizes diameter per edge
+    (diameter = component size), the worst case for label propagation.
+    The claim under test is the pointer-doubling shortcut in
+    dup_clusters: rounds must grow O(log diameter) — ~doubling the
+    round count per DECADE of scale, never linearly — and wall must
+    stay ~linear in edges.  Pair GENERATION cost is probed elsewhere
+    (the paragraph-skew and LSH probes); this isolates propagation.
+
+    The chain is built with a global-rank window (single-partition sort
+    of n/10 longs — probe fixture construction, not the operator; at
+    100x that is ~500k rows, negligible next to the rounds).  Returns
+    one row (n_nodes, n_components, rounds, converged): n_components
+    must be 1 (the giant component actually formed) and rounds appears
+    in the JSON via rows printed to stderr.
+    """
+    import os
+    import sys as _sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.dedup import dup_clusters
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sel = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    ranked = sel.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("_r")
+    )
+    nxt = ranked.select(
+        (F.col("_r") + 1).alias("_r"), F.col("doc_id").alias("id_b")
+    )
+    chain = ranked.join(nxt, "_r").select(
+        F.col("doc_id").alias("id_a"), "id_b"
+    )
+    stats: dict = {}
+    labels = dup_clusters(chain, max_iterations=40, stats=stats)
+    n_nodes = labels.count()
+    n_components = labels.select("cluster_id").distinct().count()
+    print(
+        f"# dup_clusters_giant: nodes={n_nodes} components={n_components}"
+        f" rounds={stats['rounds']} converged={stats['converged']}",
+        file=_sys.stderr,
+    )
+    return spark.createDataFrame(
+        [(n_nodes, n_components, stats["rounds"], stats["converged"])],
+        "n_nodes long, n_components long, rounds long, converged boolean",
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -639,6 +693,7 @@ def main() -> None:
         "dedup_fuzzy_probe": _dedup_fuzzy_probe,
         "pipeline_qnorm_probe": _pipeline_qnorm_probe,
         "layout_compaction_probe": _layout_compaction_probe,
+        "dup_clusters_giant_probe": _dup_clusters_giant_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]

@@ -128,6 +128,30 @@ class TestDedup:
         }
         assert lsh == exact  # full recall at this banding + data scale
 
+    def test_minhash_mllib_interop_matches_house_kernel(self, docs):
+        """The stock pyspark.ml MinHashLSH tier must emit the identical
+        verified pair set (ids AND exact inter/union integers) as the
+        house banded kernel — the MLlib interop contract."""
+        from qdrant_datafusion_spark.operators.dedup import (
+            minhash_lsh_dups_mllib,
+        )
+
+        house = {
+            (r.id_a, r.id_b, r.inter, r.n_union)
+            for r in minhash_lsh_dups(
+                docs, "text", "doc_id", 3, num_hashes=32, bands=16,
+                threshold=0.2,
+            ).collect()
+        }
+        mllib = {
+            (r.id_a, r.id_b, r.inter, r.n_union)
+            for r in minhash_lsh_dups_mllib(
+                docs, "text", "doc_id", 3, num_hash_tables=32,
+                threshold=0.2, seed=7,
+            ).collect()
+        }
+        assert mllib == house
+
     def test_minhash_precomputed_buckets_identical(self, docs):
         """The persisted-signature-table path: a minhash_buckets table
         passed back via buckets=/corpus_buckets= must give exactly the
