@@ -1,13 +1,19 @@
-"""One-command curation-pipeline demo — the USAGE.md chain, runnable.
+"""One-command demo of BOTH engine halves — curation + vector index.
 
-Runs the SAME composed flow ``tests/test_e2e_pipeline.py`` asserts
-invariants over (one canonical definition, imported from there — this
-script adds only presentation): clean → per-source quality cut →
+Part 1 runs the SAME composed flow ``tests/test_e2e_pipeline.py``
+asserts invariants over (one canonical definition, imported from there —
+this script adds only presentation): clean → per-source quality cut →
 LM-perplexity gate → trained-NB gate → exact dedup → MinHash keep-best →
 substring-span gate → paragraph-dedup rewrite → SemDeDup →
 decontaminate → pack / split / deterministic global shuffle, on the
 sf0.01 fixtures (or $SPARK_GRAFT_SF_DIR), printing the stage-by-stage
 row counts USAGE.md promises.
+
+Part 2 runs the vector-index lifecycle ``tests/test_e2e_vector.py``
+gates: train IVF centroids (deterministic k-means) → assign cells →
+``write.partitionBy(ivf_cell)`` → partition-PRUNED probe of the
+written index (only nprobe of k cell directories are read) → recall
+and score parity vs the brute-force exact top-k.
 
 Usage: python scripts/demo_pipeline.py   (~1 min on local[32])
 """
@@ -79,6 +85,60 @@ def main() -> None:
     n_shuf = shuffled.count()
     print(f"{'shuffle':>14}  {n_shuf:>7} docs        deterministic global read "
           f"order (two-phase scan, no single-partition sort)")
+    print("=" * 72)
+
+    # ---- part 2: vector-index lifecycle (test_e2e_vector's chain) ----
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.operators.ann import (
+        assign_ivf_cells,
+        ivf_topk,
+        knn_bruteforce,
+        train_ivf_centroids,
+    )
+
+    print(f"\nvector-index lifecycle @ {sf_dir}\n" + "=" * 72)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    query = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").first()[0]
+    ]
+    k = 10
+    centroids = train_ivf_centroids(
+        emb, "embedding", k=8, iterations=3, id_col="vec_id"
+    )
+    print(f"{'train':>14}  {len(centroids):>7} IVF centroids (deterministic "
+          f"k-means, 3 iterations, bounded driver state)")
+    ivf_dir = tempfile.mkdtemp(prefix="demo_ivf_")
+    try:
+        assign_ivf_cells(emb, "embedding", centroids).write.partitionBy(
+            "ivf_cell"
+        ).parquet(os.path.join(ivf_dir, "table"))
+        written = spark.read.parquet(os.path.join(ivf_dir, "table"))
+        n_cells = written.select("ivf_cell").distinct().count()
+        print(f"{'write':>14}  {n_cells:>7} cell partitions "
+              f"(partitionBy(ivf_cell) -> partition-pruned probes)")
+        exact = {
+            r["vec_id"]: r["score"]
+            for r in knn_bruteforce(
+                emb, "embedding", query, k, id_col="vec_id"
+            ).collect()
+        }
+        probed = {
+            r["vec_id"]: r["score"]
+            for r in ivf_topk(
+                written, "embedding", query, centroids, k, nprobe=3,
+                id_col="vec_id",
+            ).collect()
+        }
+        hits = len(probed.keys() & exact.keys())
+        parity = all(probed[i] == exact[i] for i in probed.keys() & exact.keys())
+        print(f"{'probe':>14}  {hits:>6}/{k} recall@{k} at nprobe=3/8 "
+              f"(reads 3 of {n_cells} cell dirs); shared-id scores "
+              f"{'bit-identical' if parity else 'DIVERGED'} vs brute force")
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
     print("=" * 72)
     print(f"total wall: {time.time() - t0:.1f}s")
 
