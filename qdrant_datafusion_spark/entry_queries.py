@@ -1495,11 +1495,9 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-kNN join: each embedding's exact top-5 neighbors (the kNN-graph
     builder).  block_size=256 forces a multi-block GEMM grid at every SF so
-    the gate exercises the cross-block candidate path."""
-    from qdrant_datafusion_spark.operators.ann import self_knn_join
-
-    emb = _t(spark, sf_dir, "embeddings")
-    out = self_knn_join(emb, "embedding", "vec_id", k=5, block_size=256)
+    the gate exercises the cross-block candidate path.  Rides the
+    per-(session, sf_dir) memoized table the three graph gates share."""
+    out = _knn_table(spark, sf_dir)
     return out.select(
         "id", "nbr_id", "score", F.col("rank").cast("long").alias("rank")
     )
@@ -4513,25 +4511,32 @@ ORACLES["q_events_funnel"] = Q_EVENTS_FUNNEL_SQL
 _KNN_EDGES_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
-def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine kNN edge table over embeddings — the identical
-    edge construction graph_pagerank and graph_trustrank both start
-    from.  Built once per (session, sf_dir) and pinned with an eager
-    localCheckpoint (the _skew_fixture memo pattern), so the blocked-GEMM
-    scoring pass runs once per sweep instead of once per gate."""
+def _knn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine kNN table (id, nbr_id, score, rank) over
+    embeddings — the identical construction ann_knn_graph emits and
+    graph_pagerank / graph_trustrank / graph_hits start from.  Built
+    once per (session, sf_dir) and pinned with an eager localCheckpoint
+    (the _skew_fixture memo pattern), so the blocked-GEMM scoring pass
+    runs once per sweep instead of once per gate (round 12: widened
+    from the 2-col edge projection so the ann gate rides it too)."""
     hit = _KNN_EDGES_MEMO.get(sf_dir)
     if hit is not None and hit[0] is spark:
         return hit[1]
     from qdrant_datafusion_spark.operators.ann import self_knn_join
 
     emb = _t(spark, sf_dir, "embeddings")
-    edges = (
-        self_knn_join(emb, "embedding", "vec_id", k=5, block_size=256)
-        .select(F.col("id").alias("src"), F.col("nbr_id").alias("dst"))
-        .localCheckpoint(eager=True)
+    table = self_knn_join(
+        emb, "embedding", "vec_id", k=5, block_size=256
+    ).localCheckpoint(eager=True)
+    _KNN_EDGES_MEMO[sf_dir] = (spark, table)
+    return table
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (src, dst) edge projection of the memoized kNN table."""
+    return _knn_table(spark, sf_dir).select(
+        F.col("id").alias("src"), F.col("nbr_id").alias("dst")
     )
-    _KNN_EDGES_MEMO[sf_dir] = (spark, edges)
-    return edges
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
