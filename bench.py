@@ -60,6 +60,7 @@ HEADLINE = [
     "q_event_percentiles",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_mllib",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_lsh",
