@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_mllib",
+    "v_search_brp_mllib",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_lsh",

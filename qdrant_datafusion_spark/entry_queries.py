@@ -818,6 +818,41 @@ def v_search_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v_search_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop ANN: top-10 EUCLIDEAN neighbors of the query vector
+    via the stock BucketedRandomProjectionLSH.approxNearestNeighbors
+    (array_to_vector bridge, seeded ⇒ deterministic candidates), with
+    the emitted distance recomputed by the house euclid kernel.  The
+    oracle is the EXACT euclid top-10 — at the gate's bucket length the
+    seeded single-probe candidate set must contain the true top-10
+    (verified at all three SFs), the same full-recall contract the
+    MinHashLSH interop gate makes."""
+    from qdrant_datafusion_spark.operators.ann import knn_brp_mllib
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_brp_mllib(
+        emb, "embedding", QUERY_VEC, 10, id_col="vec_id",
+        num_hash_tables=10, bucket_length=2.0, seed=7,
+    )
+    return out.select(
+        "vec_id", F.round(F.col("distance"), 6).alias("distance")
+    )
+
+
+V_SEARCH_BRP_MLLIB_SQL = _emb_oracle_prelude() + """
+SELECT vec_id,
+       round(sqrt(list_dot_product(
+           list_transform(generate_series(1, len(embedding)),
+                          i -> embedding[i]::DOUBLE - qv[i]),
+           list_transform(generate_series(1, len(embedding)),
+                          i -> embedding[i]::DOUBLE - qv[i]))), 6) AS distance
+FROM embeddings, q
+WHERE embedding IS NOT NULL
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def v_search_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V_SEARCH with explicit dot metric."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1762,6 +1797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v_search_topk": v_search_topk,
     # same answer through the Spark-4 Python UDTF surface (SURVEY §2.10)
     "v_search_udtf": v_search_udtf,
+    "v_search_brp_mllib": v_search_brp_mllib,
     "v_search_dot_topk": v_search_dot_topk,
     "v_within_radius": v_within_radius,
     "v_recommend_topk": v_recommend_topk,
@@ -1813,6 +1849,8 @@ ORACLES: dict[str, str] = {
     "v_search_topk": V_SEARCH_TOPK_SQL,
     # the UDTF path must match the scalar-kernel top-k oracle verbatim
     "v_search_udtf": V_SEARCH_TOPK_SQL,
+    # the BRP interop ANN must reach the exact euclid top-10
+    "v_search_brp_mllib": V_SEARCH_BRP_MLLIB_SQL,
     "v_search_dot_topk": V_SEARCH_DOT_SQL,
     "v_within_radius": V_WITHIN_SQL,
     "v_recommend_topk": V_RECOMMEND_SQL,
@@ -10337,7 +10375,8 @@ _RUN_FIRST = [
     # fold + HALF_UP; null-safe count join); graph_hits gained the
     # in-plan node-count guard; the five MinHash gates now ride the
     # shared memoized signature table — all need fresh driver evidence.
-    "dedup_minhash_mllib", "v_search_udtf", "v_centroid_udaf",
+    "dedup_minhash_mllib", "v_search_brp_mllib", "v_search_udtf",
+    "v_centroid_udaf",
     "graph_hits", "dedup_minhash", "dedup_minhash_capped",
     "dedup_minhash_hot", "dedup_keep_best", "dedup_minhash_incremental",
     # -- 2: the complete r8-vintage tail (31 — the round-11 vintage
@@ -10359,7 +10398,7 @@ _RUN_FIRST = [
     "cdc_latest_state", "cdc_scd2_history", "dedup_embedding",
     "dedup_fuzzy_incremental", "dedup_fuzzy_pairs",
     "dedup_sorted_neighborhood", "layout_compaction_plan",
-    "layout_hilbert_prune", "layout_hilbert_value", "layout_zorder_prune",
+    "layout_hilbert_prune", "layout_hilbert_value",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -54,6 +54,70 @@ def knn_bruteforce(
 knn_join = batch_search  # exact batched kNN is the batch_search window plan
 
 
+def knn_brp_mllib(
+    collection: DataFrame,
+    vector_col: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "id",
+    num_hash_tables: int = 10,
+    bucket_length: float = 2.0,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib interop ANN tier: top-k EUCLIDEAN neighbors via the stock
+    ``pyspark.ml`` ``BucketedRandomProjectionLSH.approxNearestNeighbors``
+    (SURVEY §2.3 names the primitive; ``array_to_vector`` bridges the
+    ``array<float>`` column to ``VectorUDT``).
+
+    Candidates = rows sharing ANY of the ``num_hash_tables`` single-probe
+    bucket hashes with the query; MLlib refines them by exact distance.
+    The emitted ``distance`` is recomputed with the house euclid kernel
+    (``functions.distance.euclid_distance`` — the same sequential-fold
+    expression every V_* gate rounds), so values are engine-exact; rows
+    re-sort by (distance, id) for the deterministic total order.  Seeded
+    ⇒ the candidate set (hence recall) is deterministic.
+
+    Scale/honesty notes: single-probe BRP prunes by ~(collision prob)^1
+    per table — on corpora whose pairwise-distance spectrum is NARROW
+    (this repo's embeddings fixture: all pairs within [0.9, 1.4]) the
+    candidate set approaches the corpus and the win is small; the house
+    hyperplane-LSH cosine tier (``lsh_bucket_topk``,
+    ``embedding_near_dups(bucket_planes=)``) with corpus-scaled planes
+    remains the gated scale path.  A BRP *similarity join* on such a
+    spectrum would ship ~all-pairs structs, so only the ANN form is
+    exposed — the join-form stock interop is ``minhash_lsh_dups_mllib``
+    (Jaccard), where banding does prune.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    from qdrant_datafusion_spark.functions.distance import euclid_distance
+
+    q = [float(x) for x in query]
+    base = collection.filter(F.col(vector_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).alias("_arr"),
+        array_to_vector(F.col(vector_col).cast("array<double>")).alias("_v"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h",
+        numHashTables=num_hash_tables, bucketLength=bucket_length,
+        seed=seed,
+    )
+    model = lsh.fit(base)
+    nn = model.approxNearestNeighbors(
+        model.transform(base), Vectors.dense(q), k, distCol="_d"
+    )
+    return (
+        nn.select(
+            F.col("_id").alias(id_col),
+            euclid_distance(F.col("_arr"), q).alias("distance"),
+        )
+        .orderBy(F.asc("distance"), F.asc(id_col))
+    )
+
+
 def _centroid_id(vector_col: str, centroids: Sequence[Sequence[float]]) -> Column:
     """Index of the max-dot-product centroid (literal centroid list)."""
     scores = F.array(

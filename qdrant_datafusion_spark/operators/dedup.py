@@ -410,10 +410,15 @@ def minhash_lsh_dups_mllib(
         numHashTables=num_hash_tables, seed=seed,
     )
     model = lsh.fit(vecs)
+    # transform ONCE and pin: approxSimilarityJoin skips its internal
+    # transform when the hash column already exists, and the lazy
+    # localCheckpoint keeps the shingle+TF+hash lineage from running on
+    # BOTH branches of the self-join (measured ~2x on the gate)
+    hashed = model.transform(vecs).localCheckpoint(eager=False)
     # +1e-6 slack: exact-boundary pairs (vector Jaccard == threshold)
     # must reach the inclusive house verify, not die on MLlib's strict <
     joined = model.approxSimilarityJoin(
-        vecs, vecs, 1.0 - threshold + 1e-6, distCol="_jd"
+        hashed, hashed, 1.0 - threshold + 1e-6, distCol="_jd"
     )
     inter = F.size(
         F.array_intersect(F.col("datasetA._fp"), F.col("datasetB._fp"))

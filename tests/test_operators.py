@@ -422,6 +422,29 @@ class TestAnn:
         ).collect()
         assert len(out) == 5
 
+    def test_knn_brp_mllib_matches_exact_euclid(self, emb, rng_query):
+        """The stock MLlib BucketedRandomProjectionLSH ANN tier: at the
+        gate's bucket length the seeded candidate set must contain the
+        exact euclid top-k, and the emitted house-kernel distances must
+        equal the brute-force kernel's exactly."""
+        from qdrant_datafusion_spark.operators.ann import knn_brp_mllib
+
+        exact = {
+            (r.vec_id, round(-r.score, 6))
+            for r in knn_bruteforce(
+                emb, "embedding", rng_query, 10, metric="euclid",
+                id_col="vec_id",
+            ).collect()
+        }
+        got = {
+            (r.vec_id, round(r.distance, 6))
+            for r in knn_brp_mllib(
+                emb, "embedding", rng_query, 10, id_col="vec_id",
+                num_hash_tables=10, bucket_length=2.0, seed=7,
+            ).collect()
+        }
+        assert got == exact
+
 
 class TestFusionOperator:
     def test_rrf_prefers_doubly_ranked(self, spark):
