@@ -10370,11 +10370,13 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: changed or born this round (9).  dedup_minhash_mllib is NEW
-    # (registry 174); the UDTF/UDAF gates changed kernels (sequential
-    # fold + HALF_UP; null-safe count join); graph_hits gained the
-    # in-plan node-count guard; the five MinHash gates now ride the
-    # shared memoized signature table — all need fresh driver evidence.
+    # -- 1: changed or born this round (10).  dedup_minhash_mllib and
+    # v_search_brp_mllib are NEW (registry 175 — both stock-MLlib
+    # interop primitives); the UDTF/UDAF gates changed kernels
+    # (sequential fold + HALF_UP; null-safe count join); graph_hits
+    # gained the in-plan node-count guard; the five MinHash gates now
+    # ride the shared memoized signature table — all need fresh driver
+    # evidence.
     "dedup_minhash_mllib", "v_search_brp_mllib", "v_search_udtf",
     "v_centroid_udaf",
     "graph_hits", "dedup_minhash", "dedup_minhash_capped",
