@@ -447,9 +447,11 @@ def _parse_repeat(argv: list[str]) -> int:
     if "--repeat" not in argv:
         return 3
     i = argv.index("--repeat")
-    if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+    # plain-digit check: '-5' must be rejected with the usage message,
+    # not silently clamped to 1 (the promised contract is N >= 1)
+    if i + 1 >= len(argv) or not argv[i + 1].isdigit() or int(argv[i + 1]) < 1:
         sys.exit("usage: bench.py [--repeat N]  (N = positive integer)")
-    return max(1, int(argv[i + 1]))
+    return int(argv[i + 1])
 
 
 def main() -> None:
@@ -602,6 +604,26 @@ def main() -> None:
             )
             for c in (max(control_first, control_last), control_min)
         ]
+        # say WHY the point estimate is missing, loudly, so a run that
+        # loses normalization (round-12 driver run: spread 1.603) is
+        # self-explaining in the captured stderr.  Expected envelope on a
+        # quiet machine after the 6-untimed + min-of-3 control warmup:
+        # ~1.0-1.2; a busy/cold machine reads up to ~1.6 (JIT maturation
+        # + load).  The refusal is by design — it is NOT a benchmark
+        # failure; read r1_ratio_bounds as [worst-case, best-case].
+        print(
+            "# NORMALIZATION WITHHELD: control spread "
+            f"{control_spread} > 1.5 (first={control_first:.3f}s, "
+            f"last={control_last:.3f}s) — machine too noisy for a point "
+            "estimate; r1_ratio_normalized=null BY DESIGN. Honest bounds "
+            f"r1_ratio_bounds={ratio_bounds} (normalized by the slower / "
+            "faster control respectively; truth is inside). Raw ratio "
+            f"{round(r1_subset_sec / r1_subset_baseline, 3)} is "
+            "unnormalized. Re-run on a quiet machine for the point "
+            "estimate (expected spread envelope ~1.0-1.2 quiet, up to "
+            "~1.6 cold/loaded).",
+            file=sys.stderr,
+        )
     detail = {
         "metric": "headline_queries_total",
         "value": total,

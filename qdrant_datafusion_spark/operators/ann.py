@@ -73,9 +73,13 @@ def knn_brp_mllib(
     bucket hashes with the query; MLlib refines them by exact distance.
     The emitted ``distance`` is recomputed with the house euclid kernel
     (``functions.distance.euclid_distance`` — the same sequential-fold
-    expression every V_* gate rounds), so values are engine-exact; rows
-    re-sort by (distance, id) for the deterministic total order.  Seeded
-    ⇒ the candidate set (hence recall) is deterministic.
+    expression every V_* gate rounds), so values are engine-exact; the
+    call over-fetches ``2k`` candidates and takes the top-k after a
+    (distance, id) re-sort, so the emitted set is deterministic even
+    under distance ties at rank k (MLlib's own truncation has no id
+    tie-break).  Seeded ⇒ the candidate set (hence recall) is
+    deterministic; if the single-probe candidate set holds < k rows,
+    fewer than k rows are returned.
 
     Scale/honesty notes: single-probe BRP prunes by ~(collision prob)^1
     per table — on corpora whose pairwise-distance spectrum is NARROW
@@ -106,8 +110,17 @@ def knn_brp_mllib(
         seed=seed,
     )
     model = lsh.fit(base)
+    # over-fetch 2k: approxNearestNeighbors truncates to its k by
+    # MLlib's internal distCol with NO id tie-break, so asking for
+    # exactly k would let a distance tie at rank k pick rows
+    # nondeterministically (and the post-hoc sort could only order the
+    # rows MLlib already chose).  Fetching 2k and taking the top-k after
+    # the house-kernel (distance, id) re-sort makes the emitted SET
+    # deterministic under any tie narrower than k rows.  Under-k caveat
+    # remains inherent to single-probe LSH: if the candidate set itself
+    # holds < k rows, fewer than k rows come back.
     nn = model.approxNearestNeighbors(
-        model.transform(base), Vectors.dense(q), k, distCol="_d"
+        model.transform(base), Vectors.dense(q), 2 * k, distCol="_d"
     )
     return (
         nn.select(
@@ -115,6 +128,7 @@ def knn_brp_mllib(
             euclid_distance(F.col("_arr"), q).alias("distance"),
         )
         .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
     )
 
 

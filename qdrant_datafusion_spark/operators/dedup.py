@@ -415,10 +415,21 @@ def minhash_lsh_dups_mllib(
     # localCheckpoint keeps the shingle+TF+hash lineage from running on
     # BOTH branches of the self-join (measured ~2x on the gate)
     hashed = model.transform(vecs).localCheckpoint(eager=False)
-    # +1e-6 slack: exact-boundary pairs (vector Jaccard == threshold)
-    # must reach the inclusive house verify, not die on MLlib's strict <
+    # +1e-3 slack, two error sources to cover before the exact verify:
+    # (a) MLlib filters strictly < where the contract is inclusive >=,
+    # so exact-boundary pairs (vector Jaccard == threshold) need ANY
+    # positive slack; (b) a HashingTF index collision inside one doc
+    # perturbs MLlib's vector Jaccard by ~1/|union| — far larger than
+    # 1e-6 for small unions.  1e-3 keeps pairs with |union| >= ~1000
+    # shingles safe through one collision (and smaller unions collide
+    # with probability ~|doc|^2/2^22 ~ 1e-4); the house verify below
+    # re-filters EXACTLY, so widening the slack can only add candidates,
+    # never wrong emitted values.  Residual contract caveat: a pair whose
+    # true Jaccard is within the collision perturbation ABOVE threshold
+    # can still be pruned pre-verify — near-threshold recall is MLlib's,
+    # not exact; the house minhash_lsh_dups has no such boundary.
     joined = model.approxSimilarityJoin(
-        hashed, hashed, 1.0 - threshold + 1e-6, distCol="_jd"
+        hashed, hashed, 1.0 - threshold + 1e-3, distCol="_jd"
     )
     inter = F.size(
         F.array_intersect(F.col("datasetA._fp"), F.col("datasetB._fp"))

@@ -134,9 +134,14 @@ def main() -> None:
         }
         hits = len(probed.keys() & exact.keys())
         parity = all(probed[i] == exact[i] for i in probed.keys() & exact.keys())
+        # with zero shared ids the all(...) above is vacuously True —
+        # label parity n/a rather than claiming bit-identical on nothing
+        parity_label = (
+            ("bit-identical" if parity else "DIVERGED") if hits else "n/a (0 hits)"
+        )
         print(f"{'probe':>14}  {hits:>6}/{k} recall@{k} at nprobe=3/8 "
               f"(reads 3 of {n_cells} cell dirs); shared-id scores "
-              f"{'bit-identical' if parity else 'DIVERGED'} vs brute force")
+              f"{parity_label} vs brute force")
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
     print("=" * 72)
