@@ -2564,11 +2564,67 @@ SELECT id, nbr_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+#: DuckDB mirror of ann.planted_cluster_embeddings (group_size=4,
+#: noise_scale=0.01): per-dim centroid = md5-grid point in [-10, 10] keyed
+#: by (vec_id // 4, dim), plus 0.01x the raw embedding — elementwise
+#: arithmetic only, bit-identical to the Spark transform (verified 0
+#: element mismatches at every SF).
+_CLUSTERED_EMB_SQL = """
+  SELECT vec_id,
+         list_transform(range(1, 1 + len(embedding)),
+           i -> ((('0x' || substr(md5((vec_id // 4)::VARCHAR || '_'
+                                      || i::VARCHAR), 1, 8))::BIGINT
+                  % 2001 - 1000) / 100.0)
+                + 0.01 * embedding[i]::DOUBLE) AS cemb
+  FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
+def dedup_embedding_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-MLlib euclidean similarity JOIN on the planted-cluster
+    fixture: BucketedRandomProjectionLSH.approxSimilarityJoin generates
+    candidates, the house sequential-fold euclid kernel verifies and
+    scores (round-12 verdict task 1 — the join form the flat raw-fixture
+    spectrum could not demonstrate; ``ann.planted_cluster_embeddings``
+    plants wide inter/intra separation: intra ~0.01-0.017 vs inter ~46).
+    Oracle = EXACT all-pairs euclid at radius 0.05, so the gate pins
+    FULL recall of the seeded bucketed join (P(miss) ≲ 4e-8/pair at
+    bucket length 0.1), while the probe (scale_probe.py brp_clustered)
+    measures the candidate-mass pruning the buckets buy."""
+    from qdrant_datafusion_spark.operators.ann import (
+        planted_cluster_embeddings,
+    )
+    from qdrant_datafusion_spark.operators.dedup import (
+        embedding_near_dups_brp,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = planted_cluster_embeddings(emb, "embedding", "vec_id")
+    pairs = embedding_near_dups_brp(
+        c, "cemb", "vec_id", radius=0.05,
+        num_hash_tables=4, bucket_length=0.1, seed=7,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("dist"), 6).alias("dist")
+    )
+
+
+DEDUP_EMBEDDING_BRP_SQL = f"""
+WITH c AS ({_CLUSTERED_EMB_SQL})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_distance(a.cemb, b.cemb), 6) AS dist
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_distance(a.cemb, b.cemb) <= 0.05
+"""
+
+
 QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh
 QUERIES["dedup_embedding_recall"] = dedup_embedding_recall
+QUERIES["dedup_embedding_brp"] = dedup_embedding_brp
 QUERIES["ann_knn_graph_blocked"] = ann_knn_graph_blocked
 ORACLES["dedup_embedding_lsh"] = DEDUP_EMBEDDING_LSH_SQL
 ORACLES["dedup_embedding_recall"] = DEDUP_EMBEDDING_RECALL_SQL
+ORACLES["dedup_embedding_brp"] = DEDUP_EMBEDDING_BRP_SQL
 ORACLES["ann_knn_graph_blocked"] = ANN_KNN_GRAPH_BLOCKED_SQL
 
 # ===========================================================================

@@ -223,6 +223,66 @@ def lsh_bucket_topk(
     )
 
 
+def planted_cluster_embeddings(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    group_size: int = 4,
+    noise_scale: float = 0.01,
+    out_col: str = "cemb",
+) -> DataFrame:
+    """Deterministic PLANTED-CLUSTER transform of an embedding column —
+    the evaluation fixture for approximate-join recall/pruning claims.
+
+    Every ``group_size`` consecutive ids form one cluster; the cluster's
+    centroid coordinate ``d`` (1-based) is an md5-derived grid point in
+    [-10, 10] (``(bigint(md5(cluster || '_' || d)[:8]) % 2001 - 1000) /
+    100.0`` — the repo's cross-engine hash trick, bit-identical in
+    DuckDB), and each member is ``centroid + noise_scale * embedding``.
+    On this repo's synthetic embeddings (all pairwise distances in
+    [0.9, 1.4]) that yields intra-cluster euclid distances of
+    ``~noise_scale * [0.9, 1.4]`` versus inter-cluster distances of
+    ~sqrt(2·dim·Var[U(-10,10)]) ≈ 46 at dim 64 — the wide separation the
+    flat fixture lacks, which is exactly what lets a bucketed euclidean
+    join (BRP LSH) demonstrate REAL candidate pruning with full recall
+    (``operators/ann.py:80-89`` documents why the flat spectrum cannot).
+
+    Contract: ``id_col`` must be a non-negative integer (floor == integer
+    division, matching DuckDB ``//``).  Pure per-element codegen — no
+    shuffle, no UDF; at 100 TB this is a free map stage.  Elementwise
+    arithmetic (hash grid + one multiply + one add) is IEEE-identical
+    across engines, so gates over the transform keep full value oracles.
+    """
+    cl = F.floor(F.col(id_col).cast("long") / F.lit(group_size)).cast("long")
+    base = df.withColumn("_cl", cl)
+
+    def elem(x: Column, i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("_cl").cast("string"),
+                        F.lit("_"),
+                        (i + F.lit(1)).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % 2001 - 1000) / F.lit(100.0) + F.lit(float(noise_scale)) * x
+
+    return base.withColumn(
+        out_col,
+        F.when(
+            F.col(vector_col).isNotNull(),
+            F.transform(F.col(vector_col).cast("array<double>"), elem),
+        ),
+    ).drop("_cl")
+
+
 def self_knn_join(
     collection: DataFrame,
     vector_col: str,

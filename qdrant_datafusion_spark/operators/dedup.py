@@ -959,6 +959,91 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_brp(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    radius: float,
+    num_hash_tables: int = 4,
+    bucket_length: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib interop tier for EUCLIDEAN near-dup pairs: candidates via the
+    stock ``pyspark.ml`` ``BucketedRandomProjectionLSH.approxSimilarityJoin``
+    (the join form of the primitive ``knn_brp_mllib`` uses point-wise),
+    verified and scored by the house sequential-fold euclid kernel —
+    returns (id_a, id_b, dist) with ``dist <= radius`` inclusive.
+
+    Candidates = pairs sharing ANY of the ``num_hash_tables`` buckets
+    (bucket = floor(x·v / bucket_length) per seeded random unit vector
+    v); MLlib pre-filters them at ``radius + 1e-6`` — the slack covers
+    (a) its strict ``<`` where this contract is inclusive ``>=`` and
+    (b) summation-order ulps between MLlib's internal distance and the
+    house kernel; the exact inclusive re-filter below means widening the
+    slack can only add candidates, never change emitted values.  Recall
+    is the LSH's: a true pair is missed iff its projections straddle a
+    bucket boundary in EVERY table — P ≈ (d/L)^tables for pair distance
+    d ≪ bucket length L, so on a corpus whose near-pair distances sit
+    well inside L (e.g. the planted-cluster fixture:
+    ``ann.planted_cluster_embeddings``, intra ~0.01-0.014 vs L = 0.1 ⇒
+    P(miss) ≲ 4e-8 per pair) full recall is the expected contract, and
+    the seeded hash makes the candidate set deterministic either way.
+
+    Scale/honesty: pruning power is SPECTRUM-dependent.  Each table is a
+    single scalar projection, so inter-pair collision probability is
+    ~2·(L/D)·sqrt(dim/2π) for typical non-pair distance D — on a corpus
+    with D ≫ L (clustered data) the join prunes hard (measured ~18x pair
+    mass at L=0.1, D≈46 on the planted fixture), while on a NARROW
+    spectrum (this repo's raw embeddings, all pairs in [0.9, 1.4]) no L
+    separates pairs from non-pairs and the join degrades toward
+    all-pairs — which is why the raw-fixture gate exposes only the ANN
+    form (``knn_brp_mllib``).  The shuffle shape is the house LSH tier's:
+    ``num_hash_tables`` rows per vector exchanged on (table, bucket),
+    never a pairwise vector join.  The house ``embedding_near_dups``
+    (cosine, corpus-scaled plane count, skew caps) remains the production
+    default; this tier exists for pipelines standardized on ``pyspark.ml``
+    (SURVEY §2.3 names the stock primitive).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from qdrant_datafusion_spark.functions.distance import euclid_distance
+
+    base = (
+        df.filter(F.col(vector_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vector_col).cast("array<double>").alias("_arr"),
+        )
+        .withColumn("_v", array_to_vector(F.col("_arr")))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h",
+        numHashTables=num_hash_tables, bucketLength=float(bucket_length),
+        seed=seed,
+    )
+    model = lsh.fit(base)
+    # transform ONCE and pin (approxSimilarityJoin skips its internal
+    # transform when the hash column exists) — same ~2x self-join saving
+    # as minhash_lsh_dups_mllib
+    hashed = model.transform(base).localCheckpoint(eager=False)
+    joined = model.approxSimilarityJoin(
+        hashed, hashed, float(radius) + 1e-6, distCol="_d"
+    )
+    return (
+        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            euclid_distance(
+                F.col("datasetA._arr"), F.col("datasetB._arr")
+            ).alias("dist"),
+        )
+        .filter(F.col("dist") <= float(radius))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

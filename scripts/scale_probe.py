@@ -649,6 +649,127 @@ def _dup_clusters_giant_probe(spark, sf_dir: str):
     )
 
 
+def _brp_clustered_probe(spark, sf_dir: str):
+    """Candidate-mass / recall measurement for the euclidean
+    approximate-JOIN story on the PLANTED-CLUSTER fixture (round-12
+    verdict task 1): the flat raw-embeddings spectrum (all pairs in
+    [0.9, 1.4]) cannot show bucketed-join pruning, so
+    ``ann.planted_cluster_embeddings`` plants groups of 4 ids around
+    md5-grid centroids (intra euclid ~0.01-0.017, inter ~46) and this
+    probe measures, at base and scaled n:
+
+    - ``brp_mass``: Σ C(bucket,2) over the stock MLlib BRP's
+      (table, bucket) cells — the shuffle-volume / verify-work proxy of
+      ``approxSimilarityJoin`` (4 tables, bucket length 0.1, seeded);
+    - ``brp_cand`` (skipped above 30k rows): DISTINCT candidate pairs +
+      whether every true pair is a candidate (``full_recall``);
+    - ``house_mass``: the house multi-plane hyperplane tier's mass on
+      the SAME fixture with corpus-scaled planes
+      (``auto_bucket_planes(n)``) — the scaling contrast: stock BRP has
+      no plane-count knob (one scalar projection per table) so its mass
+      FRACTION stays ~constant as n grows (quadratic absolute), while
+      the house tier's p grows with log n and keeps mass ~linear.
+
+    True pairs = n/4 clusters x C(4,2) by construction (the fixture's
+    separation is asserted by the gate's exact oracle and pytest).
+    """
+    import sys as _sys
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    from qdrant_datafusion_spark.operators.ann import (
+        planted_cluster_embeddings,
+    )
+    from qdrant_datafusion_spark.operators.dedup import (
+        _make_lsh_bucket_udf,
+        auto_bucket_planes,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    c = planted_cluster_embeddings(emb, "embedding", "vec_id").filter(
+        F.col("cemb").isNotNull()
+    )
+    base = c.select(
+        F.col("vec_id").alias("_id"),
+        array_to_vector(F.col("cemb")).alias("_v"),
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    all_pairs = n * (n - 1) // 2
+    true_pairs = (n // 4) * 6
+    model = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h", numHashTables=4, bucketLength=0.1,
+        seed=7,
+    ).fit(base)
+    hb = (
+        model.transform(base)
+        .select(
+            "_id",
+            F.posexplode(F.col("_h")).alias("_t", "_hv"),
+        )
+        .select(
+            "_id", "_t",
+            F.element_at(vector_to_array("_hv"), 1).cast("long").alias("_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = hb.groupBy("_t", "_b").count()
+    brp_mass = int(
+        sizes.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
+        ).first()[0]
+    )
+    brp_cand, full_recall = -1, None
+    if n <= 30_000:
+        pairs = (
+            hb.alias("x")
+            .join(hb.alias("y"), ["_t", "_b"])
+            .filter(F.col("x._id") < F.col("y._id"))
+            .select(
+                F.col("x._id").alias("a"), F.col("y._id").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        brp_cand = pairs.count()
+        # every true pair (same id//4 cluster) must be a candidate
+        hit = (
+            pairs.filter(
+                (F.col("a").cast("long") / 4).cast("long")
+                == (F.col("b").cast("long") / 4).cast("long")
+            ).count()
+        )
+        full_recall = bool(hit == true_pairs)
+    # house multi-plane hyperplane tier, corpus-scaled planes
+    planes, p = auto_bucket_planes(n, 64, tables=4)
+    bucket_udf = _make_lsh_bucket_udf(planes, 4)
+    house_sizes = (
+        c.select(F.explode(bucket_udf(F.col("cemb"))).alias("_bk"))
+        .groupBy("_bk")
+        .count()
+    )
+    house_mass = int(
+        house_sizes.agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
+        ).first()[0]
+    )
+    print(
+        f"# brp_clustered n={n} all_pairs={all_pairs} true={true_pairs}"
+        f" brp_mass={brp_mass} ({brp_mass / all_pairs:.4%})"
+        f" brp_cand={brp_cand}"
+        f" full_recall={full_recall}"
+        f" house_mass={house_mass} ({house_mass / all_pairs:.4%}, p={p})",
+        file=_sys.stderr,
+    )
+    return spark.createDataFrame(
+        [(n, all_pairs, true_pairs, brp_mass, brp_cand, full_recall,
+          house_mass, p)],
+        "n long, all_pairs long, true_pairs long, brp_mass long,"
+        " brp_cand long, full_recall boolean, house_mass long, p long",
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     ops = sys.argv[2:] or DEFAULT_OPS
@@ -694,6 +815,7 @@ def main() -> None:
         "pipeline_qnorm_probe": _pipeline_qnorm_probe,
         "layout_compaction_probe": _layout_compaction_probe,
         "dup_clusters_giant_probe": _dup_clusters_giant_probe,
+        "brp_clustered_probe": _brp_clustered_probe,
     }
     for name in ops:
         fn = probe_only.get(name) or QUERIES[name]

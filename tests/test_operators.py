@@ -445,6 +445,67 @@ class TestAnn:
         }
         assert got == exact
 
+    def test_planted_cluster_fixture_separation(self, emb):
+        """ann.planted_cluster_embeddings must plant the wide
+        inter/intra-cluster euclid separation the BRP join gate relies
+        on: every same-cluster (id//4) pair well inside radius 0.05,
+        every cross-cluster pair far outside it."""
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.ann import (
+            planted_cluster_embeddings,
+        )
+
+        c = planted_cluster_embeddings(emb, "embedding", "vec_id")
+        rows = sorted(
+            ((r.vec_id, np.asarray(r.cemb)) for r in c.select("vec_id", "cemb").collect()),
+            key=lambda t: t[0],
+        )
+        ids = np.array([t[0] for t in rows])
+        M = np.stack([t[1] for t in rows])
+        # all-pairs distances (500 rows at the test SF — fine in-memory)
+        D = np.sqrt(((M[:, None, :] - M[None, :, :]) ** 2).sum(-1))
+        same = (ids[:, None] // 4) == (ids[None, :] // 4)
+        off = ~np.eye(len(ids), dtype=bool)
+        assert D[same & off].max() < 0.02   # intra: inside the 0.05 ball
+        assert D[~same].min() > 10.0        # inter: nowhere near it
+
+    def test_embedding_brp_join_matches_exact_pairs(self, emb):
+        """The stock BRP approxSimilarityJoin tier on the planted-cluster
+        fixture must emit EXACTLY the brute-force pair set within the
+        radius, with house-kernel distances matching an independent
+        numpy reference at the gate's rounding."""
+        import numpy as np
+
+        from qdrant_datafusion_spark.operators.ann import (
+            planted_cluster_embeddings,
+        )
+        from qdrant_datafusion_spark.operators.dedup import (
+            embedding_near_dups_brp,
+        )
+
+        c = planted_cluster_embeddings(emb, "embedding", "vec_id")
+        vecs = {
+            r.vec_id: np.asarray(r.cemb)
+            for r in c.select("vec_id", "cemb").collect()
+        }
+        ids = sorted(vecs)
+        exact = {
+            (a, b, round(float(np.sqrt(((vecs[a] - vecs[b]) ** 2).sum())), 6))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if np.sqrt(((vecs[a] - vecs[b]) ** 2).sum()) <= 0.05
+        }
+        got = {
+            (r.id_a, r.id_b, round(r.dist, 6))
+            for r in embedding_near_dups_brp(
+                c, "cemb", "vec_id", radius=0.05,
+                num_hash_tables=4, bucket_length=0.1, seed=7,
+            ).collect()
+        }
+        assert got == exact
+        assert len(got) == len(vecs) // 4 * 6  # every planted cluster found
+
 
 class TestFusionOperator:
     def test_rrf_prefers_doubly_ranked(self, spark):
