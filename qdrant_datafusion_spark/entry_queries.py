@@ -10003,8 +10003,62 @@ SELECT true_y AS label, pred, count(*)::BIGINT AS n
 FROM pr GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+def text_quality_pipeline_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml Pipeline interop twin of text_quality_classifier
+    (round-12 verdict task 5): the SAME NB train/apply, but driven
+    through the stock Estimator/Transformer surface —
+    ``Pipeline(stages=[NbBowClassifier]).fit(train)`` then
+    ``model.transform(held_out)`` — with a PipelineModel save/load
+    round-trip INSIDE the gate, so the driver-graded value proves the
+    persisted artifact, not just the in-memory stage.  Shares
+    TEXT_QUALITY_CLASSIFIER_SQL verbatim: the stage is plumbing around
+    the identical all-integer kernel (pytest pins fit/transform ==
+    library bit-for-bit; ml_interop.py)."""
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
+
+    from qdrant_datafusion_spark.ml_interop import NbBowClassifier
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    labeled = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "text",
+        F.when(
+            F.size(F.filter(toks, lambda x: x == "fast"))
+            > F.size(F.filter(toks, lambda x: x == "slow")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    part = F.pmod(F.col("doc_id"), F.lit(10))
+    fitted = Pipeline(stages=[NbBowClassifier(dim=BOW_DIM)]).fit(
+        labeled.filter(part < 8)
+    )
+    with tempfile.TemporaryDirectory() as td:
+        fitted.write().overwrite().save(td)
+        model = PipelineModel.load(td)
+        held = labeled.filter(part >= 8)
+        out = (
+            model.transform(held)
+            .filter(F.col("pred").isNotNull())
+            .groupBy(F.col("y").alias("label"), "pred")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("label", "pred")
+        )
+        # materialize before the tmp model dir dies (the loaded stage's
+        # weights are driver-side JSON, but keep the contract explicit)
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
 QUERIES["text_quality_classifier"] = text_quality_classifier
+QUERIES["text_quality_pipeline_ml"] = text_quality_pipeline_ml
 ORACLES["text_quality_classifier"] = TEXT_QUALITY_CLASSIFIER_SQL
+ORACLES["text_quality_pipeline_ml"] = TEXT_QUALITY_CLASSIFIER_SQL
 
 
 PR_BUCKETS = 8
