@@ -463,6 +463,25 @@ def stream_apply_changes(
     respect per-key change order (same as every incremental CDC fold
     here — time-partitioned CDC feeds satisfy it by construction);
     within a batch ``order_cols`` resolves.
+
+    Checkpoint-RESET semantics (why this sink needs no
+    ``_guard_store_lifetime``, unlike the three store-join ingests): a
+    reset re-delivers every source file in the SAME mtime order the
+    ordering contract already governs, and re-folding a prefix of the
+    log into its own fold's result CONVERGES — an old upsert may
+    transiently regress a key (and an old re-insert transiently revive
+    a tombstoned one), but the later changes that produced the current
+    state re-apply on top and restore it exactly, delete included
+    (``tests/test_streaming.py::
+    test_checkpoint_reset_replay_converges_through_regression``
+    forces the old-batch-onto-newer-snapshot window with
+    ``maxFilesPerTrigger=1`` and asserts byte-equality).  The
+    store-join ingests cannot make this argument — their store is an
+    accept/reject HISTORY whose decisions are not re-derivable from a
+    replayed prefix (a replayed batch would be deduped against rows it
+    itself admitted), hence their loud reset guard; here the snapshot
+    is a pure fold of the log, so the reset is safe by construction
+    and a marker guard would only reject a legitimate recovery.
     """
     from qdrant_datafusion_spark.operators.cdc import apply_changes
 

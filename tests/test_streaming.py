@@ -449,6 +449,59 @@ class TestStreamApplyChanges:
         self._drain(spark, src, snap, str(tmp_path / "ck2"))
         assert sorted(map(tuple, spark.read.parquet(snap).collect())) == first
 
+    def test_checkpoint_reset_replay_converges_through_regression(
+        self, spark, tmp_path
+    ):
+        """The FULL checkpoint-reset scenario the docstring argues is
+        safe for a MERGE sink (and unsafe for the store-join ingests):
+        after two applied batches, wipe the checkpoint and re-deliver
+        the whole log ONE FILE PER BATCH — the first replayed batch
+        merges OLD changes onto the NEWER snapshot (transiently
+        regressing k=1 and reviving tombstoned k=2), and the second
+        must restore the exact converged state, delete included."""
+        import shutil
+
+        src = str(tmp_path / "src")
+        snap = str(tmp_path / "snap")
+        b1 = [(1, 10, "upsert", "a"), (2, 11, "upsert", "b"),
+              (3, 12, "upsert", "c")]
+        b2 = [(1, 20, "upsert", "a2"), (2, 21, "delete", None),
+              (4, 22, "upsert", "d")]
+        ck = str(tmp_path / "ck")
+        spark.createDataFrame(b1, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, snap, ck)
+        spark.createDataFrame(b2, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        self._drain(spark, src, snap, ck)
+        converged = sorted(map(tuple, spark.read.parquet(snap).collect()))
+        assert {t[0] for t in converged} == {1, 3, 4}  # k=2 tombstoned
+        # reset: new checkpoint, one source file per micro-batch so the
+        # b1 prefix really is merged into the already-current snapshot
+        shutil.rmtree(ck)
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_apply_changes,
+        )
+
+        q = stream_apply_changes(
+            spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            snap,
+            str(tmp_path / "ck_reset"),
+            key_cols=["k"],
+            order_cols=["seq"],
+            op_col="op",
+            n_buckets=8,
+        )
+        assert q.awaitTermination(120)
+        assert (
+            sorted(map(tuple, spark.read.parquet(snap).collect()))
+            == converged
+        )
+
     def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
         import glob
         import os as _os
