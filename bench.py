@@ -305,6 +305,15 @@ SCALE_PATH = [
     # map-side-combining min(struct) groupBy exists for
     "dedup_paragraphs_global",
     "text_quality_classifier",
+    # round 13 (r12 verdict task 4): the expensive-tail growth rows —
+    # dedup_simhash was the costliest headline dedup gate with no growth
+    # evidence; dedup_keep_best measures the post-memo path (it pays the
+    # sf1 signature-memo build, so its growth row INCLUDES the build —
+    # the honest number); graph_pagerank likewise pays the sf1 kNN-memo
+    # build it shares with the other graph gates
+    "dedup_simhash",
+    "dedup_keep_best",
+    "graph_pagerank",
 ]
 
 _SCALE_REPLICAS = 10

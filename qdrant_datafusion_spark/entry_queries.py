@@ -10480,37 +10480,35 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: changed or born this round (10).  dedup_minhash_mllib and
-    # v_search_brp_mllib are NEW (registry 175 — both stock-MLlib
-    # interop primitives); the UDTF/UDAF gates changed kernels
-    # (sequential fold + HALF_UP; null-safe count join); graph_hits
-    # gained the in-plan node-count guard; the five MinHash gates now
-    # ride the shared memoized signature table — all need fresh driver
-    # evidence.
-    "dedup_minhash_mllib", "v_search_brp_mllib", "v_search_udtf",
-    "v_centroid_udaf",
-    "graph_hits", "dedup_minhash", "dedup_minhash_capped",
-    "dedup_minhash_hot", "dedup_keep_best", "dedup_minhash_incremental",
-    # -- 2: the complete r8-vintage tail (31 — the round-11 vintage
+    # -- 1: born this round (2, registry 177): the BRP euclidean
+    # similarity-JOIN gate on the planted-cluster fixture (r12 verdict
+    # task 1) and the pyspark.ml Pipeline interop twin of the quality
+    # classifier with an in-gate PipelineModel save/load round-trip
+    # (task 5).
+    "dedup_embedding_brp", "text_quality_pipeline_ml",
+    # -- 2: the complete r9-vintage tail (36 — the round-12 vintage
     # audit's full list; after this round no query's newest driver
-    # evidence predates round 9).  dedup_minhash (already in group 1)
-    # was r11-green; these 31 were last driver-graded in r8.
-    "pipeline_stratified_sample", "pipeline_token_budget",
-    "q1_pricing_summary", "q_approx_percentile", "q_asof_purchase_click",
-    "q_event_percentiles", "q_events_cohorts", "q_events_hourly",
-    "q_events_json", "q_events_json_variant", "q_events_sessions",
-    "q_group_having", "q_interval_signup_window", "quant_error_stats",
-    "streaming_hourly_counts", "streaming_near_dup_ingest",
-    "streaming_semantic_ingest", "streaming_sessions", "text_chunking",
-    "text_clean", "text_decontaminate", "text_dsir_select",
-    "text_perplexity", "text_repetition", "v_colbert_topk",
-    "v_discover_topk", "v_geo_decay_topk", "v_recommend_topk",
-    "v_search_dot_topk", "v_search_scalar_quant", "v_sparse_topk",
-    # -- 3: the oldest r9-vintage rows, alphabetical, filling to 50
-    "cdc_latest_state", "cdc_scd2_history", "dedup_embedding",
-    "dedup_fuzzy_incremental", "dedup_fuzzy_pairs",
-    "dedup_sorted_neighborhood", "layout_compaction_plan",
-    "layout_hilbert_prune", "layout_hilbert_value",
+    # evidence predates round 10).
+    "layout_zorder_prune", "layout_zvalue", "pipeline_fd_audit",
+    "pipeline_k_anonymity", "pipeline_pack_bpe", "pipeline_profile",
+    "pipeline_quantile_normalize", "pipeline_source_cap",
+    "pipeline_validate", "pipeline_weighted_sample",
+    "q10_returned_items", "q_bloom_anti_join", "q_bloom_semi_join",
+    "q_events_anomalies", "q_events_resample", "q_events_rolling",
+    "sketch_cms_error", "sketch_cms_heavy_hitters",
+    "sketch_drift_report", "sketch_hist_quantiles", "sketch_join_size",
+    "sketch_kmv_distinct", "sketch_kmv_groups", "sketch_kmv_jaccard",
+    "skew_hot_keys", "streaming_heavy_hitters",
+    "streaming_hist_quantiles", "streaming_interval_join",
+    "text_bpe_encode", "text_bpe_vocab", "text_decontaminate_semantic",
+    "text_pmi_phrases", "text_unigram_encode", "text_unigram_vocab",
+    "text_unigram_vocab_mb", "v_search_matryoshka",
+    # -- 3: the oldest r10-vintage rows, alphabetical, filling to 50
+    "ann_hard_negatives", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_knn_graph_blocked", "cdc_apply_changes",
+    "cdc_scd2_apply_changes", "cdc_table_diff", "dedup_containment",
+    "dedup_embedding_lsh", "dedup_embedding_recall",
+    "dedup_jaccard_prefix", "dedup_paragraphs_global",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]
