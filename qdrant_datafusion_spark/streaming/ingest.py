@@ -297,7 +297,14 @@ def stream_near_dup_ingest(
     Scale: the per-batch work is the batch-sized slice of the batch
     operator (bucket-keyed joins only); the store grows with accepted
     docs, and its join side is bucket-partitioned parquet a 1000-executor
-    join handles like any LSH self-join half.  ``foreachBatch`` is
+    join handles like any LSH self-join half.  Measured long-stream
+    (``scripts/ingest_growth_probe.py``, 32 all-novel batches to a
+    992k-row store): per-batch wall growth 1.01x, shuffle volume
+    CONSTANT per batch — Spark broadcasts the batch-side bucket rows
+    and streams the store scan, so the store is never exchanged; the
+    one linear term is the store's single parquet scan per batch (the
+    plain-parquet floor — bound it over very long streams by compacting
+    the store into bucket-sorted files or a table format).  ``foreachBatch`` is
     at-least-once, so both sinks write ``_batch_id``-partitioned parquet
     with dynamic partition overwrite: a replayed batch overwrites its own
     partition instead of appending twice — idempotent output without a
