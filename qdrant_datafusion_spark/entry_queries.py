@@ -1742,8 +1742,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # same pair set as DEDUP_JACCARD_SQL, then transitive closure: each node's
-# cluster_id is the min id reachable from it (UNION dedups → terminates)
-DEDUP_CLUSTERS_SQL = _SHINGLES_SQL.replace(
+# cluster_id is the min id reachable from it (UNION dedups → terminates).
+# The CTE chain is shared by DEDUP_CLUSTERS_SQL and the leakage-safe
+# PIPELINE_GROUP_SPLIT_SQL, which attach different final SELECTs.
+_CLUSTERS_CTE_SQL = _SHINGLES_SQL.replace(
     "WITH t AS", "WITH RECURSIVE t AS", 1
 ) + """
 , pr AS (
@@ -1764,6 +1766,9 @@ walk(id, label) AS (
   UNION
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
 )
+"""
+
+DEDUP_CLUSTERS_SQL = _CLUSTERS_CTE_SQL + """
 SELECT id::BIGINT AS id, min(label)::BIGINT AS cluster_id
 FROM walk GROUP BY id
 """
@@ -3047,17 +3052,25 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hash_split_oracle_sql() -> str:
+def _split_case_sql(key_sql: str) -> str:
+    """DuckDB CASE mirroring :func:`pipeline.hash_split`'s assignment for
+    an arbitrary integer key expression (``_SPLIT_WEIGHTS`` /
+    ``_SPLIT_SEED``) — shared by the plain and group-keyed split oracles
+    so both gates prove the same bucket-boundary table."""
     from qdrant_datafusion_spark.operators.pipeline import split_thresholds
 
     bounds = split_thresholds(_SPLIT_WEIGHTS)
     whens = " ".join(
-        f"WHEN substr(md5(doc_id::VARCHAR || ':' || '{_SPLIT_SEED}'), 1, 8)"
+        f"WHEN substr(md5(({key_sql})::VARCHAR || ':' || '{_SPLIT_SEED}'), 1, 8)"
         f" < '{hi}' THEN '{name}'"
         for name, hi in bounds[:-1]
     )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+def _hash_split_oracle_sql() -> str:
     return f"""
-SELECT CASE {whens} ELSE '{bounds[-1][0]}' END AS split,
+SELECT {_split_case_sql("doc_id")} AS split,
        count(*)::BIGINT AS n,
        min(doc_id) AS min_id,
        max(doc_id) AS max_id,
@@ -3262,7 +3275,105 @@ SELECT doc_id, bucket, pack_id::INTEGER AS pack_id, n_tokens FROM packed
 """
 
 
+def pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (the
+    dedup_clusters component set, exact 3-shingle Jaccard ≥ 0.2) are
+    assigned WHOLE — the md5 split key is the component representative
+    (min member id), so a test document can never have a near-duplicate
+    in train.  Singleton docs keep hash_split's exact assignment (same
+    weights + seed), making the two gates directly diffable: rows that
+    changed split are exactly the non-representative cluster members."""
+    from qdrant_datafusion_spark.operators.dedup import ngram_jaccard_dups
+    from qdrant_datafusion_spark.operators.pipeline import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    out = group_split(docs, pairs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").alias("group_id"),
+        "split",
+    )
+
+
+def _group_split_oracle_sql() -> str:
+    # the dedup_clusters component CTEs verbatim, then: every doc joins
+    # its component (LEFT — singletons keep their own id) and the split
+    # CASE keys on that representative instead of doc_id
+    return _CLUSTERS_CTE_SQL + f"""
+, cl AS (
+  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(cl.cluster_id, d.doc_id)::BIGINT AS group_id,
+       {_split_case_sql("coalesce(cl.cluster_id, d.doc_id)")} AS split
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+"""
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional source-pair near-dup overlap matrix (the 100 TB
+    source-selection report): for each (source_a, source_b) cell with ≥1
+    near-dup pair crossing them, the pair-incidence count, the distinct
+    docs of A covered by B, A's total doc count, and the covered
+    fraction.  Same exact-Jaccard pair set as dedup_ngram_jaccard."""
+    from qdrant_datafusion_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = source_overlap(
+        docs, "text", "doc_id", "source", k=3, threshold=0.2
+    )
+    return cells.select(
+        "source_a",
+        "source_b",
+        "n_links",
+        "n_docs",
+        "n_src_docs",
+        _ratio_round6(F.col("n_docs"), F.col("n_src_docs")).alias(
+            "covered_frac"
+        ),
+    )
+
+
+DEDUP_SOURCE_OVERLAP_SQL = _SHINGLES_SQL + f"""
+, pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_J_INTER} > 0
+    AND {_J_INTER}::DOUBLE / {_J_UNION} >= 0.2
+),
+tagged AS (
+  SELECT p.id_a, p.id_b, da.source AS src_a, db.source AS src_b
+  FROM pr p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+),
+directed AS (
+  SELECT src_a AS source_a, src_b AS source_b, id_a AS doc FROM tagged
+  UNION ALL
+  SELECT src_b AS source_a, src_a AS source_b, id_b AS doc FROM tagged
+),
+cells AS (
+  SELECT source_a, source_b,
+         count(*)::BIGINT AS n_links,
+         count(DISTINCT doc)::BIGINT AS n_docs
+  FROM directed GROUP BY source_a, source_b
+),
+totals AS (
+  SELECT source AS source_a, count(*)::BIGINT AS n_src_docs
+  FROM documents GROUP BY source
+)
+SELECT c.source_a, c.source_b, c.n_links, c.n_docs, t.n_src_docs,
+       {_ratio6_sql("c.n_docs", "t.n_src_docs")} AS covered_frac
+FROM cells c JOIN totals t ON c.source_a = t.source_a
+"""
+
+
 QUERIES["pipeline_hash_split"] = pipeline_hash_split
+QUERIES["pipeline_group_split"] = pipeline_group_split
+ORACLES["pipeline_group_split"] = _group_split_oracle_sql()
+QUERIES["dedup_source_overlap"] = dedup_source_overlap
+ORACLES["dedup_source_overlap"] = DEDUP_SOURCE_OVERLAP_SQL
 QUERIES["text_decontaminate"] = text_decontaminate
 QUERIES["text_decontaminate_semantic"] = text_decontaminate_semantic
 ORACLES["text_decontaminate_semantic"] = TEXT_DECONTAMINATE_SEMANTIC_SQL
@@ -10480,12 +10591,17 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: born this round (2, registry 177): the BRP euclidean
+    # -- 1: born this round (4, registry 179): the BRP euclidean
     # similarity-JOIN gate on the planted-cluster fixture (r12 verdict
-    # task 1) and the pyspark.ml Pipeline interop twin of the quality
+    # task 1), the pyspark.ml Pipeline interop twin of the quality
     # classifier with an in-gate PipelineModel save/load round-trip
-    # (task 5).
+    # (task 5), the leakage-safe group split (near-dup clusters assigned
+    # whole), and the directional source-pair overlap matrix.  The last
+    # two displace dedup_jaccard_prefix / dedup_paragraphs_global from
+    # region 3 — both stay r10-vintage (≥ the round's floor) and green
+    # in the committed r13 local sweeps.
     "dedup_embedding_brp", "text_quality_pipeline_ml",
+    "pipeline_group_split", "dedup_source_overlap",
     # -- 2: the complete r9-vintage tail (36 — the round-12 vintage
     # audit's full list; after this round no query's newest driver
     # evidence predates round 10).
@@ -10508,7 +10624,6 @@ _RUN_FIRST = [
     "ann_knn_graph_blocked", "cdc_apply_changes",
     "cdc_scd2_apply_changes", "cdc_table_diff", "dedup_containment",
     "dedup_embedding_lsh", "dedup_embedding_recall",
-    "dedup_jaccard_prefix", "dedup_paragraphs_global",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

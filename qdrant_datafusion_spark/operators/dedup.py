@@ -134,6 +134,79 @@ def ngram_jaccard_dups(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    source_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Directional per-source-pair near-dup overlap report — which
+    sources duplicate which, and how much.
+
+    For every ordered source pair (A, B) with at least one near-dup pair
+    crossing them (A == B covers intra-source duplication):
+
+    - ``n_links``  — near-dup (doc-of-A, doc-of-B) pair incidences
+      (for A ≠ B this is the cross pair count; for A == B each intra
+      pair contributes both endpoints, so it counts 2× the pairs —
+      i.e. "duplicated endpoints", consistent across both cases),
+    - ``n_docs``   — distinct docs of A having ≥1 near-dup in B,
+    - ``n_src_docs`` — total docs in A (the denominator callers need
+      for the covered fraction).
+
+    At 100 TB this is the source-selection report: a high
+    ``n_docs / n_src_docs`` for (CommonCrawl-snapshot-N, snapshot-N-1)
+    says snapshot N re-crawls N-1 and should be dedup'd against it
+    before mixing, not just within itself.
+
+    ``pairs``: pre-computed near-dup pairs (id_a, id_b) to reuse — e.g.
+    a persisted MinHash pair table; defaults to exact k-shingle Jaccard
+    (:func:`ngram_jaccard_dups`, fine at test scale, LSH at 100 TB).
+
+    Scale: the pair table joins twice against the narrow (id, source)
+    projection (shuffle on id; AQE broadcasts the map side when small),
+    then aggregates on the LOW-cardinality (source_a, source_b) key —
+    map-side combine flattens it before the shuffle; per-source totals
+    are a separate tiny aggregate, broadcast back onto the cells.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_dups(df, content_col, id_col, k, threshold)
+    src = df.select(
+        F.col(id_col).alias("_so_id"), F.col(source_col).alias("_so_src")
+    )
+    tagged = (
+        pairs.select("id_a", "id_b")
+        .join(src, F.col("id_a") == F.col("_so_id"))
+        .withColumnRenamed("_so_src", "_src_a")
+        .drop("_so_id")
+        .join(src, F.col("id_b") == F.col("_so_id"))
+        .withColumnRenamed("_so_src", "_src_b")
+        .drop("_so_id")
+    )
+    directed = tagged.select(
+        F.col("_src_a").alias("source_a"),
+        F.col("_src_b").alias("source_b"),
+        F.col("id_a").alias("_doc"),
+    ).unionAll(
+        tagged.select(
+            F.col("_src_b").alias("source_a"),
+            F.col("_src_a").alias("source_b"),
+            F.col("id_b").alias("_doc"),
+        )
+    )
+    cells = directed.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.count_distinct("_doc").cast("long").alias("n_docs"),
+    )
+    totals = df.groupBy(F.col(source_col).alias("source_a")).agg(
+        F.count("*").cast("long").alias("n_src_docs")
+    )
+    return cells.join(F.broadcast(totals), "source_a")
+
+
 def auto_plane_count(
     n_rows: int, target_bucket: int = 512, min_planes: int = 4
 ) -> int:

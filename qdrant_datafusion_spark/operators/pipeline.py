@@ -120,6 +120,56 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def group_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Leakage-safe split: every near-dup cluster lands WHOLE in one split.
+
+    :func:`hash_split` keys the assignment on the document's own id, so
+    two near-duplicate documents can straddle the train/test boundary —
+    the classic eval-leakage bug (the test answer sits in the training
+    set, lightly reworded).  This variant computes connected components
+    over the supplied near-dup ``pairs`` (``dedup.dup_clusters``
+    min-label propagation) and keys the SAME md5 assignment on the
+    component representative (min member id), so every member of a dup
+    cluster inherits one split.  Documents with no near-dup keep their
+    own id as representative — the assignment is identical to
+    :func:`hash_split` wherever leakage is impossible, and changing
+    ``seed`` re-rolls both functions in lockstep.
+
+    Returns ``df`` plus ``group_col`` (the representative id, LONG) and
+    ``out_col`` (the split name).
+
+    Scale: components cost O(log diameter) join+agg rounds over the
+    PAIR table only (near-dup pairs are a small fraction of a 100 TB
+    corpus); the final attach is one equi-join of the corpus against the
+    (id, cluster_id) map — the map holds only docs with ≥1 near-dup, so
+    AQE broadcasts it when small and shuffle-joins on id otherwise; the
+    split expression itself is a codegen'd md5 + CASE, zero extra
+    shuffles.
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs).select(
+        F.col("id").alias("_gs_id"), F.col("cluster_id").alias("_gs_rep")
+    )
+    base = (
+        df.join(clusters, df[id_col] == F.col("_gs_id"), "left")
+        .withColumn(
+            group_col,
+            F.coalesce(F.col("_gs_rep"), F.col(id_col)).cast("long"),
+        )
+        .drop("_gs_id", "_gs_rep")
+    )
+    return hash_split(base, group_col, weights, seed=seed, out_col=out_col)
+
+
 # ---------------------------------------------------------------------------
 # mix_datasets
 # ---------------------------------------------------------------------------

@@ -56,6 +56,124 @@ class TestHashSplit:
             hash_split(df, "doc_id", {"a": -1.0, "b": 2.0})
 
 
+class TestGroupSplit:
+    """Leakage-safe split: near-dup clusters land whole in one split."""
+
+    WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def _fixture(self, spark):
+        # pair graph: {0,1,2} chained (0-1, 1-2), {5,6} — 3,4 singletons
+        docs = spark.createDataFrame(
+            [(i,) for i in range(7)], ["doc_id"]
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"]
+        )
+        return docs, pairs
+
+    def test_clusters_never_straddle_and_match_reference(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import group_split
+
+        docs, pairs = self._fixture(spark)
+        out = {
+            r.doc_id: (r.group_id, r.split)
+            for r in group_split(
+                docs, pairs, "doc_id", self.WEIGHTS, seed="gs1"
+            ).collect()
+        }
+        # independent reference: union-find on the pair list, then the
+        # md5 assignment keyed on each component's min id
+        parent = {i: i for i in range(7)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in [(0, 1), (1, 2), (5, 6)]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        bounds = split_thresholds(self.WEIGHTS)
+        for i in range(7):
+            rep = min(j for j in range(7) if find(j) == find(i))
+            key = hashlib.md5(f"{rep}:gs1".encode()).hexdigest()[:8]
+            expect = next(
+                (n for n, hi in bounds[:-1] if key < hi), bounds[-1][0]
+            )
+            assert out[i] == (rep, expect), i
+        # the leakage property itself: one split per group
+        splits_per_group = {}
+        for gid, split in out.values():
+            splits_per_group.setdefault(gid, set()).add(split)
+        assert all(len(s) == 1 for s in splits_per_group.values())
+
+    def test_singletons_match_hash_split_exactly(self, spark):
+        from qdrant_datafusion_spark.operators.pipeline import group_split
+
+        docs, pairs = self._fixture(spark)
+        grouped = {
+            r.doc_id: r.split
+            for r in group_split(
+                docs, pairs, "doc_id", self.WEIGHTS, seed="gs1"
+            ).collect()
+        }
+        plain = {
+            r.doc_id: r.split
+            for r in hash_split(
+                docs, "doc_id", self.WEIGHTS, seed="gs1"
+            ).collect()
+        }
+        for singleton in (3, 4):
+            assert grouped[singleton] == plain[singleton]
+        # representatives also keep their plain assignment (key == own id)
+        for rep in (0, 5):
+            assert grouped[rep] == plain[rep]
+
+
+class TestSourceOverlap:
+    def test_matches_python_reference(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import source_overlap
+
+        # planted: doc 0 ≈ doc 1 (cross-source), doc 2 ≈ doc 3 (same
+        # source), doc 4 unrelated
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog", "A"),
+            (1, "the quick brown fox jumps over the lazy cat", "B"),
+            (2, "pack my box with five dozen liquor jugs now", "A"),
+            (3, "pack my box with five dozen liquor jugs too", "A"),
+            (4, "completely different text with no shared shingles at all", "B"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {
+            (r.source_a, r.source_b): (r.n_links, r.n_docs, r.n_src_docs)
+            for r in source_overlap(
+                df, "text", "doc_id", "source", k=3, threshold=0.5
+            ).collect()
+        }
+        # pairs at J>=0.5: (0,1) crosses A/B; (2,3) intra-A
+        assert out[("A", "B")] == (1, 1, 3)   # doc 0 of A covered by B
+        assert out[("B", "A")] == (1, 1, 2)   # doc 1 of B covered by A
+        assert out[("A", "A")] == (2, 2, 3)   # both endpoints of (2,3)
+        assert ("B", "B") not in out
+
+    def test_accepts_precomputed_pairs(self, spark):
+        from qdrant_datafusion_spark.operators.dedup import source_overlap
+
+        df = spark.createDataFrame(
+            [(0, "x", "A"), (1, "y", "B")], ["doc_id", "text", "source"]
+        )
+        pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+        out = {
+            (r.source_a, r.source_b): (r.n_links, r.n_docs)
+            for r in source_overlap(
+                df, "text", "doc_id", "source", pairs=pairs
+            ).collect()
+        }
+        assert out == {("A", "B"): (1, 1), ("B", "A"): (1, 1)}
+
+
 class TestDecontaminate:
     def test_planted_overlap(self, spark):
         bench = spark.createDataFrame(
