@@ -4243,6 +4243,51 @@ QUERIES["q_salted_join"] = q_salted_join
 ORACLES["q_salted_join"] = Q_SALTED_JOIN_SQL
 
 
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-dimension lookup as an equi-join: orders priced into 63
+    OVERLAPPING price bands (stride 8000, width 14000 — most orders
+    match two bands) via :func:`joins.range_bucket_join`.  Spark plans
+    the naive ``BETWEEN`` join as BroadcastNestedLoopJoin (O(n·m) row
+    comparisons); the bucket expansion turns it into a broadcast HASH
+    join on the bucket id with the exact BETWEEN as a post-filter —
+    row-for-row the same answer (the oracle IS the naive join)."""
+    from qdrant_datafusion_spark.operators.joins import range_bucket_join
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.range(0, 63).select(
+        F.concat(
+            F.lit("band_"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("band"),
+        (F.col("id") * 8000.0).alias("lo"),
+        (F.col("id") * 8000.0 + 14000.0).alias("hi"),
+    )
+    joined = range_bucket_join(
+        orders, bands, "o_totalprice", bucket_width=8000.0
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+Q_RANGE_BUCKET_JOIN_SQL = """
+WITH bands AS (
+  SELECT 'band_' || lpad(i::VARCHAR, 2, '0') AS band,
+         i * 8000.0 AS lo, i * 8000.0 + 14000.0 AS hi
+  FROM (SELECT unnest(generate_series(0, 62)) AS i)
+)
+SELECT band, count(*)::BIGINT AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+GROUP BY band
+"""
+
+QUERIES["q_range_bucket_join"] = q_range_bucket_join
+ORACLES["q_range_bucket_join"] = Q_RANGE_BUCKET_JOIN_SQL
+
+
 def q_json_length_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json_length + json-object key semantics — the last two functions
     of the reference's registered datafusion-functions-json suite
@@ -10591,17 +10636,19 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: born this round (4, registry 179): the BRP euclidean
+    # -- 1: born this round (5, registry 180): the BRP euclidean
     # similarity-JOIN gate on the planted-cluster fixture (r12 verdict
     # task 1), the pyspark.ml Pipeline interop twin of the quality
     # classifier with an in-gate PipelineModel save/load round-trip
     # (task 5), the leakage-safe group split (near-dup clusters assigned
-    # whole), and the directional source-pair overlap matrix.  The last
-    # two displace dedup_jaccard_prefix / dedup_paragraphs_global from
-    # region 3 — both stay r10-vintage (≥ the round's floor) and green
-    # in the committed r13 local sweeps.
+    # whole), the directional source-pair overlap matrix, and the
+    # bucketized range join (BETWEEN lookup as an equi-join).  The last
+    # three displace dedup_jaccard_prefix / dedup_paragraphs_global /
+    # dedup_embedding_recall from region 3 — all stay r10-vintage
+    # (≥ the round's floor) and green in the committed r13 local sweeps.
     "dedup_embedding_brp", "text_quality_pipeline_ml",
     "pipeline_group_split", "dedup_source_overlap",
+    "q_range_bucket_join",
     # -- 2: the complete r9-vintage tail (36 — the round-12 vintage
     # audit's full list; after this round no query's newest driver
     # evidence predates round 10).
@@ -10623,7 +10670,7 @@ _RUN_FIRST = [
     "ann_hard_negatives", "ann_ivf_topk", "ann_ivfpq_topk",
     "ann_knn_graph_blocked", "cdc_apply_changes",
     "cdc_scd2_apply_changes", "cdc_table_diff", "dedup_containment",
-    "dedup_embedding_lsh", "dedup_embedding_recall",
+    "dedup_embedding_lsh",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join", "bloom_semi_join"]
+__all__ = ["salted_join", "bloom_semi_join", "range_bucket_join"]
 
 _SALT = "_salt"
 
@@ -201,3 +201,69 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return salted_large.join(replicated_small, [*keys, _SALT], how).drop(_SALT)
+
+
+def range_bucket_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Inner-join ``fact`` rows to every ``dim`` interval containing
+    ``value_col`` (inclusive on both ends) — as an EQUI-join.
+
+    Spark has no range-join optimization: ``fact JOIN dim ON v BETWEEN
+    lo AND hi`` plans as BroadcastNestedLoopJoin, which evaluates every
+    (row, interval) pair — O(|fact|·|dim|) work per partition, the
+    classic silent scale-killer for IP→geo, price→band, ts→window
+    lookups.  The bucket trick converts it: each dim interval is
+    exploded to every width-``w`` bucket it touches, each fact row maps
+    to the ONE bucket containing its value, and the join runs on the
+    bucket id with the exact BETWEEN as a cheap post-filter.  A fact row
+    meets a given interval in exactly one bucket (its own), so no
+    dedup is needed — output is row-for-row the nested-loop answer
+    (property-tested against the naive join).
+
+    ``bucket_width``: defaults to the dim's mean interval span (one
+    1-row aggregate — bounded driver state), giving ~2 bucket copies
+    per interval.  Smaller w = fewer false candidates per bucket but
+    more dim copies (copies ≈ span/w + 1); the residual filter keeps
+    every choice CORRECT, w only tunes cost.  ``broadcast_dim`` pins a
+    broadcast hash join (the usual case — a band/geo dim is small even
+    exploded); pass False to let AQE choose (shuffle join on the
+    bucket id) when the dim is itself huge.
+    """
+    if bucket_width is None:
+        row = dim.agg(
+            F.avg(F.col(hi_col) - F.col(lo_col)).alias("w")
+        ).first()
+        bucket_width = float(row["w"] or 0.0)
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    b = "_rbj_bucket"
+    if b in fact.columns or b in dim.columns:
+        raise ValueError(f"{b!r} column already present")
+    w = F.lit(float(bucket_width))
+    d = dim.withColumn(
+        b,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    if broadcast_dim:
+        d = F.broadcast(d)
+    f = fact.withColumn(b, F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        f.join(d, b)
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) <= F.col(hi_col))
+        )
+        .drop(b)
+    )

@@ -109,3 +109,76 @@ class TestBloomSemiJoin:
             .toString()
         )
         assert plan.count("BroadcastHashJoin") >= 3
+
+
+class TestRangeBucketJoin:
+    def test_matches_naive_between_join(self, spark):
+        from qdrant_datafusion_spark.operators.joins import range_bucket_join
+
+        fact = spark.createDataFrame(
+            [(i, float(i * 7 % 100)) for i in range(200)], "rid long, v double"
+        )
+        dim = spark.createDataFrame(
+            [("a", 0.0, 25.0), ("b", 20.0, 60.0), ("c", 55.0, 99.0),
+             ("d", 98.0, 200.0), ("e", -50.0, -1.0)],
+            "band string, lo double, hi double",
+        )
+        got = sorted(
+            (r.rid, r.band)
+            for r in range_bucket_join(fact, dim, "v", bucket_width=10.0)
+            .collect()
+        )
+        naive = sorted(
+            (r.rid, r.band)
+            for r in fact.join(
+                dim, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+            ).collect()
+        )
+        assert got == naive and len(got) > 200  # overlaps produce >1 match
+
+    def test_boundaries_inclusive_and_default_width(self, spark):
+        from qdrant_datafusion_spark.operators.joins import range_bucket_join
+
+        fact = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 9.999), (4, 20.001)],
+            "rid long, v double",
+        )
+        dim = spark.createDataFrame(
+            [("in", 10.0, 20.0)], "band string, lo double, hi double"
+        )
+        got = sorted(
+            r.rid for r in range_bucket_join(fact, dim, "v").collect()
+        )
+        assert got == [1, 2]
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        from qdrant_datafusion_spark.operators.joins import range_bucket_join
+
+        fact = spark.createDataFrame([(1, 5.0)], "rid long, v double")
+        dim = spark.createDataFrame(
+            [("x", 0.0, 10.0)], "band string, lo double, hi double"
+        )
+        naive = fact.join(
+            dim, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        )
+        naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+        # the problem being solved: Spark's only physical strategies for a
+        # pure non-equi predicate are the quadratic pair-compare joins
+        assert "NestedLoop" in naive_plan or "CartesianProduct" in naive_plan
+        bucketed = range_bucket_join(fact, dim, "v", bucket_width=10.0)
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_bad_width_raises(self, spark):
+        from qdrant_datafusion_spark.operators.joins import range_bucket_join
+
+        fact = spark.createDataFrame([(1, 5.0)], "rid long, v double")
+        dim = spark.createDataFrame(
+            [("x", 3.0, 3.0)], "band string, lo double, hi double"
+        )
+        with pytest.raises(ValueError):
+            range_bucket_join(fact, dim, "v", bucket_width=0.0)
+        # zero-span dim => default width 0 => loud error, not div-by-zero
+        with pytest.raises(ValueError):
+            range_bucket_join(fact, dim, "v")
