@@ -165,9 +165,22 @@ def run_pipeline(spark, sf_dir):
     packed = pack_sequences(final, "doc_id", "text", budget=BUDGET, num_buckets=4)
     split = hash_split(final, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     shuffled = global_shuffle(final.select("doc_id", "text"), "doc_id", seed=1)
+
+    # 7a. leakage-safe split: the step-4 pair table's components land
+    #     whole; 7b. which sources duplicate which (same pair table)
+    from qdrant_datafusion_spark.operators.dedup import source_overlap
+    from qdrant_datafusion_spark.operators.pipeline import group_split
+
+    gsplit = group_split(
+        final, pairs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    overlap = source_overlap(
+        final, "text", "doc_id", "source", pairs=pairs
+    )
     return (
         docs, quality_kept, ppl_kept, clf_kept, exact_kept, near_kept,
         span_kept, para_kept, sem_kept, final, packed, split, shuffled,
+        gsplit, overlap,
     )
 
 
@@ -250,6 +263,56 @@ class TestCurationPipeline:
         assert {r.doc_id for r in rows} == {
             r.doc_id for r in final.select("doc_id").collect()
         }
+
+    def test_group_split_is_leakage_safe_and_consistent(self, flow):
+        final, split, gsplit = flow[9], flow[11], flow[13]
+        rows = gsplit.select("doc_id", "group_id", "split").collect()
+        assert {r.doc_id for r in rows} == {
+            r.doc_id for r in final.select("doc_id").collect()
+        }
+        by_group: dict[int, set] = {}
+        for r in rows:
+            by_group.setdefault(r.group_id, set()).add(r.split)
+        # the leakage property: one split per near-dup component
+        assert all(len(v) == 1 for v in by_group.values())
+        # docs that ARE their own representative keep hash_split's exact
+        # assignment (same weights + seed) — the two splits are diffable
+        plain = {r.doc_id: r.split for r in split.collect()}
+        for r in rows:
+            if r.group_id == r.doc_id:
+                assert r.split == plain[r.doc_id]
+
+    def test_source_overlap_is_consistent_with_the_pair_table(self, flow):
+        final, overlap = flow[9], flow[14]
+        cells = overlap.collect()
+        src = {r.doc_id: r.source for r in final.select("doc_id", "source").collect()}
+        # recompute the directional cells from the surviving pair rows
+        exact_kept = flow[4]
+        from qdrant_datafusion_spark.operators.dedup import minhash_lsh_dups
+
+        pair_rows = [
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_dups(
+                exact_kept, "text", "doc_id",
+                k=3, num_hashes=32, bands=16, threshold=0.2,
+            ).select("id_a", "id_b").collect()
+            if r.id_a in src and r.id_b in src
+        ]
+        want_links: dict[tuple, int] = {}
+        want_docs: dict[tuple, set] = {}
+        for a, b in pair_rows:
+            for sa, sb, d in ((src[a], src[b], a), (src[b], src[a], b)):
+                want_links[(sa, sb)] = want_links.get((sa, sb), 0) + 1
+                want_docs.setdefault((sa, sb), set()).add(d)
+        got = {(r.source_a, r.source_b): (r.n_links, r.n_docs) for r in cells}
+        assert got == {
+            k: (want_links[k], len(want_docs[k])) for k in want_links
+        }
+        totals = {}
+        for d, sa in src.items():
+            totals[sa] = totals.get(sa, 0) + 1
+        for r in cells:
+            assert r.n_src_docs == totals[r.source_a]
 
     def test_pipeline_is_deterministic_end_to_end(self, spark, sf_dir, flow):
         import hashlib
