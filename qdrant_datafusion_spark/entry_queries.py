@@ -5475,6 +5475,55 @@ GROUP BY 1
 """
 
 
+def streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup — the production twin of
+    streaming_dedup_survivors.  That gate's ``dropDuplicates`` state
+    grows for the stream's LIFETIME (every distinct hash ever seen);
+    this one drives ``stream_dedup_exact``'s watermark path (stock
+    ``dropDuplicatesWithinWatermark`` state store), where a hash's
+    state ages out once the watermark passes its event time + horizon —
+    bounded state at always-on 100 TB/day ingest.  Event time is
+    synthetic (epoch + doc_id seconds — deterministic) and the horizon
+    (365 days) exceeds every SF's id span, so nothing ages out DURING
+    the drain and the exactly-once-per-hash invariant is deterministic
+    under the same oracle.  The eviction semantics themselves (dup
+    re-emitted after state aged out; dup dropped within the horizon)
+    are pinned by TestStreamDedupBounded in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from qdrant_datafusion_spark.streaming.ingest import stream_dedup_exact
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_stream_dedup_wm_")
+    src = os.path.join(tmp, "src")
+    docs.repartition(2).write.parquet(src)
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn(
+                "_evt", F.timestamp_seconds(F.col("doc_id") + F.lit(10**9))
+            )
+        )
+        kept = stream_dedup_exact(
+            stream, "text", watermark_col="_evt", watermark="365 days"
+        )
+        sink = _run_stream_to_table(kept, spark, "dedup_wm", "append")
+        survivors = (
+            sink.select(
+                F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+            )
+            .groupBy("content_hash")
+            .agg(F.count("*").cast("long").alias("n_survivors"))
+        )
+        survivors.collect()  # drain before the finally deletes the source
+        return survivors
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_events_funnel, graded by the SAME oracle: the
     stateful funnel (applyInPandasWithState, update mode) runs as a real
@@ -6694,6 +6743,8 @@ QUERIES["streaming_hourly_counts"] = streaming_hourly_counts
 ORACLES["streaming_hourly_counts"] = Q_EVENTS_HOURLY_SQL
 QUERIES["streaming_dedup_survivors"] = streaming_dedup_survivors
 ORACLES["streaming_dedup_survivors"] = STREAMING_DEDUP_SQL
+QUERIES["streaming_dedup_bounded"] = streaming_dedup_bounded
+ORACLES["streaming_dedup_bounded"] = STREAMING_DEDUP_SQL
 QUERIES["streaming_funnel_conversion"] = streaming_funnel_conversion
 ORACLES["streaming_funnel_conversion"] = Q_EVENTS_FUNNEL_SQL
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10636,19 +10687,22 @@ ORACLES["streaming_paragraph_ingest"] = STREAMING_PARAGRAPH_INGEST_SQL
 #      round.  Every deferred query remains green in both committed
 #      local sweeps at sf0.01 and sf0.1.
 _RUN_FIRST = [
-    # -- 1: born this round (5, registry 180): the BRP euclidean
+    # -- 1: born this round (6, registry 181): the BRP euclidean
     # similarity-JOIN gate on the planted-cluster fixture (r12 verdict
     # task 1), the pyspark.ml Pipeline interop twin of the quality
     # classifier with an in-gate PipelineModel save/load round-trip
     # (task 5), the leakage-safe group split (near-dup clusters assigned
     # whole), the directional source-pair overlap matrix, and the
-    # bucketized range join (BETWEEN lookup as an equi-join).  The last
-    # three displace dedup_jaccard_prefix / dedup_paragraphs_global /
-    # dedup_embedding_recall from region 3 — all stay r10-vintage
-    # (≥ the round's floor) and green in the committed r13 local sweeps.
+    # bucketized range join (BETWEEN lookup as an equi-join), and the
+    # watermark-bounded streaming dedup (dropDuplicatesWithinWatermark
+    # state eviction under the exactly-once oracle).  The last four
+    # displace dedup_jaccard_prefix / dedup_paragraphs_global /
+    # dedup_embedding_recall / dedup_embedding_lsh from region 3 — all
+    # stay r10-vintage (≥ the round's floor) and green in the committed
+    # r13 local sweeps.
     "dedup_embedding_brp", "text_quality_pipeline_ml",
     "pipeline_group_split", "dedup_source_overlap",
-    "q_range_bucket_join",
+    "q_range_bucket_join", "streaming_dedup_bounded",
     # -- 2: the complete r9-vintage tail (36 — the round-12 vintage
     # audit's full list; after this round no query's newest driver
     # evidence predates round 10).
@@ -10670,7 +10724,6 @@ _RUN_FIRST = [
     "ann_hard_negatives", "ann_ivf_topk", "ann_ivfpq_topk",
     "ann_knn_graph_blocked", "cdc_apply_changes",
     "cdc_scd2_apply_changes", "cdc_table_diff", "dedup_containment",
-    "dedup_embedding_lsh",
 ]
 assert len(_RUN_FIRST) == 50, len(_RUN_FIRST)
 _missing = [q for q in _RUN_FIRST if q not in QUERIES]

@@ -841,3 +841,64 @@ class TestStaggeredBatchFiles:
         assert [os.path.basename(f) for f in files] == [
             f"b{i}.parquet" for i in range(INGEST_BATCHES)
         ]
+
+
+class TestStreamDedupBounded:
+    """stream_dedup_exact's watermark path (dropDuplicatesWithinWatermark):
+    state is EVICTED once the watermark passes first-arrival + horizon —
+    the property that bounds dedup state on an always-on ingest, and the
+    semantic difference from the plain dropDuplicates path."""
+
+    def test_within_horizon_dropped_after_horizon_reemitted(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        from qdrant_datafusion_spark.streaming.ingest import (
+            stream_dedup_exact,
+        )
+
+        src = str(tmp_path / "wm_src")
+
+        def write(rows, mtime):
+            df = spark.createDataFrame(
+                rows, "doc_id long, text string, evt string"
+            ).withColumn("evt", F.to_timestamp("evt"))
+            before = set(_os.listdir(src)) if _os.path.exists(src) else set()
+            df.coalesce(1).write.mode("append").parquet(src)
+            # pin strictly increasing mtimes so the file source's batch
+            # order equals write order even on 1s-granularity filesystems
+            for f in set(_os.listdir(src)) - before:
+                if f.endswith(".parquet"):
+                    _os.utime(_os.path.join(src, f), (mtime, mtime))
+
+        def ts(sec):
+            return f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+        # horizon 10s.  batch1: A@100, C@102.  batch2: C@104 (dup
+        # within horizon -> dropped), B@200 (advances the watermark to
+        # 190).  batch3: A@195, B@196 — BOTH dropped: the watermark-190
+        # state cleanup runs after batch3's dedup check, so A's expired
+        # state (expiry 110) is still visible to it — eviction becomes
+        # OBSERVABLE one batch later, which is why batch4 exists:
+        # A@197 is re-emitted there (state aged out), proving both the
+        # eviction and its batch-boundary timing.
+        write([(1, "A", ts(100)), (2, "C", ts(102))], 1_700_000_000)
+        write([(3, "C", ts(104)), (4, "B", ts(200))], 1_700_000_010)
+        write([(5, "A", ts(195)), (6, "B", ts(196))], 1_700_000_020)
+        write([(7, "A", ts(197))], 1_700_000_030)
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        kept = stream_dedup_exact(
+            stream, "text", watermark_col="evt", watermark="10 seconds"
+        )
+        rows = _run_to_memory(kept, spark, "dedup_wm_sem", "append").collect()
+        got = sorted((r.doc_id, r.text) for r in rows)
+        # A emitted TWICE (before and after eviction); B and C once each;
+        # the batch-3 A (pre-cleanup) and B (within horizon) both dropped
+        assert got == [(1, "A"), (2, "C"), (4, "B"), (7, "A")], got
