@@ -172,6 +172,12 @@ HEADLINE = [
     "v_search_udtf",
     "v_centroid_udaf",
     "graph_hits",
+    # round 13
+    "dedup_embedding_brp",
+    "text_quality_pipeline_ml",
+    "pipeline_group_split",
+    "dedup_source_overlap",
+    "q_range_bucket_join",
 ]
 
 #: streaming gates: timed and reported under their own total, NOT in
@@ -192,6 +198,7 @@ STREAMING = [
     "streaming_interval_join",
     "streaming_paragraph_ingest",
     "streaming_cdc_apply",
+    "streaming_dedup_bounded",
 ]
 
 #: context labels recorded with the bench so a row's cost isn't misread:
@@ -273,6 +280,18 @@ TAGS = {
     "multimodal_video_dups": (
         "includes fixture synthesis (Y4M encode of 256 clips) ahead of "
         "the demux+hash+join path under test"
+    ),
+    "text_quality_pipeline_ml": (
+        "interop gate: cost includes a PipelineModel save/load "
+        "round-trip to disk inside the gate, not just the classify plan"
+    ),
+    "pipeline_group_split": (
+        "composition gate (jaccard pairs -> connected components -> "
+        "keyed split); cost is the full leakage-safe chain, not one op"
+    ),
+    "streaming_dedup_bounded": (
+        "streaming gate: 2-file re-layout + 2 micro-batches through the "
+        "dropDuplicatesWithinWatermark state store"
     ),
 }
 
