@@ -891,8 +891,12 @@ def _gemm_candidate_pairs(
         import numpy as np
 
         for pdf in batches:
-            rows = {"id_a": [], "id_b": [], "cosine_approx": []}
-            for _, r in pdf.iterrows():
+            # vectorized emitter (guide §4.2): threshold mask + fancy
+            # indexing instead of a per-pair Python append loop
+            a_parts: list = []
+            b_parts: list = []
+            s_parts: list = []
+            for r in pdf.itertuples(index=False):
                 same = r.blk_a == r.blk_b
                 va = np.asarray([np.asarray(x, np.float64) for x in r.vs_a])
                 vb = va if same else np.asarray(
@@ -902,23 +906,33 @@ def _gemm_candidate_pairs(
                 nb = na if same else np.linalg.norm(vb, axis=1)
                 sims = (va @ vb.T) / np.outer(na, nb)
                 ia, ib = np.nonzero(sims >= threshold - margin)
-                ids_a, ids_b = list(r.ids_a), list(r.ids_b)
-                for x, y in zip(ia, ib):
-                    pa, pb = ids_a[x], ids_b[y]
-                    if same:
-                        # same block: each unordered pair appears twice
-                        # (and on the diagonal) — keep the ordered half
-                        if not pa < pb:
-                            continue
-                    elif pa > pb:
-                        # cross block: each unordered pair appears exactly
-                        # once, but hash blocking doesn't order ids across
-                        # blocks — normalize instead of dropping
-                        pa, pb = pb, pa
-                    rows["id_a"].append(pa)
-                    rows["id_b"].append(pb)
-                    rows["cosine_approx"].append(float(sims[x, y]))
-            yield pd.DataFrame(rows)
+                ids_a = np.asarray(list(r.ids_a))
+                ids_b = ids_a if same else np.asarray(list(r.ids_b))
+                pa, pb, sv = ids_a[ia], ids_b[ib], sims[ia, ib]
+                if same:
+                    # same block: each unordered pair appears twice (and
+                    # on the diagonal) — keep the ordered half
+                    m = pa < pb
+                    pa, pb, sv = pa[m], pb[m], sv[m]
+                else:
+                    # cross block: each unordered pair appears exactly
+                    # once, but hash blocking doesn't order ids across
+                    # blocks — normalize instead of dropping
+                    lo = np.minimum(pa, pb)
+                    pb = np.maximum(pa, pb)
+                    pa = lo
+                a_parts.append(pa)
+                b_parts.append(pb)
+                s_parts.append(sv)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(a_parts) if a_parts else [],
+                    "id_b": np.concatenate(b_parts) if b_parts else [],
+                    "cosine_approx": (
+                        np.concatenate(s_parts) if s_parts else []
+                    ),
+                }
+            )
 
     return pairs.mapInPandas(gemm, schema=out_schema)
 

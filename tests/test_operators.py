@@ -548,6 +548,30 @@ class TestSelfKnn:
             got.setdefault(r.id, []).append(r.nbr_id)
         assert got == truth
 
+    def test_block_smaller_than_keep_list(self, spark, emb):
+        # r13 vectorized-emitter edge case: a block with fewer rows than
+        # the keep list (k + 4) must clamp its per-block top-k to the
+        # block width and still return the exact neighbors
+        from qdrant_datafusion_spark.operators import self_knn_join
+
+        data = {r.vec_id: np.array(r.embedding) for r in emb.limit(5).collect()}
+        truth = {}
+        for a in data:
+            scored = []
+            for b in data:
+                if a == b:
+                    continue
+                va, vb = data[a], data[b]
+                c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+                scored.append((-c, b))
+            truth[a] = [b for _, b in sorted(scored)[:3]]
+        sub = emb.filter(emb.vec_id.isin(list(data)))
+        out = self_knn_join(sub, "embedding", "vec_id", k=3, block_size=64).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r.id, r.rank)):
+            got.setdefault(r.id, []).append(r.nbr_id)
+        assert got == truth
+
 
 class TestHardNegatives:
     def test_matches_bruteforce_band(self, spark, emb):
