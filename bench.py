@@ -764,10 +764,19 @@ def main() -> None:
         compact["sf1_output_growth"] = sf1["output_growth"]
     elif "error" in sf1:
         compact["sf1_error"] = sf1["error"][:80]
+    # belt-and-braces: never outgrow the ~2000-char capture window — but
+    # NEVER by dropping "queries" entries (the driver contract: entries may
+    # be added, never removed).  Shed the optional sf1 maps instead; the
+    # full copies always live in BENCH_DETAIL.json.  (Round 13: the three
+    # added sf1 growth rows pushed the line over 1900 and the old fallback
+    # emptied "queries" — a contract violation, fixed here.)
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: never outgrow the capture again
+    if len(line) > 1900:
         compact.pop("sf1_output_growth", None)
-        compact["queries"] = {}
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("sf1_growth", None)
+        compact["sf1_detail"] = "see BENCH_DETAIL.json"
         line = json.dumps(compact)
     print(line)
 

@@ -1229,12 +1229,36 @@ GROUP BY md5(lower(trim(text)))
 """
 
 
+#: (sf_dir -> (session, pinned pair table)).  Four gates run the identical
+#: exact 3-shingle Jaccard pair computation (dedup_ngram_jaccard,
+#: dedup_clusters, pipeline_group_split, dedup_source_overlap — k=3,
+#: threshold=0.2): one shingle-explode self-join per (session, sf_dir)
+#: instead of four, the _doc_minhash_buckets memo pattern (guide §2.4 —
+#: remove repeated shuffles outright; the production mirror is a persisted
+#: near-dup pair table maintained alongside the corpus).
+_JACCARD_PAIRS_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard near-dup pair table (id_a, id_b, inter, n_union,
+    jaccard) over documents at the shared gate parameters (k=3,
+    threshold=0.2), built once per (session, sf_dir) and eagerly pinned."""
+    hit = _JACCARD_PAIRS_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = _t(spark, sf_dir, "documents")
+    p = ngram_jaccard_dups(
+        docs, "text", "doc_id", k=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    _JACCARD_PAIRS_MEMO[sf_dir] = (spark, p)
+    return p
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard near-dup pairs at threshold 0.2.  The
     presented jaccard rounds via :func:`_ratio_round6` on the operator's
     integer inter/union — engine-portable at any fixture size."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    pairs = _doc_jaccard_pairs(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", _ratio_round6(F.col("inter"), F.col("n_union")).alias("jaccard")
     )
@@ -1319,13 +1343,39 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (sf_dir -> (session, pinned bucket table)).  The three SimHash gates
+#: (dedup_simhash, dedup_simhash_capped, dedup_simhash_hot) share one
+#: signature/bucket build per (session, sf_dir) at the common geometry
+#: (max_hamming=4, blocks=5) — the _MINHASH_BUCKETS_MEMO pattern (guide
+#: §2.4); the capped gates union a boilerplate-only build (per-doc
+#: independence makes the union exact, as for MinHash).
+_SIMHASH_BUCKETS_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded SimHash block-bucket table over documents at the
+    shared gate geometry, built once per (session, sf_dir) and pinned."""
+    from qdrant_datafusion_spark.operators.dedup import simhash_buckets
+
+    hit = _SIMHASH_BUCKETS_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = _t(spark, sf_dir, "documents")
+    b = simhash_buckets(
+        docs, "text", "doc_id", max_hamming=4, blocks=5
+    ).localCheckpoint(eager=True)
+    _SIMHASH_BUCKETS_MEMO[sf_dir] = (spark, b)
+    return b
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 4 on 60-bit signatures) via exact
     block-permutation candidate search (5 blocks of 12 bits ⇒
     pigeonhole-complete; wider blocks keep candidate buckets small)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = simhash_dups(
-        docs, "text", "doc_id", max_hamming=4, blocks=5, max_bucket_size=None
+        docs, "text", "doc_id", max_hamming=4, blocks=5, max_bucket_size=None,
+        buckets=_doc_simhash_buckets(spark, sf_dir),
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -1495,19 +1545,41 @@ GROUP BY source
 """
 
 
+#: (sf_dir -> (session, pinned exact pair table)).  dedup_embedding and
+#: dedup_embedding_recall both need the identical exact all-pairs cosine
+#: table at threshold 0.35 — one blocked-GEMM grid per (session, sf_dir)
+#: instead of two (the _doc_minhash_buckets memo pattern, guide §2.4).
+_EMB_EXACT_PAIRS_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _emb_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact embedding-cosine pair table (id_a, id_b, cosine) at the
+    shared gate threshold, built once per (session, sf_dir) and pinned."""
+    from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
+
+    hit = _EMB_EXACT_PAIRS_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    emb = _t(spark, sf_dir, "embeddings")
+    p = embedding_near_dups(
+        emb, "embedding", "vec_id", threshold=0.35
+    ).localCheckpoint(eager=True)
+    _EMB_EXACT_PAIRS_MEMO[sf_dir] = (spark, p)
+    return p
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     cluster structure).  Brute-force exact here; the LSH-bucketed variant
-    (operators.dedup.embedding_near_dups with planes) is the scale path."""
-    from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
+    (operators.dedup.embedding_near_dups with planes) is the scale path.
 
-    emb = _t(spark, sf_dir, "embeddings")
-    # block_size=256 forces a multi-block GEMM grid even at the small
-    # correctness SFs, so the oracle exercises the cross-block path (a
-    # single block would hide pair-ordering bugs in the block-pair kernel)
-    pairs = embedding_near_dups(
-        emb, "embedding", "vec_id", threshold=0.35, block_size=256
-    )
+    block_size is auto (operators.ann._auto_gemm_nblocks): the grid
+    floors at 4 blocks, so the cross-block path stays exercised even at
+    the small correctness SFs (a single block would hide pair-ordering
+    bugs in the block-pair kernel), while large corpora get corpus-sized
+    blocks instead of 256-row ones (round 13: the fixed 256 shipped
+    every vector through Arrow ~n/256 times)."""
+    pairs = _emb_exact_pairs(spark, sf_dir)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= 0.35)
@@ -1529,8 +1601,8 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-kNN join: each embedding's exact top-5 neighbors (the kNN-graph
-    builder).  block_size=256 forces a multi-block GEMM grid at every SF so
-    the gate exercises the cross-block candidate path.  Rides the
+    builder).  The auto-sized GEMM grid floors at 4 blocks, so the gate
+    exercises the cross-block candidate path at every SF.  Rides the
     per-(session, sf_dir) memoized table the three graph gates share."""
     out = _knn_table(spark, sf_dir)
     return out.select(
@@ -1733,8 +1805,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is `WHERE id = cluster_id`.  Spark side is iterative
     min-label propagation (O(diameter) rounds, each one join + one agg);
     oracle is a DuckDB recursive CTE computing the same components."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    pairs = _doc_jaccard_pairs(spark, sf_dir)
     return dup_clusters(pairs).select(
         F.col("id").cast("long").alias("id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -2475,9 +2546,7 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qdrant_datafusion_spark.operators.dedup import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    exact = embedding_near_dups(
-        emb, "embedding", "vec_id", threshold=0.35, block_size=256
-    )
+    exact = _emb_exact_pairs(spark, sf_dir)
     lsh = embedding_near_dups(
         emb,
         "embedding",
@@ -3283,11 +3352,10 @@ def pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     in train.  Singleton docs keep hash_split's exact assignment (same
     weights + seed), making the two gates directly diffable: rows that
     changed split are exactly the non-representative cluster members."""
-    from qdrant_datafusion_spark.operators.dedup import ngram_jaccard_dups
     from qdrant_datafusion_spark.operators.pipeline import group_split
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_dups(docs, "text", "doc_id", k=3, threshold=0.2)
+    pairs = _doc_jaccard_pairs(spark, sf_dir)
     out = group_split(docs, pairs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -3321,7 +3389,8 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     cells = source_overlap(
-        docs, "text", "doc_id", "source", k=3, threshold=0.2
+        docs, "text", "doc_id", "source", k=3, threshold=0.2,
+        pairs=_doc_jaccard_pairs(spark, sf_dir),
     )
     return cells.select(
         "source_a",
@@ -4126,6 +4195,33 @@ def _skew_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b
 
 
+def _skew_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket table for the skewed fixture = the memoized
+    documents table ∪ a boilerplate-only build (signatures are per-doc
+    independent, so the union is exact) — the _skew_minhash_buckets twin;
+    shared by dedup_simhash_capped and dedup_simhash_hot."""
+    from qdrant_datafusion_spark.operators.dedup import simhash_buckets
+
+    key = sf_dir + "#skew"
+    hit = _SIMHASH_BUCKETS_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    _, n_docs, boiler_n = _skew_fixture(spark, sf_dir)
+    boiler = spark.range(1, boiler_n + 1).select(
+        (F.lit(_BOILER_BASE) + F.col("id")).alias("doc_id"),
+        F.lit(_BOILER_TEXT).alias("text"),
+    )
+    b = (
+        _doc_simhash_buckets(spark, sf_dir)
+        .unionByName(
+            simhash_buckets(boiler, "text", "doc_id", max_hamming=4, blocks=5)
+        )
+        .localCheckpoint(eager=True)
+    )
+    _SIMHASH_BUCKETS_MEMO[key] = (spark, b)
+    return b
+
+
 def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs WITH the hot-bucket cap active on the
     skewed fixture: the 2·n_docs-copy boilerplate bucket (> cap in all 16
@@ -4177,6 +4273,7 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_dups(
         skewed, "text", "doc_id",
         max_hamming=4, blocks=5, max_bucket_size=cap,
+        buckets=_skew_simhash_buckets(spark, sf_dir),
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
@@ -4191,6 +4288,7 @@ def dedup_simhash_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = simhash_hot_buckets(
         skewed, "text", "doc_id",
         max_hamming=4, blocks=5, max_bucket_size=cap,
+        buckets=_skew_simhash_buckets(spark, sf_dir),
     )
     return hot.agg(
         F.count("*").alias("n_hot_buckets"),
@@ -4776,7 +4874,7 @@ def _knn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     table = self_knn_join(
-        emb, "embedding", "vec_id", k=5, block_size=256
+        emb, "embedding", "vec_id", k=5
     ).localCheckpoint(eager=True)
     _KNN_EDGES_MEMO[sf_dir] = (spark, table)
     return table

@@ -283,12 +283,28 @@ def planted_cluster_embeddings(
     ).drop("_cl")
 
 
+def _auto_gemm_nblocks(n: int) -> int:
+    """Scale-adaptive GEMM grid size (guide §2.2/§2.3): every block's
+    vectors are re-shipped through Arrow once per partner block, so the
+    Python-boundary bytes grow with ``nblocks × n`` — minimize the block
+    count subject to (a) enough block pairs to fill the cores
+    (``nblocks ≥ 4`` ⇒ ≥ 10 pairs, and the floor also keeps the
+    multi-block grid path exercised at tiny test SFs) and (b) per-task
+    state staying bounded (blocks of ≤ 4096 rows ⇒ a 4096² float64 sims
+    matrix ≈ 134 MB).  A fixed small block size is the knob that silently
+    degrades at scale: at 10× the rows it ships ~10× the duplicated
+    vector bytes and schedules ~100× the (tiny) tasks."""
+    import math
+
+    return max(4, math.ceil(n / 4096))
+
+
 def self_knn_join(
     collection: DataFrame,
     vector_col: str,
     id_col: str,
     k: int = 5,
-    block_size: int = 1024,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Each row's exact k nearest neighbors *within the table* by cosine —
     the kNN-graph builder behind embedding clustering and graph-based
@@ -315,7 +331,17 @@ def self_knn_join(
         F.col(id_col).alias("_id"), F.col(vector_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
     n = rows.count()
-    nblocks = max(1, math.ceil(n / block_size))
+    # block_size=None (the default) sizes the grid to the corpus; an
+    # explicit block_size pins the legacy geometry (tests, probes).
+    # Either way the output is invariant: every block pair is compared,
+    # and each per-pair top-(k+4) list provably contains every global
+    # top-k neighbor (fewer than k candidates beat it anywhere, so fewer
+    # than k+4 beat it inside its own block pair).
+    nblocks = (
+        _auto_gemm_nblocks(n)
+        if block_size is None
+        else max(1, math.ceil(n / block_size))
+    )
     blocks = rows.withColumn(
         "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(nblocks)).cast("int")
     )
@@ -347,10 +373,11 @@ def self_knn_join(
             n_parts: list = []
             for r in pdf.itertuples(index=False):
                 same = r.blk_a == r.blk_b
-                va = np.asarray([np.asarray(x, np.float64) for x in r.vs_a])
-                vb = va if same else np.asarray(
-                    [np.asarray(x, np.float64) for x in r.vs_b]
-                )
+                # np.stack: one C-loop copy of the Arrow float32 rows
+                # into the (rows, dim) matrix, instead of a Python loop
+                # converting one vector at a time (guide §4.2)
+                va = np.stack(r.vs_a).astype(np.float64)
+                vb = va if same else np.stack(r.vs_b).astype(np.float64)
                 na = np.linalg.norm(va, axis=1)
                 nb = na if same else np.linalg.norm(vb, axis=1)
                 sims = (va @ vb.T) / np.outer(na, nb)
@@ -407,7 +434,7 @@ def hard_negatives(
     lo: float = 0.5,
     hi: float = 0.95,
     overfetch_rank: int = 50,
-    block_size: int = 1024,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive embedding training
     (Karpukhin et al. 2020, DPR; the standard retrieve-then-filter

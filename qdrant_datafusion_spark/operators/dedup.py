@@ -477,7 +477,15 @@ def minhash_lsh_dups_mllib(
         inputCol="_sh", outputCol="_vec", numFeatures=num_features,
         binary=True,
     )
-    vecs = tf.transform(base).select("_id", "_fp", "_vec")
+    # the join input carries ONLY (_id, _vec): approxSimilarityJoin
+    # explodes num_hash_tables rows per doc and shuffle-joins them, and
+    # every exploded row ships the full input struct — the house ``_fp``
+    # fingerprint array (one bigint per shingle) is verify-only payload,
+    # so it is re-attached to the SMALL verified pair table after the
+    # join instead of riding the ×32 explode (guide §2.3/§8: shuffle
+    # keys and metadata, move the heavy bytes once)
+    vecs = tf.transform(base).select("_id", "_vec")
+    fps = base.select("_id", "_fp").localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="_vec", outputCol="_hashes",
         numHashTables=num_hash_tables, seed=seed,
@@ -504,18 +512,25 @@ def minhash_lsh_dups_mllib(
     joined = model.approxSimilarityJoin(
         hashed, hashed, 1.0 - threshold + 1e-3, distCol="_jd"
     )
-    inter = F.size(
-        F.array_intersect(F.col("datasetA._fp"), F.col("datasetB._fp"))
+    pair_ids = joined.filter(
+        F.col("datasetA._id") < F.col("datasetB._id")
+    ).select(
+        F.col("datasetA._id").alias("id_a"),
+        F.col("datasetB._id").alias("id_b"),
     )
-    union = (
-        F.size(F.col("datasetA._fp")) + F.size(F.col("datasetB._fp")) - inter
-    )
+    # exact verify on the pinned fingerprint table: the candidate pair
+    # set post-MLlib-filter is small, so these are broadcast-sized joins
+    fpa = fps.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    fpb = fps.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
+    union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
     jac = inter.cast("double") / union
     return (
-        joined.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        pair_ids.join(fpa, "id_a")
+        .join(fpb, "id_b")
         .select(
-            F.col("datasetA._id").alias("id_a"),
-            F.col("datasetB._id").alias("id_b"),
+            "id_a",
+            "id_b",
             inter.cast("long").alias("inter"),
             union.cast("long").alias("n_union"),
             jac.alias("jaccard"),
@@ -775,6 +790,24 @@ def _simhash_buckets(
     ).select("_id", "sig", F.col("b.bid").alias("bid"), F.col("b.bval").alias("bval"))
 
 
+def simhash_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Public builder for the exploded SimHash block-bucket table
+    (_id, sig, bid, bval) — the :func:`minhash_buckets` twin.  Build it
+    once (persist it, or pin it in-session) and pass it back through the
+    ``buckets=`` parameter of :func:`simhash_dups` /
+    :func:`simhash_hot_buckets` so the signature pass (the dominant cost:
+    token explode + 20 packed vote aggregations) runs once per corpus,
+    not once per consumer.  Per-doc independent, so unioning
+    independently built tables equals building over the unioned input."""
+    return _simhash_buckets(df, content_col, id_col, max_hamming, blocks)
+
+
 def simhash_hot_buckets(
     df: DataFrame,
     content_col: str,
@@ -782,11 +815,15 @@ def simhash_hot_buckets(
     max_hamming: int = 3,
     blocks: int | None = None,
     max_bucket_size: int = 1000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(bid, bval, n_members) for every SimHash block bucket over the cap —
-    the audit companion to :func:`simhash_dups`'s skew guard."""
+    the audit companion to :func:`simhash_dups`'s skew guard.
+    ``buckets``: precomputed :func:`simhash_buckets` table (see there)."""
+    if buckets is None:
+        buckets = _simhash_buckets(df, content_col, id_col, max_hamming, blocks)
     return _hot_bucket_stats(
-        _simhash_buckets(df, content_col, id_col, max_hamming, blocks),
+        buckets,
         ["bid", "bval"],
         max_bucket_size,
     )
@@ -799,6 +836,7 @@ def simhash_dups(
     max_hamming: int = 3,
     blocks: int | None = None,
     max_bucket_size: int | None = 1000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -813,9 +851,16 @@ def simhash_dups(
     — pass ``max_bucket_size=None`` for the exact contract (the driver
     gate does), and run :func:`exact_dedup` first so identical documents
     never pile into one bucket.  Returns (id_a, id_b, hamming).
+
+    ``buckets``: a precomputed :func:`simhash_buckets` table; when given,
+    the signature build is skipped (``df``/``content_col``/geometry
+    params are then unused — the caller owns their consistency with the
+    table's build).  The cap still applies here.
     """
+    if buckets is None:
+        buckets = _simhash_buckets(df, content_col, id_col, max_hamming, blocks)
     exploded = _cap_hot_buckets(
-        _simhash_buckets(df, content_col, id_col, max_hamming, blocks),
+        buckets,
         ["bid", "bval"],
         max_bucket_size,
     )
@@ -840,7 +885,7 @@ def _gemm_candidate_pairs(
     vector_col: str,
     id_col: str,
     threshold: float,
-    block_size: int = 1024,
+    block_size: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold-ε candidates via block matrix multiply.
 
@@ -863,9 +908,18 @@ def _gemm_candidate_pairs(
     # (the exact bottleneck this operator exists to avoid).  Correctness
     # doesn't care which rows share a block (every block pair is compared);
     # hash gives balanced blocks with zero global ordering.  One count()
-    # sizes the block grid.
+    # sizes the block grid.  block_size=None (default) sizes the grid to
+    # the corpus (operators.ann._auto_gemm_nblocks — minimize duplicated
+    # vector shipping while keeping the cores fed); the emitted pair set
+    # is blocking-invariant (every block pair is compared).
+    from qdrant_datafusion_spark.operators.ann import _auto_gemm_nblocks
+
     n = rows.count()
-    nblocks = max(1, math.ceil(n / block_size))
+    nblocks = (
+        _auto_gemm_nblocks(n)
+        if block_size is None
+        else max(1, math.ceil(n / block_size))
+    )
     blocks = rows.withColumn(
         "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(nblocks)).cast("int")
     )
@@ -898,10 +952,11 @@ def _gemm_candidate_pairs(
             s_parts: list = []
             for r in pdf.itertuples(index=False):
                 same = r.blk_a == r.blk_b
-                va = np.asarray([np.asarray(x, np.float64) for x in r.vs_a])
-                vb = va if same else np.asarray(
-                    [np.asarray(x, np.float64) for x in r.vs_b]
-                )
+                # np.stack: one C-loop copy of the Arrow float32 rows into
+                # the (rows, dim) matrix instead of a per-vector Python
+                # conversion loop (guide §4.2)
+                va = np.stack(r.vs_a).astype(np.float64)
+                vb = va if same else np.stack(r.vs_b).astype(np.float64)
                 na = np.linalg.norm(va, axis=1)
                 nb = na if same else np.linalg.norm(vb, axis=1)
                 sims = (va @ vb.T) / np.outer(na, nb)
@@ -943,7 +998,7 @@ def embedding_near_dups(
     id_col: str,
     threshold: float = 0.95,
     bucket_planes: Sequence[Sequence[float]] | None = None,
-    block_size: int = 1024,
+    block_size: int | None = None,
     tables: int = 1,
     max_bucket_size: int | None = None,
 ) -> DataFrame:

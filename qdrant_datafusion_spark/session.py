@@ -45,6 +45,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # let the Python-DataSource connector seam accept pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Driver-local literal relations (createDataFrame of query vectors,
+        # pyspark.ml DefaultParamsWriter metadata writes) are sliced into
+        # defaultParallelism pickled partitions, and a coalesce(1) consumer
+        # — which is exactly what the stock ML writer does — then evaluates
+        # every slice SEQUENTIALLY through a Python worker roundtrip
+        # (~0.2-0.5s each; measured 6s per 1-row metadata write at 32
+        # slices, round 13).  Bounding the slice count fixes that at any
+        # cluster size — more cores would make it strictly worse, so this
+        # is not a local-mode-only tune; RDD-API work that wants full
+        # parallelism can override via $SPARK_GRAFT_DEFAULT_PARALLELISM
+        # (the engine's own query paths are DataFrame-API and size their
+        # stages from the scan/shuffle configs, not this).
+        .config(
+            "spark.default.parallelism",
+            os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM", "8"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

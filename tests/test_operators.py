@@ -2262,3 +2262,92 @@ class TestHits:
         df = spark.createDataFrame(self.EDGES, "src long, dst long")
         with pytest.raises(ValueError):
             hits(df, iters=0)
+
+
+class TestRound13Optimizations:
+    """Round-13 optimization invariants: precomputed-bucket seams and the
+    scale-adaptive GEMM grid must be output-invariant."""
+
+    def test_simhash_precomputed_buckets_match(self, spark, docs):
+        from qdrant_datafusion_spark.operators.dedup import (
+            simhash_buckets,
+            simhash_hot_buckets,
+        )
+
+        sub = docs.limit(80)
+        base = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_dups(
+                sub, "text", "doc_id", max_hamming=4, blocks=5,
+                max_bucket_size=None,
+            ).collect()
+        }
+        b = simhash_buckets(sub, "text", "doc_id", max_hamming=4, blocks=5)
+        via_buckets = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_dups(
+                sub, "text", "doc_id", max_hamming=4, blocks=5,
+                max_bucket_size=None, buckets=b,
+            ).collect()
+        }
+        assert via_buckets == base
+        hot_base = {
+            (r.bid, r.bval, r.n_members)
+            for r in simhash_hot_buckets(
+                sub, "text", "doc_id", max_hamming=4, blocks=5,
+                max_bucket_size=2,
+            ).collect()
+        }
+        hot_via = {
+            (r.bid, r.bval, r.n_members)
+            for r in simhash_hot_buckets(
+                sub, "text", "doc_id", max_hamming=4, blocks=5,
+                max_bucket_size=2, buckets=b,
+            ).collect()
+        }
+        assert hot_via == hot_base
+
+    def test_auto_gemm_nblocks_floor_and_scaling(self):
+        from qdrant_datafusion_spark.operators.ann import _auto_gemm_nblocks
+
+        # floor: the multi-block cross-block path stays exercised at tiny n
+        assert _auto_gemm_nblocks(1) == 4
+        assert _auto_gemm_nblocks(2000) == 4
+        # scaling: blocks track n/4096 so per-task state stays bounded
+        assert _auto_gemm_nblocks(4096 * 4) == 4
+        assert _auto_gemm_nblocks(4096 * 4 + 1) == 5
+        assert _auto_gemm_nblocks(100_000) == 25
+
+    def test_self_knn_auto_blocking_matches_explicit(self, spark, emb):
+        # output is blocking-invariant: default (auto grid) == legacy
+        # explicit 32-row blocks on the same subset
+        from qdrant_datafusion_spark.operators import self_knn_join
+
+        sub = emb.limit(120)
+        auto = {
+            (r.id, r.nbr_id, r.score, r.rank)
+            for r in self_knn_join(sub, "embedding", "vec_id", k=4).collect()
+        }
+        legacy = {
+            (r.id, r.nbr_id, r.score, r.rank)
+            for r in self_knn_join(
+                sub, "embedding", "vec_id", k=4, block_size=32
+            ).collect()
+        }
+        assert auto == legacy
+
+    def test_embedding_near_dups_auto_blocking_matches_explicit(self, emb):
+        sub = emb.limit(120)
+        auto = {
+            (r.id_a, r.id_b, round(r.cosine, 9))
+            for r in embedding_near_dups(
+                sub, "embedding", "vec_id", 0.3
+            ).collect()
+        }
+        legacy = {
+            (r.id_a, r.id_b, round(r.cosine, 9))
+            for r in embedding_near_dups(
+                sub, "embedding", "vec_id", 0.3, block_size=32
+            ).collect()
+        }
+        assert auto == legacy
