@@ -26,7 +26,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.distance import (
-    cosine_similarity,
     dot_product,
     v_search,
 )
@@ -283,6 +282,60 @@ def planted_cluster_embeddings(
     ).drop("_cl")
 
 
+def _seq_dot(A, B):
+    """Left-to-right sequential-order row dot products — bit-identical
+    to the JVM fold ``functions.distance.dot_product`` (``aggregate``
+    starting at 0.0, adding ``a[i]*b[i]`` in element order, all in
+    double).  ``np.cumsum`` along the last axis is ``np.add.accumulate``
+    — strictly sequential partial sums, the same IEEE add sequence —
+    so GEMM block tasks can emit EXACT scores themselves instead of the
+    caller re-scoring candidates through an interpreted HOF join (the
+    round-13 measurement: the join + 3×aggregate/zip_with fold over the
+    candidate table was ~90% of the kNN-build wall at 10× scale)."""
+    import numpy as np
+
+    prod = A.astype(np.float64, copy=False) * B.astype(np.float64, copy=False)
+    if prod.shape[1] == 0:
+        return np.zeros(prod.shape[0], dtype=np.float64)
+    return np.cumsum(prod, axis=1)[:, -1]
+
+
+def _seq_norms(M):
+    """sqrt of the sequential-order self dot — bit-identical to the JVM
+    ``norm`` fold (sqrt is correctly rounded in both runtimes)."""
+    import numpy as np
+
+    return np.sqrt(_seq_dot(M, M))
+
+
+#: per-tile output budget for the blocked-GEMM selection loops.  The
+#: (block × block) similarity matrix at the auto-sized 4096-row blocks is
+#: ~128 MB of float64 — measured on this machine class, 15 CONCURRENT
+#: tasks each streaming a 128 MB matrix through GEMM + argpartition run
+#: ~100× slower per task than solo (memory-system collapse: 38 s vs
+#: 0.38 s for one normalized GEMM), while row-tiles whose output stays
+#: ~4 MB keep every task cache-resident (15-way wall: 0.74 s vs 62 s).
+#: FLOPs are identical — only the working set changes.
+_GEMM_TILE_BYTES = 4 << 20
+
+
+def _gemm_tile_rows(ncols: int) -> int:
+    """Query-row tile height whose (rows × ncols) float64 output fits
+    the _GEMM_TILE_BYTES budget."""
+    return max(16, _GEMM_TILE_BYTES // (8 * max(1, ncols)))
+
+
+def _gemm_pair_parallelism(df: DataFrame, npairs: int) -> int:
+    """Round-robin partition count for the block-pair grid: the
+    crossJoin leaves all pairs with blk_a = b in ONE partition (the
+    build side is broadcast), so without a repartition the grid's
+    makespan is the hottest block's whole row.  Cap at 2× the session's
+    shuffle parallelism — beyond that the extra partitions only add
+    scheduling overhead."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(npairs, 2 * sp))
+
+
 def _auto_gemm_nblocks(n: int) -> int:
     """Scale-adaptive GEMM grid size (guide §2.2/§2.3): every block's
     vectors are re-shipped through Arrow once per partner block, so the
@@ -317,9 +370,12 @@ def self_knn_join(
        row *per block pair* (the +4 absorbs BLAS summation-order ulps so
        a true neighbor can't fall off a block-local list).  The union of
        block-pair lists provably contains every global top-k neighbor.
-    2. **Exact re-score**: candidate pairs join vectors back and re-score
-       with the sequential-order native kernel, so emitted scores are
-       bit-identical to a sequential-sum oracle.
+    2. **Exact in-task scoring**: each kept candidate's score is computed
+       IN the same task with the sequential-order cumsum kernel
+       (``_seq_dot``) — bit-identical to the native fold a join-back
+       re-score would produce, without shipping candidate pairs through
+       a vector join + interpreted higher-order fold (round 13: that
+       join was ~90% of the build wall at 10× scale).
     3. **Final ranking**: window partitioned by id (never global) keeps
        rank ≤ k.
     """
@@ -354,11 +410,18 @@ def self_knn_join(
     b = grouped.select(
         F.col("_blk").alias("blk_b"), F.col("_ids").alias("ids_b"), F.col("_vs").alias("vs_b")
     )
-    pairs = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        # spread the grid's block pairs round-robin: the crossJoin output
+        # inherits ONE partition per blk_a, so block 0's nblocks pairs
+        # would otherwise run serially in one task (guide §2.5 skew)
+        .repartition(_gemm_pair_parallelism(collection, nblocks * (nblocks + 1) // 2))
+    )
 
     id_field = collection.select(F.col(id_col)).schema.fields[0]
     id_t = id_field.dataType.simpleString()
-    out_schema = f"id {id_t}, nbr_id {id_t}"
+    out_schema = f"id {id_t}, nbr_id {id_t}, score double"
     keep = k + 4
 
     def topk_candidates(batches):
@@ -371,6 +434,7 @@ def self_knn_join(
             # pair at a time (measured ~2x on the k=20 overfetch path)
             q_parts: list = []
             n_parts: list = []
+            s_parts: list = []
             for r in pdf.itertuples(index=False):
                 same = r.blk_a == r.blk_b
                 # np.stack: one C-loop copy of the Arrow float32 rows
@@ -380,44 +444,69 @@ def self_knn_join(
                 vb = va if same else np.stack(r.vs_b).astype(np.float64)
                 na = np.linalg.norm(va, axis=1)
                 nb = na if same else np.linalg.norm(vb, axis=1)
-                sims = (va @ vb.T) / np.outer(na, nb)
-                if same:
-                    np.fill_diagonal(sims, -np.inf)
+                # normalize ROWS first (n×dim elements, not the n²
+                # outer+divide — measured memory-bandwidth-bound), then
+                # GEMM in ROW TILES whose output fits the cache budget
+                # (see _GEMM_TILE_BYTES).  sims values are selection-only;
+                # ulp differences vs the divide-after form sit inside the
+                # +4-rank margin like any BLAS reassociation.
+                van = va / na[:, None]
+                vbn = van if same else vb / nb[:, None]
                 ids_a = np.asarray(list(r.ids_a))
                 ids_b = ids_a if same else np.asarray(list(r.ids_b))
+                # sequential-order norms once per block row: kept
+                # candidates get their EXACT score computed here (the
+                # _seq_dot cumsum contract), so no vector join / HOF
+                # re-score stage exists downstream
+                sna = _seq_norms(va)
+                snb = sna if same else _seq_norms(vb)
 
-                def emit(ids_q, ids_n, s):
-                    kk = min(keep, s.shape[1])
-                    top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-                    finite = np.isfinite(np.take_along_axis(s, top, axis=1))
-                    qi = np.broadcast_to(
-                        np.arange(s.shape[0])[:, None], top.shape
-                    )[finite]
-                    q_parts.append(ids_q[qi])
-                    n_parts.append(ids_n[top[finite]])
+                def emit(ids_q, ids_n, vqn, vnn, vq, vn, nq, nn, diag):
+                    ncols = vnn.shape[0]
+                    kk = min(keep, ncols)
+                    trows = _gemm_tile_rows(ncols)
+                    for s0 in range(0, vqn.shape[0], trows):
+                        s = vqn[s0 : s0 + trows] @ vnn.T
+                        if diag:
+                            li = np.arange(s.shape[0])
+                            gi = s0 + li
+                            ok = gi < ncols
+                            s[li[ok], gi[ok]] = -np.inf
+                        # tail argpartition: top-kk without a negated copy
+                        top = np.argpartition(s, ncols - kk, axis=1)[:, -kk:]
+                        finite = np.isfinite(np.take_along_axis(s, top, axis=1))
+                        qi = (
+                            s0
+                            + np.broadcast_to(
+                                np.arange(s.shape[0])[:, None], top.shape
+                            )
+                        )[finite]
+                        ni = top[finite]
+                        q_parts.append(ids_q[qi])
+                        n_parts.append(ids_n[ni])
+                        s_parts.append(
+                            _seq_dot(vq[qi], vn[ni]) / (nq[qi] * nn[ni])
+                        )
 
-                emit(ids_a, ids_b, sims)
+                emit(ids_a, ids_b, van, vbn, va, vb, sna, snb, same)
                 if not same:
-                    emit(ids_b, ids_a, sims.T)
+                    emit(ids_b, ids_a, vbn, van, vb, va, snb, sna, False)
             yield pd.DataFrame(
                 {
                     "id": np.concatenate(q_parts) if q_parts else [],
                     "nbr_id": np.concatenate(n_parts) if n_parts else [],
+                    "score": (
+                        np.concatenate(s_parts)
+                        if s_parts
+                        else np.array([], dtype=np.float64)
+                    ),
                 }
             )
 
     cands = pairs.mapInPandas(topk_candidates, schema=out_schema)
 
-    va_df = rows.select(F.col("_id").alias("id"), F.col("_v").alias("_va"))
-    vb_df = rows.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"))
-    scored = (
-        cands.join(va_df, "id")
-        .join(vb_df, "nbr_id")
-        .select(
-            "id",
-            "nbr_id",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("score"),
-        )
+    scored = cands.select(
+        "id", "nbr_id", F.round(F.col("score"), 6).alias("score")
     )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return (
@@ -491,12 +580,13 @@ def self_knn_join_lsh(
     in-task GEMM block emitting per-id shortlists of (k+4) best
     neighbors within the bucket — candidate pairs never materialize as a
     shuffled vector-pair join, and the only wide exchanges key on
-    (table, bucket) and id.  The shortlist union is re-ranked globally
-    (approx, then exact) and ONLY the surviving k rows per id are scored
-    with the sequential-order native kernel, so emitted scores are
-    bit-identical to a DuckDB oracle; truncation is sound because a
-    pair's global candidate rank for an id can't beat its rank inside
-    any shared bucket, and the 4-slot margin absorbs BLAS-vs-sequential
+    (table, bucket) and id.  Each bucket task also computes every
+    shortlisted pair's EXACT score with the sequential-order cumsum
+    kernel (``_seq_dot`` — the same bits the native fold produces), so
+    the global re-rank (approx, then exact) needs no vector join or
+    interpreted re-score stage; truncation is sound because a pair's
+    global candidate rank for an id can't beat its rank inside any
+    shared bucket, and the 4-slot margin absorbs BLAS-vs-sequential
     ulps at rank boundaries.  ``max_bucket_size`` drops oversized
     buckets (skew guard, same contract as the LSH dedup cap).
 
@@ -539,24 +629,39 @@ def self_knn_join_lsh(
                     "id": ids[:0],
                     "nbr_id": ids[:0],
                     "_approx": np.array([], dtype=np.float64),
+                    "score": np.array([], dtype=np.float64),
                 }
             )
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0.0] = np.nan
-        C = (M @ M.T) / np.outer(norms, norms)
+        Mn = M / norms[:, None]  # normalize-first: selection-only GEMM
+        C = Mn @ Mn.T
         np.fill_diagonal(C, -np.inf)
         top = min(shortlist_k, n - 1)
         nbr_pos = np.argsort(-C, axis=1, kind="stable")[:, :top]
-        src = np.repeat(ids, top)
-        nbr = ids[nbr_pos.reshape(-1)]
+        src_pos = np.repeat(np.arange(n), top)
+        nbr_flat = nbr_pos.reshape(-1)
         approx = np.take_along_axis(C, nbr_pos, axis=1).reshape(-1)
         keep = np.isfinite(approx)
+        si, ni = src_pos[keep], nbr_flat[keep]
+        # exact sequential-order score computed IN the block task (the
+        # _seq_dot cumsum contract) — same bits the join-back HOF
+        # re-score produced, no vector join downstream.  A pair emitted
+        # from several buckets computes from identical operands, so
+        # dropDuplicates keeps a bit-identical score whichever row wins.
+        sn = _seq_norms(M)
+        exact = _seq_dot(M[si], M[ni]) / (sn[si] * sn[ni])
         return pd.DataFrame(
-            {"id": src[keep], "nbr_id": nbr[keep], "_approx": approx[keep]}
+            {
+                "id": ids[si],
+                "nbr_id": ids[ni],
+                "_approx": approx[keep],
+                "score": exact,
+            }
         )
 
     per_bucket = bucketed.groupBy("_bucket").applyInPandas(
-        block, schema=f"id {id_dt}, nbr_id {id_dt}, _approx double"
+        block, schema=f"id {id_dt}, nbr_id {id_dt}, _approx double, score double"
     )
     # same pair from several buckets carries an identical approx score
     # (same GEMM operands) — keep one, then re-rank the union per id
@@ -566,16 +671,8 @@ def self_knn_join_lsh(
         .withColumn("_arank", F.row_number().over(approx_w))
         .filter(F.col("_arank") <= shortlist_k)
     )
-    va_df = rows.select(F.col("_id").alias("id"), F.col("_v").alias("_va"))
-    vb_df = rows.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"))
-    scored = (
-        shortlist.join(va_df, "id")
-        .join(vb_df, "nbr_id")
-        .select(
-            "id",
-            "nbr_id",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("score"),
-        )
+    scored = shortlist.select(
+        "id", "nbr_id", F.round(F.col("score"), 6).alias("score")
     )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return (

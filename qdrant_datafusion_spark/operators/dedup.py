@@ -43,7 +43,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qdrant_datafusion_spark.functions.distance import dot_product, norm
 from qdrant_datafusion_spark.functions.text import tokens, word_shingles
 
 
@@ -887,14 +886,17 @@ def _gemm_candidate_pairs(
     threshold: float,
     block_size: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold-ε candidates via block matrix multiply.
+    """All-pairs cosine ≥ threshold-ε pairs via block matrix multiply.
 
     Rows are grouped into blocks of ``block_size``; each block *pair* is one
     task doing a NumPy GEMM (BLAS) instead of n² interpreted expression
     evaluations — the standard distributed exact-similarity-join shape.
     The ε margin (1e-6) means no true pair is lost to BLAS summation-order
-    differences; callers re-verify candidates with the sequential-order
-    native kernel for bit-exact scores.
+    differences; each selected pair's EXACT score is then computed in the
+    same task with the sequential-order cumsum kernel (``ann._seq_dot`` —
+    bit-identical to the native fold), emitted as ``cosine``, so callers
+    only filter ``cosine >= threshold`` — no vector join / interpreted
+    re-score stage (round 13: that join dominated the wall at 10× scale).
     """
     import math
 
@@ -932,13 +934,27 @@ def _gemm_candidate_pairs(
     b = grouped.select(
         F.col("_blk").alias("blk_b"), F.col("_ids").alias("ids_b"), F.col("_vs").alias("vs_b")
     )
-    pairs = a.crossJoin(b).filter(F.col("blk_a") <= F.col("blk_b"))
+    from qdrant_datafusion_spark.operators.ann import (
+        _gemm_pair_parallelism,
+        _gemm_tile_rows,
+        _seq_dot,
+        _seq_norms,
+    )
+
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        # spread the grid's block pairs round-robin (guide §2.5): the
+        # crossJoin output holds every pair with the same blk_a in ONE
+        # partition, serializing the hottest block's row of the grid
+        .repartition(_gemm_pair_parallelism(df, nblocks * (nblocks + 1) // 2))
+    )
 
     margin = 1e-6
     id_field = df.select(F.col(id_col)).schema.fields[0]
     out_schema = (
         f"id_a {id_field.dataType.simpleString()}, "
-        f"id_b {id_field.dataType.simpleString()}, cosine_approx double"
+        f"id_b {id_field.dataType.simpleString()}, cosine double"
     )
 
     def gemm(batches):
@@ -959,32 +975,53 @@ def _gemm_candidate_pairs(
                 vb = va if same else np.stack(r.vs_b).astype(np.float64)
                 na = np.linalg.norm(va, axis=1)
                 nb = na if same else np.linalg.norm(vb, axis=1)
-                sims = (va @ vb.T) / np.outer(na, nb)
-                ia, ib = np.nonzero(sims >= threshold - margin)
+                # normalize rows first (not the n² outer+divide, measured
+                # memory-bandwidth-bound), then GEMM in ROW TILES whose
+                # output fits the cache budget (ann._GEMM_TILE_BYTES —
+                # concurrent full-block matrices collapsed this machine
+                # class ~100×); sims is selection-only and the 1e-6
+                # margin dwarfs the ulp-level difference
+                van = va / na[:, None]
+                vbn = van if same else vb / nb[:, None]
                 ids_a = np.asarray(list(r.ids_a))
                 ids_b = ids_a if same else np.asarray(list(r.ids_b))
-                pa, pb, sv = ids_a[ia], ids_b[ib], sims[ia, ib]
-                if same:
-                    # same block: each unordered pair appears twice (and
-                    # on the diagonal) — keep the ordered half
-                    m = pa < pb
-                    pa, pb, sv = pa[m], pb[m], sv[m]
-                else:
-                    # cross block: each unordered pair appears exactly
-                    # once, but hash blocking doesn't order ids across
-                    # blocks — normalize instead of dropping
-                    lo = np.minimum(pa, pb)
-                    pb = np.maximum(pa, pb)
-                    pa = lo
-                a_parts.append(pa)
-                b_parts.append(pb)
-                s_parts.append(sv)
+                # exact sequential-order score for the selected pairs,
+                # in-task (cumsum contract, see ann._seq_dot) — the
+                # cosine is symmetric bit-for-bit (elementwise products
+                # are commutative, the sum order is element order), so
+                # the id normalization below never changes the value
+                sna = _seq_norms(va)
+                snb = sna if same else _seq_norms(vb)
+                trows = _gemm_tile_rows(vbn.shape[0])
+                for s0 in range(0, van.shape[0], trows):
+                    sims = van[s0 : s0 + trows] @ vbn.T
+                    ia, ib = np.nonzero(sims >= threshold - margin)
+                    ia = ia + s0
+                    sv = _seq_dot(va[ia], vb[ib]) / (sna[ia] * snb[ib])
+                    pa, pb = ids_a[ia], ids_b[ib]
+                    if same:
+                        # same block: each unordered pair appears twice
+                        # (and on the diagonal) — keep the ordered half
+                        m = pa < pb
+                        pa, pb, sv = pa[m], pb[m], sv[m]
+                    else:
+                        # cross block: each unordered pair appears exactly
+                        # once, but hash blocking doesn't order ids across
+                        # blocks — normalize instead of dropping
+                        lo = np.minimum(pa, pb)
+                        pb = np.maximum(pa, pb)
+                        pa = lo
+                    a_parts.append(pa)
+                    b_parts.append(pb)
+                    s_parts.append(sv)
             yield pd.DataFrame(
                 {
                     "id_a": np.concatenate(a_parts) if a_parts else [],
                     "id_b": np.concatenate(b_parts) if b_parts else [],
-                    "cosine_approx": (
-                        np.concatenate(s_parts) if s_parts else []
+                    "cosine": (
+                        np.concatenate(s_parts)
+                        if s_parts
+                        else np.array([], dtype=np.float64)
                     ),
                 }
             )
@@ -1028,25 +1065,14 @@ def embedding_near_dups(
     base = df.filter(F.col(vector_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vector_col).alias("_v"),
-        (norm(F.col(vector_col))).alias("_n"),
     )
     if not bucket_planes:
-        cands = _gemm_candidate_pairs(df, vector_col, id_col, threshold, block_size)
-        va = base.select(
-            F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
-        )
-        vb = base.select(
-            F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
-        )
-        exact_cos = F.try_divide(
-            dot_product(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b")
-        )
-        return (
-            cands.join(va, "id_a")
-            .join(vb, "id_b")
-            .select("id_a", "id_b", exact_cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-        )
+        # the GEMM grid already emits the exact sequential-order cosine
+        # per selected pair (see _gemm_candidate_pairs) — just apply the
+        # exact threshold; no vector join, no interpreted re-score
+        return _gemm_candidate_pairs(
+            df, vector_col, id_col, threshold, block_size
+        ).filter(F.col("cosine") >= threshold)
     if len(bucket_planes) % tables:
         raise ValueError("tables must divide len(bucket_planes)")
     import numpy as np
@@ -1063,8 +1089,14 @@ def embedding_near_dups(
     # vector-pair join.  The ONLY wide exchange is the bucket groupBy of
     # (id, vector) rows (N × tables rows); per-task work and memory are
     # bounded by the bucket cap.  Same two-tier contract as the exact
-    # grid: blocks emit pairs at (threshold - 1e-6), survivors get the
-    # sequential-order native kernel for oracle-bit-identical values.
+    # grid: blocks select pairs at (threshold - 1e-6) from the BLAS
+    # matrix, then compute each survivor's EXACT sequential-order score
+    # in the same task (ann._seq_dot cumsum contract) — values are
+    # oracle-bit-identical with no vector join / interpreted re-score.
+    # A pair emitted from several buckets computes from identical
+    # operands, so dropDuplicates keeps a bit-identical score.
+    from qdrant_datafusion_spark.operators.ann import _seq_dot, _seq_norms
+
     margin = float(threshold) - 1e-6
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1072,33 +1104,25 @@ def embedding_near_dups(
         ids = pdf["_id"].to_numpy()
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0.0] = np.nan
-        C = (M @ M.T) / np.outer(norms, norms)
+        Mn = M / norms[:, None]  # normalize-first: selection-only GEMM
+        C = Mn @ Mn.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = C[iu, ju] >= margin
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        ik, jk = iu[keep], ju[keep]
+        sn = _seq_norms(M)
+        sc = _seq_dot(M[ik], M[jk]) / (sn[ik] * sn[jk])
+        a, b = ids[ik], ids[jk]
         swap = b < a  # normalize so id_a < id_b (np.where keeps str ids)
         lo = np.where(swap, b, a)
         hi = np.where(swap, a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sc})
 
     cands = (
         bucketed.groupBy("_bucket")
-        .applyInPandas(block, schema=f"id_a {id_dt}, id_b {id_dt}")
+        .applyInPandas(block, schema=f"id_a {id_dt}, id_b {id_dt}, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-                     F.col("_n").alias("n_a"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-                     F.col("_n").alias("n_b"))
-    exact_cos = F.try_divide(
-        dot_product(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b")
-    )
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", exact_cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return cands.filter(F.col("cosine") >= threshold)
 
 
 def embedding_near_dups_brp(
@@ -1500,39 +1524,38 @@ def semantic_dedup(
         )
     capped = _cap_hot_buckets(base, ["_cluster"], max_cluster_size)
     margin = float(threshold) - 1e-6
+    # exact sequential-order scores computed IN the cluster block task
+    # (ann._seq_dot cumsum contract — the bits the former vector join +
+    # interpreted fold produced), so no re-score join exists downstream
+    from qdrant_datafusion_spark.operators.ann import _seq_dot, _seq_norms
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
         ids = pdf["_id"].to_numpy()
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0.0] = np.nan
-        C = (M @ M.T) / np.outer(norms, norms)
+        Mn = M / norms[:, None]  # normalize-first: selection-only GEMM
+        C = Mn @ Mn.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = C[iu, ju] >= margin
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        ik, jk = iu[keep], ju[keep]
+        sn = _seq_norms(M)
+        sc = _seq_dot(M[ik], M[jk]) / (sn[ik] * sn[jk])
+        a, b = ids[ik], ids[jk]
         swap = b < a
         return pd.DataFrame(
-            {"id_a": np.where(swap, b, a), "id_b": np.where(swap, a, b)}
+            {
+                "id_a": np.where(swap, b, a),
+                "id_b": np.where(swap, a, b),
+                "cosine": sc,
+            }
         )
 
     cands = capped.groupBy("_cluster").applyInPandas(
-        block, schema=f"id_a {id_dt}, id_b {id_dt}"
-    )
-    va = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
-        norm(F.col("_v")).alias("n_a"),
-    )
-    vb = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
-        norm(F.col("_v")).alias("n_b"),
-    )
-    exact_cos = F.try_divide(
-        dot_product(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b")
+        block, schema=f"id_a {id_dt}, id_b {id_dt}, cosine double"
     )
     dups = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(exact_cos, 6).alias("_cos"))
+        cands.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("_cos"))
         .filter(F.col("_cos") >= threshold)
     )
     per_row = dups.groupBy(F.col("id_b").alias("_id")).agg(
