@@ -54,6 +54,7 @@ from qdrant_datafusion_spark.operators.dedup import (
     simhash_dups,
     simhash_hot_buckets,
 )
+from qdrant_datafusion_spark.session import fan_out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -5712,6 +5713,10 @@ def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < PHASH_DOC_CAP)
         .select("doc_id")
     )
+    # spread BEFORE the synth-encode UDF: the whole encode→decode→hash
+    # chain otherwise runs in the one-task single-row-group scan stage
+    # (session.fan_out; the shuffle ships bare doc_ids)
+    docs = fan_out(docs, "doc_id")
     imgs = docs.select(
         F.col("doc_id").alias("id"), _make_png("doc_id").alias("media")
     )
@@ -5830,6 +5835,7 @@ def multimodal_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < AUDIO_DOC_CAP)
         .select("doc_id")
     )
+    docs = fan_out(docs, "doc_id")  # see multimodal_phash_dups
     clips = docs.select(
         F.col("doc_id").alias("id"), _make_wav("doc_id").alias("media")
     )
@@ -5945,6 +5951,7 @@ def multimodal_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < VIDEO_DOC_CAP)
         .select("doc_id")
     )
+    docs = fan_out(docs, "doc_id")  # see multimodal_phash_dups
     clips = docs.select(
         F.col("doc_id").alias("id"), _make_y4m("doc_id").alias("media")
     )
@@ -6061,8 +6068,12 @@ def multimodal_cross_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "binary",
     )
     mixed = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < CROSS_DOC_CAP)
+        fan_out(  # see multimodal_phash_dups: spread before the encodes
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < CROSS_DOC_CAP)
+            .select("doc_id"),
+            "doc_id",
+        )
         .select(
             F.col("doc_id").alias("id"),
             _png("doc_id").alias("image"),
@@ -9923,6 +9934,41 @@ QUERIES["pipeline_source_cap"] = pipeline_source_cap
 ORACLES["pipeline_source_cap"] = PIPELINE_SOURCE_CAP_SQL
 
 
+#: (sf_dir -> (session, base, ranked)).  The two prefix-filter gates
+#: (dedup_jaccard_prefix, dedup_containment) ran the IDENTICAL first half
+#: twice: 3-shingle walk → xxhash64 token sets → global token counts →
+#: rarest-first per-doc rank (the rank order is threshold-independent).
+#: One build per (session, sf_dir), eagerly pinned — the established
+#: _MINHASH_BUCKETS_MEMO pattern (guide §2.4); the library seam is
+#: fuzzy.hashed_token_sets / fuzzy.ranked_token_index + the base=/ranked=
+#: parameters.  fan_out first: the shingle walk otherwise runs inside the
+#: one-task single-row-group scan stage (session.fan_out).
+_PREFIX_TOKEN_MEMO: dict[str, tuple[SparkSession, DataFrame, DataFrame]] = {}
+
+
+def _doc_prefix_token_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared (hashed token sets, rarest-first rank) tables over
+    documents' 3-shingles, built once per (session, sf_dir)."""
+    from qdrant_datafusion_spark.operators.fuzzy import (
+        hashed_token_sets,
+        ranked_token_index,
+    )
+
+    hit = _PREFIX_TOKEN_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    sh3 = docs.select("doc_id", word_shingles("text", 3).alias("sh3"))
+    base = hashed_token_sets(sh3, "sh3", "doc_id").localCheckpoint(eager=True)
+    ranked = ranked_token_index(base).localCheckpoint(eager=True)
+    _PREFIX_TOKEN_MEMO[sf_dir] = (spark, base, ranked)
+    return base, ranked
+
+
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-shingle Jaccard pairs at threshold 1/5 via prefix
     filtering (All-Pairs/PPJoin) — same semantics as dedup_ngram_jaccard
@@ -9936,13 +9982,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         set_similarity_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    base, ranked = _doc_prefix_token_tables(spark, sf_dir)
     pairs = set_similarity_pairs(
-        docs.select("doc_id", word_shingles("text", 3).alias("sh3")),
+        None,
         "sh3",
         "doc_id",
         t_num=1,
         t_den=5,
+        base=base,
+        ranked=ranked,
     )
     return pairs.select(
         "id_a",
@@ -10009,13 +10057,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     TestContainmentPairs' brute-force permutation parity."""
     from qdrant_datafusion_spark.operators.fuzzy import containment_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    base, ranked = _doc_prefix_token_tables(spark, sf_dir)
     pairs = containment_pairs(
-        docs.select("doc_id", word_shingles("text", 3).alias("sh3")),
+        None,
         "sh3",
         "doc_id",
         t_num=4,
         t_den=5,
+        base=base,
+        ranked=ranked,
     )
     return pairs.select(
         "id_a",

@@ -44,6 +44,7 @@ from pyspark.sql.window import Window as SqlWindow
 
 from qdrant_datafusion_spark.functions.text import tokens
 from qdrant_datafusion_spark.operators.tokenizer import _qlog
+from qdrant_datafusion_spark.session import fan_out
 
 __all__ = [
     "hashed_bow_counts",
@@ -80,11 +81,14 @@ def hashed_bow_counts(
     row per (document, occupied bucket).  One explode + one keyed
     groupBy, linear in corpus tokens; documents with zero tokens emit
     no rows (callers treat missing ids as feature-less)."""
+    # fan_out BEFORE tokenize/explode/md5-bucket: the whole feature walk
+    # otherwise runs inside the one-task scan stage of a
+    # single-row-group file (session.fan_out)
     return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(tokens(F.col(text_col))).alias("_t"),
+        fan_out(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
         )
+        .select("_id", F.explode(tokens(F.col(text_col))).alias("_t"))
         .select("_id", _bucket(F.col("_t"), dim).cast("int").alias("d"))
         .groupBy("_id", "d")
         .agg(F.count("*").cast("long").alias("c"))

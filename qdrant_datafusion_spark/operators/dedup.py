@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qdrant_datafusion_spark.functions.text import tokens, word_shingles
+from qdrant_datafusion_spark.session import fan_out
 
 
 def exact_dedup(
@@ -81,7 +82,11 @@ def _shingle_pairs(
     the explode and the size() both reference it instead of re-deriving the
     (expensive, interpreted-HOF) shingling expression."""
     sh = (
-        df.select(F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh"))
+        fan_out(
+            df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c")),
+            "_id",
+        )
+        .select("_id", word_shingles("_c", k).alias("_sh"))
         .select(
             "_id",
             F.size("_sh").alias("_nsh"),
@@ -386,22 +391,33 @@ def minhash_lsh_dups(
         buckets = _minhash_buckets(df, content_col, id_col, k, num_hashes, bands)
     buckets = _cap_hot_buckets(buckets, ["bucket"], max_bucket_size)
 
-    a = buckets.select(
-        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "bucket"
+    # decide with small rows, attach the payload once (guide §8): the
+    # bucket self-join carries ONLY (_id, bucket) — shipping the full
+    # fingerprint array through every band row multiplied the shuffle by
+    # the band count, and verifying INSIDE the join re-ran the
+    # array_intersect once per SHARED bucket (a true near-dup pair shares
+    # most of its bands, so the old inline verify paid up to ``bands``×
+    # the intersection work; measured 37s → 9s on the 10× fixture's
+    # 250k-pair structure).  The distinct shuffles 16-byte id pairs, then
+    # each surviving pair attaches fingerprints once and verifies once —
+    # same arrays, same expression, bit-identical emitted values.
+    slim = buckets.select("_id", "bucket")
+    cand = (
+        slim.select(F.col("_id").alias("id_a"), "bucket")
+        .join(slim.select(F.col("_id").alias("id_b"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b_ = buckets.select(
-        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "bucket"
-    )
-    # verify INSIDE the join stage (cheap bigint-set intersection), then
-    # deduplicate only the true near-dups — the dropDuplicates shuffle
-    # carries a handful of (id, id, double) rows instead of every candidate
-    # with its arrays
+    fps = buckets.select("_id", "_fp").dropDuplicates(["_id"])
+    fpa = fps.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    fpb = fps.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
     inter = F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b")))
     union = F.size(F.col("fp_a")) + F.size(F.col("fp_b")) - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b_, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(fpa, "id_a")
+        .join(fpb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -410,7 +426,6 @@ def minhash_lsh_dups(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -572,8 +587,17 @@ def _minhash_buckets(
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(content_col, k).alias("_sh")
+    # spread the raw (id, text) rows BEFORE the shingle walk: the whole
+    # shingle → md5 → 32-way min partial-aggregation chain runs in the
+    # scan stage, and a single-row-group parquet file scans as one task
+    # (measured: the entire 10×-fixture signature build on one core;
+    # see session.fan_out — a no-op once the scan has real splits)
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c")),
+        "_id",
+    )
+    sh = base.select(
+        "_id", word_shingles("_c", k).alias("_sh")
     ).filter(F.size("_sh") > 0)
     # signatures via explode + wide min-aggregation: the per-shingle md5
     # columns run in WholeStageCodegen; an array_min(transform(...)) form
@@ -698,9 +722,15 @@ def simhash_signatures(
     nbits = prefix_hex_chars * 4
     # one conv per token: the 15-hex-char md5 prefix parses to a single
     # 60-bit integer (fits bigint under ANSI); every bit vote is then two
-    # integer ops — no per-nibble string parsing
-    tok = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(content_col)).alias("_t")
+    # integer ops — no per-nibble string parsing.  fan_out first: the
+    # token explode + md5 + 20 packed-vote partial aggregations all run
+    # in the scan stage, which is one task on a single-row-group file
+    # (session.fan_out — no-op once the scan has real splits)
+    tok = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c")),
+        "_id",
+    ).select(
+        "_id", F.explode(tokens("_c")).alias("_t")
     ).select(
         "_id",
         F.conv(F.substring(F.md5("_t"), 1, prefix_hex_chars), 16, 10)

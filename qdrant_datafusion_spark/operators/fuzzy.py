@@ -42,7 +42,59 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["containment_pairs", "edit_distance_pairs", "set_similarity_pairs"]
+__all__ = [
+    "containment_pairs",
+    "edit_distance_pairs",
+    "hashed_token_sets",
+    "ranked_token_index",
+    "set_similarity_pairs",
+]
+
+
+def hashed_token_sets(
+    df: DataFrame, tokens_col: Column | str, id_col: str
+) -> DataFrame:
+    """``(_id, _toks, _n)`` — distinct xxhash64-hashed token sets, the
+    shared first stage of :func:`set_similarity_pairs` and
+    :func:`containment_pairs` (same rationale as
+    ``pipeline.decontaminate``'s 64-bit trick: every downstream shuffle
+    carries fixed 8-byte keys instead of shingle strings).  Exposed so a
+    caller running BOTH prefix-filter joins over one corpus builds this
+    (and :func:`ranked_token_index`) once, pins it, and passes it back
+    through the ``base=`` / ``ranked=`` parameters — the
+    ``minhash_buckets``/``simhash_buckets`` precomputed-table seam,
+    prefix-filter edition."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(toks, lambda x: F.xxhash64(x))
+            ).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= 1)
+    )
+
+
+def ranked_token_index(base: DataFrame) -> DataFrame:
+    """``(_id, _n, _tok, _rn)`` — every document's tokens ranked
+    rarest-first by global ``(frequency, token)`` — the prefix-filter
+    ordering both pair joins cut their prefixes from.  One token-count
+    shuffle (map-side combined) + one count join-back + one per-doc
+    window, shared verbatim by both consumers (the rank order does not
+    depend on the threshold; each consumer applies its own prefix-length
+    cut to the same ranks)."""
+    ex = base.select("_id", "_n", F.explode("_toks").alias("_tok"))
+    counts = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cnt").asc(), F.col("_tok").asc()
+    )
+    return (
+        ex.join(counts, "_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .select("_id", "_n", "_tok", "_rn")
+    )
 
 
 def _seg_start(i: str, l: str, d: int) -> str:
@@ -186,6 +238,8 @@ def set_similarity_pairs(
     id_col: str,
     t_num: int = 1,
     t_den: int = 2,
+    base: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join at threshold ``t_num/t_den``
     via prefix filtering (All-Pairs / PPJoin family: Chaudhuri et al.
@@ -221,39 +275,27 @@ def set_similarity_pairs(
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
-    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    # hash every token to int64 up front (same 64-bit trick as
-    # pipeline.decontaminate): the count shuffle, the prefix equi-join,
-    # and the verify intersect all carry fixed 8-byte keys instead of
-    # raw shingle strings (~4x narrower for 3-word shingles).  Set
-    # cardinalities and intersections are preserved up to xxhash64
-    # collisions (P ~ n_tokens^2 / 2^65 per doc — negligible; the
-    # brute-force pytest oracle would surface one).
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(
-                F.transform(toks, lambda x: F.xxhash64(x))
-            ).alias("_toks"),
+    # hash every token to int64 up front (hashed_token_sets — same
+    # 64-bit trick as pipeline.decontaminate): the count shuffle, the
+    # prefix equi-join, and the verify intersect all carry fixed 8-byte
+    # keys instead of raw shingle strings (~4x narrower for 3-word
+    # shingles).  Set cardinalities and intersections are preserved up
+    # to xxhash64 collisions (P ~ n_tokens^2 / 2^65 per doc —
+    # negligible; the brute-force pytest oracle would surface one).
+    # ``base=``/``ranked=`` accept the precomputed tables so several
+    # prefix-filter consumers share one build.
+    if base is None:
+        # the base frame feeds the explode AND both sides of the verify
+        # join — pin it once (executor-side, lineage truncated)
+        base = hashed_token_sets(df, tokens_col, id_col).localCheckpoint(
+            eager=False
         )
-        .withColumn("_n", F.size("_toks"))
-        .filter(F.col("_n") >= 1)
-    )
-    # the base frame feeds the explode AND both sides of the verify
-    # join — pin it once (executor-side, lineage truncated)
-    base = base.localCheckpoint(eager=False)
-
-    ex = base.select("_id", "_n", F.explode("_toks").alias("_tok"))
-    counts = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    if ranked is None:
+        ranked = ranked_token_index(base)
     # prefix length p = n - ceil(t*n) + 1, all-integer:
     # ceil(t*n) = (t_num*n + t_den - 1) div t_den
-    w = Window.partitionBy("_id").orderBy(
-        F.col("_cnt").asc(), F.col("_tok").asc()
-    )
     prefix = (
-        ex.join(counts, "_tok")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(
+        ranked.filter(
             F.col("_rn")
             <= F.col("_n")
             - F.expr(f"(_n * {int(t_num)} + {int(t_den)} - 1) div {int(t_den)}")
@@ -334,6 +376,8 @@ def containment_pairs(
     id_col: str,
     t_num: int = 4,
     t_den: int = 5,
+    base: DataFrame | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT containment self-join: ordered pairs where at least
     ``t_num/t_den`` of the LEFT set's tokens appear in the right set
@@ -364,30 +408,18 @@ def containment_pairs(
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
-    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     # int64-hashed tokens, same rationale as set_similarity_pairs: the
     # inverted-index side (every token of every container) is the widest
-    # shuffle in this operator — 8-byte keys instead of shingle strings
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(
-                F.transform(toks, lambda x: F.xxhash64(x))
-            ).alias("_toks"),
+    # shuffle in this operator — 8-byte keys instead of shingle strings.
+    # ``base=``/``ranked=`` accept the precomputed tables (the shared
+    # hashed-set + rarest-first rank build) so both prefix-filter joins
+    # over one corpus pay for it once.
+    if base is None:
+        base = hashed_token_sets(df, tokens_col, id_col).localCheckpoint(
+            eager=False
         )
-        .withColumn("_n", F.size("_toks"))
-        .filter(F.col("_n") >= 1)
-        .localCheckpoint(eager=False)
-    )
-
-    ex = base.select("_id", "_n", F.explode("_toks").alias("_tok"))
-    counts = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
-    w = Window.partitionBy("_id").orderBy(
-        F.col("_cnt").asc(), F.col("_tok").asc()
-    )
-    ranked = ex.join(counts, "_tok").withColumn(
-        "_rn", F.row_number().over(w)
-    )
+    if ranked is None:
+        ranked = ranked_token_index(base)
     # contained side ships its prefix only; container side ships ALL
     # tokens (its required overlap depends on the partner's size, so it
     # has no local prefix — the inverted-index side of the join)

@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qdrant_datafusion_spark.session import fan_out
+
 from .tokenizer import _qlog
 
 __all__ = ["LangNgramModel", "lang_id_ngram", "train_lang_ngram"]
@@ -99,9 +101,18 @@ def train_lang_ngram(
     ``Q(docs[l]) − Q(docs_total)``.  Collected state is K×L weights plus
     L priors — bounded by construction.
     """
+    # fan_out BEFORE the normalize+explode: the whole n-gram walk and the
+    # map-side combine otherwise run inside the one-task scan stage of a
+    # single-row-group file (session.fan_out — no-op with real splits);
+    # keyed on the text itself (unique-ish, deterministic under retries)
     ng = (
-        df.select(F.col(label_col).alias("_l"), _norm(text_col).alias("_t"))
-        .where(F.col("_l").isNotNull())
+        fan_out(
+            df.select(
+                F.col(label_col).alias("_l"), F.col(text_col).alias("_raw")
+            ).where(F.col("_l").isNotNull()),
+            "_raw",
+        )
+        .select("_l", _norm("_raw").alias("_t"))
         .select("_l", F.explode(_ngrams(F.col("_t"), n)).alias("_g"))
     )
     # ONE corpus pass: the explode+groupBy result is bounded by
@@ -179,7 +190,11 @@ def lang_id_ngram(
     # re-evaluated per array ELEMENT inside the lambda (O(len^2) regex work
     # per doc — measured 7x slower at sf0.1).  CollapseProject keeps the
     # boundary because the alias is multiply-referenced and non-cheap.
-    ex = df.select(
+    # fan_out first (same rationale as train_lang_ngram; keyed on the id,
+    # which the groupBy below then reuses as its shuffle key)
+    ex = fan_out(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), _norm(text_col).alias("_t")
     ).select(
         F.col(id_col),

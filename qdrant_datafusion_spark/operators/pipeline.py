@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window as SqlWindow
 
 from qdrant_datafusion_spark.functions.text import token_count, tokens, word_shingles
+from qdrant_datafusion_spark.session import fan_out
 
 __all__ = [
     "quantile_normalize",
@@ -283,7 +284,11 @@ def decontaminate(
         .select(F.xxhash64("sh").alias("shh"))
         .distinct()
     )
-    doc_sh = docs.select(
+    # fan_out: both shingle walks (the explode and the size) otherwise
+    # run in the one-task scan stage (session.fan_out); sharing one
+    # spread frame also lets the exchange be reused by both readers
+    spread = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    doc_sh = spread.select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
     ).select(id_col, F.xxhash64("sh").alias("shh"))
     hits = (
@@ -291,7 +296,7 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("hits"))
     )
-    totals = docs.select(
+    totals = spread.select(
         F.col(id_col), F.size(word_shingles(text_col, k)).cast("long").alias("n_shingles")
     )
     return (
@@ -983,7 +988,10 @@ def decontaminate_bloom(
     )
     bitmap = bloom_bitmap(bench_sh, "shh", m_bits, num_hashes)
 
-    doc_sh = docs.select(
+    # fan_out: see decontaminate — the shingle walks otherwise run in the
+    # one-task scan stage of a single-row-group file
+    spread = fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    doc_sh = spread.select(
         F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh")
     ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
     survivors = bloom_probe(doc_sh, bitmap, "shh", m_bits, num_hashes).select(
@@ -996,7 +1004,7 @@ def decontaminate_bloom(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("hits"))
     )
-    totals = docs.select(
+    totals = spread.select(
         F.col(id_col),
         F.size(word_shingles(text_col, k)).cast("long").alias("n_shingles"),
     )
@@ -1067,7 +1075,11 @@ def lm_perplexity(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    toks = df.select(
+    # fan_out BEFORE tokenize/bigram-explode (session.fan_out: the walk
+    # otherwise runs in the one-task scan stage)
+    toks = fan_out(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), tokens(text_col).alias("_toks")
     ).where(F.size("_toks") >= 2)
     big = toks.select(
@@ -1286,9 +1298,19 @@ def dsir_select(
         raise ValueError("keep fraction must satisfy 0 < keep_num/keep_den <= 1")
     m = int(m_buckets)
 
-    toks = df.select(
+    # fan_out BEFORE tokenize/explode/md5: the feature walk otherwise
+    # runs inside the one-task scan stage of a single-row-group file
+    # (session.fan_out — no-op once the scan has real splits)
+    toks = fan_out(
+        df.select(
+            F.col(id_col),
+            is_target.cast("boolean").alias("_tgt"),
+            F.col(text_col),
+        ),
+        id_col,
+    ).select(
         F.col(id_col),
-        is_target.cast("boolean").alias("_tgt"),
+        "_tgt",
         tokens(text_col).alias("_toks"),
     ).where(F.size("_toks") >= 1)
     feats = toks.select(

@@ -49,6 +49,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from qdrant_datafusion_spark.session import fan_out
+
 __all__ = [
     "SEP",
     "END_MARK",
@@ -87,8 +89,13 @@ def _words(df: DataFrame, text_col: str) -> DataFrame:
     chars U+001F/U+001E stripped, explicit ASCII whitespace class (see
     _word_table's docstring for the cross-engine rationale)."""
     clean = F.regexp_replace(F.lower(F.col(text_col)), "[\x1f\x1e]", "")
+    # fan_out BEFORE the split/explode/partial-agg: on a single-row-group
+    # file the whole word walk otherwise runs in one scan task
+    # (session.fan_out); keyed on the text itself — deterministic, and
+    # there is no id column in this contract
     return (
-        df.select(F.explode(F.split(clean, _WS_CLASS)).alias("_w"))
+        fan_out(df.select(F.col(text_col)), text_col)
+        .select(F.explode(F.split(clean, _WS_CLASS)).alias("_w"))
         .where(F.length("_w") > 0)
         .groupBy("_w")
         .agg(F.count("*").cast("long").alias("_n"))
@@ -497,8 +504,12 @@ def bpe_encode(
         ),
         F.array().cast("array<string>"),  # NULL text = zero tokens
     )
+    # fan_out: N replace passes per word all run in the scan stage — one
+    # task on a single-row-group file (session.fan_out)
     return _with_token_ids(
-        df.select(F.col(id_col), pieces.alias("pieces")),
+        fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col), pieces.alias("pieces")
+        ),
         id_col,
         vocab,
         unk_id,
@@ -718,7 +729,11 @@ def unigram_encode(
     id_map = F.create_map(
         *[x for pc, r in ranks.items() for x in (F.lit(pc), F.lit(r))]
     )
-    return df.select(
+    # fan_out: the Viterbi DP batches otherwise all land in the one scan
+    # task of a single-row-group file (session.fan_out)
+    return fan_out(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), _enc(F.col(text_col)).alias("pieces")
     ).select(
         id_col,

@@ -72,6 +72,37 @@ def get_spark(
     return spark
 
 
+def fan_out(df, *key_cols: str, min_parts: int | None = None):
+    """Spread a narrow-split scan across the session's parallelism before
+    heavy per-row kernels (shingling, md5 signatures, codec decodes).
+
+    Parquet splits at row-group granularity, so a table written as one
+    small file (this harness's fixtures; any compacted dimension table)
+    scans as ONE task no matter what ``maxPartitionBytes`` says — and
+    every expensive map-side kernel downstream of that scan then runs on
+    one core (guide §2.5 "input skew" / §6 input splits).  This helper
+    is the scale-correct fix: a NO-OP whenever the plan already has
+    enough partitions (at 100 TB a scan has thousands of splits and the
+    shuffle would be pure waste), and an explicit-count deterministic
+    hash repartition when it does not.  The explicit ``numPartitions``
+    matters: a bare ``repartition(cols)`` is advisory and AQE coalesces
+    it right back to one partition on byte-size grounds — AQE cannot see
+    that the downstream per-row cost, not the byte count, is the reason
+    for the spread.
+
+    Keyed (deterministic) partitioning, never round-robin: retried tasks
+    reproduce the same row placement (SPARK-38388 class of bugs), and a
+    later shuffle on the same key can reuse the exchange.
+    """
+    sess = df.sparkSession
+    target = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    if min_parts is None:
+        min_parts = max(4, target // 2)
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(target, *key_cols)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register the driver's parquet tables as temp views named after the files."""
     if names is None:
