@@ -792,12 +792,58 @@ def mmr_select(
     if not 0 <= lambda_pct <= 100:
         raise ValueError("lambda_pct must be in [0, 100]")
     qv = [float(x) for x in query]
+    # Arrow-batched integer-units cosine vs a FIXED vector.  The naive
+    # form — F.round(v_search(...) * units) per step — inlines the
+    # 64-element literal array three times into a zip_with/aggregate
+    # tree, and every greedy step embeds a NEW pick vector, so every
+    # step pays whole-stage-codegen compilation of a fresh giant plan
+    # (measured: the k=10 gate is ~50s cold / ~7s warm at sf0.1 with the
+    # kernel math itself being milliseconds — the wall is per-step
+    # compilation, guide §7.3 "planning time itself").  The UDF closure
+    # swaps the vector without changing the compiled plan shape.
+    # Exactness: np.cumsum IS the JVM fold's IEEE add sequence (the
+    # _seq_dot contract, same as the GEMM kernels) and the final
+    # round-to-units goes through Decimal(repr(x)) — BigDecimal.valueOf
+    # semantics, the _round6_half_up argument at scale 0.
+    def _units_cos_udf(fixed: list[float]):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        fq = np.asarray(fixed, dtype=np.float64)
+        fqn = float(np.sqrt(_seq_dot(fq[None, :], fq[None, :])[0]))
+        u = float(units)
+
+        # plain Series->Series scalar form (no type hints: this module's
+        # `from __future__ import annotations` would stringify them and
+        # break pandas_udf inference)
+        def score(col):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            one = Decimal(1)
+            if len(col) == 0:
+                return pd.Series([], dtype="Int64")
+            M = np.stack(col.values).astype(np.float64)
+            dots = _seq_dot(M, np.broadcast_to(fq, M.shape))
+            denom = _seq_norms(M) * fqn
+            out = [
+                None
+                if d == 0.0
+                else int(
+                    Decimal(repr(dot / d * u)).quantize(
+                        one, rounding=ROUND_HALF_UP
+                    )
+                )
+                for dot, d in zip(dots, denom)
+            ]
+            return pd.Series(out, dtype="Int64")
+
+        return pandas_udf(score, "long")
+
     cand = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.round(v_search(vec_col, qv, "cosine") * units)
-        .cast("long")
-        .alias("_rel_u"),
+        _units_cos_udf(qv)(F.col(vec_col)).alias("_rel_u"),
     ).localCheckpoint(eager=False)
     mu = 100 - lambda_pct
     # running max-sim state: each step computes ONE new cosine per
@@ -813,9 +859,7 @@ def mmr_select(
     for step in range(k):
         if picked:
             last_id, last_vec = picked[-1][1], picked[-1][3]
-            new_sim = F.round(
-                v_search("_v", last_vec, "cosine") * units
-            ).cast("long")
+            new_sim = _units_cos_udf(last_vec)(F.col("_v"))
             state = (
                 state.where(F.col("_id") != F.lit(last_id))
                 .withColumn("_max_sim", F.greatest("_max_sim", new_sim))

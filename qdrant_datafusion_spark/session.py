@@ -48,18 +48,21 @@ def get_spark(
         # Driver-local literal relations (createDataFrame of query vectors,
         # pyspark.ml DefaultParamsWriter metadata writes) are sliced into
         # defaultParallelism pickled partitions, and a coalesce(1) consumer
-        # — which is exactly what the stock ML writer does — then evaluates
-        # every slice SEQUENTIALLY through a Python worker roundtrip
-        # (~0.2-0.5s each; measured 6s per 1-row metadata write at 32
-        # slices, round 13).  Bounding the slice count fixes that at any
-        # cluster size — more cores would make it strictly worse, so this
-        # is not a local-mode-only tune; RDD-API work that wants full
-        # parallelism can override via $SPARK_GRAFT_DEFAULT_PARALLELISM
-        # (the engine's own query paths are DataFrame-API and size their
-        # stages from the scan/shuffle configs, not this).
+        # — which is exactly what the stock ML writer does (verified in
+        # DefaultParamsWriter.saveMetadata: createDataFrame([1 row])
+        # .coalesce(1).write.text) — then evaluates every slice
+        # SEQUENTIALLY through a Python worker roundtrip (~0.2-0.5s each;
+        # measured 6s per 1-row metadata write at 32 slices, and still
+        # ~1.8s at 8).  1 slice is the correct count for a 1-row relation
+        # at ANY cluster size — more cores make the serial slice walk
+        # strictly worse, so this is not a local-mode tune; RDD-API work
+        # that wants full parallelism can override via
+        # $SPARK_GRAFT_DEFAULT_PARALLELISM (the engine's own query paths
+        # are DataFrame-API and size their stages from the scan/shuffle
+        # configs and session.fan_out, not this).
         .config(
             "spark.default.parallelism",
-            os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM", "8"),
+            os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM", "1"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
