@@ -5715,8 +5715,10 @@ def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread BEFORE the synth-encode UDF: the whole encode→decode→hash
     # chain otherwise runs in the one-task single-row-group scan stage
-    # (session.fan_out; the shuffle ships bare doc_ids)
-    docs = fan_out(docs, "doc_id")
+    # (session.fan_out; the shuffle ships bare doc_ids).  parts sized to
+    # ~128 rows/task — the caps are constants, and tiny per-task batches
+    # make the Python worker roundtrip the dominant cost
+    docs = fan_out(docs, "doc_id", parts=max(4, PHASH_DOC_CAP // 128))
     imgs = docs.select(
         F.col("doc_id").alias("id"), _make_png("doc_id").alias("media")
     )
@@ -5835,7 +5837,8 @@ def multimodal_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < AUDIO_DOC_CAP)
         .select("doc_id")
     )
-    docs = fan_out(docs, "doc_id")  # see multimodal_phash_dups
+    # see multimodal_phash_dups (parts: ~64 rows/task of WAV encode)
+    docs = fan_out(docs, "doc_id", parts=max(4, AUDIO_DOC_CAP // 64))
     clips = docs.select(
         F.col("doc_id").alias("id"), _make_wav("doc_id").alias("media")
     )
@@ -5951,7 +5954,8 @@ def multimodal_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < VIDEO_DOC_CAP)
         .select("doc_id")
     )
-    docs = fan_out(docs, "doc_id")  # see multimodal_phash_dups
+    # see multimodal_phash_dups (parts: ~32 rows/task of Y4M encode)
+    docs = fan_out(docs, "doc_id", parts=max(4, VIDEO_DOC_CAP // 32))
     clips = docs.select(
         F.col("doc_id").alias("id"), _make_y4m("doc_id").alias("media")
     )
@@ -6068,11 +6072,15 @@ def multimodal_cross_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "binary",
     )
     mixed = (
-        fan_out(  # see multimodal_phash_dups: spread before the encodes
+        fan_out(  # see multimodal_phash_dups: spread before the encodes;
+            # parts: ~32 rows/task — three chained codec UDFs per task
+            # make tiny batches pay 3 worker roundtrips each (measured
+            # 3-4x slower at full 32-way spread of 256 rows)
             _t(spark, sf_dir, "documents")
             .where(F.col("doc_id") < CROSS_DOC_CAP)
             .select("doc_id"),
             "doc_id",
+            parts=max(4, CROSS_DOC_CAP // 32),
         )
         .select(
             F.col("doc_id").alias("id"),
