@@ -1729,9 +1729,11 @@ def sorted_neighborhood_pairs(
         key_col, str
     ) else [F.col(id_col).alias("_id"), key_col.alias("_key")]
     if content_col is not None:
-        sel.append(
-            F.array_distinct(word_shingles(content_col, k)).alias("_sh")
-        )
+        # carry the raw text through the range exchange and shingle AFTER
+        # it: the walk then runs across the range partitions instead of
+        # inside the (possibly one-task) scan stage, and the exchange
+        # ships text instead of the wider shingle arrays (guide §2.3)
+        sel.append(F.col(content_col).alias("_c"))
     base = df.select(*sel)
 
     # ranked feeds BOTH the partition-size aggregate and the offset
@@ -1740,11 +1742,14 @@ def sorted_neighborhood_pairs(
     # the rank window computed twice — the lazy localCheckpoints pin
     # each stage exactly once (executor-side, lineage truncated,
     # released with these frames; the kmv/hilbert-gate argument).
-    ranked = (
-        base.repartitionByRange(F.col("_key").asc(), F.col("_id").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    ranked = base.repartitionByRange(
+        F.col("_key").asc(), F.col("_id").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    if content_col is not None:
+        ranked = ranked.withColumn(
+            "_sh", F.array_distinct(word_shingles("_c", k))
+        ).drop("_c")
+    ranked = ranked.localCheckpoint(eager=False)
     sizes = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_off = (
         Window.partitionBy(F.lit(0))
