@@ -64,6 +64,22 @@ def get_spark(
             "spark.default.parallelism",
             os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM", "1"),
         )
+        # AQE's coalescePartitions floor silently derives from
+        # defaultParallelism when minPartitionNum is unset
+        # (CoalesceShufflePartitions falls back to
+        # session.sparkContext.defaultParallelism) — so the
+        # default.parallelism=1 fix above would let AQE coalesce every
+        # small-BYTE shuffle to ONE partition, serializing the CPU-heavy
+        # post-shuffle stages AQE cannot cost (per-bucket GEMM blocks,
+        # pandas-UDF kernels: measured 2.3x on the 10x-scale kNN-graph
+        # gate, 15.2s -> 6.0s warm when the floor is restored).  Pin the
+        # floor to the same scale-parameterised value shuffle.partitions
+        # uses — this is exactly the floor defaultParallelism=cores gave
+        # every round through r12, now decoupled from the RDD slice count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(shuffle_partitions),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
