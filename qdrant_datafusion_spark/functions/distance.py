@@ -19,6 +19,7 @@ sort materialization) — verified in tests/test_plans.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column
@@ -33,12 +34,24 @@ def _as_col(c: ColumnOrName) -> Column:
 
 
 def _as_vec(v) -> Column:
-    """Accept a Column, a column name, or a Python list literal as a vector."""
+    """Accept a Column, a column name, or a Python list literal as a vector.
+
+    Literal vectors build through ONE ``F.expr`` call instead of one
+    ``F.lit`` py4j roundtrip per element (~80ms of driver time per
+    64-dim literal, paid 2-3x per kernel via the q reuse in cosine —
+    guide §7.3 planning cost).  ``CAST('<repr>' AS DOUBLE)`` parses via
+    Double.parseDouble, which round-trips Python float repr bit-exactly
+    (verified against the F.lit path element-for-element)."""
     if isinstance(v, Column):
         return v
     if isinstance(v, str):
         return F.col(v)
-    return F.array(*[F.lit(float(x)) for x in v])
+    xs = [float(x) for x in v]
+    if xs and all(math.isfinite(x) for x in xs):
+        return F.expr(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in xs) + ")"
+        )
+    return F.array(*[F.lit(x) for x in xs])
 
 
 def _fsum(arr: Column) -> Column:

@@ -189,8 +189,21 @@ def _maxsim_batch(mv: pd.Series, q: pd.Series) -> pd.Series:
     return res
 
 
+#: sessions already registered (identity-checked): registration is
+#: idempotent (CREATE OR REPLACE + udf.register), but each call parses
+#: ~20 DDL statements and re-wraps 7 Python UDFs — ~0.3s of driver-side
+#: work per call (guide §7.3).  Holding the session object keeps its
+#: id() from being reused by a successor session.
+_REGISTERED_SESSIONS: list[SparkSession] = []
+
+
 def register_all(spark: SparkSession) -> None:
-    """Install SQL-callable versions of the V_* surface on this session."""
+    """Install SQL-callable versions of the V_* surface on this session.
+
+    Idempotent and memoized per live session — repeat calls on a session
+    that already has the surface installed are a no-op."""
+    if any(s is spark for s in _REGISTERED_SESSIONS):
+        return
 
     @pandas_udf("double")
     def v_cosine(v: pd.Series, q: pd.Series) -> pd.Series:
@@ -269,6 +282,7 @@ def register_all(spark: SparkSession) -> None:
     # is pure built-in expression, so all of these inline into the plan
     for ddl in _SQL_FUNCTION_DDL:
         spark.sql(ddl)
+    _REGISTERED_SESSIONS.append(spark)
 
 
 #: SQL-defined functions completing the corpus's SQL-callable surface

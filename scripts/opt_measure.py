@@ -1,7 +1,7 @@
-"""Round-13 optimization harness: time individual queries with the noop
+"""Round-13/14 optimization harness: time individual queries with the noop
 sink (guide §1.4 — computation only, no sink cost) and dump their
 ``.explain("formatted")`` plans for the before/after evidence in
-``plans/r13/``.
+``plans/r14/``.
 
 Usage:
     python scripts/opt_measure.py [--plans SUFFIX] [--repeat N] [--sf DIR] q1 q2 ...
@@ -10,7 +10,7 @@ Usage:
   gates that internally drive actions are timed to .count() like bench.py,
   noted in the output);
 - with ``--plans before`` / ``--plans after`` the formatted plan is written
-  to plans/r13/<query>_<suffix>.txt;
+  to plans/r14/<query>_<suffix>.txt;
 - prints one line per query: median of N observations + all observations.
 
 This harness exists for the optimization loop only; the graded artifact
@@ -70,7 +70,7 @@ def main() -> None:
             .collect()
         )
 
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:
