@@ -1968,11 +1968,20 @@ def paragraph_dedup_incremental(
 
     if store_hashes is None:
         # fan_out before the explode: the store's window-walk + xxhash
-        # otherwise runs in its one-task scan stage (keyed on the full
-        # row — the store carries no id contract; deterministic either
-        # way).  Measured at sf0.1: 1.2-1.7s -> 0.7-0.9s for this half.
+        # otherwise runs in its one-task scan stage.  Keyed on the text
+        # column alone when the default unit split applies (the store
+        # carries no id contract; deterministic either way) — hashing
+        # EVERY store column would throw on non-hashable types (MapType)
+        # the walk never reads (r13 ADVICE).  Custom ``units``
+        # expressions fall back to the full row since their inputs are
+        # opaque here.  Measured at sf0.1: 1.2-1.7s -> 0.7-0.9s.
+        spread_keys = (
+            [text_col]
+            if units is None and text_col in store.columns
+            else store.columns
+        )
         store_hashes = (
-            fan_out(store, *store.columns)
+            fan_out(store, *spread_keys)
             .select(F.explode(unit_expr).alias("_u"))
             .filter(F.trim("_u") != "")
             .select(F.xxhash64(_norm(F.col("_u"))).alias("uh"))
